@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated test tables (TESTDATA.md) and registers them
+  * as temp views so both the DataFrame DSL and spark.sql can reach them.
+  *
+  * At 100 TB these would be partitioned roots
+  * (`customer/collector/dateInt=/hour=` in the reference's layout — see
+  * reference core/src/main/scala/com/cardinal/utils/Commons.scala:160-177);
+  * here each table is a single parquet file. All reads go through
+  * mergeSchema=true so per-file schema evolution (the norm for telemetry
+  * segments) unions by name, mirroring DuckDB's `union_by_name=True`
+  * (reference Commons.scala:200-254).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 has no timestamp
+    // type for — read it as epoch-nanos LongType. Comparisons/bucketing on
+    // the raw long keep predicate pushdown intact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("mergeSchema", "true").parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every table as a temp view named after itself; idempotent. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,471 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core operator inventory (SURVEY.md §2) expressed over the driver test
+  * tables, each paired with an ANSI-SQL oracle in [[CoreQueries.oracleSql]].
+  *
+  * Conventions shared by every query/oracle pair (the driver hashes values
+  * after sorting columns by name — see the builder contract):
+  *  - every output column is explicitly aliased, identically on both sides;
+  *  - every query ends in a fully-deterministic ORDER BY;
+  *  - timestamps are projected as epoch-millis BIGINT (`unix_millis` /
+  *    `epoch_ms`) — never as raw timestamp columns;
+  *  - floating aggregates accumulate in exact DECIMAL and cast the final
+  *    value to double (see [[dsum]]), so summation order can never flip a
+  *    hash; pure row-level double arithmetic is left unrounded (IEEE ops
+  *    in the same order are bit-identical across engines).
+  *
+  * Scale notes (100 TB thinking): filters are plain column predicates so
+  * Catalyst pushes them into the parquet scan; aggregations are
+  * partial/final hash aggregates (map-side combine comes free); the one
+  * relational join broadcasts its dimension side.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events.ts is epoch-nanos (LongType — see Tables.load). Step-bucketed
+    * epoch-ms; positive timestamps only, so `div` (truncation) matches
+    * DuckDB's floor `//`. */
+  private def stepTs(stepMs: Long): Column =
+    expr(s"(ts div ${stepMs * 1000000L}) * $stepMs").as("step_ts")
+
+  private def tsMs: Column = expr("ts div 1000000").as("ts_ms")
+
+  private def epochNanos(isoUtc: String): Long =
+    java.time.Instant.parse(isoUtc).toEpochMilli * 1000000L
+
+  /** Exact-decimal sum cast back to double: the decimal accumulation is
+    * order-independent, so the final double is bit-identical across
+    * engines and shuffle orders — unlike round(sum(double)), whose
+    * half-ties diverge between Spark and DuckDB. */
+  private def dec(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ---------------------------------------------------------------- S1/F*
+  // S1 scan + projection + F1 eq
+  def f1_eq(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  // F2 != ; F13-style projection of the grouping tag
+  def f2_neq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("event_type") =!= "view")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // F3 in / not_in
+  def f3_in(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("event_type").isin("click", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("event_type")
+
+  def f3_not_in(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(!col("event_type").isin("click", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // F4 regex (case-insensitive, find-anywhere — reference BaseExpr.scala:486)
+  def f4_regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("text").rlike("(?i)spark.*window"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  // F5 contains
+  def f5_contains(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("text").contains("merge"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  // F6 numeric comparison
+  def f6_cmp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("value") > 150.0 && col("value") <= 190.0)
+      .select(col("event_id"), col("value"))
+      .orderBy("event_id")
+
+  // F7 exists (IS NOT NULL)
+  def f7_exists(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("props").isNotNull)
+      .agg(count(lit(1)).as("n"))
+
+  // F8 and/or/not composition
+  def f8_bool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where((col("event_type") === "click" || col("event_type") === "view")
+        && !(col("value") < 50.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"))
+      .orderBy("event_type")
+
+  // F10 timestamp range (drives partition pruning on a partitioned layout)
+  def f10_time_range(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("ts") >= epochNanos("2024-01-10T00:00:00Z")
+        && col("ts") < epochNanos("2024-01-12T00:00:00Z"))
+      .select(col("event_id"), tsMs, col("event_type"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------------ E*
+  // E1 regex extraction + synthetic-field filter (reference
+  // BaseExpr.scala:244-304: gate with regexp_matches, then project group)
+  def e1_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("props").rlike("\"k\":\\s*(\\d+)"))
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("double"))
+      .where(col("k") > 50.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  // E2-E8 compute: scalar expression tree → derived columns
+  def e2_compute(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") < 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charge"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+          .as("flag_status"),
+        locate("A", col("l_returnflag")).cast("long").as("strpos_a"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------------------------ A*
+  // A1+A3: step-bucketed group aggregation (the chart path)
+  def a1_step_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(stepTs(3600000L), col("event_type"))
+      .agg(dsum(col("value")).as("value"), count(lit(1)).as("n"))
+      .orderBy("step_ts", "event_type")
+
+  // A3 full basic-agg suite (TPC-H Q1 shape)
+  def a3_pricing_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // A5 percentiles — exact `percentile` for oracle parity (DuckDB
+  // quantile_cont); the mergeable-sketch variant is a separate query.
+  def a5_percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  // A6 cardinality — exact oracle form
+  def a6_distinct_exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+
+  // A6/A11 cardinality — HLL estimate (rows-only check; estimates differ
+  // across engines by design, bounded by ±1.6% at lgK=12)
+  def a6_distinct_approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("users_est"))
+      .orderBy("event_type")
+
+  // A10 tag-value count (tags API: SELECT col, COUNT(*) GROUP BY col)
+  def a10_tag_values(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("event_type"))
+
+  // A12 count→rate transform (value / stepSeconds)
+  def a12_rate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(stepTs(3600000L))
+      .agg((count(lit(1)) / lit(3600.0)).as("rate"))
+      .orderBy("step_ts")
+
+  // ------------------------------------------------------------------ O*
+  // O1 exemplar top-k: ORDER BY ts DESC LIMIT n → TakeOrderedAndProject
+  def o1_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(tsMs, col("event_id"), col("event_type"), col("value"))
+      .orderBy(desc("ts_ms"), desc("event_id"))
+      .limit(100)
+
+  // ------------------------------------------------------------------ U*
+  // U1 source union (unionByName) + re-aggregation
+  def u1_union(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("value"), lit("clicks").as("src"))
+    val b = ev.where(col("event_type") === "purchase")
+      .select(col("value"), col("event_id"), lit("purchases").as("src"))
+    a.unionByName(b)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("src")
+  }
+
+  // ------------------------------------------------------------------ J*
+  // J1 formula join — div semantics: inner join, drop zero denominator
+  // (reference Formula.scala:59-63)
+  def j1_formula_div(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(stepTs(86400000L)).agg(dsum(col("value")).as("v1"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(stepTs(86400000L)).agg(dsum(col("value")).as("v2"))
+    clicks.join(views, Seq("step_ts"))
+      .where(col("v2") =!= 0.0)
+      .select(col("step_ts"), (col("v1") / col("v2")).as("value"))
+      .orderBy("step_ts")
+  }
+
+  // J1 formula join — add semantics: full outer + zero-fill
+  // (reference Formula.scala:46-47)
+  def j1_formula_add(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(stepTs(86400000L)).agg(dsum(col("value")).as("v1"))
+    val errs = ev.where(col("event_type") === "error")
+      .groupBy(stepTs(86400000L)).agg(dsum(col("value")).as("v2"))
+    clicks.join(errs, Seq("step_ts"), "full_outer")
+      .select(col("step_ts"),
+        (coalesce(col("v1"), lit(0.0)) + coalesce(col("v2"), lit(0.0)))
+          .as("value"))
+      .orderBy("step_ts")
+  }
+
+  // Relational join with broadcast dimensions (beyond the reference's
+  // surface; Spark-native). nation/region are tiny → broadcast.
+  def j2_join_enrich(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------------------------ W*
+  // W1 window functions (absent in reference; free in Spark)
+  def w1_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
+      .orderBy("user_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_eq" -> f1_eq _,
+    "f2_neq" -> f2_neq _,
+    "f3_in" -> f3_in _,
+    "f3_not_in" -> f3_not_in _,
+    "f4_regex" -> f4_regex _,
+    "f5_contains" -> f5_contains _,
+    "f6_cmp" -> f6_cmp _,
+    "f7_exists" -> f7_exists _,
+    "f8_bool" -> f8_bool _,
+    "f10_time_range" -> f10_time_range _,
+    "e1_extract" -> e1_extract _,
+    "e2_compute" -> e2_compute _,
+    "a1_step_agg" -> a1_step_agg _,
+    "a3_pricing_agg" -> a3_pricing_agg _,
+    "a5_percentile" -> a5_percentile _,
+    "a6_distinct_exact" -> a6_distinct_exact _,
+    "a6_distinct_approx" -> a6_distinct_approx _,
+    "a10_tag_values" -> a10_tag_values _,
+    "a12_rate" -> a12_rate _,
+    "o1_topk" -> o1_topk _,
+    "u1_union" -> u1_union _,
+    "j1_formula_div" -> j1_formula_div _,
+    "j1_formula_add" -> j1_formula_add _,
+    "j2_join_enrich" -> j2_join_enrich _,
+    "w1_window" -> w1_window _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f1_eq" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "f2_neq" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type != 'view' GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "f3_in" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE event_type IN ('click', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f3_not_in" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type NOT IN ('click', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f4_regex" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(text, 'spark.*window', 'i')
+        |ORDER BY doc_id""".stripMargin,
+    "f5_contains" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE contains(text, 'merge') ORDER BY doc_id""".stripMargin,
+    "f6_cmp" ->
+      """SELECT event_id, value FROM events
+        |WHERE value > 150.0 AND value <= 190.0 ORDER BY event_id""".stripMargin,
+    "f7_exists" ->
+      "SELECT count(*) AS n FROM events WHERE props IS NOT NULL",
+    "f8_bool" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events
+        |WHERE (event_type = 'click' OR event_type = 'view')
+        |  AND NOT (value < 50.0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f10_time_range" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "e1_extract" ->
+      """SELECT event_type, count(*) AS n, sum(k) AS sum_k FROM (
+        |  SELECT event_type,
+        |         TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE) AS k
+        |  FROM events WHERE regexp_matches(props, '"k":\s*(\d+)')
+        |) WHERE k > 50.0 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e2_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+        |  l_returnflag || '/' || l_linestatus AS flag_status,
+        |  strpos(l_returnflag, 'A') AS strpos_a
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a1_step_agg" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value,
+        |  count(*) AS n
+        |FROM events GROUP BY step_ts, event_type
+        |ORDER BY step_ts, event_type""".stripMargin,
+    "a3_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a5_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a6_distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a10_tag_values" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+    "a12_rate" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts,
+        |  count(*) / 3600.0 AS rate
+        |FROM events GROUP BY step_ts ORDER BY step_ts""".stripMargin,
+    "o1_topk" ->
+      """SELECT epoch_ms(ts) AS ts_ms, event_id, event_type, value
+        |FROM events ORDER BY ts_ms DESC, event_id DESC LIMIT 100""".stripMargin,
+    "u1_union" ->
+      """SELECT src, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (
+        |  SELECT event_id, value, 'clicks' AS src FROM events
+        |  WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, value, 'purchases' AS src FROM events
+        |  WHERE event_type = 'purchase'
+        |) GROUP BY src ORDER BY src""".stripMargin,
+    "j1_formula_div" ->
+      """WITH a AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v1
+        |  FROM events WHERE event_type = 'click' GROUP BY step_ts),
+        |b AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v2
+        |  FROM events WHERE event_type = 'view' GROUP BY step_ts)
+        |SELECT a.step_ts AS step_ts, a.v1 / b.v2 AS value
+        |FROM a JOIN b USING (step_ts) WHERE b.v2 != 0.0
+        |ORDER BY step_ts""".stripMargin,
+    "j1_formula_add" ->
+      """WITH a AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v1
+        |  FROM events WHERE event_type = 'click' GROUP BY step_ts),
+        |b AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v2
+        |  FROM events WHERE event_type = 'error' GROUP BY step_ts)
+        |SELECT COALESCE(a.step_ts, b.step_ts) AS step_ts,
+        |  COALESCE(a.v1, 0.0) + COALESCE(b.v2, 0.0) AS value
+        |FROM a FULL OUTER JOIN b ON a.step_ts = b.step_ts
+        |ORDER BY step_ts""".stripMargin,
+    "j2_join_enrich" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "w1_window" ->
+      """SELECT user_id, rn, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+  )
+}
