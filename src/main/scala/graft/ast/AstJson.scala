@@ -1,0 +1,155 @@
+package graft.ast
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** JSON → AST decoder. Accepts the reference's query payload shape
+  * (reference ASTUtils.scala:163-187 deserializer, :276-416 field decode,
+  * ComputeFunction.scala:226-279 compute decode):
+  *
+  * {{{
+  * {"baseExpressions": {"a": {
+  *    "dataset": "logs",
+  *    "limit": 1000, "order": "DESC",
+  *    "filter": {"op":"and",
+  *      "q1": {"k":"resource.container.name","v":["agent"],"op":"eq"},
+  *      "q2": {"k":"_cardinalhq.message","v":["compressed"],"op":"contains"}},
+  *    "extract": {"regex":"...", "fields":[{"name":"raw","type":"number"}]},
+  *    "compute": {"labelName":"x","functionCall":{"name":"mul","args":[...]}},
+  *    "chart": {"aggregation":"sum","groupBys":["_cardinalhq.level"]}
+  *  }},
+  *  "formulae": ["a / b"]}
+  * }}}
+  *
+  * Binary clauses accept both named sub-objects (`q1`/`q2`) and the
+  * reference's positional object-members form (any non-textual members of
+  * the filter node are clauses, left-folded — ASTUtils.scala:379-404).
+  */
+object AstJson {
+  private val mapper = new ObjectMapper()
+
+  def parseAstInput(json: String): ASTInput = {
+    val root = mapper.readTree(json)
+    val baseExprs = Option(root.get("baseExpressions")).map { node =>
+      node.properties().asScala.map { e =>
+        e.getKey -> parseBaseExpr(e.getKey, e.getValue)
+      }.toMap
+    }.getOrElse(Map.empty[String, BaseExpr])
+    val formulae = Option(root.get("formulae")).map {
+      _.elements().asScala.map(_.textValue()).toList
+    }.getOrElse(Nil)
+    ASTInput(baseExprs, formulae)
+  }
+
+  def parseBaseExpr(json: String): BaseExpr = {
+    val node = mapper.readTree(json)
+    val id = Option(node.get("id")).map(_.textValue()).getOrElse("_")
+    parseBaseExpr(id, node)
+  }
+
+  def parseBaseExpr(id: String, node: JsonNode): BaseExpr = {
+    val filterNode = node.get("filter")
+    require(filterNode != null, "No filter provided!")
+    BaseExpr(
+      id = id,
+      dataset = str(node, "dataset").getOrElse("logs"),
+      filter = parseFilter(filterNode),
+      extractor = obj(node, "extract").map(parseExtractor),
+      compute = obj(node, "compute").map(parseCompute),
+      chart = obj(node, "chart").map(parseChart),
+      order = str(node, "order").getOrElse("DESC"),
+      limit = Option(node.get("limit")).map(_.intValue()).getOrElse(1000),
+      metricType = str(node, "metricType").getOrElse("gauge"),
+      returnResults = Option(node.get("returnResults")).forall(_.booleanValue())
+    )
+  }
+
+  def parseFilter(node: JsonNode): QueryClause = {
+    Option(node.get("not")) match {
+      case Some(embedded) => NotClause(parseFilter(embedded))
+      case None =>
+        if (node.get("k") != null) parseBasicFilter(node)
+        else parseBinaryClause(node)
+    }
+  }
+
+  private def parseBasicFilter(node: JsonNode): Filter = {
+    val k = str(node, "k").getOrElse(
+      throw new IllegalArgumentException("No `k` provided in filter!"))
+    val op = str(node, "op").getOrElse(
+      throw new IllegalArgumentException("No op provided for filter!"))
+    val v = Option(node.get("v"))
+      .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil)
+    if (v.isEmpty && op != Ops.EXISTS && op != Ops.HAS)
+      throw new IllegalArgumentException(s"No value for key = $k provided in filter!")
+    Filter(
+      k = k, v = v, op = op,
+      dataType = str(node, "dataType").getOrElse(DataTypes.STRING),
+      extracted = Option(node.get("extracted")).exists(_.booleanValue()),
+      computed = Option(node.get("computed")).exists(_.booleanValue())
+    )
+  }
+
+  private def parseBinaryClause(node: JsonNode): QueryClause = {
+    val op = str(node, "op").getOrElse(
+      throw new IllegalArgumentException("No `op` provided in binary query clause!"))
+    val clauses = node.properties().asScala.toList
+      .filterNot(_.getKey == "op")
+      .filterNot(_.getValue.isTextual)
+      .map(e => parseFilter(e.getValue))
+    require(clauses.size >= 2, "Atleast two clauses required in a binary clause!")
+    clauses.reduceLeft((acc, c) => BinaryClause(acc, c, op))
+  }
+
+  private def parseExtractor(node: JsonNode): Extractor =
+    Extractor(
+      regex = node.get("regex").textValue(),
+      fields = node.get("fields").elements().asScala.map { f =>
+        ExtractedField(f.get("name").textValue(), f.get("type").textValue())
+      }.toList
+    )
+
+  private def parseChart(node: JsonNode): ChartOptions =
+    ChartOptions(
+      aggregation = str(node, "aggregation").getOrElse("sum"),
+      groupBys = Option(node.get("groupBys")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.textValue()).toList).getOrElse(Nil),
+      chartType = str(node, "type").getOrElse("count"),
+      rollup = str(node, "rollup"),
+      fieldName = str(node, "fieldName"),
+      fieldType = str(node, "fieldType")
+    )
+
+  private def parseCompute(node: JsonNode): Compute =
+    Compute(
+      labelName = node.get("labelName").textValue(),
+      functionCall = parseFunctionCall(node.get("functionCall"))
+    )
+
+  def parseFunctionCall(node: JsonNode): FunctionCall = {
+    val args = Option(node.get("args")).map {
+      _.elements().asScala.map(parseComputeArg).toList
+    }.getOrElse(Nil)
+    FunctionCall(node.get("name").textValue(), args)
+  }
+
+  private def parseComputeArg(node: JsonNode): ComputeArg =
+    str(node, "type").getOrElse("literal") match {
+      case "label" =>
+        LabelArg(node.get("name").textValue(),
+          str(node, "dataType").getOrElse(DataTypes.STRING))
+      case "functionCall" =>
+        parseFunctionCall(if (node.has("functionCall")) node.get("functionCall") else node)
+      case _ =>
+        val v = node.get("value")
+        val dt = str(node, "dataType").getOrElse(
+          if (v.isNumber) DataTypes.NUMBER else DataTypes.STRING)
+        LiteralArg(v.asText(), dt)
+    }
+
+  private def str(node: JsonNode, field: String): Option[String] =
+    Option(node.get(field)).filter(n => n.isTextual).map(_.textValue())
+
+  private def obj(node: JsonNode, field: String): Option[JsonNode] =
+    Option(node.get(field)).filterNot(_.isNull)
+}

@@ -1,0 +1,383 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ast._
+import graft.compile.{ComputeCompiler, FilterCompiler}
+
+/** A queryable telemetry table: the DataFrame plus how to read time,
+  * value, and the extraction-input message from it.
+  *
+  * @param tsMillis   epoch-millis Column (used for bucketing/projection)
+  * @param tsRange    pushdown-friendly time-range predicate builder —
+  *                   must express the bound on a *raw* column so it
+  *                   reaches the parquet scan (e.g. nanos column compared
+  *                   against `startMs * 1e6`), not on a derived expression
+  * @param value      per-row value (metric sample; 1.0 for logs)
+  * @param message    regex-extraction input column, if any
+  */
+final case class Telemetry(
+    df: DataFrame,
+    tsMillis: Column,
+    tsRange: (Long, Long) => Column,
+    value: Column,
+    message: Option[Column]
+) {
+  def fieldSet: Set[String] = df.columns.toSet
+}
+
+object Telemetry {
+  /** Table with an epoch-millis long/timestamp-free column named `tsCol`. */
+  def millis(df: DataFrame, tsCol: String, valueCol: Column,
+      message: Option[Column] = None): Telemetry =
+    Telemetry(df, col(tsCol),
+      (s, e) => col(tsCol) >= s && col(tsCol) < e, valueCol, message)
+
+  /** Table with an epoch-nanos long column named `tsCol` (e.g. parquet
+    * TIMESTAMP(NANOS) read via nanosAsLong). */
+  def nanos(df: DataFrame, tsCol: String, valueCol: Column,
+      message: Option[Column] = None): Telemetry =
+    Telemetry(df, expr(s"$tsCol div 1000000"),
+      (s, e) => col(tsCol) >= s * 1000000L && col(tsCol) < e * 1000000L,
+      valueCol, message)
+}
+
+/** Compiles the query AST to DataFrame plans — the Spark equivalent of the
+  * reference's worker SQL generation + coordinator merge
+  * (reference BaseExpr.generateSql BaseExpr.scala:108-144, eval pipeline
+  * QueryEngineV2.scala:211-417). One logical Spark job per BaseExpr:
+  * scan → time+attribute filter → extract → compute → step-bucketed
+  * group-agg; formulas join the per-expression series. Catalyst's
+  * partial/final hash aggregation replaces the reference's
+  * PushDownAggregatorStage + TimeGroupedSketchAggregator, and the shuffle
+  * replaces its worker/coordinator SSE exchange.
+  */
+object QueryEngine {
+  val STEP_TS = "step_ts"
+  val VALUE = "value"
+  val GROUP_KEY = "group_key"
+  val LABEL = "label"
+
+  /** When true, p* aggregations use exact `percentile` (oracle-matchable);
+    * when false (default), `percentile_approx` — the scale path. */
+  @volatile var exactPercentiles: Boolean = false
+
+  // -------------------------------------------------------------- base plan
+
+  /** scan → ts filter → extract → compute → full filter tree.
+    * Synthetic-field predicates land after the extraction/compute
+    * projections (reference E10 ordering, BaseExpr.scala:146-157); Catalyst
+    * pushes the non-synthetic conjuncts back down into the scan.
+    */
+  def prepared(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long): DataFrame = {
+    var df = tel.df.where(tel.tsRange(startMs, endMs))
+
+    // E1: regex extraction — gate rows on match, project one column per
+    // capture group (reference BaseExpr.scala:244-265,291-304)
+    e.extractor.foreach { ex =>
+      val msg = tel.message.getOrElse(
+        throw new IllegalArgumentException(
+          s"baseExpr ${e.id} has an extractor but the table has no message column"))
+      df = df.where(msg.rlike(ex.regex))
+      ex.fields.zipWithIndex.foreach { case (f, i) =>
+        val raw = regexp_extract(msg, ex.regex, i + 1)
+        val colV =
+          if (f.dataType == DataTypes.NUMBER) raw.cast("double") else raw
+        df = df.withColumn(f.name, colV)
+      }
+    }
+
+    // E2: computed column
+    e.compute.foreach { cp =>
+      df = df.withColumn(cp.labelName, ComputeCompiler.compile(cp.functionCall))
+    }
+
+    // F1-F10 over the full tree; synthetic fields now exist
+    df.where(FilterCompiler.compile(e.filter, df.columns.toSet))
+  }
+
+  // -------------------------------------------------------------- chart path
+
+  private def stepTsCol(tsMillis: Column, stepMs: Long): Column =
+    (floor(tsMillis / lit(stepMs)) * stepMs).as(STEP_TS)
+
+  /** Post-agg count↔rate transform
+    * (reference ASTUtils.getTransformerFunc:190-219). */
+  private def transform(e: BaseExpr, stepMs: Long, v: Column): Column = {
+    val stepSec = stepMs / 1000L
+    val chartType = e.chart.map(_.chartType).getOrElse("count")
+    if (e.dataset == "metrics") {
+      (chartType, e.metricType) match {
+        case ("count", "rate") => v * stepSec
+        case ("rate", "count") => v / stepSec
+        case _ => v
+      }
+    } else if (chartType == "rate") v / stepSec
+    else v
+  }
+
+  /** Step-bucketed aggregation: (step_ts LONG, groupBys..., value DOUBLE).
+    *
+    * Scale shape: one shuffle on (step_ts, groupBys) with map-side partial
+    * aggregation; percentiles/cardinality use mergeable sketches
+    * (percentile_approx / HLL++) so the partial/final split holds at any
+    * executor count.
+    */
+  def chart(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long,
+      stepMs: Long): DataFrame = {
+    val chartOpts = e.chart.getOrElse(ChartOptions())
+    var base = prepared(tel, e, startMs, endMs)
+
+    // groupBys on columns absent from the schema are dropped
+    // (reference BaseExpr.scala:338-346)
+    val present = base.columns.toSet
+    val groupBys = chartOpts.groupBys.filter(present.contains)
+
+    // value source: a charted field (try_cast double + unit display
+    // normalization — reference BaseExpr.scala:350-369) or the row value
+    val valueSrc: Column = chartOpts.fieldName match {
+      case Some(fieldName) =>
+        if (!present.contains(fieldName)) lit(null).cast("double")
+        else {
+          val raw = FilterCompiler.fieldCol(fieldName)
+          val casted =
+            if (e.syntheticFields.contains(fieldName)) raw.cast("double")
+            else {
+              val quoted = if (fieldName.contains(".")) s"`$fieldName`" else fieldName
+              expr(s"try_cast($quoted as double)")
+            }
+          chartOpts.fieldType match {
+            case Some(DataTypes.DURATION) => casted / 1000000L // ns → ms
+            case Some(DataTypes.DATA_SIZE) => casted / 1000L // B → KB
+            case _ => casted
+          }
+        }
+      case None => tel.value
+    }
+    if (chartOpts.fieldName.isDefined)
+      base = base.where(valueSrc.isNotNull)
+
+    // A2: metrics read pre-rolled rollup_<agg> columns
+    // (reference BaseExpr.scala:376-395); p*/ces suppress the rollup
+    val rollup: Option[String] =
+      if (e.dataset != "metrics") None
+      else chartOpts.rollup match {
+        case Some(r)
+          if !r.startsWith("p") && !chartOpts.aggregation.startsWith("p")
+            && chartOpts.aggregation != "ces" => Some(r)
+        case _ => None
+      }
+
+    val target: Column =
+      if (e.dataset == "metrics")
+        FilterCompiler.fieldCol(s"rollup_${rollup.getOrElse("sum")}")
+      else valueSrc
+
+    val agg: Column = chartOpts.aggregation match {
+      case "sum" => sum(target)
+      case "count" =>
+        if (e.dataset == "metrics") sum(target) else count(target).cast("double")
+      case "min" => min(target)
+      case "max" => max(target)
+      case "avg" => avg(target)
+      case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
+        val q = p.drop(1).toDouble / 100.0
+        if (e.dataset == "metrics") max(target)
+        else if (exactPercentiles) expr_percentile(target, q)
+        else percentile_approx(target, lit(q), lit(10000))
+      case "ces" =>
+        // distinct count of the group-key tuple per step bucket (HLL++,
+        // mergeable — reference Aggregator.scala:43-60)
+        val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
+          else List(target)
+        approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+      case other =>
+        throw new IllegalArgumentException(s"unknown aggregation $other")
+    }
+
+    val grouped = base
+      .groupBy((stepTsCol(tel.tsMillis, stepMs) ::
+        groupBys.map(g => FilterCompiler.fieldCol(g).as(g))): _*)
+      .agg(agg.cast("double").as(VALUE))
+
+    grouped.withColumn(VALUE,
+      transform(e, stepMs, col(VALUE)).cast("double"))
+  }
+
+  private def expr_percentile(c: Column, q: Double): Column =
+    call_function("percentile", c, lit(q))
+
+  // ----------------------------------------------------------- exemplar path
+
+  /** O1: raw matching rows, ts-ordered with limit
+    * (reference BaseExpr.scala:237-239; Spark plans this as
+    * TakeOrderedAndProject — a distributed top-k, no global sort). */
+  def exemplars(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long): DataFrame = {
+    val base = prepared(tel, e, startMs, endMs)
+      .withColumn("_ts_ms", tel.tsMillis)
+    val sorted =
+      if (e.order.equalsIgnoreCase("ASC")) base.orderBy(col("_ts_ms").asc)
+      else base.orderBy(col("_ts_ms").desc)
+    sorted.limit(e.limit).drop("_ts_ms")
+  }
+
+  // -------------------------------------------------------------- tags APIs
+
+  /** Tag-value counts: SELECT tag, COUNT(*) ... GROUP BY tag
+    * (reference BaseExpr.scala:127-143, default limit 1000). */
+  def tagValues(tel: Telemetry, e: BaseExpr, tagName: String,
+      startMs: Long, endMs: Long, limit: Int = 1000): DataFrame =
+    prepared(tel, e, startMs, endMs)
+      .where(FilterCompiler.fieldCol(tagName).isNotNull)
+      .groupBy(FilterCompiler.fieldCol(tagName).as("tagValue"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), col("tagValue"))
+      .limit(limit)
+
+  /** Tag names present (non-null somewhere) under the filter
+    * (reference tag-name mode, Commons.scala:407-423 + dedup stage). */
+  def tagNames(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long,
+      limit: Int = 1000): DataFrame = {
+    val spark = tel.df.sparkSession
+    import spark.implicits._
+    val base = prepared(tel, e, startMs, endMs)
+    val counts = base.select(base.columns.map(c =>
+      count(col(s"`$c`")).as(c)).toIndexedSeq: _*).collect()(0)
+    val names = base.columns.zipWithIndex
+      .filter { case (_, i) => counts.getLong(i) > 0 }
+      .map(_._1).sorted.take(limit)
+    names.toSeq.toDF("tagName")
+  }
+
+  /** §3.3 cardinality: distinct tag-tuple estimate under the filter
+    * (reference computeCardinality, QueryEngineV2.scala:599-698). */
+  def cardinality(tel: Telemetry, e: BaseExpr, groupBys: Seq[String],
+      startMs: Long, endMs: Long): DataFrame = {
+    val base = prepared(tel, e, startMs, endMs)
+    val keys = groupBys.filter(base.columns.toSet.contains)
+      .map(FilterCompiler.fieldCol)
+    base.agg(
+      approx_count_distinct(concat_ws(":", keys: _*)).as("cardinality"))
+  }
+
+  // ----------------------------------------------------------- formula layer
+
+  /** Evaluate the full AST: every formula, plus every returnResults base
+    * expression, unioned into (step_ts, group_key, value, label).
+    *
+    * J1 alignment semantics (reference Formula.scala:32-69): group key is
+    * the sorted final-grouping tag values joined with ":" (missing tag →
+    * ""); `add` zero-fills a missing side via full-outer join; sub/mul
+    * inner-join; div inner-joins and drops zero denominators.
+    */
+  def evaluate(tables: String => Telemetry, ast: ASTInput,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val formulaNodes: List[(String, AstNode)] = ast.formulae.map { f =>
+      f -> FormulaParser.parse(f, ast.baseExpressions)
+    }
+    val baseSeries: List[(String, AstNode)] = ast.baseExpressions.toList
+      .sortBy(_._1)
+      .filter(_._2.returnResults)
+      .map { case (id, b) => id -> (b: AstNode) }
+
+    val all = (formulaNodes ++ baseSeries).map { case (labelStr, node) =>
+      val grouping = AstOps.finalGrouping(node).toList.sorted
+      evalNode(tables, node, grouping, startMs, endMs, stepMs)
+        .withColumn(LABEL,
+          when(col(GROUP_KEY) === "", lit(seriesLabel(labelStr, node)))
+            .otherwise(col(GROUP_KEY)))
+        .select(col(STEP_TS), col(GROUP_KEY), col(VALUE), col(LABEL))
+    }
+    all.reduceLeft(_ unionByName _).orderBy(STEP_TS, LABEL)
+  }
+
+  private def seriesLabel(id: String, node: AstNode): String = node match {
+    case b: BaseExpr => b.filter.show
+    case _ => id
+  }
+
+  /** One series: (step_ts, group_key, value) with the group key built over
+    * the formula's final grouping (absent tags → ""). */
+  def seriesDf(tables: String => Telemetry, e: BaseExpr,
+      finalGrouping: List[String], startMs: Long, endMs: Long,
+      stepMs: Long): DataFrame = {
+    val tel = tables(e.dataset)
+    val c = chart(tel, e, startMs, endMs, stepMs)
+    val own = e.chart.map(_.groupBys.toSet).getOrElse(Set.empty)
+    val present = c.columns.toSet
+    val keyParts = finalGrouping.map { k =>
+      if (own.contains(k) && present.contains(k))
+        coalesce(FilterCompiler.fieldCol(k).cast("string"), lit(""))
+      else lit("")
+    }
+    val key = if (keyParts.isEmpty) lit("") else concat_ws(":", keyParts: _*)
+    c.select(col(STEP_TS), key.as(GROUP_KEY), col(VALUE))
+  }
+
+  private def evalNode(tables: String => Telemetry, node: AstNode,
+      grouping: List[String], startMs: Long, endMs: Long,
+      stepMs: Long): DataFrame = node match {
+    case b: BaseExpr => seriesDf(tables, b, grouping, startMs, endMs, stepMs)
+    case ConstantExpr(_) =>
+      throw new IllegalArgumentException(
+        "constant-only formula has no series to align with")
+    case Formula(e1, e2, op) =>
+      (e1, e2) match {
+        case (ConstantExpr(c), right) =>
+          applyConst(evalNode(tables, right, grouping, startMs, endMs, stepMs),
+            c, op, constOnLeft = true)
+        case (left, ConstantExpr(c)) =>
+          applyConst(evalNode(tables, left, grouping, startMs, endMs, stepMs),
+            c, op, constOnLeft = false)
+        case (left, right) =>
+          combine(
+            evalNode(tables, left, grouping, startMs, endMs, stepMs),
+            evalNode(tables, right, grouping, startMs, endMs, stepMs), op)
+      }
+  }
+
+  /** ConstantExpr pairs with every group of the other side
+    * (reference ASTUtils.eval ConstantExpr case, :50-65). */
+  private def applyConst(df: DataFrame, c: Double, op: String,
+      constOnLeft: Boolean): DataFrame = {
+    val v = col(VALUE)
+    val newV = op match {
+      case "add" => v + c
+      case "sub" => if (constOnLeft) lit(c) - v else v - c
+      case "mul" => v * c
+      case "div" => if (constOnLeft) lit(c) / v else v / c
+    }
+    val out = df.withColumn(VALUE, newV)
+    // div-by-zero drops the bucket (reference Formula.scala:59-63)
+    if (op == "div" && constOnLeft) out.where(v =!= 0.0)
+    else if (op == "div" && c == 0.0) out.limit(0)
+    else out
+  }
+
+  private def combine(d1: DataFrame, d2: DataFrame, op: String): DataFrame = {
+    val l = d1.select(col(STEP_TS), col(GROUP_KEY), col(VALUE).as("_v1"))
+    val r = d2.select(col(STEP_TS), col(GROUP_KEY), col(VALUE).as("_v2"))
+    op match {
+      case "add" =>
+        l.join(r, Seq(STEP_TS, GROUP_KEY), "full_outer")
+          .select(col(STEP_TS), col(GROUP_KEY),
+            (coalesce(col("_v1"), lit(0.0)) + coalesce(col("_v2"), lit(0.0)))
+              .as(VALUE))
+      case "sub" =>
+        l.join(r, Seq(STEP_TS, GROUP_KEY))
+          .select(col(STEP_TS), col(GROUP_KEY),
+            (col("_v1") - col("_v2")).as(VALUE))
+      case "mul" =>
+        l.join(r, Seq(STEP_TS, GROUP_KEY))
+          .select(col(STEP_TS), col(GROUP_KEY),
+            (col("_v1") * col("_v2")).as(VALUE))
+      case "div" =>
+        l.join(r, Seq(STEP_TS, GROUP_KEY))
+          .where(col("_v2") =!= 0.0)
+          .select(col(STEP_TS), col(GROUP_KEY),
+            (col("_v1") / col("_v2")).as(VALUE))
+      case other =>
+        throw new IllegalArgumentException(s"unknown formula op $other")
+    }
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ast.AstJson
+import graft.engine.{QueryEngine, Telemetry}
+
+/** The reference's query surface (JSON AST → SSE series) driven end-to-end
+  * through [[graft.engine.QueryEngine]] over the `events` table, with
+  * DuckDB oracles. `events` plays the telemetry role: `ts` (epoch-nanos) =
+  * `_cardinalhq.timestamp`, `value` = `_cardinalhq.value`, `props` =
+  * `_cardinalhq.message`, `event_type`/`user_id` = tags.
+  *
+  * Determinism notes: engine sums are plain double aggregation (the scale
+  * path), so oracle pairs round to 6 dp — safe because the data is 2 dp
+  * (the true decimal sum has no digit at the tie position and the
+  * accumulated error is ≪ 5e-7).
+  */
+object EngineQueries {
+
+  /** Full events time range at any SF, in epoch millis. */
+  private val START = 1704067200000L // 2024-01-01T00:00:00Z
+  private val END = 1706745600000L   // 2024-02-01T00:00:00Z
+  private val HOUR = 3600000L
+  private val DAY = 86400000L
+
+  private def eventsTel(s: SparkSession, dir: String): Telemetry =
+    Telemetry.nanos(Tables.load(s, dir, "events"), "ts",
+      valueCol = col("value"), message = Some(col("props")))
+
+  private def tables(s: SparkSession, dir: String): String => Telemetry = {
+    val tel = eventsTel(s, dir)
+    _ => tel
+  }
+
+  // A1/F3 chart through the AST: sum(value) by event_type, 1h buckets
+  def ast_chart_sum(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, HOUR)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // J1 formula through the AST: clicks/views ratio per day
+  def ast_formula_ratio(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}},
+        |  "b": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}}
+        |}, "formulae": ["a / b"]}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), round(col("value"), 6).as("value"))
+      .orderBy("step_ts")
+  }
+
+  // E1+E2 through the AST: extract k, compute k2 = k*0.5, chart sum(k2).
+  // k*0.5 is dyadic so double sums are exact at any order — no rounding.
+  def ast_extract_compute(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"op": "and",
+        |    "q1": {"k": "event_type", "v": ["view"], "op": "!="},
+        |    "q2": {"k": "k", "v": ["10"], "op": "gt",
+        |           "dataType": "number", "extracted": true}},
+        |  "extract": {"regex": "\"k\":\\s*(\\d+)",
+        |              "fields": [{"name": "k", "type": "number"}]},
+        |  "compute": {"labelName": "k2", "functionCall": {
+        |     "name": "mul", "args": [
+        |       {"type": "label", "name": "k", "dataType": "number"},
+        |       {"type": "literal", "value": 0.5, "dataType": "number"}]}},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"],
+        |            "fieldName": "k2", "fieldType": "number"}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // F9 missing-column constant-fold: filter on a nonexistent tag → false
+  def ast_missing_column(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"op": "or",
+        |    "q1": {"k": "no_such_column", "v": ["x"], "op": "eq"},
+        |    "q2": {"k": "event_type", "v": ["click"], "op": "eq"}},
+        |  "chart": {"aggregation": "count", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A5 percentile chart (exact mode for the oracle; approx is the default)
+  def ast_chart_p90(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "value", "v": ["0"], "op": "gt", "dataType": "number"},
+        |  "chart": {"aggregation": "p90", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.exactPercentiles = true
+    try {
+      QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+        .select(col("step_ts"), col("group_key"),
+          round(col("value"), 4).as("value"))
+        .orderBy("step_ts", "group_key")
+    } finally QueryEngine.exactPercentiles = false
+  }
+
+  // O1 exemplars through the AST (window sized so limit never truncates —
+  // ms-tie ordering at a limit boundary is engine-dependent)
+  def ast_exemplars(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs", "order": "DESC", "limit": 100000,
+        |  "filter": {"op": "and",
+        |    "q1": {"k": "value", "v": ["198"], "op": "gt", "dataType": "number"},
+        |    "q2": {"k": "event_type", "v": ["purchase"], "op": "eq"}}
+        |}""".stripMargin)
+    QueryEngine.exemplars(eventsTel(s, dir), ast, START, END)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  // §3.2 tag-values API
+  def ast_tag_values(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs",
+        |  "filter": {"k": "value", "v": ["100"], "op": "ge", "dataType": "number"}
+        |}""".stripMargin)
+    QueryEngine.tagValues(eventsTel(s, dir), ast, "event_type", START, END)
+  }
+
+  // §3.3 cardinality API (HLL estimate → rows-only check)
+  def ast_cardinality(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
+    QueryEngine.cardinality(eventsTel(s, dir), ast,
+      Seq("event_type", "user_id"), START, END)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ast_chart_sum" -> ast_chart_sum _,
+    "ast_formula_ratio" -> ast_formula_ratio _,
+    "ast_extract_compute" -> ast_extract_compute _,
+    "ast_missing_column" -> ast_missing_column _,
+    "ast_chart_p90" -> ast_chart_p90 _,
+    "ast_exemplars" -> ast_exemplars _,
+    "ast_tag_values" -> ast_tag_values _,
+    "ast_cardinality" -> ast_cardinality _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ast_chart_sum" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts,
+        |  event_type AS group_key, round(sum(value), 6) AS value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_formula_ratio" ->
+      """WITH a AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         sum(value) AS v FROM events
+        |  WHERE event_type = 'click' GROUP BY step_ts),
+        |b AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         sum(value) AS v FROM events
+        |  WHERE event_type = 'view' GROUP BY step_ts)
+        |SELECT a.step_ts AS step_ts, round(a.v / b.v, 6) AS value
+        |FROM a JOIN b USING (step_ts) WHERE b.v != 0.0
+        |ORDER BY step_ts""".stripMargin,
+    "ast_extract_compute" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, sum(k2) AS value
+        |FROM (
+        |  SELECT ts, event_type,
+        |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE) * 0.5 AS k2,
+        |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE) AS k
+        |  FROM events WHERE regexp_matches(props, '"k":\s*(\d+)'))
+        |WHERE event_type != 'view' AND k > 10.0 AND k2 IS NOT NULL
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_missing_column" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, CAST(count(*) AS DOUBLE) AS value
+        |FROM events WHERE (false OR event_type = 'click')
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_chart_p90" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key,
+        |  round(quantile_cont(value, 0.9), 4) AS value
+        |FROM events WHERE value > 0.0
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_exemplars" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE value > 198.0 AND event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "ast_tag_values" ->
+      """SELECT event_type AS tagValue, count(*) AS count FROM events
+        |WHERE value >= 100.0 AND event_type IS NOT NULL
+        |GROUP BY tagValue ORDER BY count DESC, tagValue
+        |LIMIT 1000""".stripMargin
+  )
+}

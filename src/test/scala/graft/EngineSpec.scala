@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ast._
+import graft.compile.{ComputeCompiler, FilterCompiler}
+import graft.engine.{QueryEngine, Telemetry}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1000L, "a", "svc1", "10", 2.0),
+    (2000L, "b", "svc1", "x", 3.0),
+    (3000L, "a", "svc2", "30", 4.0),
+    (11000L, "a", "svc1", "40", 5.0)
+  ).toDF("ts", "level", "service", "dur", "value")
+
+  private def tel = Telemetry.millis(df, "ts", col("value"),
+    message = Some(col("level")))
+
+  test("filter compiler: missing column folds to false, not analysis error") {
+    val c = FilterCompiler.compile(
+      BinaryClause(
+        Filter("nope", List("x"), Ops.EQ),
+        Filter("level", List("a"), Ops.EQ), "or"),
+      df.columns.toSet)
+    assert(df.where(c).count() == 3)
+  }
+
+  test("filter compiler: try_cast numeric comparison drops garbage rows") {
+    val c = FilterCompiler.compile(
+      Filter("dur", List("15"), Ops.GT, dataType = DataTypes.NUMBER),
+      df.columns.toSet)
+    // "x" casts to null -> dropped; 30, 40 survive
+    assert(df.where(c).count() == 2)
+  }
+
+  test("filter compiler: contains is case-insensitive regex") {
+    val c = FilterCompiler.compile(
+      Filter("service", List("SVC"), Ops.CONTAINS), df.columns.toSet)
+    assert(df.where(c).count() == 4)
+  }
+
+  test("compute compiler: nested function calls") {
+    // (dur / 2) + 1
+    val fc = FunctionCall("add", List(
+      FunctionCall("div", List(
+        LabelArg("dur", DataTypes.NUMBER),
+        LiteralArg("2", DataTypes.NUMBER))),
+      LiteralArg("1", DataTypes.NUMBER)))
+    val out = df.withColumn("c", ComputeCompiler.compile(fc))
+      .where($"level" === "a").select("c").as[Double].collect().sorted
+    assert(out.sameElements(Array(6.0, 16.0, 21.0)))
+    assertThrows[IllegalArgumentException](
+      ComputeCompiler.compile(FunctionCall("div", List(LiteralArg("1", "number")))))
+    assertThrows[IllegalArgumentException](
+      ComputeCompiler.compile(FunctionCall("nope", Nil)))
+  }
+
+  test("chart: step bucketing and group-by with missing groupBys dropped") {
+    val e = BaseExpr(id = "a", filter = Filter("level", List("a"), Ops.EQ),
+      chart = Some(ChartOptions(aggregation = "sum",
+        groupBys = List("service", "not_there"))))
+    val rows = QueryEngine.chart(tel, e, 0L, 100000L, 10000L)
+      .orderBy("step_ts", "service").collect()
+    // bucket 0: (svc1, 2.0), (svc2, 4.0); bucket 10000: (svc1, 5.0)
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((0L, "svc1", 2.0), (0L, "svc2", 4.0), (10000L, "svc1", 5.0)))
+  }
+
+  test("chart: rate transform divides by step seconds") {
+    val e = BaseExpr(id = "a", filter = Filter("level", List("a"), Ops.EQ),
+      chart = Some(ChartOptions(aggregation = "count", chartType = "rate")))
+    val rows = QueryEngine.chart(tel, e, 0L, 100000L, 10000L)
+      .orderBy("step_ts").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((0L, 0.2), (10000L, 0.1)))
+  }
+
+  test("metrics dataset re-aggregates rollup columns") {
+    val mdf = Seq(
+      (1000L, 5.0, 2.0), (2000L, 7.0, 3.0), (11000L, 1.0, 1.0)
+    ).toDF("ts", "rollup_sum", "rollup_max")
+    val mtel = Telemetry.millis(mdf, "ts", lit(1.0))
+    val e = BaseExpr(id = "m", dataset = "metrics",
+      filter = Filter("ts", Nil, Ops.EXISTS), metricType = "gauge",
+      chart = Some(ChartOptions(aggregation = "sum", rollup = Some("sum"))))
+    val rows = QueryEngine.chart(mtel, e, 0L, 100000L, 10000L)
+      .orderBy("step_ts").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((0L, 12.0), (10000L, 1.0)))
+  }
+
+  test("formula: add zero-fills, div drops zero denominators") {
+    val t = Telemetry.millis(Seq(
+      (1000L, "a", 1.0), (1000L, "b", 0.0), (11000L, "a", 3.0)
+    ).toDF("ts", "k", "value"), "ts", col("value"))
+    val ea = BaseExpr(id = "ea", filter = Filter("k", List("a"), Ops.EQ),
+      chart = Some(ChartOptions("sum")))
+    val eb = BaseExpr(id = "eb", filter = Filter("k", List("b"), Ops.EQ),
+      chart = Some(ChartOptions("sum")))
+    val ast = ASTInput(Map("ea" -> ea.copy(returnResults = false),
+      "eb" -> eb.copy(returnResults = false)), List("ea + eb", "ea / eb"))
+    val out = QueryEngine.evaluate(_ => t, ast, 0L, 100000L, 10000L)
+      .select("step_ts", "value", "label").collect()
+    val adds = out.filter(_.getString(2) == "ea + eb")
+    // bucket 0: 1+0=1; bucket 10000: 3+0(filled)=3
+    assert(adds.map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((0L, 1.0), (10000L, 3.0)))
+    // div: bucket 0 dropped (denominator 0), bucket 10000 dropped (missing side)
+    assert(!out.exists(_.getString(2) == "ea / eb"))
+  }
+
+  test("formula: constants broadcast") {
+    val t = Telemetry.millis(Seq((1000L, "a", 2.0)).toDF("ts", "k", "value"),
+      "ts", col("value"))
+    val ea = BaseExpr(id = "ea", filter = Filter("k", List("a"), Ops.EQ),
+      chart = Some(ChartOptions("sum")), returnResults = false)
+    val ast = ASTInput(Map("ea" -> ea), List("100 * ea"))
+    val out = QueryEngine.evaluate(_ => t, ast, 0L, 10000L, 10000L).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("value") == 200.0)
+  }
+
+  test("exemplars: order and limit") {
+    val e = BaseExpr(id = "a", filter = Filter("level", List("a"), Ops.EQ),
+      order = "DESC", limit = 2)
+    val rows = QueryEngine.exemplars(tel, e, 0L, 100000L).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("ts")).toSeq == Seq(11000L, 3000L))
+  }
+
+  test("tag values and cardinality") {
+    val e = BaseExpr(id = "a", filter = Filter("value", List("0"), Ops.GT,
+      dataType = DataTypes.NUMBER))
+    val tv = QueryEngine.tagValues(tel, e, "service", 0L, 100000L).collect()
+    assert(tv.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("svc1", 3L), ("svc2", 1L)))
+    val card = QueryEngine.cardinality(tel, e, Seq("level", "service"),
+      0L, 100000L).collect()(0).getLong(0)
+    assert(card == 3L) // (a,svc1), (b,svc1), (a,svc2)
+  }
+}
