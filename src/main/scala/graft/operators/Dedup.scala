@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup groups on a 64-bit content hash, never on the content
+  *    itself — the shuffle carries (hash, id), not documents;
+  *  - MinHash signatures use built-in higher-order functions (one xxhash64
+  *    per shingle, then cheap affine re-hashes), entirely inside
+  *    whole-stage codegen — no UDFs anywhere in this file;
+  *  - LSH candidate generation explodes only (band_key, id) pairs; the
+  *    band key is the shuffle key, so each bucket lands on one reducer;
+  *  - pathological buckets (identical spam) are capped with a per-bucket
+  *    limit before pairing, bounding reducer memory and pair counts;
+  *  - candidate verification joins back to shingle sets by id — the full
+  *    cross product is never materialized.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the minimum id per distinct content. Returns the
+    * surviving rows (left-semi join against the winners). */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val key = xxhash64(contentCols.map(col): _*)
+    val keep = df.groupBy(key.as("_k")).agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-dedup group summary: (keep_id, n_dups) per distinct content. */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Whitespace tokens. */
+  def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** Distinct word w-shingles over a token-array column (pure functions
+    * API — composes with codegen). A doc shorter than w yields one
+    * truncated shingle. */
+  def wordShingles(tokensCol: Column, w: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(tokensCol), lit(w)) - w),
+        i => concat_ws(" ", slice(tokensCol, i + 1, lit(w)))))
+
+  /** Distinct character n-grams of a string column. */
+  def charNgrams(textCol: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(textCol), lit(n)) - (n - 1)),
+        i => textCol.substr(i, lit(n))))
+
+  // ----------------------------------------------------------- MinHash + LSH
+
+  /** Mersenne prime 2^31 - 1: with a, b, h < 2^31 the affine form
+    * a*h + b stays under 2^62, so no long overflow under ANSI mode. */
+  private val P = 2147483647L
+
+  /** Deterministic affine hash family (SplitMix64 mixing), a, b < 2^31. */
+  private def seeds(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = (1 to numHashes).map(i => (mix(i.toLong) & 0x7fffffffL) | 1L)
+    val b = (1 to numHashes).map(i => mix(i.toLong + 7919) & 0x7fffffffL)
+    (a, b)
+  }
+
+  /** MinHash signature (array<bigint> of length numHashes) of a
+    * string-array column: sig_i = min over elements of
+    * (a_i * h31(e) + b_i) mod P with h31 = xxhash64 reduced into [0, P) —
+    * the classic 31-bit universal family. */
+  def minhashSignature(setCol: Column, numHashes: Int): Column = {
+    val (as, bs) = seeds(numHashes)
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    val bases = transform(setCol, s => pmod(xxhash64(s), lit(P)))
+    zip_with(aArr, bArr, (a, b) =>
+      array_min(transform(bases, h => pmod(a * h + b, lit(P)))))
+  }
+
+  /** LSH banding: one (id, band, band_key) row per band; the key hashes
+    * rowsPerBand consecutive signature entries together with the band
+    * index. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, hash(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .as(Seq("band", "band_key")))
+
+  /** Unique candidate pairs (id_a < id_b) from rows sharing an LSH bucket.
+    * Buckets are capped at maxBucket members (sorted by id, so the cap is
+    * deterministic). */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val buckets = banded.groupBy("band", "band_key")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets.select(explode(
+        flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(x.as("a"), y.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard over
+    * the shingle sets: (id_a < id_b, jaccard >= threshold). */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSets = df.select(col(idCol).as("id"),
+        wordShingles(tokens(col(textCol)), shingleWidth).as("shingles"))
+      .where(size(col("shingles")) > 0)
+    val withSig = withSets.select(col("id"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+
+    val pairs = bucketPairs(
+      lshBands(withSig, "id", "sig", bands, rowsPerBand), maxBucket)
+
+    val setsA = withSets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val setsB = withSets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash over a token-array column: bit i of the result is set
+    * iff the sum over tokens of sign(bit i of xxhash64(token)) is
+    * positive. Pure higher-order expressions. */
+  def simhash(tokensCol: Column): Column = {
+    val counts = aggregate(
+      tokensCol,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(shiftright_dyn(xxhash64(w), i).bitwiseAND(1L) === 1L, 1)
+            .otherwise(-1)),
+        (a, x) => a + x))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, shiftleft_dyn(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  // functions.shiftright/shiftleft take Int literals only; the SQL
+  // operators accept expressions
+  private def shiftright_dyn(e: Column, bits: Column): Column =
+    call_function("shiftright", e, bits)
+  private def shiftleft_dyn(e: Column, bits: Column): Column =
+    call_function("shiftleft", e, bits)
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding
+    * on the four 16-bit chunks: any pair within distance 3 agrees on at
+    * least one chunk (pigeonhole). */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      simhash(tokens(col(textCol))).as("sh"))
+    val banded = withSim.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(3)),
+          b => shiftright_dyn(col("sh"), b * 16).bitwiseAND(65535L)))
+      .as(Seq("band", "band_key")))
+    val pairs = bucketPairs(banded, maxBucket)
+    val simA = withSim.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val simB = withSim.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(simA, "id_a").join(simB, "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact character-n-gram Jaccard for all pairs within a blocking key
+    * (full pairwise is quadratic — always block at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      charNgrams(col(textCol), n).as("grams"))
+    val a = sets.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+    val b = sets.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine >= threshold. lshBits > 0
+    * blocks on random-hyperplane buckets (the scale path); 0 compares all
+    * pairs (test scale only). */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    val withBlock =
+      if (lshBits > 0)
+        vecs.withColumn("block",
+          Similarity.hyperplaneBucket(col("v"), lshBits, 64))
+      else vecs.withColumn("block", lit(0L))
+    val a = withBlock.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withBlock.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the baseline (a single scan + distributed
+  * top-k via TakeOrderedAndProject — no shuffle of the vectors); the
+  * random-hyperplane LSH bucketing is the scale path: candidates are
+  * restricted to buckets within a small Hamming radius of the query's
+  * bucket, so the scan prunes to a fraction of the corpus. All vector math
+  * is built-in higher-order functions (zip_with / aggregate) — codegen'd,
+  * no UDF.
+  */
+object Similarity {
+
+  /** array<float> → array<double> (all arithmetic in double for
+    * cross-engine determinism). */
+  def toDoubleVec(vecCol: Column): Column =
+    transform(vecCol, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Brute-force cosine top-k against a literal query vector.
+    * Output: (id, score), score descending. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        cosine(toDoubleVec(col(vecCol)), litVec(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+
+  // ------------------------------------------------------ hyperplane LSH
+
+  /** Deterministic pseudo-random hyperplanes (SplitMix64 → uniform in
+    * [-1, 1)); plane j is row j. */
+  def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until bits).map { j =>
+      (0 until dim).map { i =>
+        mix(j.toLong * 100003 + i).toDouble / Long.MaxValue.toDouble
+      }
+    }
+  }
+
+  /** Sign-bucket of a vector under `bits` random hyperplanes: bit j set
+    * iff dot(v, plane_j) > 0. */
+  def hyperplaneBucket(vecCol: Column, bits: Int, dim: Int): Column =
+    hyperplanes(bits, dim).zipWithIndex.map { case (p, j) =>
+      when(dot(vecCol, litVec(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Hamming distance between two long bucket codes. */
+  private def hammingBits(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** ANN top-k: prune to vectors whose LSH bucket is within
+    * `probeRadius` bits of the query's bucket, then exact cosine top-k on
+    * the candidates. Recall/coverage is tunable via bits and probeRadius.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int = 16,
+      probeRadius: Int = 2): DataFrame = {
+    val dim = query.size
+    val queryBucket = {
+      // compute the query's bucket driver-side with the same planes
+      val planes = hyperplanes(bits, dim)
+      planes.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
+        val d = p.zip(query).map { case (x, y) => x * y }.sum
+        if (d > 0.0) acc | (1L << j) else acc
+      }
+    }
+    val withBucket = df.select(col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("v"),
+      hyperplaneBucket(toDoubleVec(col(vecCol)), bits, dim).as("bucket"))
+    withBucket
+      .where(hammingBits(col("bucket"), lit(queryBucket)) <= probeRadius)
+      .select(col("id"), cosine(col("v"), litVec(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per vector within LSH blocks — the batch
+    * companion of annTopK for building kNN graphs. Quadratic within a
+    * block; block count grows with bits. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      bits: Int = 12): DataFrame = {
+    val dim = 64
+    val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("block", hyperplaneBucket(col("v"), bits, dim))
+    val a = vecs.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = vecs.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+    val scored = a.join(b, Seq("block"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(desc("score"), col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id_a", "id_b", "score", "rank")
+  }
+}

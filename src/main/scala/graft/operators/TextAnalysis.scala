@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions — codegen-friendly, no UDFs, no shuffles beyond
+  * what the caller adds.
+  */
+object TextAnalysis {
+
+  // --------------------------------------------------------------- tokens
+
+  def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish subword count estimate: words + punctuation clusters + digit
+    * runs counted separately (a cheap stand-in for a real tokenizer's
+    * token count — useful for budget estimates at corpus scale). */
+  def subwordCountEstimate(textCol: Column): Column = {
+    val words = size(split(trim(textCol), "[\\s]+"))
+    val punct = length(regexp_replace(textCol, "[^\\p{Punct}]", ""))
+    val digits = size(filter(split(textCol, "[^0-9]+"), s => length(s) > 0))
+    // long words tokenize into ~len/4 subwords
+    val longWordExtra = aggregate(
+      tokens(textCol), lit(0L),
+      (acc, w) => acc + when(length(w) > 8, floor((length(w) - 8) / 4)).otherwise(0L))
+    words + punct + digits + longWordExtra
+  }
+
+  // ----------------------------------------------------------- language ID
+
+  /** Tiny per-language stopword profiles (top function words). Public
+    * knowledge; enough signal for coarse routing. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was",
+      "for", "on", "are", "with", "as", "his", "they", "at", "be", "this"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "se",
+      "las", "por", "un", "para", "con", "una", "su", "al", "es", "lo"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das",
+      "mit", "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du",
+      "une", "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au")
+  )
+
+  /** Heuristic language ID over {en, es, de, fr, zh, unknown}:
+    * CJK character ratio decides zh; otherwise the language whose
+    * stopword profile overlaps the token set most (ties → lexicographic,
+    * no overlap → "unknown"). N-gram-profile classification in the
+    * Cavnar-Trenkle tradition, reduced to function-word profiles.
+    */
+  def languageId(textCol: Column): Column = {
+    val cjkCount = length(regexp_replace(textCol, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    val toks = transform(tokens(textCol), lower _)
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(cjkCount > length(textCol) * 0.2, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
+  }
+
+  // ------------------------------------------------------------ quality
+
+  /** Heuristic quality score in [0, 1]: blend of alphabetic ratio, word
+    * count sanity, mean word length sanity, punctuation ratio, and
+    * repetition (distinct-token ratio). The usual pre-training filter
+    * features (C4/Gopher-style rules), expressed as one Column. */
+  def qualityScore(textCol: Column): Column = {
+    val len = greatest(length(textCol), lit(1))
+    val alphaRatio =
+      length(regexp_replace(textCol, "[^\\p{L} ]", "")).cast("double") / len
+    val toks = tokens(textCol)
+    val nTok = greatest(size(toks), lit(1))
+    val meanWordLen = aggregate(toks, lit(0),
+      (acc, w) => acc + length(w)).cast("double") / nTok
+    val wordLenScore =
+      when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val sizeScore =
+      when(nTok.between(10, 100000), 1.0)
+        .when(nTok.between(3, 9), 0.5)
+        .otherwise(0.1)
+    val punctRatio =
+      length(regexp_replace(textCol, "[^\\p{Punct}]", "")).cast("double") / len
+    val punctScore = when(punctRatio < 0.2, 1.0).otherwise(0.3)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val repetitionScore = when(distinctRatio > 0.3, 1.0)
+      .when(distinctRatio > 0.1, 0.6).otherwise(0.2)
+    round(
+      alphaRatio * 0.3 + wordLenScore * 0.2 + sizeScore * 0.2 +
+        punctScore * 0.15 + repetitionScore * 0.15, 6)
+  }
+
+  // -------------------------------------------------------- fingerprinting
+
+  /** Winnowing-style document fingerprint: the k smallest hashes of the
+    * character n-gram set (a compact, order-insensitive sketch; equal
+    * docs → equal fingerprints, near-equal docs → mostly-equal). */
+  def fingerprintSketch(textCol: Column, n: Int = 8, k: Int = 4): Column =
+    slice(array_sort(transform(Dedup.charNgrams(textCol, n), g => xxhash64(g))),
+      1, k)
+
+  /** Full-content 64-bit fingerprint. */
+  def contentHash(textCol: Column): Column = xxhash64(textCol)
+
+  // ------------------------------------------------------------- pipeline
+
+  /** One-pass document profile: id, language, token count, quality,
+    * fingerprint — the per-document columns a corpus-curation pipeline
+    * materializes before filtering/dedup. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      languageId(col(textCol)).as("lang_pred"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCountEstimate(col(textCol)).as("n_subwords_est"),
+      qualityScore(col(textCol)).as("quality"),
+      contentHash(col(textCol)).as("content_hash"),
+      fingerprintSketch(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) exposed over the `documents` and `embeddings` tables.
+  *
+  * Oracle-checked where DuckDB can express the same deterministic
+  * computation (exact dedup, n-gram Jaccard, cosine top-k, token counts);
+  * sketch-based operators (MinHash/SimHash/LSH buckets) are rows-only here
+  * and property-tested in DedupSpec with planted near-duplicates.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------- dedup
+
+  // exact dedup group summary (hash-groupBy; shuffle carries hashes only)
+  def d1_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+
+  // exact dedup surviving rows
+  def d1_dedup_exact_rows(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", Seq("text"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  // MinHash+LSH near-dup pairs (sketch-based candidate generation →
+  // rows-only; exactness covered by DedupSpec)
+  def d2_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  // SimHash near-dup pairs (rows-only)
+  def d3_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // exact n-gram Jaccard within (lang) blocks on a doc_id<500 slice —
+  // fully deterministic, DuckDB-expressible
+  def d4_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        docs(s, dir).where(col("doc_id") < 500), "doc_id", "text",
+        blockCol = "lang", n = 4, threshold = 0.35)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  // embedding cosine near-dup pairs, exact all-pairs (the synthetic
+  // embeddings are near-orthogonal — 0.4 marks the "most similar" tail)
+  def d5_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.4, lshBits = 0)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------- similarity
+
+  /** Query vector: embedding of vec_id = 0 (a query parameter, fetched
+    * driver-side — not a data-flow collect). */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    embs(s, dir).where(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble)
+
+  def s1_ann_bruteforce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("id"))
+
+  // LSH-pruned ANN (bucket pruning is engine-specific → rows-only;
+  // recall vs brute force asserted in SimilaritySpec)
+  def s2_ann_lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(embs(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, bits = 12, probeRadius = 3)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("id"))
+
+  // ------------------------------------------------------ text analysis
+
+  def t1_token_count(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  // language-ID + quality + fingerprints (heuristics — rows-only;
+  // accuracy asserted on multilingual samples in TextAnalysisSpec)
+  def t2_profile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // quality-filter pass rate per source — the curation aggregate
+  def t3_quality_by_source(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q") >= 0.8, 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+
+  // ------------------------------------------------------- multimodal
+
+  def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaTable(
+      docs(s, dir).where(col("doc_id") < 200), "doc_id", "text")
+    Multimodal.extractFeatures(Multimodal.resize(media, 512, 512), dim = 8)
+      .select(col("media_id"), col("n_bytes"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("media_id")
+  }
+
+  def m2_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaTable(
+      docs(s, dir).where(col("doc_id") < 100), "doc_id", "text")
+    Multimodal.sampleFrames(media, everyMs = 60000, maxFrames = 8)
+      .orderBy("media_id", "frame_ts")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1_dedup_exact _,
+    "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
+    "d2_minhash_lsh" -> d2_minhash_lsh _,
+    "d3_simhash" -> d3_simhash _,
+    "d4_ngram_jaccard" -> d4_ngram_jaccard _,
+    "d5_embedding_neardup" -> d5_embedding_neardup _,
+    "s1_ann_bruteforce" -> s1_ann_bruteforce _,
+    "s2_ann_lsh" -> s2_ann_lsh _,
+    "t1_token_count" -> t1_token_count _,
+    "t2_profile" -> t2_profile _,
+    "t3_quality_by_source" -> t3_quality_by_source _,
+    "m1_multimodal_features" -> m1_multimodal_features _,
+    "m2_frame_sample" -> m2_frame_sample _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d1_dedup_exact_rows" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT lang AS block, doc_id AS id,
+        |    list_distinct([substr(text, i, 4)
+        |      for i in range(1, greatest(length(text), 4) - 2)]) AS grams
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d5_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s1_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id AS id,
+        |    list_cosine_similarity(embedding::DOUBLE[], qe) AS raw
+        |  FROM embeddings, q)
+        |SELECT id, round(raw, 6) AS score FROM scored
+        |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  length(text) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // corpus with planted exact and near duplicates
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+    (3L, "completely different content about database query optimization and join ordering"),
+    (4L, "another unrelated text discussing machine learning training pipelines at scale"),
+    (5L, "the quick brown fox leaps over the lazy dog near the river bank today") // near dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct content") {
+    val kept = Dedup.exact(corpus, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must collide")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near dup 2 missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "3 is unrelated")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "4 is unrelated")
+  }
+
+  test("minhash signature approximates jaccard") {
+    val sig = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(
+        Dedup.wordShingles(Dedup.tokens(col("text")), 3), 256).as("sig"))
+    val rows = sig.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def simEst(a: Long, b: Long): Double =
+      rows(a).zip(rows(b)).count { case (x, y) => x == y }.toDouble / 256
+    assert(simEst(0L, 1L) == 1.0, "identical docs -> identical signatures")
+    assert(simEst(0L, 2L) > 0.5, s"near dup est ${simEst(0L, 2L)}")
+    assert(simEst(0L, 3L) < 0.2, s"unrelated est ${simEst(0L, 3L)}")
+  }
+
+  test("simhash near-dup pairs via hamming banding") {
+    val pairs = Dedup.simhashNearDuplicates(corpus, "doc_id", "text",
+        maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs within block") {
+    val blocked = corpus.withColumn("block", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+        "block", n = 4, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L)))
+    val j01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDouble(2)
+    assert(j01 == 1.0)
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute force cosine top-k") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L))
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("embedding near-dup pairs") {
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+        threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("ann LSH top-k recall vs brute force on real embeddings") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val ann = Similarity.annTopK(embs, "vec_id", "embedding", q, 10,
+      bits = 12, probeRadius = 4).select("id").as[Long].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall too low (got $ann vs $brute)")
+  }
+
+  test("language id on multilingual samples") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with this"),
+      ("es", "el perro corre por la calle y se sienta en una casa del pueblo"),
+      ("de", "der hund läuft auf der straße und das ist nicht ein problem für die stadt"),
+      ("fr", "le chien court dans la rue et les enfants sont pour une maison qui est plus grande"),
+      ("zh", "这是一个中文句子用来测试语言识别功能的准确性")
+    ).toDF("expected", "text")
+    val out = samples.withColumn("pred", TextAnalysis.languageId(col("text")))
+      .select("expected", "pred").as[(String, String)].collect()
+    out.foreach { case (exp, pred) => assert(exp == pred, s"want $exp got $pred") }
+  }
+
+  test("quality score orders garbage below clean text") {
+    val df = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and runs through the quiet forest"),
+      ("repeat", "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      ("punct", "!!! ??? ### $$$ %%% @@@ !!! ??? ### $$$ %%% @@@ ..."),
+      ("short", "ok")
+    ).toDF("kind", "text")
+    val scores = df.select(col("kind"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("clean") > scores("repeat"))
+    assert(scores("clean") > scores("punct"))
+    assert(scores("clean") > scores("short"))
+    assert(scores("clean") > 0.8)
+  }
+
+  test("fingerprint sketch stable and content-sensitive") {
+    val fp = corpus.select(col("doc_id"),
+      TextAnalysis.fingerprintSketch(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(0L) == fp(1L), "identical docs -> identical fingerprints")
+    assert(fp(0L) != fp(3L))
+    // near dup shares most fingerprint hashes
+    assert(fp(0L).toSet.intersect(fp(2L).toSet).size >= 2)
+  }
+
+  test("multimodal: stub decode is deterministic, frame sampling bounded") {
+    val media = Multimodal.syntheticMediaTable(corpus, "doc_id", "text")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2, "stub codec must be deterministic")
+    assert(f1(0L) == f1(1L), "same payload -> same features")
+    assert(f1(0L) != f1(3L))
+    val frames = Multimodal.sampleFrames(media, 60000, maxFrames = 4)
+    val perDoc = frames.groupBy("media_id").count()
+      .select("count").as[Long].collect()
+    assert(perDoc.forall(_ <= 4))
+  }
+}
