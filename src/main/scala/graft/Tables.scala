@@ -18,13 +18,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 has no timestamp
-    // type for — read it as epoch-nanos LongType. Comparisons/bucketing on
-    // the raw long keep predicate pushdown intact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.option("mergeSchema", "true").parquet(s"$sfDir/$name.parquet")
-  }
+  // DataFrames are immutable logical plans — memoize per (session, path) so
+  // repeated loads reuse one relation (no re-listing / schema re-inference
+  // per query).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 has no
+      // timestamp type for — read it as epoch-nanos LongType. Comparisons/
+      // bucketing on the raw long keep predicate pushdown intact.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.option("mergeSchema", "true").parquet(path)
+    })
 
   /** Register every table as a temp view named after itself; idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

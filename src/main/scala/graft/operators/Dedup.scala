@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * Scale design notes (100 TB):
   *  - exact dedup groups on a 64-bit content hash, never on the content
   *    itself — the shuffle carries (hash, id), not documents;
-  *  - MinHash signatures use built-in higher-order functions (one xxhash64
-  *    per shingle, then cheap affine re-hashes), entirely inside
-  *    whole-stage codegen — no UDFs anywhere in this file;
+  *  - MinHash/SimHash signatures are custom Catalyst expressions
+  *    (graft.functions.SketchExpressions) — one tight JVM loop per row,
+  *    partition-parallel, no UDF registration, no driver round-trips;
   *  - LSH candidate generation explodes only (band_key, id) pairs; the
   *    band key is the shuffle key, so each bucket lands on one reducer;
   *  - pathological buckets (identical spam) are capped with a per-bucket
@@ -59,35 +59,15 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash + LSH
 
-  /** Mersenne prime 2^31 - 1: with a, b, h < 2^31 the affine form
-    * a*h + b stays under 2^62, so no long overflow under ANSI mode. */
-  private val P = 2147483647L
-
-  /** Deterministic affine hash family (SplitMix64 mixing), a, b < 2^31. */
-  private def seeds(numHashes: Int): (Seq[Long], Seq[Long]) = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val a = (1 to numHashes).map(i => (mix(i.toLong) & 0x7fffffffL) | 1L)
-    val b = (1 to numHashes).map(i => mix(i.toLong + 7919) & 0x7fffffffL)
-    (a, b)
-  }
-
   /** MinHash signature (array<bigint> of length numHashes) of a
     * string-array column: sig_i = min over elements of
     * (a_i * h31(e) + b_i) mod P with h31 = xxhash64 reduced into [0, P) —
-    * the classic 31-bit universal family. */
-  def minhashSignature(setCol: Column, numHashes: Int): Column = {
-    val (as, bs) = seeds(numHashes)
-    val aArr = array(as.map(lit): _*)
-    val bArr = array(bs.map(lit): _*)
-    val bases = transform(setCol, s => pmod(xxhash64(s), lit(P)))
-    zip_with(aArr, bArr, (a, b) =>
-      array_min(transform(bases, h => pmod(a * h + b, lit(P)))))
-  }
+    * the classic 31-bit universal family. Computed by a custom Catalyst
+    * expression (one tight loop per row; the equivalent zip_with/transform
+    * formulation re-evaluates the base hashes numHashes times per row in
+    * the interpreter). */
+  def minhashSignature(setCol: Column, numHashes: Int): Column =
+    graft.functions.SketchExpressions.minhashSignature(setCol, numHashes)
 
   /** LSH banding: one (id, band, band_key) row per band; the key hashes
     * rowsPerBand consecutive signature entries together with the band
@@ -116,13 +96,18 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard over
-    * the shingle sets: (id_a < id_b, jaccard >= threshold). */
+    * the shingle sets: (id_a < id_b, jaccard >= threshold).
+    *
+    * Shingles are carried as distinct 64-bit hashes (WordShingleHashes),
+    * not strings — the signature pass, the verification join's
+    * intersect/union, and every shuffle all operate on array<long>. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSets = df.select(col(idCol).as("id"),
-        wordShingles(tokens(col(textCol)), shingleWidth).as("shingles"))
+        graft.functions.SketchExpressions
+          .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("shingles"))
       .where(size(col("shingles")) > 0)
     val withSig = withSets.select(col("id"),
       minhashSignature(col("shingles"), numHashes).as("sig"))
@@ -144,29 +129,14 @@ object Dedup {
 
   /** 64-bit SimHash over a token-array column: bit i of the result is set
     * iff the sum over tokens of sign(bit i of xxhash64(token)) is
-    * positive. Pure higher-order expressions. */
-  def simhash(tokensCol: Column): Column = {
-    val counts = aggregate(
-      tokensCol,
-      array_repeat(lit(0), 64),
-      (acc, w) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(shiftright_dyn(xxhash64(w), i).bitwiseAND(1L) === 1L, 1)
-            .otherwise(-1)),
-        (a, x) => a + x))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, shiftleft_dyn(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
-  }
+    * positive. Custom Catalyst expression — one pass over the tokens. */
+  def simhash(tokensCol: Column): Column =
+    graft.functions.SketchExpressions.simhash64(tokensCol)
 
-  // functions.shiftright/shiftleft take Int literals only; the SQL
-  // operators accept expressions
+  // shiftright with a non-literal bit count (functions.shiftright takes
+  // Int literals only; the SQL operator accepts expressions)
   private def shiftright_dyn(e: Column, bits: Column): Column =
     call_function("shiftright", e, bits)
-  private def shiftleft_dyn(e: Column, bits: Column): Column =
-    call_function("shiftleft", e, bits)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding
     * on the four 16-bit chunks: any pair within distance 3 agrees on at
@@ -191,11 +161,14 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact character-n-gram Jaccard for all pairs within a blocking key
-    * (full pairwise is quadratic — always block at scale). */
+    * (full pairwise is quadratic — always block at scale). Gram sets are
+    * carried as distinct 64-bit hashes: set cardinalities (and hence
+    * Jaccard) are preserved barring 64-bit collisions, and the pairwise
+    * intersect/union runs on longs instead of strings. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sets = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      charNgrams(col(textCol), n).as("grams"))
+      graft.functions.SketchExpressions.charNgramHashes(col(textCol), n).as("grams"))
     val a = sets.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = sets.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("block")).where(col("id_a") < col("id_b"))

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * top-k via TakeOrderedAndProject — no shuffle of the vectors); the
   * random-hyperplane LSH bucketing is the scale path: candidates are
   * restricted to buckets within a small Hamming radius of the query's
-  * bucket, so the scan prunes to a fraction of the corpus. All vector math
-  * is built-in higher-order functions (zip_with / aggregate) — codegen'd,
-  * no UDF.
+  * bucket, so the scan prunes to a fraction of the corpus. Vector math is
+  * custom Catalyst expressions (graft.functions.SketchExpressions) — tight
+  * per-row loops, no UDF.
   */
 object Similarity {
 
@@ -20,12 +20,15 @@ object Similarity {
   def toDoubleVec(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
 
+  // Custom Catalyst expressions (tight per-row loops) — value-identical to
+  // the aggregate(zip_with(...)) formulation but not interpreter-bound.
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SketchExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.SketchExpressions.cosineSimilarity(a, b)
 
   private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
 
