@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EngineQueries, PipelineQueries}
+import graft.queries.{CoreQueries, EngineQueries, PipelineQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ EngineQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ EngineQueries.queries ++ PipelineQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ EngineQueries.oracleSql ++ PipelineQueries.oracleSql
+    CoreQueries.oracleSql ++ EngineQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      StreamingQueries.oracleSql
 }

@@ -190,6 +190,19 @@ object CoreQueries {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  // A5 via the custom DDSketch TypedImperativeAggregate (the reference's
+  // exact sketch contract: relative accuracy 0.01, mergeable partials —
+  // rows-only check; accuracy/mergeability asserted in DDSketchSpec)
+  def a5_ddsketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.DDSketchFunctions
+          .ddsketchQuantile(col("value"), 0.5).as("p50"),
+        graft.functions.DDSketchFunctions
+          .ddsketchQuantile(col("value"), 0.9).as("p90"))
+      .orderBy("event_type")
+
   // A6 cardinality — exact oracle form
   def a6_distinct_exact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -313,6 +326,7 @@ object CoreQueries {
     "a1_step_agg" -> a1_step_agg _,
     "a3_pricing_agg" -> a3_pricing_agg _,
     "a5_percentile" -> a5_percentile _,
+    "a5_ddsketch" -> a5_ddsketch _,
     "a6_distinct_exact" -> a6_distinct_exact _,
     "a6_distinct_approx" -> a6_distinct_approx _,
     "a10_tag_values" -> a10_tag_values _,

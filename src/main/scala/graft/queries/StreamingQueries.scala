@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.streaming.StreamingEngine
+
+/** Structured Streaming entries (SURVEY.md §2.8), oracle-checked against
+  * the same DuckDB SQL as their batch twins: a streaming plan over a
+  * bounded source must converge to the batch answer (Trigger.AvailableNow
+  * + multiple micro-batches), which is exactly the reference's
+  * "incremental stream over static segments" contract.
+  */
+object StreamingQueries {
+
+  private val STEP_MS = 3600000L // 1 h buckets
+
+  /** The sf events table re-written once as a 4-file directory so the file
+    * stream source produces multiple micro-batches (maxFilesPerTrigger=1).
+    * Range-partitioned by event_id → deterministic file contents. */
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamDir(s: SparkSession, sfDir: String): String =
+    streamDirs.computeIfAbsent(sfDir, { dir =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      Tables.load(s, dir, "events")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as epoch-nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 2))
+
+  /** T1/T2: event-time tumbling window aggregation on a file stream.
+    * step_ts = 1 h buckets; per (bucket, event_type): count + exact-decimal
+    * sum. Complete output mode materializes every window for the oracle
+    * compare (append-mode watermark closing is asserted in StreamingSpec).
+    */
+  def st1_stream_window(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir(s, dir))
+    val plan = src
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        window(col("ts_t"), s"$STEP_MS milliseconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("dtotal"))
+    val q = plan.writeStream
+      .format("memory").queryName("st1_stream_window")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st1_stream_window")
+      .select(
+        (unix_timestamp(col("window.start")) * 1000L).as("step_ts"),
+        col("event_type"), col("n"),
+        col("dtotal").cast("double").as("total"))
+      .orderBy("step_ts", "event_type")
+  }
+
+  /** T4: per-key running stats via flatMapGroupsWithState across
+    * micro-batches; the final update per key must equal the batch
+    * aggregate (count/max/last-ts are monotone, so max over the update
+    * stream is the final state). */
+  def st2_running_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir(s, dir))
+    val keyed = src.select(
+        col("event_type").as("key"),
+        expr("ts div 1000000").as("ts"),
+        col("value"))
+      .as[StreamingEngine.KeyedEvent]
+    val q = StreamingEngine.runningStats(keyed).toDF()
+      .writeStream
+      .format("memory").queryName("st2_running_stats")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st2_running_stats")
+      .groupBy(col("key"))
+      .agg(max("count").as("n"), max("max").as("max_value"),
+        max("ts").as("last_ts"))
+      .orderBy("key")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_window" -> st1_stream_window _,
+    "st2_running_stats" -> st2_running_stats _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "st1_stream_window" ->
+      """SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS step_ts,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY step_ts, event_type""".stripMargin,
+    "st2_running_stats" ->
+      """SELECT event_type AS key, count(*) AS n, max(value) AS max_value,
+        |  max(epoch_ms(ts)) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.StreamingQueries
+import graft.streaming.StreamingEngine
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg converges to the batch answer") {
+    val streamed = StreamingQueries.st1_stream_window(spark, sf).collect()
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(
+        (expr("ts div 1000000") - expr("ts div 1000000") % 3600000L).as("step_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("step_ts", "event_type")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("running stats via flatMapGroupsWithState equals batch aggregate") {
+    val streamed = StreamingQueries.st2_running_stats(spark, sf).collect()
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"), max("value").as("max_value"),
+        max(expr("ts div 1000000")).as("last_ts"))
+      .orderBy("key")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("append mode with watermark drops late rows and closes windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val agg = StreamingEngine.windowedAgg(
+      df, "ts", stepMs = 10000L, groupBys = Nil,
+      aggs = Seq(sum(col("value")).as("total")))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // bucket [0,10): 1.0 + 2.0
+    input.addData((ts(1), 1.0), (ts(5), 2.0))
+    q.processAllAvailable()
+    // jump far ahead: watermark (2 steps = 20 s behind max) passes bucket 0
+    input.addData((ts(100), 7.0))
+    q.processAllAvailable()
+    // late row for bucket 0: behind the watermark → dropped
+    input.addData((ts(6), 100.0))
+    q.processAllAvailable()
+    val closed = spark.table("wm_test")
+      .select(col("step_ts"), col("total")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    q.stop()
+    assert(closed == Map(0L -> 3.0)) // closed without the late 100.0;
+    // bucket [100,110) still open (watermark 80 s) → not emitted in append
+  }
+}
