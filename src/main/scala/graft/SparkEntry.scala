@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EngineQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{CoreQueries, EngineQueries, PipelineQueries, SourceQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EngineQueries.queries ++ PipelineQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EngineQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      StreamingQueries.oracleSql
+      StreamingQueries.oracleSql ++ SourceQueries.oracleSql
 }

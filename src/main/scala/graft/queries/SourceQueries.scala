@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ast._
+import graft.sources.SegmentIndex
+
+/** Manifest-pruned segment scans (SURVEY.md S3/S4/U2) over a multi-file
+  * segment directory (the same 4-file events layout the streaming entries
+  * use). Pruning is sound, so pruned-scan results are oracle-checked
+  * against plain SQL over the full table; that files really get skipped is
+  * asserted in SegmentIndexSpec on segments with disjoint contents. */
+object SourceQueries {
+
+  private val manifests =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def manifest(s: SparkSession, dir: String): DataFrame =
+    manifests.computeIfAbsent(dir, { d =>
+      val segDir = StreamingQueries.streamDir(s, d)
+      val files = new java.io.File(segDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      SegmentIndex.build(s, files, "ts",
+        ts => expr("ts div 1000000"), Seq("event_type")).cache()
+    })
+
+  /** S4+U2: trigram-pruned scan, then the full filter. */
+  def s4_pruned_scan(s: SparkSession, dir: String): DataFrame = {
+    val clause = Filter("event_type", List("click"), Ops.EQ)
+    val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
+        Set("event_type"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return s.emptyDataFrame)
+    df.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** S3/F10: time-bound pruned scan (segment min/max overlap). */
+  def s3_time_pruned(s: SparkSession, dir: String): DataFrame = {
+    val start = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val end = java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli
+    val df = SegmentIndex.scan(s, manifest(s, dir), None,
+        Set("event_type"), start, end)
+      .getOrElse(return s.emptyDataFrame)
+    df.where(expr("ts div 1000000") >= start && expr("ts div 1000000") < end)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_pruned_scan" -> s4_pruned_scan _,
+    "s3_time_pruned" -> s3_time_pruned _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s4_pruned_scan" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "s3_time_pruned" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}

@@ -22,7 +22,7 @@ object StreamingQueries {
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def streamDir(s: SparkSession, sfDir: String): String =
+  private[queries] def streamDir(s: SparkSession, sfDir: String): String =
     streamDirs.computeIfAbsent(sfDir, { dir =>
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ast._
+import graft.sources.SegmentIndex
+
+class SegmentIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // three "segments": distinct services and time ranges
+  private lazy val segDir = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_segs").toString
+    def write(name: String, rows: Seq[(Long, String, String, Double)]): String = {
+      val p = s"$dir/$name"
+      rows.toDF("ts", "service", "level", "value")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    val s1 = write("seg1", Seq(
+      (1000L, "checkout-api", "info", 1.0), (2000L, "checkout-api", "error", 2.0)))
+    val s2 = write("seg2", Seq(
+      (3000L, "payment-svc", "info", 3.0), (4000L, "payment-svc", "warn", 4.0)))
+    val s3 = write("seg3", Seq(
+      (9000L, "search-frontend", "error", 5.0), (9500L, "checkout-api", "info", 6.0)))
+    (dir, Seq(s1, s2, s3))
+  }
+
+  private lazy val manifest = {
+    val (_, segs) = segDir
+    SegmentIndex.build(spark, segs, "ts", identity, Seq("service", "level"))
+      .cache()
+  }
+  private val indexed = Set("service", "level")
+
+  test("manifest has per-file bounds and fingerprints") {
+    val rows = manifest.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Seq[Long]]("fingerprints").nonEmpty))
+    val seg1 = rows.find(_.getString(0).contains("seg1")).get
+    assert(seg1.getAs[Long]("min_ts") == 1000L)
+    assert(seg1.getAs[Long]("max_ts") == 2000L)
+    assert(seg1.getAs[Long]("row_count") == 2L)
+  }
+
+  test("eq prunes to segments containing the value's trigrams") {
+    val clause = Filter("service", List("payment-svc"), Ops.EQ)
+    val files = SegmentIndex.prune(manifest, Some(clause), indexed, 0L, 10000L)
+    assert(files.length == 1 && files.head.contains("seg2"))
+  }
+
+  test("contains prunes; value spanning two segments keeps both") {
+    val clause = Filter("service", List("checkout"), Ops.CONTAINS)
+    val files = SegmentIndex.prune(manifest, Some(clause), indexed, 0L, 10000L)
+    assert(files.length == 2)
+    assert(files.exists(_.contains("seg1")) && files.exists(_.contains("seg3")))
+  }
+
+  test("AND intersects, OR unions candidate sets (U2 set algebra)") {
+    val and = BinaryClause(
+      Filter("service", List("checkout-api"), Ops.EQ),
+      Filter("level", List("error"), Ops.EQ), "and")
+    val andFiles = SegmentIndex.prune(manifest, Some(and), indexed, 0L, 10000L)
+    assert(andFiles.length == 2) // seg1 (has both) + seg3 (has both, diff rows)
+
+    val or = BinaryClause(
+      Filter("service", List("payment-svc"), Ops.EQ),
+      Filter("service", List("search-frontend"), Ops.EQ), "or")
+    val orFiles = SegmentIndex.prune(manifest, Some(or), indexed, 0L, 10000L)
+    assert(orFiles.length == 2)
+    assert(orFiles.exists(_.contains("seg2")) && orFiles.exists(_.contains("seg3")))
+  }
+
+  test("time range prunes by segment bounds") {
+    val files = SegmentIndex.prune(manifest, None, indexed, 0L, 2500L)
+    assert(files.length == 1 && files.head.contains("seg1"))
+    val none = SegmentIndex.prune(manifest, None, indexed, 20000L, 30000L)
+    assert(none.isEmpty)
+  }
+
+  test("unindexed / short / negated predicates degrade soundly to all") {
+    val regex = Filter("service", List("pay.*"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(regex), indexed, 0L, 10000L).length == 3)
+    val short = Filter("service", List("ab"), Ops.EQ)
+    assert(SegmentIndex.prune(manifest, Some(short), indexed, 0L, 10000L).length == 3)
+    val not = NotClause(Filter("service", List("payment-svc"), Ops.EQ))
+    assert(SegmentIndex.prune(manifest, Some(not), indexed, 0L, 10000L).length == 3)
+  }
+
+  test("pruned scan result equals full scan result") {
+    val (_, segs) = segDir
+    val clause = Filter("service", List("payment-svc"), Ops.EQ)
+    val pruned = SegmentIndex
+      .scan(spark, manifest, Some(clause), indexed, 0L, 10000L).get
+      .where(col("service") === "payment-svc")
+      .select("ts", "service", "level", "value").orderBy("ts").collect()
+    val full = spark.read.parquet(segs: _*)
+      .where(col("service") === "payment-svc")
+      .select("ts", "service", "level", "value").orderBy("ts").collect()
+    assert(pruned.sameElements(full))
+  }
+}
