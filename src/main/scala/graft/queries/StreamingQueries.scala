@@ -17,7 +17,7 @@ object StreamingQueries {
   private val STEP_MS = 3600000L // 1 h buckets
 
   /** The sf events table re-written once as a 4-file directory so the file
-    * stream source produces multiple micro-batches (maxFilesPerTrigger=1).
+    * stream source produces multiple micro-batches (maxFilesPerTrigger=2).
     * Range-partitioned by event_id → deterministic file contents. */
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -53,7 +53,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.readStream
       .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(streamDir(s, dir))
     val plan = src
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
@@ -84,7 +84,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.readStream
       .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(streamDir(s, dir))
     val keyed = src.select(
         col("event_type").as("key"),
