@@ -73,18 +73,23 @@ object QueryEngine {
     var df = tel.df.where(tel.tsRange(startMs, endMs))
 
     // E1: regex extraction — gate rows on match, project one column per
-    // capture group (reference BaseExpr.scala:244-265,291-304)
+    // capture group (reference BaseExpr.scala:244-265,291-304). One
+    // matcher pass per row via RegexExtractStruct (vs regexp_extract × N
+    // fields, which re-runs the regex per field).
     e.extractor.foreach { ex =>
       val msg = tel.message.getOrElse(
         throw new IllegalArgumentException(
           s"baseExpr ${e.id} has an extractor but the table has no message column"))
-      df = df.where(msg.rlike(ex.regex))
-      ex.fields.zipWithIndex.foreach { case (f, i) =>
-        val raw = regexp_extract(msg, ex.regex, i + 1)
+      df = df.withColumn("_nlp",
+          graft.functions.RegexExtractStruct(msg, ex.regex, ex.fields.map(_.name)))
+        .where(col("_nlp").isNotNull)
+      ex.fields.foreach { f =>
+        val raw = col("_nlp").getField(f.name)
         val colV =
           if (f.dataType == DataTypes.NUMBER) raw.cast("double") else raw
         df = df.withColumn(f.name, colV)
       }
+      df = df.drop("_nlp")
     }
 
     // E2: computed column

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
+
+/** SparkSessionExtensions registration: every graft custom expression and
+  * aggregate as a SQL function, so `spark.sql("SELECT graft_cosine(a, b)")`
+  * works anywhere the DataFrame helpers do. Activate with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)
+  *     // or spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * This is the idiomatic packaging for a Spark-native library: no fork, no
+  * session hijack — the extension injects into the session's function
+  * registry at build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register every graft function into an already-running session
+    * (extensions only bind at session build; this covers getOrCreate
+    * reuse, REPLs, and shared test sessions). Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, (i, b)) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, i, b)
+    }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def str(e: Expression): String =
+    e.asInstanceOf[Literal].value.toString
+
+  private def int(e: Expression): Int =
+    e.asInstanceOf[Literal].value.toString.toInt
+
+  private def dbl(e: Expression): Double =
+    e.asInstanceOf[Literal].value.toString.toDouble
+
+  val functions: Seq[(String, (ExpressionInfo, FunctionBuilder))] = Seq(
+    "graft_minhash" -> ((
+      info("graft_minhash", "_FUNC_(set, numHashes) - MinHash signature of a string/long array."),
+      (args: Seq[Expression]) => MinHashSignature(args.head, int(args(1))))),
+    "graft_simhash" -> ((
+      info("graft_simhash", "_FUNC_(tokens) - 64-bit SimHash of a token array."),
+      (args: Seq[Expression]) => SimHash64(args.head))),
+    "graft_word_shingles" -> ((
+      info("graft_word_shingles", "_FUNC_(tokens, w) - distinct hashed word w-shingles."),
+      (args: Seq[Expression]) => WordShingleHashes(args.head, int(args(1))))),
+    "graft_char_ngrams" -> ((
+      info("graft_char_ngrams", "_FUNC_(text, n) - distinct hashed char n-grams."),
+      (args: Seq[Expression]) => CharNgramHashes(args.head, int(args(1))))),
+    "graft_dot" -> ((
+      info("graft_dot", "_FUNC_(a, b) - dot product of two numeric arrays."),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1)))),
+    "graft_cosine" -> ((
+      info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two numeric arrays."),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1)))),
+    "graft_regex_extract_struct" -> ((
+      info("graft_regex_extract_struct",
+        "_FUNC_(msg, regex, f1, f2, ...) - single-pass multi-group extraction to a struct."),
+      (args: Seq[Expression]) =>
+        RegexExtractStruct(args.head, str(args(1)), args.drop(2).map(str)))),
+    "ddsketch" -> ((
+      info("ddsketch", "_FUNC_(col) - mergeable DDSketch (binary), relative accuracy 0.01."),
+      (args: Seq[Expression]) => DDSketchAgg(args.head).toAggregateExpression())),
+    "ddsketch_quantile" -> ((
+      info("ddsketch_quantile", "_FUNC_(col, q) - DDSketch quantile with 1% relative error."),
+      (args: Seq[Expression]) =>
+        DDSketchQuantile(args.head, dbl(args(1))).toAggregateExpression())),
+    "ddsketch_quantile_of" -> ((
+      info("ddsketch_quantile_of", "_FUNC_(sketch, q) - quantile of a serialized DDSketch."),
+      (args: Seq[Expression]) => DDSketchQuantileOf(args.head, args(1))))
+  )
+}

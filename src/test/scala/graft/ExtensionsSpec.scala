@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate reuses the shared test session, so register into its
+  // function registry directly (the extension class and register() share
+  // one function list — same registration either way).
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(s)
+    s
+  }
+
+  test("graft functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  size(graft_minhash(array('a', 'b', 'c'), 16)) AS m,
+        |  graft_simhash(array('hello', 'world')) AS sh,
+        |  size(graft_char_ngrams('hello world', 3)) AS ng,
+        |  graft_regex_extract_struct('lat=12 lon=34',
+        |    'lat=(\\d+) lon=(\\d+)', 'lat', 'lon').lat AS lat
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Int]("m") == 16)
+    assert(r.getAs[Int]("ng") == 9) // 11 chars → 9 distinct trigrams
+    assert(r.getAs[String]("lat") == "12")
+  }
+
+  test("ddsketch SQL aggregate matches the DataFrame form") {
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v").createOrReplaceTempView("vals")
+    val sqlQ = spark.sql(
+      "SELECT ddsketch_quantile(v, 0.5d) AS p50 FROM vals").head().getDouble(0)
+    assert(math.abs(sqlQ - 3.0) <= 0.03 + 1e-9)
+    val viaSketch = spark.sql(
+      "SELECT ddsketch_quantile_of(ddsketch(v), 0.5d) FROM vals")
+      .head().getDouble(0)
+    assert(viaSketch == sqlQ)
+  }
+}
