@@ -44,6 +44,18 @@ object StreamingQueries {
   private def dec(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 2))
 
+  /** Stateful streaming partitions the state store by shuffle.partitions,
+    * paying per-partition checkpoint IO every micro-batch — size it to the
+    * key cardinality (a handful here), not the batch-query default. The
+    * partition count binds at query start, so restoring the conf after
+    * start() doesn't affect the running stream. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** T1/T2: event-time tumbling window aggregation on a file stream.
     * step_ts = 1 h buckets; per (bucket, event_type): count + exact-decimal
     * sum. Complete output mode materializes every window for the oracle
@@ -61,11 +73,13 @@ object StreamingQueries {
         window(col("ts_t"), s"$STEP_MS milliseconds"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("dtotal"))
-    val q = plan.writeStream
-      .format("memory").queryName("st1_stream_window")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st1_stream_window")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table("st1_stream_window")
       .select(
@@ -91,12 +105,14 @@ object StreamingQueries {
         expr("ts div 1000000").as("ts"),
         col("value"))
       .as[StreamingEngine.KeyedEvent]
-    val q = StreamingEngine.runningStats(keyed).toDF()
-      .writeStream
-      .format("memory").queryName("st2_running_stats")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(s, 8) {
+      StreamingEngine.runningStats(keyed).toDF()
+        .writeStream
+        .format("memory").queryName("st2_running_stats")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table("st2_running_stats")
       .groupBy(col("key"))
