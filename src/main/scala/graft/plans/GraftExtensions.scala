@@ -81,6 +81,15 @@ object GraftExtensions {
         DDSketchQuantile(args.head, dbl(args(1))).toAggregateExpression())),
     "ddsketch_quantile_of" -> ((
       info("ddsketch_quantile_of", "_FUNC_(sketch, q) - quantile of a serialized DDSketch."),
-      (args: Seq[Expression]) => DDSketchQuantileOf(args.head, args(1))))
+      (args: Seq[Expression]) => DDSketchQuantileOf(args.head, args(1)))),
+    "hll_estimate" -> ((
+      info("hll_estimate", "_FUNC_(col) - HLL distinct estimate (lgK=12, ~1.6% sigma)."),
+      (args: Seq[Expression]) => HllEstimate(args.head).toAggregateExpression())),
+    "hll_sketch" -> ((
+      info("hll_sketch", "_FUNC_(col) - mergeable HLL sketch (binary)."),
+      (args: Seq[Expression]) => HllAgg(args.head).toAggregateExpression())),
+    "hll_estimate_of" -> ((
+      info("hll_estimate_of", "_FUNC_(sketch) - estimate from a serialized HLL sketch."),
+      (args: Seq[Expression]) => HllEstimateOf(args.head)))
   )
 }

@@ -218,6 +218,16 @@ object CoreQueries {
       .agg(approx_count_distinct(col("user_id")).as("users_est"))
       .orderBy("event_type")
 
+  // A6/A11 via the custom mergeable HLL sketch (lgK=12, the reference's
+  // accuracy point — rows-only check; accuracy/merge semantics asserted
+  // in HllSpec)
+  def a6_hll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HllFunctions
+        .hllEstimate(col("user_id")).as("users_est"))
+      .orderBy("event_type")
+
   // A10 tag-value count (tags API: SELECT col, COUNT(*) GROUP BY col)
   def a10_tag_values(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -329,6 +339,7 @@ object CoreQueries {
     "a5_ddsketch" -> a5_ddsketch _,
     "a6_distinct_exact" -> a6_distinct_exact _,
     "a6_distinct_approx" -> a6_distinct_approx _,
+    "a6_hll" -> a6_hll _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
