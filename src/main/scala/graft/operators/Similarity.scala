@@ -96,6 +96,83 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** Train IVF centroids: deterministic sample to the driver (centroids
+    * are query-plan constants, like any learned index), k-means with
+    * cosine assignment (spherical k-means), fixed iterations, seeded
+    * init. At 100 TB the sample stays bounded (maxSample), the index is a
+    * few KB, and assignment is a per-row scan — no shuffle. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxSample: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
+    val n = df.count()
+    val rate = math.max(1L, n / maxSample)
+    val sample = df
+      .where(pmod(col(idCol), lit(rate)) === 0)
+      .select(toDoubleVec(col(vecCol)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0) v else v.map(_ / nrm)
+    }
+    val pts = sample.map(normalize)
+    var cents = Array.tabulate(math.min(k, pts.length))(i =>
+      pts((i * 2654435761L % pts.length).toInt.abs).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Cluster id of each vector under the trained centroids (argmax of
+    * dot with the normalized vector ≙ cosine assignment). */
+  def ivfAssign(vecCol: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (dot(vecCol, litVec(c.toIndexedSeq)) / norm(vecCol)).as("score"),
+        lit(i).as("cluster"))
+    }
+    greatest(scored.toIndexedSeq: _*).getField("cluster")
+  }
+
+  /** IVF ANN top-k: restrict the exact scan to the nProbe clusters whose
+    * centroids are nearest the query. Coverage/recall is tunable with
+    * (k centroids, nProbe); scan cost drops to ~nProbe/k of the corpus. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, cents: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    val qn = {
+      val nrm = math.sqrt(query.map(x => x * x).sum)
+      if (nrm == 0) query else query.map(_ / nrm)
+    }
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qn).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2).toSeq
+    df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .where(ivfAssign(col("v"), cents).isin(probes: _*))
+      .select(col("id"), cosine(col("v"), litVec(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector within LSH blocks — the batch
     * companion of annTopK for building kNN graphs. Quadratic within a
     * block; block count grows with bits. */

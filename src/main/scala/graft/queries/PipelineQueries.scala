@@ -87,6 +87,22 @@ object PipelineQueries {
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), col("id"))
 
+  // IVF ANN: spherical-kmeans centroids (trained once per dataset, a
+  // plan-time constant) + nProbe-cluster scan (rows-only; recall asserted
+  // in PipelineSpec)
+  private val ivfCents = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  def s5_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCents.computeIfAbsent(dir, { d =>
+      Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
+    })
+    Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, cents, nProbe = 6)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("id"))
+  }
+
   // ------------------------------------------------------ text analysis
 
   def t1_token_count(s: SparkSession, dir: String): DataFrame =
@@ -138,6 +154,7 @@ object PipelineQueries {
     "d5_embedding_neardup" -> d5_embedding_neardup _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s2_ann_lsh" -> s2_ann_lsh _,
+    "s5_ann_ivf" -> s5_ann_ivf _,
     "t1_token_count" -> t1_token_count _,
     "t2_profile" -> t2_profile _,
     "t3_quality_by_source" -> t3_quality_by_source _,

@@ -101,6 +101,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall too low (got $ann vs $brute)")
   }
 
+  test("ivf ann: probing more clusters raises recall; full probe is exact") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSet
+    val cents = Similarity.ivfCentroids(embs, "vec_id", "embedding", k = 16)
+    def recallAt(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10,
+        cents, nProbe).select("id").as[Long].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    assert(recallAt(16) == 1.0) // probing every cluster ≡ brute force
+    val r6 = recallAt(6)
+    assert(r6 >= 0.3, s"IVF recall@6 too low: $r6")
+    assert(recallAt(16) >= r6)
+  }
+
   test("language id on multilingual samples") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with this"),
