@@ -134,6 +134,62 @@ object EngineQueries {
       .orderBy("event_id")
   }
 
+  // A4 avg chart (Spark's native partial sum/count replaces the
+  // reference's coordinator-side sum+count dual sourcing)
+  def ast_chart_avg(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
+        |  "chart": {"aggregation": "avg", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A2: metrics dataset — pre-rolled per-minute rollup_* columns
+  // re-aggregated at query step. The derived metrics table is built once
+  // per sf dir (the shape metric segments have in the reference:
+  // BaseExpr.scala:376-395).
+  private val metricsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def metricsDir(s: SparkSession, sfDir: String): String =
+    metricsDirs.computeIfAbsent(sfDir, { dir =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_metrics_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      Tables.load(s, dir, "events")
+        .groupBy(
+          (expr("ts div 1000000") - expr("ts div 1000000") % 60000L).as("ts"),
+          col("event_type"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("rollup_sum"),
+          count(lit(1)).cast("double").as("rollup_count"),
+          min(col("value")).as("rollup_min"),
+          max(col("value")).as("rollup_max"))
+        .withColumn("name", lit("events.value"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def ast_metrics_rollup(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // §3.2 tag-values API
   def ast_tag_values(s: SparkSession, dir: String): DataFrame = {
     val ast = AstJson.parseBaseExpr(
@@ -158,6 +214,8 @@ object EngineQueries {
     "ast_extract_compute" -> ast_extract_compute _,
     "ast_missing_column" -> ast_missing_column _,
     "ast_chart_p90" -> ast_chart_p90 _,
+    "ast_chart_avg" -> ast_chart_avg _,
+    "ast_metrics_rollup" -> ast_metrics_rollup _,
     "ast_exemplars" -> ast_exemplars _,
     "ast_tag_values" -> ast_tag_values _,
     "ast_cardinality" -> ast_cardinality _
@@ -202,6 +260,20 @@ object EngineQueries {
         |  round(quantile_cont(value, 0.9), 4) AS value
         |FROM events WHERE value > 0.0
         |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_chart_avg" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, round(avg(value), 6) AS value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_rollup" ->
+      """WITH rollup AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum
+        |  FROM events GROUP BY mts, event_type)
+        |SELECT (mts // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, round(sum(rollup_sum), 6) AS value
+        |FROM rollup GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
     "ast_exemplars" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE value > 198.0 AND event_type = 'purchase'
