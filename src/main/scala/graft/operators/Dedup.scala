@@ -105,10 +105,12 @@ object Dedup {
       shingleWidth: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // no emptiness filter: WordShingleHashes yields >= 1 element by
+    // construction, and a size() predicate would make Catalyst evaluate
+    // the shingle expression twice per row (filter + project)
     val withSets = df.select(col(idCol).as("id"),
-        graft.functions.SketchExpressions
-          .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("shingles"))
-      .where(size(col("shingles")) > 0)
+      graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("shingles"))
     val withSig = withSets.select(col("id"),
       minhashSignature(col("shingles"), numHashes).as("sig"))
 
