@@ -199,6 +199,16 @@ object EngineQueries {
     QueryEngine.tagValues(eventsTel(s, dir), ast, "event_type", START, END)
   }
 
+  // §3.2 tag-names API (F13/F14: names with a non-null value under the
+  // filter, deduplicated)
+  def ast_tag_names(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["purchase"], "op": "eq"}
+        |}""".stripMargin)
+    QueryEngine.tagNames(eventsTel(s, dir), ast, START, END)
+  }
+
   // §3.3 cardinality API (HLL estimate → rows-only check)
   def ast_cardinality(s: SparkSession, dir: String): DataFrame = {
     val ast = AstJson.parseBaseExpr(
@@ -218,6 +228,7 @@ object EngineQueries {
     "ast_metrics_rollup" -> ast_metrics_rollup _,
     "ast_exemplars" -> ast_exemplars _,
     "ast_tag_values" -> ast_tag_values _,
+    "ast_tag_names" -> ast_tag_names _,
     "ast_cardinality" -> ast_cardinality _
   )
 
@@ -282,6 +293,16 @@ object EngineQueries {
       """SELECT event_type AS tagValue, count(*) AS count FROM events
         |WHERE value >= 100.0 AND event_type IS NOT NULL
         |GROUP BY tagValue ORDER BY count DESC, tagValue
-        |LIMIT 1000""".stripMargin
+        |LIMIT 1000""".stripMargin,
+    "ast_tag_names" ->
+      """WITH f AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT tagName FROM (
+        |  SELECT 'event_id' AS tagName, count(event_id) AS n FROM f
+        |  UNION ALL SELECT 'ts', count(ts) FROM f
+        |  UNION ALL SELECT 'user_id', count(user_id) FROM f
+        |  UNION ALL SELECT 'event_type', count(event_type) FROM f
+        |  UNION ALL SELECT 'value', count(value) FROM f
+        |  UNION ALL SELECT 'props', count(props) FROM f)
+        |WHERE n > 0 ORDER BY tagName""".stripMargin
   )
 }

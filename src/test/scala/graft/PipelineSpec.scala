@@ -89,6 +89,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embedding near-dup LSH-blocked scale path finds the same near-dups") {
+    // near-identical vectors always share the hyperplane bucket, so the
+    // blocked (scale) path must recover the pair the exact path finds
+    val blocked = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+        threshold = 0.95, lshBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == Set((0L, 1L)))
+  }
+
   test("ann LSH top-k recall vs brute force on real embeddings") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val q = embs.where(col("vec_id") === 0).select("embedding")
