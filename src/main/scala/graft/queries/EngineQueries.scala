@@ -134,6 +134,25 @@ object EngineQueries {
       .orderBy("event_id")
   }
 
+  // §3.1 step 6: multi-expression orchestration — two returned series plus
+  // a formula over them, unioned into one (step_ts, group_key, value,
+  // label) stream (U1 through the AST; labels = filter text for grouped-
+  // less series, reference BaseExpr.scala:697-716)
+  def ast_multi_series(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs",
+        |        "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
+        |        "chart": {"aggregation": "count", "groupBys": []}},
+        |  "b": {"dataset": "logs",
+        |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
+        |        "chart": {"aggregation": "count", "groupBys": []}}
+        |}, "formulae": ["a + b"]}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), col("label"), round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "label")
+  }
+
   // A4 avg chart (Spark's native partial sum/count replaces the
   // reference's coordinator-side sum+count dual sourcing)
   def ast_chart_avg(s: SparkSession, dir: String): DataFrame = {
@@ -225,6 +244,7 @@ object EngineQueries {
     "ast_missing_column" -> ast_missing_column _,
     "ast_chart_p90" -> ast_chart_p90 _,
     "ast_chart_avg" -> ast_chart_avg _,
+    "ast_multi_series" -> ast_multi_series _,
     "ast_metrics_rollup" -> ast_metrics_rollup _,
     "ast_exemplars" -> ast_exemplars _,
     "ast_tag_values" -> ast_tag_values _,
@@ -271,6 +291,24 @@ object EngineQueries {
         |  round(quantile_cont(value, 0.9), 4) AS value
         |FROM events WHERE value > 0.0
         |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_multi_series" ->
+      """WITH a AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         CAST(count(*) AS DOUBLE) AS v FROM events
+        |  WHERE event_type = 'click' GROUP BY step_ts),
+        |b AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         CAST(count(*) AS DOUBLE) AS v FROM events
+        |  WHERE event_type = 'view' GROUP BY step_ts)
+        |SELECT step_ts, label, value FROM (
+        |  SELECT COALESCE(a.step_ts, b.step_ts) AS step_ts, 'a + b' AS label,
+        |    round(COALESCE(a.v, 0) + COALESCE(b.v, 0), 6) AS value
+        |  FROM a FULL OUTER JOIN b ON a.step_ts = b.step_ts
+        |  UNION ALL
+        |  SELECT step_ts, 'event_type = click', round(v, 6) FROM a
+        |  UNION ALL
+        |  SELECT step_ts, 'event_type = view', round(v, 6) FROM b)
+        |ORDER BY step_ts, label""".stripMargin,
     "ast_chart_avg" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
         |  event_type AS group_key, round(avg(value), 6) AS value
