@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -18,10 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions compute the same values in one tight JVM loop per row
   * (hundreds of times faster at sf0.1), while staying ordinary Catalyst
   * expressions: null-safe, usable in any DataFrame plan, partition-parallel.
+  *
+  * Codegen: each expression generates a call to its own `compute` method
+  * (via `ctx.addReferenceObj`), so children evaluate inside whole-stage
+  * codegen and only the tight loop is a virtual call — no
+  * CodegenFallback row materialization anywhere in these paths.
   */
 object SketchExpressions {
 
-  /** Same 31-bit universal hash family as Dedup.seeds (SplitMix64 mixing). */
+  /** Same 31-bit universal hash family as the MinHash seeds
+    * (SplitMix64 mixing). */
   private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -62,6 +67,51 @@ trait StringArrayInput { self: UnaryExpression =>
   }
 }
 
+private[functions] object ComputeCodegen {
+  /** Java expression converting the boxed `compute` result to the
+    * unboxed/JVM type codegen expects for `dataType`. Explicit unboxing —
+    * janino does not auto-unbox. */
+  def unbox(call: String, dataType: DataType): String = dataType match {
+    case DoubleType => s"((java.lang.Double) $call).doubleValue()"
+    case LongType => s"((java.lang.Long) $call).longValue()"
+    case _: ArrayType =>
+      s"((org.apache.spark.sql.catalyst.util.ArrayData) $call)"
+    case t => throw new IllegalStateException(s"unsupported codegen type $t")
+  }
+}
+
+/** Unary expression whose codegen calls `this.compute(child)` through a
+  * codegen reference — children stay in whole-stage codegen. */
+trait ComputeUnaryCodegen { self: UnaryExpression =>
+  /** Boxed-compatible compute over the single non-null child value. */
+  def compute(input: Any): Any
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeUnaryCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($c)", dataType)};")
+  }
+}
+
+/** Binary analogue of [[ComputeUnaryCodegen]]. */
+trait ComputeBinaryCodegen { self: BinaryExpression =>
+  def compute(l: Any, r: Any): Any
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = compute(l, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeBinaryCodegen].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($a, $b)", dataType)};")
+  }
+}
+
 /** MinHash signature of a set column — array<string> (elements hashed with
   * xxhash64, seed 42) or array<long> (pre-hashed, e.g. WordShingleHashes
   * output): sig_i = min over elements of (a_i * h + b_i) mod P with h the
@@ -70,7 +120,7 @@ trait StringArrayInput { self: UnaryExpression =>
   * pass over the set per row.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ComputeUnaryCodegen {
 
   private val P = 2147483647L
 
@@ -89,9 +139,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     (1 to numHashes).map(i => SketchExpressions.mix(i.toLong + 7919) & 0x7fffffffL).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -127,12 +176,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * w yields one truncated shingle (same convention as Dedup.wordShingles).
   * First-occurrence order, matching array_distinct. */
 case class WordShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with StringArrayInput with CodegenFallback {
+    extends UnaryExpression with StringArrayInput with ComputeUnaryCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sep = UTF8String.fromString(" ")
@@ -172,7 +220,7 @@ case class WordShingleHashes(child: Expression, w: Int)
   * A string shorter than n yields one (whole-string) gram, matching
   * Dedup.charNgrams. First-occurrence order, matching array_distinct. */
 case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ComputeUnaryCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -181,9 +229,8 @@ case class CharNgramHashes(child: Expression, n: Int)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val str = input.asInstanceOf[UTF8String]
     val len = str.numChars()
     val nGrams = math.max(len - n + 1, 1)
@@ -210,12 +257,11 @@ case class CharNgramHashes(child: Expression, n: Int)
   * set iff the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is
   * positive. Value-identical to the HOF formulation in Dedup.simhash. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with StringArrayInput with CodegenFallback {
+    extends UnaryExpression with StringArrayInput with ComputeUnaryCodegen {
 
   override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val counts = new Array[Int](64)
@@ -246,9 +292,8 @@ case class SimHash64(child: Expression)
 
 /** Base for float/double array pairwise math: reads both children as
   * numeric arrays, computes in double. */
-trait VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+trait VectorBinaryExpression extends BinaryExpression with ComputeBinaryCodegen {
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -272,12 +317,11 @@ trait VectorBinaryExpression extends BinaryExpression with CodegenFallback {
 
 /** Sequential-order dot product of two numeric arrays (matches the
   * aggregate(zip_with(...)) formulation bit-for-bit: left-to-right
-  * double accumulation). Lengths must match; extra elements are ignored
-  * per zip_with-with-nulls → here we take the min length. */
+  * double accumulation). Extra elements on the longer side are ignored. */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
+  override def compute(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
@@ -300,7 +344,7 @@ case class DotProduct(left: Expression, right: Expression)
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
+  override def compute(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
