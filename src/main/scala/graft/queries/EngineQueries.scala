@@ -194,6 +194,9 @@ object EngineQueries {
       out
     })
 
+  private[graft] def prepare(s: SparkSession, dir: String): Unit =
+    metricsDir(s, dir)
+
   def ast_metrics_rollup(s: SparkSession, dir: String): DataFrame = {
     val mdf = s.read.parquet(metricsDir(s, dir))
     val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))

@@ -93,6 +93,11 @@ object PipelineQueries {
   private val ivfCents = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Double]]]()
 
+  private[graft] def prepare(s: SparkSession, dir: String): Unit =
+    ivfCents.computeIfAbsent(dir, { d =>
+      Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
+    })
+
   def s5_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCents.computeIfAbsent(dir, { d =>
       Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
