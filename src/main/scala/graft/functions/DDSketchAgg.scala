@@ -236,10 +236,9 @@ case class DDSketchAgg(
   * persisted rollup sketch). */
 case class DDSketchQuantileOf(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with ComputeBinaryCodegen {
 
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -248,7 +247,7 @@ case class DDSketchQuantileOf(left: Expression, right: Expression)
         s"ddsketch_quantile_of requires (binary, double), got ${l.sql}, ${r.sql}")
     }
 
-  override protected def nullSafeEval(sketch: Any, q: Any): Any =
+  override def compute(sketch: Any, q: Any): Any =
     DDSketchBuffer.deserialize(sketch.asInstanceOf[Array[Byte]])
       .quantile(q.asInstanceOf[Double])
 

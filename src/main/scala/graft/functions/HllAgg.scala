@@ -147,10 +147,9 @@ case class HllAgg(
 /** Scalar: estimate from a serialized sketch. */
 case class HllEstimateOf(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with ComputeUnaryCodegen {
 
   override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -158,7 +157,7 @@ case class HllEstimateOf(child: Expression)
       s"hll_estimate_of requires binary input, got ${t.sql}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
+  override def compute(input: Any): Any =
     HllBuffer.deserialize(input.asInstanceOf[Array[Byte]]).estimate()
 
   override protected def withNewChildInternal(newChild: Expression): HllEstimateOf =

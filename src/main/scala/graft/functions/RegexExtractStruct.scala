@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -26,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RegexExtractStruct(child: Expression, regex: String,
     fields: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ComputeUnaryCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -38,11 +37,10 @@ case class RegexExtractStruct(child: Expression, regex: String,
     StructType(fields.map(f => StructField(f, StringType, nullable = true)))
 
   override def nullable: Boolean = true
-  override def nullIntolerant: Boolean = true
 
   @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val m = pattern.matcher(input.asInstanceOf[UTF8String].toString)
     if (!m.find()) null
     else {

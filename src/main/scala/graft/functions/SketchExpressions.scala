@@ -76,6 +76,8 @@ private[functions] object ComputeCodegen {
     case LongType => s"((java.lang.Long) $call).longValue()"
     case _: ArrayType =>
       s"((org.apache.spark.sql.catalyst.util.ArrayData) $call)"
+    case _: StructType =>
+      s"((org.apache.spark.sql.catalyst.InternalRow) $call)"
     case t => throw new IllegalStateException(s"unsupported codegen type $t")
   }
 }
@@ -92,8 +94,20 @@ trait ComputeUnaryCodegen { self: UnaryExpression =>
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeUnaryCodegen].getName)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($c)", dataType)};")
+    // compute may return null (e.g. regex non-match) — re-set isNull, which
+    // nullSafeCodeGen declares as an assignable local. When the expression
+    // is non-nullable, isNull is a literal and compute never returns null.
+    if (nullable)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        Object graftR = $ref.compute($c);
+        if (graftR == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ComputeCodegen.unbox("graftR", dataType)};
+        }""")
+    else
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($c)", dataType)};")
   }
 }
 
@@ -107,8 +121,17 @@ trait ComputeBinaryCodegen { self: BinaryExpression =>
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeBinaryCodegen].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($a, $b)", dataType)};")
+    if (nullable)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        Object graftR = $ref.compute($a, $b);
+        if (graftR == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ComputeCodegen.unbox("graftR", dataType)};
+        }""")
+    else
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($a, $b)", dataType)};")
   }
 }
 
