@@ -56,6 +56,10 @@ object SketchExpressions {
   def charNgramHashes(textCol: Column, n: Int): Column =
     GraftColumnBridge.column(
       CharNgramHashes(GraftColumnBridge.expression(textCol), n))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaccardSorted(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** Input validation for expressions over a single array<string> child. */
@@ -197,7 +201,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * and hashed inside one loop and never leave the expression, so the plan
   * carries array<long> instead of large string arrays. A doc shorter than
   * w yields one truncated shingle (same convention as Dedup.wordShingles).
-  * First-occurrence order, matching array_distinct. */
+  * Output is SORTED ascending — set semantics only, which lets
+  * JaccardSorted merge-scan two sets without building hash tables. */
 case class WordShingleHashes(child: Expression, w: Int)
     extends UnaryExpression with StringArrayInput with ComputeUnaryCodegen {
 
@@ -231,6 +236,7 @@ case class WordShingleHashes(child: Expression, w: Int)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 
@@ -241,7 +247,7 @@ case class WordShingleHashes(child: Expression, w: Int)
 /** Distinct xxhash64 (seed 42) values of the character n-grams of a string
   * — the fused equivalent of transform(charNgrams(text, n), xxhash64).
   * A string shorter than n yields one (whole-string) gram, matching
-  * Dedup.charNgrams. First-occurrence order, matching array_distinct. */
+  * Dedup.charNgrams. Output is SORTED ascending (set semantics only). */
 case class CharNgramHashes(child: Expression, n: Int)
     extends UnaryExpression with ComputeUnaryCodegen {
 
@@ -269,6 +275,7 @@ case class CharNgramHashes(child: Expression, n: Int)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 
@@ -387,5 +394,46 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+
+/** Jaccard similarity |A ∩ B| / |A ∪ B| of two SORTED distinct long
+  * arrays (WordShingleHashes / CharNgramHashes output) via a linear merge
+  * scan — no per-call hash-table builds, unlike
+  * size(array_intersect)/size(array_union). Both empty → 0.0. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ComputeBinaryCodegen {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override def compute(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
     copy(left = newLeft, right = newRight)
 }

@@ -120,9 +120,8 @@ object Dedup {
     val setsA = withSets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val setsB = withSets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     pairs.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccardSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -174,9 +173,8 @@ object Dedup {
     val a = sets.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = sets.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))))
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccardSorted(col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }

@@ -103,8 +103,8 @@ object TextAnalysis {
     * character n-gram set (a compact, order-insensitive sketch; equal
     * docs → equal fingerprints, near-equal docs → mostly-equal). */
   def fingerprintSketch(textCol: Column, n: Int = 8, k: Int = 4): Column =
-    slice(array_sort(
-      graft.functions.SketchExpressions.charNgramHashes(textCol, n)), 1, k)
+    // charNgramHashes output is already sorted ascending
+    slice(graft.functions.SketchExpressions.charNgramHashes(textCol, n), 1, k)
 
   /** Full-content 64-bit fingerprint. */
   def contentHash(textCol: Column): Column = xxhash64(textCol)
