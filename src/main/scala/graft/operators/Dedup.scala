@@ -23,12 +23,16 @@ object Dedup {
 
   // ------------------------------------------------------------------ exact
 
-  /** Exact dedup: keep the minimum id per distinct content. Returns the
-    * surviving rows (left-semi join against the winners). */
+  /** Exact dedup: keep the minimum id per distinct content. One shuffle
+    * (partition by content hash, rank by id) — a groupBy-then-semi-join
+    * formulation would shuffle the data twice. */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val key = xxhash64(contentCols.map(col): _*)
-    val keep = df.groupBy(key.as("_k")).agg(min(col(idCol)).as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(contentCols.map(col): _*))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
   }
 
   /** Exact-dedup group summary: (keep_id, n_dups) per distinct content. */
