@@ -221,6 +221,44 @@ object EngineQueries {
     QueryEngine.tagValues(eventsTel(s, dir), ast, "event_type", START, END)
   }
 
+  // F6 + QuantityParser: duration-typed literal normalized at plan time
+  // ("150ns" → 150.0; treating value as nanos) — exercises the full
+  // duration path the reference runs for latency filters
+  def ast_duration_filter(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "value", "v": ["150ns"], "op": "gt",
+        |             "dataType": "duration"},
+        |  "chart": {"aggregation": "count", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A3 min/max through the AST
+  def ast_chart_minmax(s: SparkSession, dir: String): DataFrame = {
+    val minAst = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "min", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val maxAst = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "max", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val mn = QueryEngine.evaluate(tables(s, dir), minAst, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value").as("min_v"))
+    val mx = QueryEngine.evaluate(tables(s, dir), maxAst, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value").as("max_v"))
+    mn.join(mx, Seq("step_ts", "group_key"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // §3.2 tag-names API (F13/F14: names with a non-null value under the
   // filter, deduplicated)
   def ast_tag_names(s: SparkSession, dir: String): DataFrame = {
@@ -249,6 +287,8 @@ object EngineQueries {
     "ast_chart_avg" -> ast_chart_avg _,
     "ast_multi_series" -> ast_multi_series _,
     "ast_metrics_rollup" -> ast_metrics_rollup _,
+    "ast_duration_filter" -> ast_duration_filter _,
+    "ast_chart_minmax" -> ast_chart_minmax _,
     "ast_exemplars" -> ast_exemplars _,
     "ast_tag_values" -> ast_tag_values _,
     "ast_tag_names" -> ast_tag_names _,
@@ -312,6 +352,16 @@ object EngineQueries {
         |  UNION ALL
         |  SELECT step_ts, 'event_type = view', round(v, 6) FROM b)
         |ORDER BY step_ts, label""".stripMargin,
+    "ast_duration_filter" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, CAST(count(*) AS DOUBLE) AS value
+        |FROM events WHERE value > 150.0
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_chart_minmax" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
     "ast_chart_avg" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
         |  event_type AS group_key, round(avg(value), 6) AS value
