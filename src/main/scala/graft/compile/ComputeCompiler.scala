@@ -44,7 +44,9 @@ object ComputeCompiler {
     val args = fc.args.map(compileArg)
     fc.name match {
       case "mul" => args.reduceLeft(_ * _)
-      case "div" => args.head / args(1)
+      // null on zero divisor — DuckDB's `/` semantics (the reference's
+      // execution engine), and ANSI-safe in Spark 4
+      case "div" => try_divide(args.head, args(1))
       case "add" => args.reduceLeft(_ + _)
       case "sub" => args.head - args(1)
       case "concat" => concat(args: _*)
