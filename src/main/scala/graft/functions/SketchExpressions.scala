@@ -60,6 +60,10 @@ object SketchExpressions {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       JaccardSorted(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftColumnBridge.column(
+      LshBandKeys(GraftColumnBridge.expression(sig), bands, rowsPerBand))
 }
 
 /** Input validation for expressions over a single array<string> child. */
@@ -436,4 +440,42 @@ case class JaccardSorted(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
     copy(left = newLeft, right = newRight)
+}
+
+
+/** Band keys of a MinHash signature: key_b = xxhash64 chained over
+  * (band index, the band's rowsPerBand signature entries). One loop over
+  * the signature — replaces a transform/slice/hash HOF pipeline. Equal
+  * (band, entries) → equal key, which is all LSH banding needs. */
+case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ComputeUnaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def compute(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b.toLong, LongType, 42L)
+      var i = b * rowsPerBand
+      val end = math.min(i + rowsPerBand, sig.numElements())
+      while (i < end) {
+        h = XxHash64Function.hash(sig.getLong(i), LongType, h)
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
 }

@@ -75,12 +75,12 @@ object Dedup {
 
   /** LSH banding: one (id, band, band_key) row per band; the key hashes
     * rowsPerBand consecutive signature entries together with the band
-    * index. */
+    * index (fused LshBandKeys expression — one loop over the signature). */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, hash(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        graft.functions.SketchExpressions
+          .lshBandKeys(col(sigCol), bands, rowsPerBand))
       .as(Seq("band", "band_key")))
 
   /** Unique candidate pairs (id_a < id_b) from rows sharing an LSH bucket.
