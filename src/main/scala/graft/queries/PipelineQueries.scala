@@ -132,6 +132,27 @@ object PipelineQueries {
         sum(when(col("q") >= 0.8, 1L).otherwise(0L)).as("n_pass"))
       .orderBy("source")
 
+  // t4: the composed curation pipeline — profile → language/quality
+  // filter → exact dedup → near-dup removal (minhash LSH) → corpus stats.
+  // The end-to-end shape a pre-training data pipeline runs; each stage is
+  // individually verified above, the composition is checked for
+  // determinism and sane totals here and in PipelineSpec.
+  def t4_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val profiled = TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+      .join(docs(s, dir).select(col("doc_id"), col("text"), col("source")), "doc_id")
+    val kept = profiled
+      .where(col("lang_pred") =!= "unknown" && col("quality") >= 0.5)
+    val exact = Dedup.exact(kept, "doc_id", Seq("text"))
+    val nearDupIds = Dedup.minhashNearDuplicates(exact, "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 16, threshold = 0.8)
+      .select(col("id_b").as("doc_id")).distinct() // drop the higher id
+    val surviving = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
+    surviving.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------- multimodal
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -163,6 +184,7 @@ object PipelineQueries {
     "t1_token_count" -> t1_token_count _,
     "t2_profile" -> t2_profile _,
     "t3_quality_by_source" -> t3_quality_by_source _,
+    "t4_curation_pipeline" -> t4_curation_pipeline _,
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _
   )

@@ -128,6 +128,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(recallAt(16) >= r6)
   }
 
+  test("curation pipeline composes: deterministic, removes planted dups") {
+    val r1 = graft.queries.PipelineQueries
+      .t4_curation_pipeline(spark, SparkTestSession.sfDir).collect()
+    val r2 = graft.queries.PipelineQueries
+      .t4_curation_pipeline(spark, SparkTestSession.sfDir).collect()
+    assert(r1.sameElements(r2)) // deterministic end to end
+    val totalKept = r1.map(_.getAs[Long]("n_docs")).sum
+    val totalDocs = Tables.load(spark, SparkTestSession.sfDir, "documents").count()
+    assert(totalKept > 0 && totalKept < totalDocs) // filters + dedup removed rows
+  }
+
   test("language id on multilingual samples") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with this"),
