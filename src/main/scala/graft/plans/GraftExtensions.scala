@@ -37,7 +37,8 @@ object GraftExtensions {
     }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def str(e: Expression): String =
     e.asInstanceOf[Literal].value.toString
