@@ -34,7 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
+    // machine parse in round 1 — also write the bare JSON line to a file.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(line) finally w.close()
+    println(line)
     spark.stop()
   }
 }

@@ -173,32 +173,73 @@ object QueryEngine {
         case _ => None
       }
 
-    val target: Column =
-      if (e.dataset == "metrics")
-        FilterCompiler.fieldCol(s"rollup_${rollup.getOrElse("sum")}")
-      else valueSrc
+    def rollupCol(r: String): Column = FilterCompiler.fieldCol(s"rollup_$r")
 
-    val agg: Column = chartOpts.aggregation match {
-      case "sum" => sum(target)
-      case "count" =>
-        if (e.dataset == "metrics") sum(target) else count(target).cast("double")
-      case "min" => min(target)
-      case "max" => max(target)
-      case "avg" => avg(target)
-      case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
-        val q = p.drop(1).toDouble / 100.0
-        if (e.dataset == "metrics") max(target)
-        else if (exactPercentiles) expr_percentile(target, q)
-        else percentile_approx(target, lit(q), lit(10000))
-      case "ces" =>
-        // distinct count of the group-key tuple per step bucket (HLL++,
-        // mergeable — reference Aggregator.scala:43-60)
-        val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
-          else List(target)
-        approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
-      case other =>
-        throw new IllegalArgumentException(s"unknown aggregation $other")
+    /** Metrics re-aggregation. With an explicit rollup the reference applies
+      * the chart aggregation to that rollup series verbatim
+      * (`aggregationFunc(rollup_<r>)`, BaseExpr.scala:377-395). Without one
+      * the reference's UI always sends rollup = aggregation; we derive the
+      * same pairing so each aggregation re-aggregates the right pre-rolled
+      * column: sum→Σ rollup_sum, count→Σ rollup_count (datapoint count, not
+      * rollup-row count), min/max→min/max of theirs, and avg re-weights as
+      * Σ rollup_sum / Σ rollup_count (an avg of rollup_avg would weight
+      * every minute equally regardless of its sample count).
+      */
+    def metricsAgg(aggregation: String): Column = rollup match {
+      case Some(r) =>
+        val t = rollupCol(r)
+        aggregation match {
+          case "sum" => sum(t)
+          case "count" => count(t).cast("double")
+          case "min" => min(t)
+          case "max" => max(t)
+          case "avg" => avg(t)
+          case other =>
+            throw new IllegalArgumentException(s"unknown aggregation $other")
+        }
+      case None =>
+        aggregation match {
+          case "sum" => sum(rollupCol("sum"))
+          case "count" => sum(rollupCol("count"))
+          case "min" => min(rollupCol("min"))
+          case "max" => max(rollupCol("max"))
+          case "avg" => sum(rollupCol("sum")) / sum(rollupCol("count"))
+          case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
+            // percentile over pre-rolled data degrades to the max envelope
+            // (reference BaseExpr.scala:380: MAX(rollup_<r>))
+            max(rollupCol("sum"))
+          case "ces" =>
+            val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
+              else List(rollupCol("sum"))
+            approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+          case other =>
+            throw new IllegalArgumentException(s"unknown aggregation $other")
+        }
     }
+
+    val target: Column = valueSrc
+
+    val agg: Column =
+      if (e.dataset == "metrics") metricsAgg(chartOpts.aggregation)
+      else chartOpts.aggregation match {
+        case "sum" => sum(target)
+        case "count" => count(target).cast("double")
+        case "min" => min(target)
+        case "max" => max(target)
+        case "avg" => avg(target)
+        case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
+          val q = p.drop(1).toDouble / 100.0
+          if (exactPercentiles) expr_percentile(target, q)
+          else percentile_approx(target, lit(q), lit(10000))
+        case "ces" =>
+          // distinct count of the group-key tuple per step bucket (HLL++,
+          // mergeable — reference Aggregator.scala:43-60)
+          val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
+            else List(target)
+          approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+        case other =>
+          throw new IllegalArgumentException(s"unknown aggregation $other")
+      }
 
     val grouped = base
       .groupBy((stepTsCol(tel.tsMillis, stepMs) ::
@@ -212,18 +253,50 @@ object QueryEngine {
   private def expr_percentile(c: Column, q: Double): Column =
     call_function("percentile", c, lit(q))
 
+  // --------------------------------------------------------- output hygiene
+
+  /** F13: internal columns suppressed from user-facing exemplar/tag output
+    * (reference NoisyTagsDropper.scala:24-60): pre-rolled rollup_*
+    * partials and time-partition/bookkeeping columns. */
+  private val noisyTagPrefixes: Seq[String] = Seq("rollup_")
+  private val noisyTags: Set[String] =
+    Set("day", "month", "hour", "minute", "year", "sketch")
+
+  def isNoisyTag(name: String): Boolean =
+    noisyTags.contains(name) || noisyTagPrefixes.exists(name.startsWith)
+
+  /** F11: per-dataset fixed lead columns for exemplar output (reference
+    * BaseExpr.scala:41-45 LOGS/METRICS/SPANS_PROJECTIONS), in this
+    * engine's column vocabulary. */
+  val datasetProjections: Map[String, Seq[String]] = Map(
+    "logs" -> Seq("ts", "value", "props"),
+    "metrics" -> Seq("ts", "name"),
+    "traces" -> Seq("ts", "value", "span_name", "span_kind"))
+
+  /** Display projection: the dataset's fixed columns lead, remaining tags
+    * follow in table order, internal columns are dropped. Pure projection
+    * — column pruning still reaches the scan. */
+  def projectForDisplay(df: DataFrame, dataset: String): DataFrame = {
+    val present = df.columns
+    val lead = datasetProjections.getOrElse(dataset, Seq.empty)
+      .filter(present.contains)
+    val rest = present.filterNot(c => lead.contains(c) || isNoisyTag(c))
+    df.select((lead ++ rest).map(c => col(s"`$c`")): _*)
+  }
+
   // ----------------------------------------------------------- exemplar path
 
   /** O1: raw matching rows, ts-ordered with limit
     * (reference BaseExpr.scala:237-239; Spark plans this as
-    * TakeOrderedAndProject — a distributed top-k, no global sort). */
+    * TakeOrderedAndProject — a distributed top-k, no global sort), then
+    * the F11/F13 display projection. */
   def exemplars(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long): DataFrame = {
     val base = prepared(tel, e, startMs, endMs)
       .withColumn("_ts_ms", tel.tsMillis)
     val sorted =
       if (e.order.equalsIgnoreCase("ASC")) base.orderBy(col("_ts_ms").asc)
       else base.orderBy(col("_ts_ms").desc)
-    sorted.limit(e.limit).drop("_ts_ms")
+    projectForDisplay(sorted.limit(e.limit).drop("_ts_ms"), e.dataset)
   }
 
   // -------------------------------------------------------------- tags APIs
@@ -240,15 +313,17 @@ object QueryEngine {
       .limit(limit)
 
   /** Tag names present (non-null somewhere) under the filter
-    * (reference tag-name mode, Commons.scala:407-423 + dedup stage). */
+    * (reference tag-name mode, Commons.scala:407-423 + dedup stage);
+    * internal columns suppressed (F13). */
   def tagNames(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long,
       limit: Int = 1000): DataFrame = {
     val spark = tel.df.sparkSession
     import spark.implicits._
     val base = prepared(tel, e, startMs, endMs)
-    val counts = base.select(base.columns.map(c =>
+    val cols = base.columns.filterNot(isNoisyTag)
+    val counts = base.select(cols.map(c =>
       count(col(s"`$c`")).as(c)).toIndexedSeq: _*).collect()(0)
-    val names = base.columns.zipWithIndex
+    val names = cols.zipWithIndex
       .filter { case (_, i) => counts.getLong(i) > 0 }
       .map(_._1).sorted.take(limit)
     names.toSeq.toDF("tagName")

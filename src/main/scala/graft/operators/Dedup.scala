@@ -84,11 +84,27 @@ object Dedup {
       .as(Seq("band", "band_key")))
 
   /** Unique candidate pairs (id_a < id_b) from rows sharing an LSH bucket.
-    * Buckets are capped at maxBucket members (sorted by id, so the cap is
-    * deterministic). */
+    * Buckets are capped at maxBucket members (the maxBucket smallest ids,
+    * so the cap is deterministic).
+    *
+    * The cap is applied BEFORE any per-bucket materialization: a
+    * row_number window (which sort-spills to disk on oversized partitions)
+    * drops the overflow, so the later collect_list holds at most maxBucket
+    * ids. Capping after collecting — slice(sort_array(collect_list(...)))
+    * — would materialize the whole bucket on one reducer first, and at
+    * corpus scale one degenerate bucket (boilerplate spam, empty docs) is
+    * an OOM. The window and the groupBy hash-partition on the same
+    * (band, band_key) key, so the cap costs a sort, not a second shuffle.
+    */
   private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val buckets = banded.groupBy("band", "band_key")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
+    val capped = banded
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val buckets = capped.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
     buckets.select(explode(
         flatten(transform(col("ids"), (x, i) =>
@@ -169,7 +185,14 @@ object Dedup {
     * (full pairwise is quadratic — always block at scale). Gram sets are
     * carried as distinct 64-bit hashes: set cardinalities (and hence
     * Jaccard) are preserved barring 64-bit collisions, and the pairwise
-    * intersect/union runs on longs instead of strings. */
+    * intersect/union runs on longs instead of strings.
+    *
+    * The blocking key must be HIGH-cardinality relative to the corpus
+    * (url host, shard id, an LSH band key) — a coarse categorical key
+    * like language makes one block ≈ the whole corpus: a skewed shuffle
+    * feeding an O(n²) reducer. When no natural fine key exists, use
+    * [[minhashNearDuplicates]] (banded LSH) as the candidate generator
+    * and reserve this operator for verifying candidate pairs. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sets = df.select(col(blockCol).as("block"), col(idCol).as("id"),

@@ -175,10 +175,10 @@ object Similarity {
 
   /** All-pairs top-k neighbors per vector within LSH blocks — the batch
     * companion of annTopK for building kNN graphs. Quadratic within a
-    * block; block count grows with bits. */
+    * block; block count grows with bits. `dim` is the embedding width the
+    * hyperplanes are drawn over. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      bits: Int = 12): DataFrame = {
-    val dim = 64
+      bits: Int = 12, dim: Int = 64): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("block", hyperplaneBucket(col("v"), bits, dim))
     val a = vecs.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))

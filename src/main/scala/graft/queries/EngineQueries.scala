@@ -189,6 +189,7 @@ object EngineQueries {
           count(lit(1)).cast("double").as("rollup_count"),
           min(col("value")).as("rollup_min"),
           max(col("value")).as("rollup_max"))
+        .withColumn("rollup_avg", col("rollup_sum") / col("rollup_count"))
         .withColumn("name", lit("events.value"))
         .write.mode("overwrite").parquet(out)
       out
@@ -210,6 +211,110 @@ object EngineQueries {
       .select(col("step_ts"), col("group_key"),
         round(col("value"), 6).as("value"))
       .orderBy("step_ts", "group_key")
+  }
+
+  // A2: count aggregation over metrics defaults to the rollup_count
+  // column — daily datapoint counts, not counts of rollup rows
+  // (reference pairs rollup with the aggregation; ASTUtils.scala:231-242)
+  def ast_metrics_count(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "count", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A2: avg over metrics re-weights as Σ rollup_sum / Σ rollup_count —
+  // the true datapoint average, not an unweighted average of minutes
+  def ast_metrics_avg(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "avg", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A2: min/max over metrics re-aggregate their own rollup columns
+  def ast_metrics_minmax(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    def ev(aggName: String, as: String): DataFrame = {
+      val ast = AstJson.parseAstInput(
+        s"""{"baseExpressions": {"a": {
+           |  "dataset": "metrics",
+           |  "filter": {"k": "event_type", "op": "exists"},
+           |  "chart": {"aggregation": "$aggName", "groupBys": ["event_type"]}
+           |}}}""".stripMargin)
+      QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+        .select(col("step_ts"), col("group_key"), col("value").as(as))
+    }
+    ev("min", "min_v").join(ev("max", "max_v"), Seq("step_ts", "group_key"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A2: explicit rollup — the chart aggregation applies to that rollup
+  // series verbatim (max over per-minute averages; BaseExpr.scala:391)
+  def ast_metrics_rollup_avg(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "max", "rollup": "avg",
+        |            "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // F11/F13: exemplar output over a metrics-shaped table — the dataset's
+  // fixed lead projection (ts, name) and rollup_* suppression decide the
+  // output schema, which the oracle hash-checks
+  def ast_exemplars_metrics(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "metrics", "order": "ASC", "limit": 1000000,
+        |  "filter": {"k": "event_type", "v": ["click"], "op": "eq"}}""".stripMargin)
+    QueryEngine.exemplars(tel, ast, START, END).orderBy("ts")
+  }
+
+  // J1 corner: formula with an avg-aggregated operand. The reference
+  // evaluates each operand under its OWN aggregation, wraps the per-step
+  // value as a singleton {sum→v} map-sketch and rewrites the formula
+  // stage to aggregation=sum (QueryEngineV2.scala:310-389) — sum over a
+  // singleton is the identity, so the observable semantics are plain
+  // arithmetic over own-aggregation operand values; QueryEngine.combine
+  // computes exactly that, oracle-checked here.
+  def ast_formula_avg_operand(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
+        |        "chart": {"aggregation": "avg", "groupBys": []}},
+        |  "b": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
+        |        "chart": {"aggregation": "avg", "groupBys": []}}
+        |}, "formulae": ["a / b"]}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), round(col("value"), 6).as("value"))
+      .orderBy("step_ts")
   }
 
   // §3.2 tag-values API
@@ -287,9 +392,15 @@ object EngineQueries {
     "ast_chart_avg" -> ast_chart_avg _,
     "ast_multi_series" -> ast_multi_series _,
     "ast_metrics_rollup" -> ast_metrics_rollup _,
+    "ast_metrics_count" -> ast_metrics_count _,
+    "ast_metrics_avg" -> ast_metrics_avg _,
+    "ast_metrics_minmax" -> ast_metrics_minmax _,
+    "ast_metrics_rollup_avg" -> ast_metrics_rollup_avg _,
     "ast_duration_filter" -> ast_duration_filter _,
     "ast_chart_minmax" -> ast_chart_minmax _,
     "ast_exemplars" -> ast_exemplars _,
+    "ast_exemplars_metrics" -> ast_exemplars_metrics _,
+    "ast_formula_avg_operand" -> ast_formula_avg_operand _,
     "ast_tag_values" -> ast_tag_values _,
     "ast_tag_names" -> ast_tag_names _,
     "ast_cardinality" -> ast_cardinality _
@@ -376,10 +487,59 @@ object EngineQueries {
         |  event_type AS group_key, round(sum(rollup_sum), 6) AS value
         |FROM rollup GROUP BY step_ts, group_key
         |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_count" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, CAST(count(*) AS DOUBLE) AS value
+        |FROM events GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_avg" ->
+      """WITH rollup AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum,
+        |    CAST(count(*) AS DOUBLE) AS rollup_count
+        |  FROM events GROUP BY mts, event_type)
+        |SELECT (mts // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key,
+        |  round(sum(rollup_sum) / sum(rollup_count), 6) AS value
+        |FROM rollup GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_minmax" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_rollup_avg" ->
+      """WITH rollup AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS rollup_avg
+        |  FROM events GROUP BY mts, event_type)
+        |SELECT (mts // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, round(max(rollup_avg), 6) AS value
+        |FROM rollup GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
     "ast_exemplars" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE value > 198.0 AND event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "ast_exemplars_metrics" ->
+      """WITH rollup AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type
+        |  FROM events GROUP BY mts, event_type)
+        |SELECT mts AS ts, 'events.value' AS name, event_type FROM rollup
+        |WHERE event_type = 'click' ORDER BY ts""".stripMargin,
+    "ast_formula_avg_operand" ->
+      """WITH a AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         avg(value) AS v FROM events
+        |  WHERE event_type = 'click' GROUP BY step_ts),
+        |b AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |         avg(value) AS v FROM events
+        |  WHERE event_type = 'view' GROUP BY step_ts)
+        |SELECT a.step_ts AS step_ts, round(a.v / b.v, 6) AS value
+        |FROM a JOIN b USING (step_ts) WHERE b.v != 0.0
+        |ORDER BY step_ts""".stripMargin,
     "ast_tag_values" ->
       """SELECT event_type AS tagValue, count(*) AS count FROM events
         |WHERE value >= 100.0 AND event_type IS NOT NULL

@@ -64,6 +64,16 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  // embedding near-dup through the hyperplane-LSH blocked path — the
+  // scale path (candidate pairs restricted to one bucket, never all-pairs).
+  // rows-only: bucketing is engine-specific; containment-in-all-pairs and
+  // recall on planted near-identical vectors asserted in PipelineSpec
+  def d5_embedding_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.4, lshBits = 4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
   // -------------------------------------------------------- similarity
 
   /** Query vector: embedding of vec_id = 0 (a query parameter, fetched
@@ -117,10 +127,27 @@ object PipelineQueries {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy("doc_id")
 
-  // language-ID + quality + fingerprints (heuristics — rows-only;
-  // accuracy asserted on multilingual samples in TextAnalysisSpec)
+  // language-ID + quality + token counts — all deterministic Column math,
+  // replicated in the DuckDB oracle below. The sketch columns
+  // (content_hash, fingerprint) live in t2_fingerprint: they are
+  // engine-specific xxhash64 values, and array columns crash the
+  // harness's pandas compare.
   def t2_profile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_subwords_est").cast("long").as("n_subwords_est"),
+        col("quality"))
+      .orderBy("doc_id")
+
+  // fingerprint sketches, scalarized for output (rows-only: xxhash64 is
+  // not reproducible in DuckDB; determinism asserted in TextAnalysisSpec)
+  def t2_fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        hex(col("content_hash")).as("content_hash_hex"),
+        concat_ws("-", transform(col("fingerprint"), h => hex(h)))
+          .as("fingerprint_hex"))
       .orderBy("doc_id")
 
   // quality-filter pass rate per source — the curation aggregate
@@ -182,11 +209,13 @@ object PipelineQueries {
     "d3_simhash" -> d3_simhash _,
     "d4_ngram_jaccard" -> d4_ngram_jaccard _,
     "d5_embedding_neardup" -> d5_embedding_neardup _,
+    "d5_embedding_lsh" -> d5_embedding_lsh _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
     "t1_token_count" -> t1_token_count _,
     "t2_profile" -> t2_profile _,
+    "t2_fingerprint" -> t2_fingerprint _,
     "t3_quality_by_source" -> t3_quality_by_source _,
     "t4_curation_pipeline" -> t4_curation_pipeline _,
     "m1_multimodal_features" -> m1_multimodal_features _,
@@ -234,6 +263,86 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
         |  length(text) AS n_chars_actual
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors TextAnalysis.languageId / subwordCountEstimate / qualityScore
+    // expression-for-expression so the double arithmetic matches bit-wise
+    "t2_profile" ->
+      """WITH p AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\s+') AS toks,
+         |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+         |      t -> lower(t)) AS ltoks,
+         |    greatest(length(text), 1) AS glen
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, toks, glen,
+         |    greatest(len(toks), 1) AS ntok,
+         |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+         |    len(list_intersect(ltoks, ['der','die','und','in','den','von','zu','das','mit','sich','des','auf','für','ist','im','dem','nicht','ein'])) AS s_de,
+         |    len(list_intersect(ltoks, ['the','of','and','to','in','is','that','it','was','for','on','are','with','as','his','they','at','be','this'])) AS s_en,
+         |    len(list_intersect(ltoks, ['de','la','que','el','en','y','los','del','se','las','por','un','para','con','una','su','al','es','lo'])) AS s_es,
+         |    len(list_intersect(ltoks, ['de','la','le','et','les','des','en','un','du','une','que','est','pour','qui','dans','par','plus','pas','au'])) AS s_fr,
+         |    length(regexp_replace(text, '[^\p{L} ]', '', 'g'))::DOUBLE / glen AS alpha_ratio,
+         |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS mean_wl,
+         |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS distinct_ratio,
+         |    len(list_filter(regexp_split_to_array(text, '[^0-9]+'),
+         |      s2 -> length(s2) > 0)) AS n_digit_runs,
+         |    COALESCE(list_sum(list_transform(toks,
+         |      w -> CASE WHEN length(w) > 8
+         |                THEN CAST(floor((length(w) - 8) / 4) AS BIGINT)
+         |                ELSE CAST(0 AS BIGINT) END)), 0) AS long_extra
+         |  FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN cjk > length(text) * 0.2 THEN 'zh'
+         |       WHEN greatest(s_de, s_en, s_es, s_fr) > 0 THEN
+         |         CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |              WHEN s_en >= s_de THEN 'en'
+         |              ELSE 'de' END
+         |       ELSE 'unknown' END AS lang_pred,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) + n_punct + n_digit_runs + long_extra AS BIGINT)
+         |    AS n_subwords_est,
+         |  round(alpha_ratio * 0.3
+         |    + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         |    + (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0
+         |            WHEN ntok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.1 END) * 0.2
+         |    + (CASE WHEN n_punct::DOUBLE / glen < 0.2 THEN 1.0 ELSE 0.3 END) * 0.15
+         |    + (CASE WHEN distinct_ratio > 0.3 THEN 1.0
+         |            WHEN distinct_ratio > 0.1 THEN 0.6 ELSE 0.2 END) * 0.15, 6)
+         |    AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t3_quality_by_source" ->
+      """WITH p AS (
+        |  SELECT source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    greatest(length(text), 1) AS glen
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    greatest(len(toks), 1) AS ntok,
+        |    length(regexp_replace(text, '[^\p{L} ]', '', 'g'))::DOUBLE / glen AS alpha_ratio,
+        |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS mean_wl,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / glen AS punct_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS distinct_ratio
+        |  FROM p),
+        |g AS (
+        |  SELECT source,
+        |    round(alpha_ratio * 0.3
+        |      + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0
+        |              WHEN ntok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.1 END) * 0.2
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.15
+        |      + (CASE WHEN distinct_ratio > 0.3 THEN 1.0
+        |              WHEN distinct_ratio > 0.1 THEN 0.6 ELSE 0.2 END) * 0.15, 6) AS q
+        |  FROM f)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM g GROUP BY source ORDER BY source""".stripMargin
   )
 }

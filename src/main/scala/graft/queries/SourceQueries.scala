@@ -52,9 +52,23 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** F4+U2: regex predicate compiled to required-literal trigrams for
+    * segment pruning (pruning is sound → oracle vs the full table; that
+    * files are actually skipped is proven in SegmentIndexSpec). */
+  def s6_regex_pruned(s: SparkSession, dir: String): DataFrame = {
+    val clause = Filter("event_type", List("pur.has[a-e]+"), Ops.REGEX)
+    val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
+        Set("event_type"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return s.emptyDataFrame)
+    df.where(col("event_type").rlike("(?i)pur.has[a-e]+"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_pruned_scan" -> s4_pruned_scan _,
-    "s3_time_pruned" -> s3_time_pruned _
+    "s3_time_pruned" -> s3_time_pruned _,
+    "s6_regex_pruned" -> s6_regex_pruned _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -65,6 +79,10 @@ object SourceQueries {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
-        |GROUP BY 1 ORDER BY event_type""".stripMargin
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "s6_regex_pruned" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE regexp_matches(event_type, 'pur.has[a-e]+', 'i')
+        |ORDER BY event_id""".stripMargin
   )
 }

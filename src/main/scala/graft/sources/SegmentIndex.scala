@@ -95,6 +95,72 @@ object SegmentIndex {
       }.distinct)
   }
 
+  /** Literal substrings every string matched by `regex` must contain —
+    * the pure-literal subset of the reference's trigram regex compiler
+    * (NLPUtils.scala:54-153, which shells into Go lib-trigram; the
+    * literal/contains subset needs no library). Alternation and groups
+    * degrade to Nil (no pruning — sound); classes/dots/shorthands break
+    * the current literal run; `*`/`?`/`{` drop the (optional) preceding
+    * char; `+` keeps it (the atom occurs at least once adjacent to the
+    * run); anchors flush. Runs shorter than 3 chars carry no trigram. */
+  private[graft] def requiredLiterals(regex: String): Seq[String] = {
+    val runs = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit =
+      if (cur.nonEmpty) { runs += cur.toString; cur.clear() }
+    var i = 0
+    var bad = false
+    while (i < regex.length && !bad) {
+      regex.charAt(i) match {
+        case '(' | ')' | '|' => bad = true
+        case '\\' =>
+          if (i + 1 >= regex.length) bad = true
+          else {
+            val c = regex.charAt(i + 1)
+            // \d \w \s \b \A … match unknown text → break the run;
+            // an escaped metachar is a literal
+            if (Character.isLetterOrDigit(c)) flush() else cur += c
+            i += 1
+          }
+        case '[' =>
+          flush()
+          var j = i + 1
+          if (j < regex.length && regex.charAt(j) == '^') j += 1
+          if (j < regex.length && regex.charAt(j) == ']') j += 1
+          while (j < regex.length && regex.charAt(j) != ']') {
+            if (regex.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          if (j >= regex.length) bad = true else i = j
+        case '.' => flush()
+        case '*' | '?' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          flush()
+        case '{' =>
+          // {m,n}: conservatively treat like '*' (preceding atom optional)
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          flush()
+          val j = regex.indexOf('}', i)
+          if (j < 0) bad = true else i = j
+        case '+' => flush()
+        case '^' | '$' => flush()
+        case c => cur += c
+      }
+      i += 1
+    }
+    if (bad) Seq.empty
+    else { flush(); runs.result().filter(_.length >= 3) }
+  }
+
+  /** Fingerprint predicate requiring every trigram of every run. */
+  private def allPresent(k: String, literals: Seq[String]): Column = {
+    val preds = literals
+      .flatMap(v => valueFingerprints(k, v).getOrElse(Seq.empty))
+      .distinct
+      .map(fp => array_contains(col("fingerprints"), fp))
+    if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+  }
+
   /** Candidate predicate over the manifest for one clause; `lit(true)`
     * where the index can't help (sound: never prunes a matching segment).
     */
@@ -109,6 +175,11 @@ object SegmentIndex {
                 .reduce(_ && _)
             case None => lit(true)
           }
+        case Ops.REGEX =>
+          // required-literal extraction: every literal run the regex
+          // forces must have all its trigrams in the segment
+          vs.headOption.map(v => allPresent(k, requiredLiterals(v)))
+            .getOrElse(lit(true))
         case Ops.IN =>
           // any of the values may match → union of per-value candidates
           val per = vs.map(v => valueFingerprints(k, v) match {
@@ -118,7 +189,7 @@ object SegmentIndex {
             case None => lit(true)
           })
           if (per.isEmpty) lit(true) else per.reduce(_ || _)
-        case _ => lit(true) // negations/comparisons/regex: no trigram help
+        case _ => lit(true) // negations/comparisons: no trigram help
       }
     case BinaryClause(q1, q2, "and") =>
       candidate(q1, indexed) && candidate(q2, indexed)

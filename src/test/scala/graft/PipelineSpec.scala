@@ -98,6 +98,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == Set((0L, 1L)))
   }
 
+  test("LSH bucket cap bounds a degenerate hot bucket") {
+    // 50k identical docs → every id lands in one bucket per band. The cap
+    // must apply BEFORE per-bucket materialization: the pairing completes
+    // with bounded reducer memory and emits exactly C(maxBucket, 2)
+    // distinct pairs (the maxBucket smallest ids, identical per band).
+    val hot = spark.range(50000).select(col("id").as("doc_id"),
+      lit("identical spam content repeated across the whole corpus shard")
+        .as("text"))
+    val n = Dedup.minhashNearDuplicates(hot, "doc_id", "text",
+      shingleWidth = 3, numHashes = 16, bands = 4, threshold = 0.8,
+      maxBucket = 32).count()
+    assert(n == 32L * 31 / 2, s"expected C(32,2) capped pairs, got $n")
+  }
+
+  test("d5 LSH entry pairs are a subset of the all-pairs near-dup result") {
+    val lsh = graft.queries.PipelineQueries
+      .d5_embedding_lsh(spark, SparkTestSession.sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = graft.queries.PipelineQueries
+      .d5_embedding_neardup(spark, SparkTestSession.sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(all), s"LSH found pairs outside all-pairs: ${lsh -- all}")
+    assert(lsh.nonEmpty, "LSH-blocked path found no pairs at test scale")
+  }
+
   test("ann LSH top-k recall vs brute force on real embeddings") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val q = embs.where(col("vec_id") === 0).select("embedding")

@@ -79,13 +79,51 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
-  test("unindexed / short / negated predicates degrade soundly to all") {
-    val regex = Filter("service", List("pay.*"), Ops.REGEX)
+  test("complex-regex / short / negated predicates degrade soundly to all") {
+    // alternation → no literal extraction → all segments (sound)
+    val regex = Filter("service", List("(pay|search).*"), Ops.REGEX)
     assert(SegmentIndex.prune(manifest, Some(regex), indexed, 0L, 10000L).length == 3)
     val short = Filter("service", List("ab"), Ops.EQ)
     assert(SegmentIndex.prune(manifest, Some(short), indexed, 0L, 10000L).length == 3)
     val not = NotClause(Filter("service", List("payment-svc"), Ops.EQ))
     assert(SegmentIndex.prune(manifest, Some(not), indexed, 0L, 10000L).length == 3)
+  }
+
+  test("regex literal extraction prunes segments (F4 trigram pruning)") {
+    // "pay.*" forces the literal "pay" → only seg2 can match
+    val simple = Filter("service", List("pay.*"), Ops.REGEX)
+    val f1 = SegmentIndex.prune(manifest, Some(simple), indexed, 0L, 10000L)
+    assert(f1.length == 1 && f1.head.contains("seg2"), f1)
+    // "check.ut-api" forces "check" and "ut-api" → seg1 + seg3
+    val dotted = Filter("service", List("check.ut-api"), Ops.REGEX)
+    val f2 = SegmentIndex.prune(manifest, Some(dotted), indexed, 0L, 10000L)
+    assert(f2.length == 2 &&
+      f2.exists(_.contains("seg1")) && f2.exists(_.contains("seg3")), f2)
+    // case-insensitive match semantics → case-insensitive pruning
+    val upper = Filter("service", List("PAYMENT-.*"), Ops.REGEX)
+    val f3 = SegmentIndex.prune(manifest, Some(upper), indexed, 0L, 10000L)
+    assert(f3.length == 1 && f3.head.contains("seg2"), f3)
+  }
+
+  test("requiredLiterals extracts forced literal runs, degrades on complexity") {
+    assert(SegmentIndex.requiredLiterals("pur.has[a-e]+") == Seq("pur", "has"))
+    assert(SegmentIndex.requiredLiterals("pay.*") == Seq("pay"))
+    assert(SegmentIndex.requiredLiterals("error") == Seq("error"))
+    // '*' makes the preceding char optional: "abcd*" requires only "abc"
+    assert(SegmentIndex.requiredLiterals("abcd*") == Seq("abc"))
+    // '+' keeps the preceding char: "abc+" requires "abc"
+    assert(SegmentIndex.requiredLiterals("abc+d") == Seq("abc"))
+    // escaped metachar is a literal
+    assert(SegmentIndex.requiredLiterals("foo\\.bar") == Seq("foo.bar"))
+    // class shorthands break the run
+    assert(SegmentIndex.requiredLiterals("foo\\d+bar") == Seq("foo", "bar"))
+    // quantifier braces make the preceding atom optional (conservative)
+    assert(SegmentIndex.requiredLiterals("timeout{2,3}s") == Seq("timeou"))
+    // alternation / groups: no pruning
+    assert(SegmentIndex.requiredLiterals("(a|b)cdef").isEmpty)
+    assert(SegmentIndex.requiredLiterals("ab|cdef").isEmpty)
+    // runs under 3 chars carry no trigram
+    assert(SegmentIndex.requiredLiterals("ab.cd").isEmpty)
   }
 
   test("pruned scan result equals full scan result") {
