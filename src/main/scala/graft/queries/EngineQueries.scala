@@ -317,6 +317,28 @@ object EngineQueries {
       .orderBy("step_ts")
   }
 
+  // §3.1 step 1: relative time-range strings + auto-step selection wired
+  // end-to-end. "e-2d".."now" at a pinned now (the data's end — pinned so
+  // the oracle is reproducible) resolves to a 2-day span, and
+  // autoStepMillis picks the 20-minute bucket the reference's table does
+  // (Strings.scala:60-185, QueryApi.scala:297-309).
+  def ast_relative_time(s: SparkSession, dir: String): DataFrame = {
+    val now = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    val (startMs, endMs) =
+      graft.functions.TimeRange.resolve("e-2d", "now", now)
+    val stepMs = graft.functions.TimeRange.autoStepMillis(startMs, endMs)
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, startMs, endMs, stepMs)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // §3.2 tag-values API
   def ast_tag_values(s: SparkSession, dir: String): DataFrame = {
     val ast = AstJson.parseBaseExpr(
@@ -401,6 +423,7 @@ object EngineQueries {
     "ast_exemplars" -> ast_exemplars _,
     "ast_exemplars_metrics" -> ast_exemplars_metrics _,
     "ast_formula_avg_operand" -> ast_formula_avg_operand _,
+    "ast_relative_time" -> ast_relative_time _,
     "ast_tag_values" -> ast_tag_values _,
     "ast_tag_names" -> ast_tag_names _,
     "ast_cardinality" -> ast_cardinality _
@@ -522,6 +545,12 @@ object EngineQueries {
       """SELECT event_id, event_type, value FROM events
         |WHERE value > 198.0 AND event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "ast_relative_time" ->
+      """SELECT (epoch_ms(ts) // 1200000) * 1200000 AS step_ts,
+        |  event_type AS group_key, round(sum(value), 6) AS value
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1706572800000 AND epoch_ms(ts) < 1706745600000
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
     "ast_exemplars_metrics" ->
       """WITH rollup AS (
         |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type
