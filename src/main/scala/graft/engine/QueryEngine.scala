@@ -62,6 +62,20 @@ object QueryEngine {
     * when false (default), `percentile_approx` — the scale path. */
   @volatile var exactPercentiles: Boolean = false
 
+  /** When true, avg aggregations accumulate the numerator in DECIMAL and
+    * divide once, making the value bit-identical across engines and runs
+    * (oracle mode); default is native double avg — the scale path.
+    * Why it exists: averages of 2-decimal data tie at the round-6
+    * boundary whenever the count divides the sum into an exact multiple
+    * of 5e-7 (common: counts with small power-of-two factors), and a
+    * 1-ulp summation-order difference then flips the rounded value. */
+  @volatile var decimalAverages: Boolean = false
+
+  private def avgOf(t: Column): Column =
+    if (decimalAverages)
+      sum(t.cast("decimal(28,10)")).cast("double") / count(t)
+    else avg(t)
+
   // -------------------------------------------------------------- base plan
 
   /** scan → ts filter → extract → compute → full filter tree.
@@ -193,7 +207,7 @@ object QueryEngine {
           case "count" => count(t).cast("double")
           case "min" => min(t)
           case "max" => max(t)
-          case "avg" => avg(t)
+          case "avg" => avgOf(t)
           case other =>
             throw new IllegalArgumentException(s"unknown aggregation $other")
         }
@@ -203,7 +217,11 @@ object QueryEngine {
           case "count" => sum(rollupCol("count"))
           case "min" => min(rollupCol("min"))
           case "max" => max(rollupCol("max"))
-          case "avg" => sum(rollupCol("sum")) / sum(rollupCol("count"))
+          case "avg" =>
+            if (decimalAverages)
+              sum(rollupCol("sum").cast("decimal(28,10)")).cast("double") /
+                sum(rollupCol("count"))
+            else sum(rollupCol("sum")) / sum(rollupCol("count"))
           case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
             // percentile over pre-rolled data degrades to the max envelope
             // (reference BaseExpr.scala:380: MAX(rollup_<r>))
@@ -226,7 +244,7 @@ object QueryEngine {
         case "count" => count(target).cast("double")
         case "min" => min(target)
         case "max" => max(target)
-        case "avg" => avg(target)
+        case "avg" => avgOf(target)
         case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
           val q = p.drop(1).toDouble / 100.0
           if (exactPercentiles) expr_percentile(target, q)

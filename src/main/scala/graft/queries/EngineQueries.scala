@@ -162,10 +162,12 @@ object EngineQueries {
         |  "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
         |  "chart": {"aggregation": "avg", "groupBys": ["event_type"]}
         |}}}""".stripMargin)
-    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+    QueryEngine.decimalAverages = true
+    try QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
       .select(col("step_ts"), col("group_key"),
         round(col("value"), 6).as("value"))
       .orderBy("step_ts", "group_key")
+    finally QueryEngine.decimalAverages = false
   }
 
   // A2: metrics dataset — pre-rolled per-minute rollup_* columns
@@ -241,10 +243,12 @@ object EngineQueries {
         |  "filter": {"k": "event_type", "op": "exists"},
         |  "chart": {"aggregation": "avg", "groupBys": ["event_type"]}
         |}}}""".stripMargin)
-    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+    QueryEngine.decimalAverages = true
+    try QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
       .select(col("step_ts"), col("group_key"),
         round(col("value"), 6).as("value"))
       .orderBy("step_ts", "group_key")
+    finally QueryEngine.decimalAverages = false
   }
 
   // A2: min/max over metrics re-aggregate their own rollup columns
@@ -312,9 +316,11 @@ object EngineQueries {
         |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
         |        "chart": {"aggregation": "avg", "groupBys": []}}
         |}, "formulae": ["a / b"]}""".stripMargin)
-    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+    QueryEngine.decimalAverages = true
+    try QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
       .select(col("step_ts"), round(col("value"), 6).as("value"))
       .orderBy("step_ts")
+    finally QueryEngine.decimalAverages = false
   }
 
   // §3.1 step 1: relative time-range strings + auto-step selection wired
@@ -498,7 +504,9 @@ object EngineQueries {
         |ORDER BY step_ts, group_key""".stripMargin,
     "ast_chart_avg" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
-        |  event_type AS group_key, round(avg(value), 6) AS value
+        |  event_type AS group_key,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(value), 6) AS value
         |FROM events WHERE event_type = 'click'
         |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
     "ast_metrics_rollup" ->
@@ -523,7 +531,8 @@ object EngineQueries {
         |  FROM events GROUP BY mts, event_type)
         |SELECT (mts // 86400000) * 86400000 AS step_ts,
         |  event_type AS group_key,
-        |  round(sum(rollup_sum) / sum(rollup_count), 6) AS value
+        |  round(CAST(sum(CAST(rollup_sum AS DECIMAL(28,10))) AS DOUBLE)
+        |    / sum(rollup_count), 6) AS value
         |FROM rollup GROUP BY step_ts, group_key
         |ORDER BY step_ts, group_key""".stripMargin,
     "ast_metrics_minmax" ->
@@ -560,11 +569,13 @@ object EngineQueries {
     "ast_formula_avg_operand" ->
       """WITH a AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
-        |         avg(value) AS v FROM events
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |      / count(value) AS v FROM events
         |  WHERE event_type = 'click' GROUP BY step_ts),
         |b AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
-        |         avg(value) AS v FROM events
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |      / count(value) AS v FROM events
         |  WHERE event_type = 'view' GROUP BY step_ts)
         |SELECT a.step_ts AS step_ts, round(a.v / b.v, 6) AS value
         |FROM a JOIN b USING (step_ts) WHERE b.v != 0.0
