@@ -206,6 +206,66 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------ transitive clustering
+
+  /** Connected components over an undirected pair list (id_a, id_b) by
+    * iterative min-label propagation: every node's label becomes the
+    * minimum label in its neighborhood until fixpoint. Output:
+    * (id, cluster) for every id that appears in a pair; cluster = the
+    * smallest id reachable through the pair graph.
+    *
+    * Near-duplicate relations are not transitive (A≈B≈C does not imply
+    * A≈C), but curation pipelines collapse whole chains anyway — keeping
+    * both ends of a chain keeps near-identical text twice. This is the
+    * operator that turns pair lists (minhash/simhash/embedding) into a
+    * keep-set.
+    *
+    * Scale notes: each round is one join + one min-groupBy on (id) —
+    * shuffle carries (id, candidate-label) pairs only. Rounds needed =
+    * graph diameter; near-dup components are dense and shallow (cliques
+    * plus short chains), so convergence in ≤ ~5 rounds is typical.
+    * Lineage is cut per round (localCheckpoint) so the driver loop does
+    * not re-execute prior rounds; for adversarial long-path graphs swap
+    * in large-star/small-star (Kiveris et al. 2014) — same join shape,
+    * O(log²) rounds. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      var iters = 0
+      var converged = false
+      while (!converged && iters < maxIters) {
+        val neighborLabels = edges
+          .join(labels.select(col("id").as("v"), col("label")), "v")
+          .select(col("u").as("id"), col("label"))
+        val next = labels.select(col("id"), col("label"))
+          .union(neighborLabels)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
+          .where(col("label") < col("_old")).isEmpty
+        labels = next
+        iters += 1
+      }
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally edges.unpersist()
+  }
+
+  /** Cluster assignment for every row of `df`: the smallest id reachable
+    * through `pairs`; ids in no pair are their own cluster. */
+  def dupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine >= threshold. lshBits > 0

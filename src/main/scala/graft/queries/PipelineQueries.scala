@@ -64,6 +64,18 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  // transitive dedup clusters: connected components over the exact
+  // n-gram-Jaccard pair list; every doc gets the smallest doc_id
+  // reachable through the near-dup graph (isolated docs → themselves).
+  // Deterministic end-to-end → oracle via a recursive-CTE closure.
+  def d6_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCol = "lang", n = 4, threshold = 0.35)
+      .select("id_a", "id_b")
+    Dedup.dupClusters(d, "doc_id", pairs).orderBy("doc_id")
+  }
+
   // embedding near-dup through the hyperplane-LSH blocked path — the
   // scale path (candidate pairs restricted to one bucket, never all-pairs).
   // rows-only: bucketing is engine-specific; containment-in-all-pairs and
@@ -210,6 +222,7 @@ object PipelineQueries {
     "d4_ngram_jaccard" -> d4_ngram_jaccard _,
     "d5_embedding_neardup" -> d5_embedding_neardup _,
     "d5_embedding_lsh" -> d5_embedding_lsh _,
+    "d6_dup_clusters" -> d6_dup_clusters _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
@@ -244,6 +257,30 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT lang AS block, doc_id AS id,
+        |    list_distinct([substr(text, i, 4)
+        |      for i in range(1, greatest(length(text), 4) - 2)]) AS grams
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        |m AS (SELECT u, min(v) AS minv FROM walk GROUP BY u)
+        |SELECT d.doc_id,
+        |  COALESCE(least(d.doc_id, m.minv), d.doc_id) AS cluster
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+        |LEFT JOIN m ON d.doc_id = m.u
+        |ORDER BY doc_id""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -98,6 +98,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == Set((0L, 1L)))
   }
 
+  test("dup clusters: transitive chains collapse to the min id") {
+    // chain 0-1-2 (0≈1, 1≈2 but 0 and 2 never paired directly) + 4-5
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(corpus, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("LSH bucket cap bounds a degenerate hot bucket") {
     // 50k identical docs → every id lands in one bucket per band. The cap
     // must apply BEFORE per-bucket materialization: the pairing completes
