@@ -89,6 +89,48 @@ object StreamingQueries {
       .orderBy("step_ts", "event_type")
   }
 
+  /** A2/A9 ingest side: the per-minute rollup_* segment family computed
+    * by the streaming engine — the reference's collector pre-rolls metric
+    * segments exactly like this at ingest (PushDownAggregatorStage), and
+    * the A2 chart path re-aggregates them at query time. In production
+    * this runs append-mode with a watermark (each closed minute emits
+    * once, ready to land as a segment file + manifest row); the
+    * complete-mode memory sink here materializes every window so the
+    * oracle can compare the full table, st1-style.
+    */
+  def st3_rollup_ingest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+    val plan = src
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_t"), "60000 milliseconds"), col("event_type"))
+      .agg(
+        sum(dec(col("value"))).as("dsum"),
+        count(lit(1)).as("n"),
+        min(col("value")).as("rollup_min"),
+        max(col("value")).as("rollup_max"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st3_rollup_ingest")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st3_rollup_ingest")
+      .select(
+        (unix_timestamp(col("window.start")) * 1000L).as("ts"),
+        col("event_type"),
+        col("dsum").cast("double").as("rollup_sum"),
+        col("n").cast("double").as("rollup_count"),
+        col("rollup_min"), col("rollup_max"),
+        (col("dsum").cast("double") / col("n")).as("rollup_avg"))
+      .orderBy("ts", "event_type")
+  }
+
   /** T4: per-key running stats via flatMapGroupsWithState across
     * micro-batches; the final update per key must equal the batch
     * aggregate (count/max/last-ts are monotone, so max over the update
@@ -123,7 +165,8 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1_stream_window _,
-    "st2_running_stats" -> st2_running_stats _
+    "st2_running_stats" -> st2_running_stats _,
+    "st3_rollup_ingest" -> st3_rollup_ingest _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -135,6 +178,15 @@ object StreamingQueries {
     "st2_running_stats" ->
       """SELECT event_type AS key, count(*) AS n, max(value) AS max_value,
         |  max(epoch_ms(ts)) AS last_ts
-        |FROM events GROUP BY 1 ORDER BY key""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+    "st3_rollup_ingest" ->
+      """SELECT (epoch_ms(ts) // 60000) * 60000 AS ts, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum,
+        |  CAST(count(*) AS DOUBLE) AS rollup_count,
+        |  min(value) AS rollup_min, max(value) AS rollup_max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS rollup_avg
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 }
