@@ -130,6 +130,39 @@ object PipelineQueries {
       .orderBy(desc("score"), col("id"))
   }
 
+  // --------------------------------------------------------- sampling
+
+  // p1: deterministic Bernoulli sample — membership depends only on the
+  // row key (Knuth mix, replicated arithmetically in the oracle), so a
+  // re-run or an incremental shard selects the same rows
+  def p1_hash_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.gateSample(docs(s, dir),
+        Sampling.mix32(col("doc_id")), 4294967296L, rate = 0.25)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  // p2: per-source quota — top-10 per stratum by deterministic priority
+  // (WindowGroupLimit applies the cap map-side; a dominant source never
+  // floods one reducer)
+  def p2_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTopN(docs(s, dir), "source", n = 10,
+        priority = Seq(Sampling.mix32(col("doc_id")), col("doc_id")))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+
+  // p3: token-budget selection — fill a 20k-token mix in deterministic
+  // shuffle order via the two-phase distributed prefix sum
+  def p3_token_budget(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Sampling.mix32(col("doc_id")).as("pri"))
+    Sampling.takeUntilBudget(t, "n_tokens", budget = 20000L,
+        priority = Seq(col("pri"), col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ text analysis
 
   def t1_token_count(s: SparkSession, dir: String): DataFrame =
@@ -223,6 +256,9 @@ object PipelineQueries {
     "d5_embedding_neardup" -> d5_embedding_neardup _,
     "d5_embedding_lsh" -> d5_embedding_lsh _,
     "d6_dup_clusters" -> d6_dup_clusters _,
+    "p1_hash_sample" -> p1_hash_sample _,
+    "p2_stratified_sample" -> p2_stratified_sample _,
+    "p3_token_budget" -> p3_token_budget _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
@@ -257,6 +293,30 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "p1_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+        |ORDER BY doc_id""".stripMargin,
+    "p2_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "p3_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS pri
+        |  FROM documents)
+        |SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY pri, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     "d6_dup_clusters" ->
       """WITH RECURSIVE g AS (
         |  SELECT lang AS block, doc_id AS id,

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows = spark.range(1000).select(
+    col("id"), (col("id") % 7 + 1).as("w"), (col("id") % 5).cast("string").as("src"))
+
+  test("hashSample is deterministic and monotone in rate") {
+    val a = Sampling.hashSample(rows, 0.2, col("id")).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows, 0.2, col("id")).select("id").as[Long].collect().toSet
+    assert(a == b, "same rate, same keys -> same sample")
+    val wider = Sampling.hashSample(rows, 0.5, col("id")).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(wider), "raising the rate only adds rows")
+    assert(math.abs(a.size - 200) < 60, s"rate 0.2 of 1000 gave ${a.size}")
+  }
+
+  test("stratifiedTopN caps every stratum deterministically") {
+    val out = Sampling.stratifiedTopN(rows, "src", 13,
+      Seq(Sampling.mix32(col("id")), col("id")))
+    val perStratum = out.groupBy("src").count().select("count").as[Long].collect()
+    assert(perStratum.forall(_ == 13))
+    val again = Sampling.stratifiedTopN(rows, "src", 13,
+      Seq(Sampling.mix32(col("id")), col("id")))
+      .select("id").as[Long].collect().sorted
+    assert(again.sameElements(out.select("id").as[Long].collect().sorted))
+  }
+
+  test("takeUntilBudget equals the single-node prefix-sum answer") {
+    // local reference: sort by (mix32, id), keep while inclusive cum <= budget
+    def mix(id: Long): Long = {
+      val m = (id * 2654435761L) % 4294967296L
+      if (m < 0) m + 4294967296L else m
+    }
+    val local = rows.select("id", "w").as[(Long, Long)].collect()
+      .sortBy { case (id, _) => (mix(id), id) }
+    val budget = 1500L
+    var cum = 0L
+    val want = local.flatMap { case (id, w) =>
+      cum += w; if (cum <= budget) Some(id) else None
+    }.sorted
+    val got = Sampling.takeUntilBudget(
+        rows.withColumn("pri", Sampling.mix32(col("id"))),
+        "w", budget, Seq(col("pri"), col("id")), numPartitions = 7)
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want),
+      s"got ${got.length} rows, want ${want.length}")
+  }
+
+  test("takeUntilBudget excludes the row that crosses the budget") {
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("id", "w")
+    val got = Sampling.takeUntilBudget(df, "w", 25L, Seq(col("id")),
+      numPartitions = 2).select("id").as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 2L)))
+  }
+}
