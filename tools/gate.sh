@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Snapshot gate: refuse to declare the tree commit-worthy unless the build
+# compiles and the sf0.001 smoke passes. Run before any end-of-round commit:
+#   tools/gate.sh            # compile + smoke (~2 min)
+#   tools/gate.sh --full     # also Verify+oracle at sf0.01 (~4 min)
+# Exit 0 = safe to snapshot; nonzero = DO NOT COMMIT the snapshot.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== gate: sbt Test/compile =="
+sbt -batch Test/compile
+
+echo "== gate: sf0.001 smoke (SparkEntry.entry rows>0, all queries run) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gate_smoke" >/tmp/gate_smoke.log 2>&1 \
+  || { tail -30 /tmp/gate_smoke.log; echo "GATE FAIL: smoke Verify crashed"; exit 1; }
+n=$(ls /tmp/gate_smoke/*.parquet -d 2>/dev/null | wc -l)
+[ "$n" -ge 60 ] || { echo "GATE FAIL: only $n query outputs (expected >=60)"; exit 1; }
+
+if [ "${1:-}" = "--full" ]; then
+  echo "== gate: Verify + oracle at sf0.01 =="
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_verify" >/tmp/gate_verify.log 2>&1 \
+    || { tail -30 /tmp/gate_verify.log; echo "GATE FAIL: Verify crashed"; exit 1; }
+  python3 tools/check.py /tmp/gate_verify /root/testdata/sf0.01 | tee /tmp/gate_check.log
+  grep -q " 0 fail" /tmp/gate_check.log || { echo "GATE FAIL: oracle failures"; exit 1; }
+fi
+
+echo "== gate: PASS =="
