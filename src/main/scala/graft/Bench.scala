@@ -8,7 +8,14 @@ import org.apache.spark.sql.SparkSession
   * local[32] with shuffle.partitions=32 — one shuffle partition per core;
   * AQE coalesces further when partial results are small. On a real
   * cluster the same plans scale by raising shuffle.partitions; nothing
-  * here is driver-side-materialized except the final count.
+  * here is driver-side-materialized.
+  *
+  * Queries are materialized through the `noop` sink, not `count()`:
+  * count() lets Catalyst prune every unreferenced column and collapse
+  * pure-projection plans, under-measuring scan-heavy queries. The noop
+  * write evaluates every output column of the exact plan a user would run.
+  * Failures are recorded per-query in an `errors` field rather than being
+  * silently timed as successes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,21 +33,31 @@ object Bench {
     // query, not first-touch class loading.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.prepare(spark, sfDir) // ingest-time artifacts, built once
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> v.toString })
+    val errs = jmap(errors.toSeq.map { case (k, v) => k -> ("\"" + v + "\"") })
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
     // machine parse in round 1 — also write the bare JSON line to a file.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     println(line)
+    if (errors.nonEmpty)
+      System.err.println(s"BENCH ERRORS (${errors.size}): " + errors.keys.mkString(", "))
     spark.stop()
   }
 }
