@@ -177,13 +177,14 @@ object QueryEngine {
       base = base.where(valueSrc.isNotNull)
 
     // A2: metrics read pre-rolled rollup_<agg> columns
-    // (reference BaseExpr.scala:376-395); p*/ces suppress the rollup
+    // (reference BaseExpr.scala:376-395). A percentile ROLLUP is
+    // suppressed (no rollup_p* column in segments); a percentile/ces
+    // AGGREGATION keeps the rollup — it degrades to the max envelope of
+    // that rollup series (BaseExpr.scala:380 MAX(rollup_<r>)).
     val rollup: Option[String] =
       if (e.dataset != "metrics") None
       else chartOpts.rollup match {
-        case Some(r)
-          if !r.startsWith("p") && !chartOpts.aggregation.startsWith("p")
-            && chartOpts.aggregation != "ces" => Some(r)
+        case Some(r) if !r.startsWith("p") => Some(r)
         case _ => None
       }
 
@@ -198,6 +199,13 @@ object QueryEngine {
       * rollup-row count), min/max→min/max of theirs, and avg re-weights as
       * Σ rollup_sum / Σ rollup_count (an avg of rollup_avg would weight
       * every minute equally regardless of its sample count).
+      *
+      * Divergence note: the reference's literal no-rollup fallback is
+      * getOrElse(SUM) → aggregation(rollup_sum) (BaseExpr.scala:377);
+      * ASTUtils.scala:235 implies the UI always sends a rollup for
+      * metrics but does not prove it equals the aggregation. We keep the
+      * weighted semantics above deliberately — they are correct for
+      * re-aggregation — and note the fallback path is unproven parity.
       */
     def metricsAgg(aggregation: String): Column = rollup match {
       case Some(r) =>
@@ -208,6 +216,14 @@ object QueryEngine {
           case "min" => min(t)
           case "max" => max(t)
           case "avg" => avgOf(t)
+          case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
+            // percentile over pre-rolled data degrades to the max envelope
+            // of the requested rollup (reference BaseExpr.scala:380)
+            max(t)
+          case "ces" =>
+            val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
+              else List(t)
+            approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
           case other =>
             throw new IllegalArgumentException(s"unknown aggregation $other")
         }

@@ -224,10 +224,17 @@ object Dedup {
     * shuffle carries (id, candidate-label) pairs only. Rounds needed =
     * graph diameter; near-dup components are dense and shallow (cliques
     * plus short chains), so convergence in ≤ ~5 rounds is typical.
-    * Lineage is cut per round (localCheckpoint) so the driver loop does
-    * not re-execute prior rounds; for adversarial long-path graphs swap
-    * in large-star/small-star (Kiveris et al. 2014) — same join shape,
-    * O(log²) rounds. */
+    * Convergence detection rides the propagation aggregation itself: the
+    * old label is carried through the min-groupBy (tagged union row) and
+    * compared in the same job, so each round runs ONE join+shuffle action
+    * (the localCheckpoint) plus a scan of the materialized checkpoint for
+    * the changed flag — no separate convergence join. Lineage is cut per
+    * round so the driver loop does not re-execute prior rounds; for
+    * adversarial long-path graphs swap in large-star/small-star (Kiveris
+    * et al. 2014) — same join shape, O(log²) rounds.
+    *
+    * Throws IllegalStateException if maxIters rounds pass without
+    * convergence — a silent bail would return split clusters. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -242,16 +249,26 @@ object Dedup {
       while (!converged && iters < maxIters) {
         val neighborLabels = edges
           .join(labels.select(col("id").as("v"), col("label")), "v")
-          .select(col("u").as("id"), col("label"))
-        val next = labels.select(col("id"), col("label"))
+          .select(col("u").as("id"), col("label"), lit(false).as("own"))
+        // Every id has exactly one own=true row (its current label), so
+        // max(when(own, label)) recovers the old label inside the same
+        // aggregation that computes the new min label.
+        val next = labels.select(col("id"), col("label"), lit(true).as("own"))
           .union(neighborLabels)
-          .groupBy("id").agg(min(col("label")).as("label"))
+          .groupBy("id")
+          .agg(min(col("label")).as("label"),
+               max(when(col("own"), col("label"))).as("_old"))
+          .withColumn("_changed", col("label") < col("_old"))
           .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
-          .where(col("label") < col("_old")).isEmpty
-        labels = next
+        converged = next.where(col("_changed")).isEmpty // scan of checkpoint
+        labels = next.select(col("id"), col("label"))
         iters += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds; " +
+          "graph diameter exceeds maxIters — raise maxIters or use " +
+          "large-star/small-star for long-path graphs")
       labels.select(col("id"), col("label").as("cluster"))
     } finally edges.unpersist()
   }

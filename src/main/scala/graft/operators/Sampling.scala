@@ -15,9 +15,15 @@ object Sampling {
 
   /** 32-bit multiplicative (Knuth) mix of a long key — good enough to
     * decorrelate sequential ids, and cheap to replicate in any engine
-    * (pure integer arithmetic, no hash library). */
+    * (pure integer arithmetic, no hash library).
+    *
+    * The key is masked to 31 bits BEFORE multiplying so the product
+    * (≤ 2^31 · 2654435761 ≈ 5.7e18) stays inside signed-64-bit range:
+    * engines that promote to wider integers (DuckDB HUGEINT) and engines
+    * that wrap at 64 bits (Java/Spark) then compute identical results.
+    * Unmasked, keys above ~3.46e9 would silently diverge across engines. */
   def mix32(key: Column): Column =
-    pmod(key * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(key, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic Bernoulli sample: keep a row iff the mix of its key
     * falls under `rate`. xxhash64 mixes arbitrary/multi-column keys;
@@ -51,45 +57,67 @@ object Sampling {
   /** Select rows in priority order until a running budget (e.g. token
     * count) is exhausted: the "fill a 10B-token training mix from the
     * best documents" step. Keeps every row whose inclusive running sum
-    * is within the budget. Weights must be non-negative.
+    * is within the budget. Weights must be non-negative and `priority`
+    * must be a TOTAL order (add a unique id as the last key).
     *
     * Scale shape: a naive `Window.orderBy(...)` with no partition key
     * plans a SINGLE-partition global sort — a non-starter at corpus
-    * scale. This is the textbook two-phase distributed prefix sum
-    * instead: range-partition by the priority keys (so partition i holds
-    * globally-contiguous ranks), take per-partition weight sums (tiny:
-    * one row per partition), prefix them on the driver, and stream each
-    * partition once adding its offset. The only driver-side data is one
-    * long per partition; the `mapPartitions` is justified — a global
-    * prefix sum is not expressible as a hash aggregation. */
+    * scale. And shuffling the full-width corpus just to find a prefix is
+    * wasteful too: only the (priority, weight) projection is ever
+    * shuffled here. Phase 1 range-partitions that narrow projection,
+    * sums weights per partition (one long each, prefixed on the driver),
+    * and scans the single crossing partition for the first row whose
+    * running sum exceeds the budget — the cutoff key. Phase 2 is a pure
+    * lexicographic filter `priority < cutoff` on the ORIGINAL DataFrame:
+    * no wide shuffle, no wide persist, and when the priority keys are
+    * stored columns the filter pushes down to the scan. */
   def takeUntilBudget(df: DataFrame, weightCol: String, budget: Long,
       priority: Seq[Column], numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(parts, priority: _*)
-      .sortWithinPartitions(priority: _*)
+    val pNames = priority.indices.map(i => s"_p$i")
+    val pCols = pNames.map(col)
+    val narrow = df
+      .select(priority.zip(pNames).map { case (c, n) => c.as(n) } :+
+        col(weightCol).cast("long").as("_w"): _*)
+      .repartitionByRange(parts, pCols: _*)
+      .sortWithinPartitions(pCols: _*)
       .persist()
     try {
-      val perPartition = ranged
-        .select(col(weightCol).cast("long"))
-        .rdd.mapPartitionsWithIndex { (pid, it) =>
-          Iterator.single(pid -> it.map(_.getLong(0)).sum)
+      val perPartition = narrow.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          Iterator.single(pid -> it.map(_.getAs[Long]("_w")).sum)
         }.collect().sortBy(_._1).map(_._2)
       val offsets = perPartition.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      val schema = ranged.schema
-      val weightIdx = schema.fieldIndex(weightCol)
-      val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var cum = bOffsets.value(pid)
-        it.flatMap { row =>
-          cum += row.getAs[Number](weightIdx).longValue()
-          if (cum <= budget) Some(row) else None
-        }
+      // first partition whose cumulative end exceeds the budget
+      val crossing = perPartition.indices.find(i => offsets(i + 1) > budget)
+      crossing match {
+        case None => df // total weight fits the budget: keep everything
+        case Some(pid) =>
+          val startOffset = offsets(pid)
+          val nP = priority.size
+          // single-partition job: first row in the crossing partition whose
+          // inclusive running sum exceeds the budget = first EXCLUDED row
+          val firstExcluded = spark.sparkContext.runJob(
+            narrow.rdd,
+            (it: Iterator[org.apache.spark.sql.Row]) => {
+              var cum = startOffset
+              var found: Option[Seq[Any]] = None
+              while (found.isEmpty && it.hasNext) {
+                val r = it.next()
+                cum += r.getAs[Long]("_w")
+                if (cum > budget) found = Some((0 until nP).map(r.get))
+              }
+              found.get // exists: offsets(pid+1) > budget
+            },
+            Seq(pid)).head
+          // keep the strict lexicographic prefix before the excluded row
+          val keep = priority.zip(firstExcluded).foldRight(lit(false)) {
+            case ((c, v), rest) => (c < lit(v)) || (c === lit(v) && rest)
+          }
+          df.where(keep)
       }
-      // partitions are range-ordered, so this preserves global order
-      spark.createDataFrame(out, schema)
-    } finally ranged.unpersist(blocking = false)
+    } finally narrow.unpersist(blocking = false)
   }
 }

@@ -295,13 +295,13 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "p1_hash_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY doc_id""".stripMargin,
     "p2_stratified_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (
         |    PARTITION BY source
-        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |    ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     "p3_token_budget" ->
@@ -309,7 +309,7 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |      AS n_tokens,
-        |    (doc_id * 2654435761) % 4294967296 AS pri
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS pri
         |  FROM documents)
         |SELECT doc_id, n_tokens FROM (
         |  SELECT doc_id, n_tokens,
