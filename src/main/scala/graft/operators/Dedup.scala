@@ -115,6 +115,30 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate generation + exact-Jaccard verification over a
+    * pre-built (id, set) frame where `set` is a sorted array<long> of
+    * element hashes. Output: (id_a < id_b, jaccard >= threshold).
+    *
+    * Miss probability for a pair at similarity J is (1 - J^r)^b with
+    * r = numHashes/bands — tune (r, b) so it is negligible at the
+    * threshold (e.g. r=8, b=16 gives ~5% at J=0.80 but <1e-4 at
+    * J >= 0.90). Deterministic end-to-end: fixed hash family, no RNG. */
+  private def lshVerifiedPairs(withSets: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = withSets.select(col("id"),
+      minhashSignature(col("set"), numHashes).as("sig"))
+    val pairs = bucketPairs(
+      lshBands(withSig, "id", "sig", bands, rowsPerBand), maxBucket)
+    val setsA = withSets.select(col("id").as("id_a"), col("set").as("sh_a"))
+    val setsB = withSets.select(col("id").as("id_b"), col("set").as("sh_b"))
+    pairs.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccardSorted(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard over
     * the shingle sets: (id_a < id_b, jaccard >= threshold).
     *
@@ -124,26 +148,29 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // no emptiness filter: WordShingleHashes yields >= 1 element by
     // construction, and a size() predicate would make Catalyst evaluate
     // the shingle expression twice per row (filter + project)
     val withSets = df.select(col(idCol).as("id"),
       graft.functions.SketchExpressions
-        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("shingles"))
-    val withSig = withSets.select(col("id"),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
+        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("set"))
+    lshVerifiedPairs(withSets, numHashes, bands, threshold, maxBucket)
+  }
 
-    val pairs = bucketPairs(
-      lshBands(withSig, "id", "sig", bands, rowsPerBand), maxBucket)
-
-    val setsA = withSets.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val setsB = withSets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    pairs.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("jaccard", graft.functions.SketchExpressions
-        .jaccardSorted(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+  /** Character-n-gram Jaccard near-dup pairs with MinHash-LSH candidate
+    * generation and exact verification — the scale path when the gram
+    * frequency distribution is too flat for prefix filtering (tiny
+    * alphabet / template-generated text, where every gram is frequent
+    * and [[jaccardSimilarityJoin]]'s rare-gram index degenerates).
+    * Shuffle carries (band_key, id) and capped buckets only; exact
+    * recall is probabilistic (see [[lshVerifiedPairs]]) but deterministic
+    * run-to-run. */
+  def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val withSets = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.charNgramHashes(col(textCol), n).as("set"))
+    lshVerifiedPairs(withSets, numHashes, bands, threshold, maxBucket)
   }
 
   // ------------------------------------------------------------------ SimHash
@@ -204,6 +231,71 @@ object Dedup {
         .jaccardSorted(col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity self-join with FULL recall and no
+    * blocking key: the All-Pairs / PPJoin prefix-filtering algorithm
+    * (Bayardo et al. WWW'07; Vernica et al. SIGMOD'10 for the MapReduce
+    * shape). Output = every pair with jaccard >= threshold, exactly.
+    *
+    * Why this shape at 100 TB: a categorical block (language, source)
+    * makes one block ≈ the corpus — a skewed shuffle feeding an O(n²)
+    * reducer. Prefix filtering instead builds an inverted index over each
+    * document's RAREST grams only: sort every gram set by ascending
+    * global document frequency and index the first
+    * |g| - floor(t·|g|) + 1 grams. Pigeonhole guarantee: two sets with
+    * J >= t overlap in >= t·max(|A|,|B|) grams, so the globally-smallest
+    * shared gram must land in BOTH prefixes — no true pair is missed
+    * (the +1-over-ceil prefix length keeps the bound safe under float
+    * rounding). Bucket sizes are document frequencies of rare grams, so
+    * candidate generation is near-linear; a frequent gram enters a prefix
+    * only for documents that contain almost nothing rarer.
+    *
+    * Shuffles: gram-frequency groupBy (combiner-friendly), frequency
+    * join + per-doc rank window (both narrow rows), candidate self-join
+    * keyed by prefix gram, and the verification joins on id. A length
+    * filter (min size >= t·max size) prunes candidates before
+    * verification. Run [[exact]] dedup first: a flood of byte-identical
+    * documents shares identical prefixes and degenerates any
+    * similarity join. */
+  def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
+    val sets = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.charNgramHashes(col(textCol), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val exploded = sets.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    val prefix = exploded.join(freq, "gram")
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= col("sz") - floor(col("sz") * threshold) + 1)
+      .select(col("gram"), col("id"), col("sz"), col("_r"))
+    val a = prefix.select(col("gram"), col("id").as("id_a"),
+      col("sz").as("sz_a"), col("_r").as("r_a"))
+    val b = prefix.select(col("gram"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("_r").as("r_b"))
+    // PPJoin position filter: elements of A∩B all rank >= the shared
+    // gram's position in the canonical order, so the overlap is at most
+    // min(remaining_a, remaining_b); J >= t needs overlap >=
+    // t/(1+t)·(|A|+|B|). The pair's globally-smallest shared gram always
+    // satisfies the bound when J >= t, so recall stays exact.
+    val alpha = (col("sz_a") + col("sz_b")) * (threshold / (1 + threshold))
+    val ubound = least(col("sz_a") - col("r_a"), col("sz_b") - col("r_b")) + 1
+    val cands = a.join(b, Seq("gram"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          greatest(col("sz_a"), col("sz_b")) * threshold - 1e-9 &&
+        ubound >= alpha - 1e-9)
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccardSorted(col("g_a"), col("g_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // ------------------------------------------------ transitive clustering

