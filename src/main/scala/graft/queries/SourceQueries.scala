@@ -65,10 +65,25 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  /** U2 Op-3: alternation regex — branch trigram sets are OR'd, so the
+    * index skips segments containing neither branch (file-skipping proven
+    * in SegmentIndexSpec; result equivalence proven here vs the full
+    * table, since pruning is sound). */
+  def s7_regex_alternation(s: SparkSession, dir: String): DataFrame = {
+    val clause = Filter("event_type", List("(purchase|signup)"), Ops.REGEX)
+    val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
+        Set("event_type"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return s.emptyDataFrame)
+    df.where(col("event_type").rlike("(?i)(purchase|signup)"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_pruned_scan" -> s4_pruned_scan _,
     "s3_time_pruned" -> s3_time_pruned _,
-    "s6_regex_pruned" -> s6_regex_pruned _
+    "s6_regex_pruned" -> s6_regex_pruned _,
+    "s7_regex_alternation" -> s7_regex_alternation _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,6 +98,10 @@ object SourceQueries {
     "s6_regex_pruned" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE regexp_matches(event_type, 'pur.has[a-e]+', 'i')
+        |ORDER BY event_id""".stripMargin,
+    "s7_regex_alternation" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE regexp_matches(event_type, '(purchase|signup)', 'i')
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -95,70 +95,183 @@ object SegmentIndex {
       }.distinct)
   }
 
-  /** Literal substrings every string matched by `regex` must contain —
-    * the pure-literal subset of the reference's trigram regex compiler
-    * (NLPUtils.scala:54-153, which shells into Go lib-trigram; the
-    * literal/contains subset needs no library). Alternation and groups
-    * degrade to Nil (no pruning — sound); classes/dots/shorthands break
-    * the current literal run; `*`/`?`/`{` drop the (optional) preceding
-    * char; `+` keeps it (the atom occurs at least once adjacent to the
-    * run); anchors flush. Runs shorter than 3 chars carry no trigram. */
-  private[graft] def requiredLiterals(regex: String): Seq[String] = {
-    val runs = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    def flush(): Unit =
-      if (cur.nonEmpty) { runs += cur.toString; cur.clear() }
-    var i = 0
-    var bad = false
-    while (i < regex.length && !bad) {
-      regex.charAt(i) match {
-        case '(' | ')' | '|' => bad = true
-        case '\\' =>
-          if (i + 1 >= regex.length) bad = true
-          else {
-            val c = regex.charAt(i + 1)
-            // \d \w \s \b \A … match unknown text → break the run;
-            // an escaped metachar is a literal
-            if (Character.isLetterOrDigit(c)) flush() else cur += c
-            i += 1
-          }
-        case '[' =>
-          flush()
-          var j = i + 1
-          if (j < regex.length && regex.charAt(j) == '^') j += 1
-          if (j < regex.length && regex.charAt(j) == ']') j += 1
-          while (j < regex.length && regex.charAt(j) != ']') {
-            if (regex.charAt(j) == '\\') j += 1
-            j += 1
-          }
-          if (j >= regex.length) bad = true else i = j
-        case '.' => flush()
-        case '*' | '?' =>
-          if (cur.nonEmpty) cur.setLength(cur.length - 1)
-          flush()
-        case '{' =>
-          // {m,n}: conservatively treat like '*' (preceding atom optional)
-          if (cur.nonEmpty) cur.setLength(cur.length - 1)
-          flush()
-          val j = regex.indexOf('}', i)
-          if (j < 0) bad = true else i = j
-        case '+' => flush()
-        case '^' | '$' => flush()
-        case c => cur += c
-      }
-      i += 1
+  /** Trigram requirement for a regex: an AND/OR tree over literal runs
+    * every matching string must contain. `Free` = no constraint. */
+  sealed private[graft] trait TriReq
+  private[graft] object TriReq {
+    case class Lit(s: String) extends TriReq
+    case class All(xs: Seq[TriReq]) extends TriReq
+    case class AnyOf(xs: Seq[TriReq]) extends TriReq
+    case object Free extends TriReq
+    def all(xs: Seq[TriReq]): TriReq = {
+      val f = xs.filter(_ != Free)
+      if (f.isEmpty) Free else if (f.size == 1) f.head else All(f)
     }
-    if (bad) Seq.empty
-    else { flush(); runs.result().filter(_.length >= 3) }
+    def anyOf(xs: Seq[TriReq]): TriReq =
+      if (xs.contains(Free) || xs.isEmpty) Free
+      else if (xs.size == 1) xs.head else AnyOf(xs)
   }
 
-  /** Fingerprint predicate requiring every trigram of every run. */
-  private def allPresent(k: String, literals: Seq[String]): Column = {
-    val preds = literals
-      .flatMap(v => valueFingerprints(k, v).getOrElse(Seq.empty))
-      .distinct
-      .map(fp => array_contains(col("fingerprints"), fp))
-    if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+  /** Compile a regex into its [[TriReq]] — the required-literal set
+    * algebra of the reference's trigram regex compiler
+    * (NLPUtils.scala:54-153 literal extraction; 155-187 Op-3 AND/OR set
+    * algebra — alternation branches OR their trigram sets, sequences AND
+    * them). Unsupported constructs (classes, shorthands, lookaround,
+    * dots) become `Free` atoms that break literal runs; `*`/`?`/`{0,…}`
+    * drop the preceding atom; `+` keeps it with a run break after;
+    * `{m,…}` with m >= 1 repeats a literal atom m (capped at 5) times.
+    * Malformed regexes yield `Free` (no pruning — sound; the query
+    * itself will surface the regex error). */
+  private[graft] def requiredTrigrams(regex: String): TriReq = {
+    import TriReq._
+    val n = regex.length
+    object Bail extends RuntimeException
+    def parseGroup(open: Int): (TriReq, Int) = {
+      if (open + 1 < n && regex.charAt(open + 1) == '?') {
+        if (open + 2 < n && regex.charAt(open + 2) == ':') {
+          val (r, k) = parseAlt(open + 3)
+          if (k >= n || regex.charAt(k) != ')') throw Bail
+          (r, k + 1)
+        } else {
+          // lookaround / inline flags: skip the balanced group, no info
+          var depth = 1
+          var k = open + 1
+          while (k < n && depth > 0) {
+            regex.charAt(k) match {
+              case '\\' => k += 1
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            k += 1
+          }
+          if (depth > 0) throw Bail
+          (Free, k)
+        }
+      } else {
+        val (r, k) = parseAlt(open + 1)
+        if (k >= n || regex.charAt(k) != ')') throw Bail
+        (r, k + 1)
+      }
+    }
+    def parseAlt(start: Int): (TriReq, Int) = {
+      val branches = Seq.newBuilder[TriReq]
+      var (r, i) = parseSeq(start)
+      branches += r
+      while (i < n && regex.charAt(i) == '|') {
+        val (r2, j) = parseSeq(i + 1)
+        branches += r2
+        i = j
+      }
+      (anyOf(branches.result()), i)
+    }
+    def parseSeq(start: Int): (TriReq, Int) = {
+      val atoms = scala.collection.mutable.ArrayBuffer[Either[Char, TriReq]]()
+      var i = start
+      while (i < n && regex.charAt(i) != '|' && regex.charAt(i) != ')') {
+        // one atom
+        val atom: Either[Char, TriReq] = regex.charAt(i) match {
+          case '(' =>
+            val (r, k) = parseGroup(i); i = k; Right(r)
+          case '\\' =>
+            if (i + 1 >= n) throw Bail
+            val c = regex.charAt(i + 1)
+            i += 2
+            // \d \w \s \b … match unknown text; escaped metachar is literal
+            if (Character.isLetterOrDigit(c)) Right(Free) else Left(c)
+          case '[' =>
+            var j = i + 1
+            if (j < n && regex.charAt(j) == '^') j += 1
+            if (j < n && regex.charAt(j) == ']') j += 1
+            while (j < n && regex.charAt(j) != ']') {
+              if (regex.charAt(j) == '\\') j += 1
+              j += 1
+            }
+            if (j >= n) throw Bail
+            i = j + 1; Right(Free)
+          case '.' | '^' | '$' => i += 1; Right(Free)
+          case '*' | '?' | '+' | '{' => throw Bail // dangling quantifier
+          case c => i += 1; Left(c)
+        }
+        // quantifier (with optional reluctant/possessive suffix)
+        if (i < n) regex.charAt(i) match {
+          case '*' | '?' =>
+            i += 1
+            if (i < n && (regex.charAt(i) == '?' || regex.charAt(i) == '+')) i += 1
+            atoms += Right(Free) // atom optional; break the run
+          case '+' =>
+            i += 1
+            if (i < n && (regex.charAt(i) == '?' || regex.charAt(i) == '+')) i += 1
+            atoms += atom
+            atoms += Right(Free) // repeats detach the following run
+          case '{' =>
+            val j = regex.indexOf('}', i)
+            if (j < 0) throw Bail
+            val body = regex.substring(i + 1, j)
+            val comma = body.indexOf(',')
+            val (minS, maxS) =
+              if (comma < 0) (body, body)
+              else (body.substring(0, comma), body.substring(comma + 1))
+            if (minS.isEmpty || !minS.forall(_.isDigit) ||
+              !(maxS.isEmpty || maxS.forall(_.isDigit))) throw Bail
+            i = j + 1
+            if (i < n && (regex.charAt(i) == '?' || regex.charAt(i) == '+')) i += 1
+            val m = minS.toInt
+            if (m == 0) atoms += Right(Free)
+            else {
+              atoms += atom
+              atom match {
+                case Left(c) => for (_ <- 1 until math.min(m, 5)) atoms += Left(c)
+                case _ => () // a group repeated imposes the same requirement
+              }
+              if (maxS != minS) atoms += Right(Free)
+            }
+          case _ => atoms += atom
+        }
+        else atoms += atom
+      }
+      // coalesce adjacent literal chars into runs; Free/group atoms break
+      val parts = Seq.newBuilder[TriReq]
+      val run = new StringBuilder
+      def flushRun(): Unit =
+        if (run.nonEmpty) { parts += Lit(run.toString); run.clear() }
+      atoms.foreach {
+        case Left(c) => run += c
+        case Right(r) => flushRun(); parts += r
+      }
+      flushRun()
+      (all(parts.result()), i)
+    }
+    try {
+      val (r, end) = parseAlt(0)
+      if (end != n) TriReq.Free else r // stray ')': sound no-info
+    } catch { case Bail => TriReq.Free }
+  }
+
+  /** Flat view of [[requiredTrigrams]]: literal runs that are required
+    * unconditionally (AND-reachable; alternation branches excluded).
+    * Runs shorter than 3 chars carry no trigram. */
+  private[graft] def requiredLiterals(regex: String): Seq[String] = {
+    def flat(r: TriReq): Seq[String] = r match {
+      case TriReq.Lit(s) => Seq(s)
+      case TriReq.All(xs) => xs.flatMap(flat)
+      case _ => Seq.empty
+    }
+    flat(requiredTrigrams(regex)).filter(_.length >= 3)
+  }
+
+  /** Compile a [[TriReq]] into a manifest predicate: a literal requires
+    * all its trigrams present; AND/OR mirror the tree; `Free` (and runs
+    * too short to carry a trigram) impose nothing. */
+  private def reqColumn(k: String, r: TriReq): Column = r match {
+    case TriReq.Free => lit(true)
+    case TriReq.Lit(s) => valueFingerprints(k, s) match {
+      case Some(fps) if fps.nonEmpty =>
+        fps.map(fp => array_contains(col("fingerprints"), fp)).reduce(_ && _)
+      case _ => lit(true)
+    }
+    case TriReq.All(xs) => xs.map(reqColumn(k, _)).reduce(_ && _)
+    case TriReq.AnyOf(xs) => xs.map(reqColumn(k, _)).reduce(_ || _)
   }
 
   /** Candidate predicate over the manifest for one clause; `lit(true)`
@@ -176,9 +289,9 @@ object SegmentIndex {
             case None => lit(true)
           }
         case Ops.REGEX =>
-          // required-literal extraction: every literal run the regex
-          // forces must have all its trigrams in the segment
-          vs.headOption.map(v => allPresent(k, requiredLiterals(v)))
+          // trigram set algebra over the regex's forced literals:
+          // sequences AND their runs, alternation branches OR them
+          vs.headOption.map(v => reqColumn(k, requiredTrigrams(v)))
             .getOrElse(lit(true))
         case Ops.IN =>
           // any of the values may match → union of per-value candidates

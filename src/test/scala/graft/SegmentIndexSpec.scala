@@ -79,14 +79,36 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
-  test("complex-regex / short / negated predicates degrade soundly to all") {
-    // alternation → no literal extraction → all segments (sound)
-    val regex = Filter("service", List("(pay|search).*"), Ops.REGEX)
-    assert(SegmentIndex.prune(manifest, Some(regex), indexed, 0L, 10000L).length == 3)
+  test("unindexable predicates degrade soundly to all segments") {
+    // pure wildcard / shorthand regexes carry no literal → all segments
+    val free = Filter("service", List(".*\\d+.*"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(free), indexed, 0L, 10000L).length == 3)
     val short = Filter("service", List("ab"), Ops.EQ)
     assert(SegmentIndex.prune(manifest, Some(short), indexed, 0L, 10000L).length == 3)
     val not = NotClause(Filter("service", List("payment-svc"), Ops.EQ))
     assert(SegmentIndex.prune(manifest, Some(not), indexed, 0L, 10000L).length == 3)
+  }
+
+  test("alternation regexes OR branch trigram sets and skip files (Op-3)") {
+    // (payment|search): seg2 has "payment", seg3 has "search" → seg1 skipped
+    val alt = Filter("service", List("(payment|search).*"), Ops.REGEX)
+    val files = SegmentIndex.prune(manifest, Some(alt), indexed, 0L, 10000L)
+    assert(files.length == 2 &&
+      files.exists(_.contains("seg2")) && files.exists(_.contains("seg3")), files)
+    // top-level alternation, no group
+    val top = Filter("service", List("payment-svc|search-frontend"), Ops.REGEX)
+    val f2 = SegmentIndex.prune(manifest, Some(top), indexed, 0L, 10000L)
+    assert(f2.length == 2 &&
+      f2.exists(_.contains("seg2")) && f2.exists(_.contains("seg3")), f2)
+    // alternation ANDed with a forced suffix run: the branch OR spans all
+    // segments but "-svc" appears only in seg2 → intersection = seg2
+    val mixed = Filter("service", List("(checkout|payment)-svc"), Ops.REGEX)
+    val f3 = SegmentIndex.prune(manifest, Some(mixed), indexed, 0L, 10000L)
+    assert(f3.length == 1 && f3.head.contains("seg2"), f3)
+    // a short branch (no trigram) poisons the OR → all segments (sound)
+    val shortBranch = Filter("service", List("(ab|payment)"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(shortBranch), indexed, 0L, 10000L)
+      .length == 3)
   }
 
   test("regex literal extraction prunes segments (F4 trigram pruning)") {
@@ -117,13 +139,36 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(SegmentIndex.requiredLiterals("foo\\.bar") == Seq("foo.bar"))
     // class shorthands break the run
     assert(SegmentIndex.requiredLiterals("foo\\d+bar") == Seq("foo", "bar"))
-    // quantifier braces make the preceding atom optional (conservative)
-    assert(SegmentIndex.requiredLiterals("timeout{2,3}s") == Seq("timeou"))
-    // alternation / groups: no pruning
-    assert(SegmentIndex.requiredLiterals("(a|b)cdef").isEmpty)
+    // {m,n} with m>=1 repeats the atom m times ("timeout{2,3}" must
+    // contain "timeoutt"); n>m detaches the following run
+    assert(SegmentIndex.requiredLiterals("timeout{2,3}s") == Seq("timeoutt"))
+    // alternation branches are conditional → excluded from the flat view,
+    // but an ANDed run alongside them is still required
+    assert(SegmentIndex.requiredLiterals("(a|b)cdef") == Seq("cdef"))
     assert(SegmentIndex.requiredLiterals("ab|cdef").isEmpty)
     // runs under 3 chars carry no trigram
     assert(SegmentIndex.requiredLiterals("ab.cd").isEmpty)
+    // malformed regex → no pruning
+    assert(SegmentIndex.requiredLiterals("foo(bar").isEmpty)
+    assert(SegmentIndex.requiredLiterals("foo[bar").isEmpty)
+  }
+
+  test("requiredTrigrams builds the AND/OR tree") {
+    import SegmentIndex.TriReq._
+    assert(SegmentIndex.requiredTrigrams("foo|bar") ==
+      AnyOf(Seq(Lit("foo"), Lit("bar"))))
+    assert(SegmentIndex.requiredTrigrams("(foo|bar)baz") ==
+      All(Seq(AnyOf(Seq(Lit("foo"), Lit("bar"))), Lit("baz"))))
+    // nested alternation
+    assert(SegmentIndex.requiredTrigrams("(aaa(bbb|ccc)|ddd)") ==
+      AnyOf(Seq(All(Seq(Lit("aaa"), AnyOf(Seq(Lit("bbb"), Lit("ccc"))))),
+        Lit("ddd"))))
+    // non-capturing group; optional group drops its requirement
+    assert(SegmentIndex.requiredTrigrams("(?:foo|bar)x") ==
+      All(Seq(AnyOf(Seq(Lit("foo"), Lit("bar"))), Lit("x"))))
+    assert(SegmentIndex.requiredTrigrams("(foo|bar)?baz") == Lit("baz"))
+    // empty branch → whole alternation unconstrained
+    assert(SegmentIndex.requiredTrigrams("(foo|)bar") == Lit("bar"))
   }
 
   test("pruned scan result equals full scan result") {
