@@ -405,6 +405,30 @@ object QueryEngine {
     all.reduceLeft(_ unionByName _).orderBy(STEP_TS, LABEL)
   }
 
+  /** Combined result of one AST evaluation: the chart series stream plus
+    * the auto-exemplar stream per log/trace base expression. */
+  case class AstResults(chart: DataFrame, exemplars: Map[String, DataFrame])
+
+  /** O1 orchestration (reference QueryApi.scala:235-270): the reference
+    * streams exemplar events automatically NEXT TO every log/trace chart
+    * expression over the same SSE channel — one query in, two result
+    * kinds out. Here one call compiles the AST once and returns the chart
+    * series plus, for every returning log/trace base expression, its
+    * exemplar frame (same filter/extract/compute pipeline feeding both —
+    * [[exemplars]] and [[chart]] share `prepared`, so filter pushdown and
+    * segment pruning decisions are identical). Metrics expressions get no
+    * exemplar stream, matching the reference's dataset gate. */
+  def evaluateWithExemplars(tables: String => Telemetry, ast: ASTInput,
+      startMs: Long, endMs: Long, stepMs: Long): AstResults = {
+    val chart = evaluate(tables, ast, startMs, endMs, stepMs)
+    val ex = ast.baseExpressions.toList.sortBy(_._1).collect {
+      case (id, b) if b.returnResults &&
+          (b.dataset == "logs" || b.dataset == "traces") =>
+        id -> exemplars(tables(b.dataset), b, startMs, endMs)
+    }.toMap
+    AstResults(chart, ex)
+  }
+
   private def seriesLabel(id: String, node: AstNode): String = node match {
     case b: BaseExpr => b.filter.show
     case _ => id

@@ -134,6 +134,33 @@ object EngineQueries {
       .orderBy("event_id")
   }
 
+  // O1 auto-exemplar orchestration: ONE AST evaluation returns the chart
+  // series AND the exemplar stream for the log expression (reference
+  // QueryApi.scala:235-270 streams both over one SSE channel). Window
+  // sized so the exemplar limit never truncates (ms-tie order at a limit
+  // boundary is engine-dependent).
+  def ast_chart_with_exemplars(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs", "order": "DESC", "limit": 100000,
+        |  "filter": {"op": "and",
+        |    "q1": {"k": "value", "v": ["198"], "op": "gt", "dataType": "number"},
+        |    "q2": {"k": "event_type", "v": ["purchase"], "op": "eq"}},
+        |  "chart": {"aggregation": "count", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val res = QueryEngine.evaluateWithExemplars(
+      tables(s, dir), ast, START, END, DAY)
+    val chart = res.chart.select(
+      lit("chart").as("kind"), col("step_ts"),
+      col("group_key").as("label"), round(col("value"), 6).as("value"),
+      lit(null).cast("long").as("event_id"))
+    val ex = res.exemplars("a").select(
+      lit("exemplar").as("kind"),
+      expr("ts div 1000000").as("step_ts"),
+      col("event_type").as("label"), col("value"), col("event_id"))
+    chart.unionByName(ex).orderBy("kind", "step_ts", "label", "event_id")
+  }
+
   // §3.1 step 6: multi-expression orchestration — two returned series plus
   // a formula over them, unioned into one (step_ts, group_key, value,
   // label) stream (U1 through the AST; labels = filter text for grouped-
@@ -427,6 +454,7 @@ object EngineQueries {
     "ast_duration_filter" -> ast_duration_filter _,
     "ast_chart_minmax" -> ast_chart_minmax _,
     "ast_exemplars" -> ast_exemplars _,
+    "ast_chart_with_exemplars" -> ast_chart_with_exemplars _,
     "ast_exemplars_metrics" -> ast_exemplars_metrics _,
     "ast_formula_avg_operand" -> ast_formula_avg_operand _,
     "ast_relative_time" -> ast_relative_time _,
@@ -554,6 +582,18 @@ object EngineQueries {
       """SELECT event_id, event_type, value FROM events
         |WHERE value > 198.0 AND event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "ast_chart_with_exemplars" ->
+      """SELECT * FROM (
+        |  SELECT 'chart' AS kind,
+        |    (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    event_type AS label, round(CAST(count(*) AS DOUBLE), 6) AS value,
+        |    CAST(NULL AS BIGINT) AS event_id
+        |  FROM events WHERE value > 198.0 AND event_type = 'purchase'
+        |  GROUP BY step_ts, label
+        |  UNION ALL
+        |  SELECT 'exemplar', epoch_ms(ts), event_type, value, event_id
+        |  FROM events WHERE value > 198.0 AND event_type = 'purchase')
+        |ORDER BY kind, step_ts, label, event_id""".stripMargin,
     "ast_relative_time" ->
       """SELECT (epoch_ms(ts) // 1200000) * 1200000 AS step_ts,
         |  event_type AS group_key, round(sum(value), 6) AS value
