@@ -131,6 +131,75 @@ object StreamingQueries {
       .orderBy("ts", "event_type")
   }
 
+  /** A2-ingest, production shape: append-mode + watermark. Each minute
+    * window emits EXACTLY ONCE when the watermark (max event time − 1 h)
+    * passes its end, and lands as parquet segment files; a manifest
+    * (file, row_count, min/max ts, fingerprints) is then built over the
+    * written files — the same two artifacts the reference's collector
+    * produces per closed rollup block (segment + `metric_seg` row). The
+    * complete-mode memory-sink twin `st3` stays verification-only; this
+    * is the real ingest loop shape.
+    *
+    * The output is read back THROUGH the manifest's file list, so the
+    * oracle hash also proves the manifest covers every written segment.
+    * Closed-window set = windows with end <= max event time − 1 h:
+    * deterministic because the file stream source orders files
+    * deterministically and AvailableNow runs a final no-data batch to
+    * flush watermark-closed windows (the reason it exists vs Once).
+    */
+  def st4_rollup_segments(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_st4_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    // fresh run dir: the entry is idempotent and its output deterministic
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val segDir = s"$base/segments"
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+    val plan = src
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "60000 milliseconds"), col("event_type"))
+      .agg(
+        sum(dec(col("value"))).as("dsum"),
+        count(lit(1)).as("n"),
+        min(col("value")).as("rollup_min"),
+        max(col("value")).as("rollup_max"))
+      .select(
+        (unix_timestamp(col("window.start")) * 1000L).as("ts"),
+        col("event_type"),
+        col("dsum").cast("double").as("rollup_sum"),
+        col("n").cast("double").as("rollup_count"),
+        col("rollup_min"), col("rollup_max"),
+        (col("dsum").cast("double") / col("n")).as("rollup_avg"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("parquet")
+        .option("path", segDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    val segFiles = s.read.parquet(segDir)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val manifest = graft.sources.SegmentIndex
+      .build(s, segFiles, "ts", identity, Seq("event_type"))
+    manifest.write.mode("overwrite").parquet(s"$base/manifest")
+    val listed = s.read.parquet(s"$base/manifest")
+      .select("file").collect().map(_.getString(0)).toSeq
+    s.read.parquet(listed: _*)
+      .select(col("ts"), col("event_type"), col("rollup_sum"),
+        col("rollup_count"), col("rollup_min"), col("rollup_max"),
+        col("rollup_avg"))
+      .orderBy("ts", "event_type")
+  }
+
   /** T4: per-key running stats via flatMapGroupsWithState across
     * micro-batches; the final update per key must equal the batch
     * aggregate (count/max/last-ts are monotone, so max over the update
@@ -166,7 +235,8 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1_stream_window _,
     "st2_running_stats" -> st2_running_stats _,
-    "st3_rollup_ingest" -> st3_rollup_ingest _
+    "st3_rollup_ingest" -> st3_rollup_ingest _,
+    "st4_rollup_segments" -> st4_rollup_segments _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,6 +257,18 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    AS rollup_avg
         |FROM events GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "st4_rollup_segments" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+        |r AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS ts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum,
+        |    CAST(count(*) AS DOUBLE) AS rollup_count,
+        |    min(value) AS rollup_min, max(value) AS rollup_max,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      AS rollup_avg
+        |  FROM events GROUP BY 1, 2)
+        |SELECT r.* FROM r, mx WHERE r.ts + 60000 <= mx.m - 3600000
+        |ORDER BY ts, event_type""".stripMargin
   )
 }
