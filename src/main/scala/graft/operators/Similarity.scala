@@ -173,6 +173,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact kNN graph by broadcast nested-loop: the corpus joins against a
+    * broadcast copy of itself, so every partition scores its rows against
+    * all vectors locally — embarrassingly parallel, no pair shuffle. The
+    * per-row top-k compiles to WindowGroupLimit, which caps map-side
+    * BEFORE the window shuffle: 25M scored pairs shrink to ≤ k per vector
+    * in flight. Exact kNN is inherently quadratic — right while one side
+    * fits a broadcast (≲ 1M vectors); beyond that, [[knnGraph]]
+    * (LSH-blocked) is the approximate scale path. */
+  def knnGraphExact(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val right = broadcast(
+      vecs.select(col("id").as("id_b"), col("v").as("v_b")))
+    val scored = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+      .join(right, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(desc("score"), col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id_a", "id_b", "score", "rank")
+  }
+
   /** All-pairs top-k neighbors per vector within LSH blocks — the batch
     * companion of annTopK for building kNN graphs. Quadratic within a
     * block; block count grows with bits. `dim` is the embedding width the

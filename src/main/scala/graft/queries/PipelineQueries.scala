@@ -102,6 +102,14 @@ object PipelineQueries {
       .select(col("embedding")).collect()(0)
       .getSeq[Float](0).map(_.toDouble)
 
+  // exact kNN graph (top-5 neighbors per vector) via broadcast
+  // nested-loop + WindowGroupLimit — deterministic, DuckDB-expressible
+  def s8_knn_graph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphExact(embs(s, dir), "vec_id", "embedding", k = 5)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("id_a", "rank")
+
   def s1_ann_bruteforce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         queryVec(s, dir), k = 20)
@@ -267,6 +275,7 @@ object PipelineQueries {
     "p2_stratified_sample" -> p2_stratified_sample _,
     "p3_token_budget" -> p3_token_budget _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
+    "s8_knn_graph" -> s8_knn_graph _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
     "t1_token_count" -> t1_token_count _,
@@ -348,6 +357,18 @@ object PipelineQueries {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN m ON d.doc_id = m.u
         |ORDER BY doc_id""".stripMargin,
+    "s8_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.e, b.e) AS score
+        |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+        |r AS (
+        |  SELECT id_a, id_b, score, row_number() OVER (
+        |    PARTITION BY id_a ORDER BY score DESC, id_b) AS rank
+        |  FROM p)
+        |SELECT id_a, id_b, round(score, 6) AS score, rank
+        |FROM r WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -99,6 +99,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("exact kNN graph ranks neighbors by cosine") {
+    val g = Similarity.knnGraphExact(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // neighbors of 0 = (1.0,0,0,0): closest 1 (cos≈0.994), then 4 (≈0.707)
+    assert(g((0L, 1)) == 1L && g((0L, 2)) == 4L)
+    // neighbors of 3 = (-1,0,0,0): everything is <= 0; best is 2 (cos 0)
+    assert(g((3L, 1)) == 2L)
+  }
+
   test("embedding near-dup pairs") {
     val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
         threshold = 0.95)
