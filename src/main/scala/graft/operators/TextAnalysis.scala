@@ -17,18 +17,26 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(tokens(textCol))
 
+  /** One-pass token statistics (count / char sum / distinct / long-word
+    * surplus / per-language stopword hits) — a custom codegen expression;
+    * the HOF formulations it replaces were CodegenFallback and re-split
+    * the text once per reference. */
+  def tokenStats(textCol: Column): Column =
+    graft.functions.TokenStatsExpression.tokenStats(
+      tokens(textCol), langProfiles.map(_._2))
+
   /** BPE-ish subword count estimate: words + punctuation clusters + digit
     * runs counted separately (a cheap stand-in for a real tokenizer's
     * token count — useful for budget estimates at corpus scale). */
-  def subwordCountEstimate(textCol: Column): Column = {
-    val words = size(split(trim(textCol), "[\\s]+"))
+  def subwordCountEstimate(textCol: Column): Column =
+    subwordFrom(textCol, tokenStats(textCol))
+
+  private def subwordFrom(textCol: Column, st: Column): Column = {
+    val words = st.getField("n_tokens")
     val punct = length(regexp_replace(textCol, "[^\\p{Punct}]", ""))
-    val digits = size(filter(split(textCol, "[^0-9]+"), s => length(s) > 0))
+    val digits = size(regexp_extract_all(textCol, lit("[0-9]+"), lit(0)))
     // long words tokenize into ~len/4 subwords
-    val longWordExtra = aggregate(
-      tokens(textCol), lit(0L),
-      (acc, w) => acc + when(length(w) > 8, floor((length(w) - 8) / 4)).otherwise(0L))
-    words + punct + digits + longWordExtra
+    words + punct + digits + st.getField("long_extra")
   }
 
   // ----------------------------------------------------------- language ID
@@ -46,18 +54,25 @@ object TextAnalysis {
       "une", "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au")
   )
 
+  /** Stopword profiles in deterministic language order — the
+    * `profile_hits` array of [[tokenStats]] follows this order. */
+  private val langProfiles: Seq[(String, Seq[String])] =
+    stopwords.toSeq.sortBy(_._1)
+
   /** Heuristic language ID over {en, es, de, fr, zh, unknown}:
     * CJK character ratio decides zh; otherwise the language whose
     * stopword profile overlaps the token set most (ties → lexicographic,
     * no overlap → "unknown"). N-gram-profile classification in the
     * Cavnar-Trenkle tradition, reduced to function-word profiles.
     */
-  def languageId(textCol: Column): Column = {
+  def languageId(textCol: Column): Column =
+    languageIdFrom(textCol, tokenStats(textCol))
+
+  private def languageIdFrom(textCol: Column, st: Column): Column = {
     val cjkCount = length(regexp_replace(textCol, "[^\\x{4E00}-\\x{9FFF}]", ""))
-    val toks = transform(tokens(textCol), lower _)
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+    val scores = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        st.getField("profile_hits").getItem(i).as("score"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
@@ -72,14 +87,15 @@ object TextAnalysis {
     * count sanity, mean word length sanity, punctuation ratio, and
     * repetition (distinct-token ratio). The usual pre-training filter
     * features (C4/Gopher-style rules), expressed as one Column. */
-  def qualityScore(textCol: Column): Column = {
+  def qualityScore(textCol: Column): Column =
+    qualityFrom(textCol, tokenStats(textCol))
+
+  private def qualityFrom(textCol: Column, st: Column): Column = {
     val len = greatest(length(textCol), lit(1))
     val alphaRatio =
       length(regexp_replace(textCol, "[^\\p{L} ]", "")).cast("double") / len
-    val toks = tokens(textCol)
-    val nTok = greatest(size(toks), lit(1))
-    val meanWordLen = aggregate(toks, lit(0),
-      (acc, w) => acc + length(w)).cast("double") / nTok
+    val nTok = greatest(st.getField("n_tokens"), lit(1L))
+    val meanWordLen = st.getField("char_sum").cast("double") / nTok
     val wordLenScore =
       when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     val sizeScore =
@@ -89,7 +105,7 @@ object TextAnalysis {
     val punctRatio =
       length(regexp_replace(textCol, "[^\\p{Punct}]", "")).cast("double") / len
     val punctScore = when(punctRatio < 0.2, 1.0).otherwise(0.3)
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val distinctRatio = st.getField("n_distinct").cast("double") / nTok
     val repetitionScore = when(distinctRatio > 0.3, 1.0)
       .when(distinctRatio > 0.1, 0.6).otherwise(0.2)
     round(
@@ -113,14 +129,17 @@ object TextAnalysis {
 
   /** One-pass document profile: id, language, token count, quality,
     * fingerprint — the per-document columns a corpus-curation pipeline
-    * materializes before filtering/dedup. */
+    * materializes before filtering/dedup. The token statistics struct is
+    * computed once per row and shared by every derived column. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      languageId(col(textCol)).as("lang_pred"),
-      tokenCount(col(textCol)).as("n_tokens"),
-      subwordCountEstimate(col(textCol)).as("n_subwords_est"),
-      qualityScore(col(textCol)).as("quality"),
-      contentHash(col(textCol)).as("content_hash"),
-      fingerprintSketch(col(textCol)).as("fingerprint"))
+    df.select(col(idCol), col(textCol).as("_text"),
+        tokenStats(col(textCol)).as("_st"))
+      .select(
+        col(idCol),
+        languageIdFrom(col("_text"), col("_st")).as("lang_pred"),
+        col("_st").getField("n_tokens").as("n_tokens"),
+        subwordFrom(col("_text"), col("_st")).as("n_subwords_est"),
+        qualityFrom(col("_text"), col("_st")).as("quality"),
+        contentHash(col("_text")).as("content_hash"),
+        fingerprintSketch(col("_text")).as("fingerprint"))
 }

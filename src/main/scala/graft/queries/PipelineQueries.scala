@@ -206,7 +206,10 @@ object PipelineQueries {
     TextAnalysis.profile(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"),
         hex(col("content_hash")).as("content_hash_hex"),
-        concat_ws("-", transform(col("fingerprint"), h => hex(h)))
+        // explicit per-element hex: a transform() lambda here would be
+        // CodegenFallback and drop the whole projection out of codegen
+        concat_ws("-", (1 to 4).map(i =>
+          hex(element_at(col("fingerprint"), i))): _*)
           .as("fingerprint_hex"))
       .orderBy("doc_id")
 
