@@ -58,4 +58,19 @@ class SamplingSpec extends AnyFunSuite {
       numPartitions = 2).select("id").as[Long].collect().sorted
     assert(got.sameElements(Array(1L, 2L)))
   }
+
+  test("takeUntilBudget boundary cases: nothing fits / everything fits") {
+    val df = Seq((1L, 10L), (2L, 10L)).toDF("id", "w")
+    // first row already exceeds the budget → empty prefix
+    assert(Sampling.takeUntilBudget(df, "w", 5L, Seq(col("id")),
+      numPartitions = 2).count() == 0L)
+    // total weight within budget → identity (no filter at all)
+    val all = Sampling.takeUntilBudget(df, "w", 20L, Seq(col("id")),
+      numPartitions = 2).select("id").as[Long].collect().sorted
+    assert(all.sameElements(Array(1L, 2L)))
+    // budget exactly at a row boundary keeps that row (inclusive sum)
+    val boundary = Sampling.takeUntilBudget(df, "w", 10L, Seq(col("id")),
+      numPartitions = 2).select("id").as[Long].collect()
+    assert(boundary.sameElements(Array(1L)))
+  }
 }
