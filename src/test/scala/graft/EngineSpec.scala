@@ -131,6 +131,27 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("ts")).toSeq == Seq(11000L, 3000L))
   }
 
+  test("evaluateWithExemplars: exemplars for log exprs only, one evaluation") {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs", "limit": 10,
+        |        "filter": {"k": "level", "v": ["a"], "op": "eq"},
+        |        "chart": {"aggregation": "count", "groupBys": []}},
+        |  "m": {"dataset": "metrics",
+        |        "filter": {"k": "level", "v": ["a"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "rollup": "sum", "groupBys": []}}
+        |}}""".stripMargin)
+    val mtel = Telemetry.millis(
+      df.withColumn("rollup_sum", col("value"))
+        .withColumn("rollup_count", lit(1.0)),
+      "ts", col("value"))
+    val res = QueryEngine.evaluateWithExemplars(
+      d => if (d == "metrics") mtel else tel, ast, 0L, 100000L, 10000L)
+    assert(res.chart.count() > 0)
+    assert(res.exemplars.keySet == Set("a"), "metrics exprs get no exemplars")
+    assert(res.exemplars("a").count() == 3) // the three level=a rows
+  }
+
   test("tag values and cardinality") {
     val e = BaseExpr(id = "a", filter = Filter("value", List("0"), Ops.GT,
       dataType = DataTypes.NUMBER))
