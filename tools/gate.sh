@@ -13,7 +13,7 @@ sbt -batch Test/compile
 echo "== gate: sf0.001 smoke (SparkEntry.entry rows>0, all queries run) =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gate_smoke" >/tmp/gate_smoke.log 2>&1 \
   || { tail -30 /tmp/gate_smoke.log; echo "GATE FAIL: smoke Verify crashed"; exit 1; }
-n=$(ls /tmp/gate_smoke/*.parquet -d 2>/dev/null | wc -l)
+n=$(ls /tmp/gate_smoke | wc -l)
 [ "$n" -ge 60 ] || { echo "GATE FAIL: only $n query outputs (expected >=60)"; exit 1; }
 
 if [ "${1:-}" = "--full" ]; then
