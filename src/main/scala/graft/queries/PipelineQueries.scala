@@ -102,6 +102,22 @@ object PipelineQueries {
       .select(col("embedding")).collect()(0)
       .getSeq[Float](0).map(_.toDouble)
 
+  // §2.9: the SQL-registered function surface end-to-end — the same
+  // custom Catalyst expressions (graft_cosine here) callable from
+  // spark.sql via GraftExtensions, oracle-checked against DuckDB's
+  // native list_cosine_similarity
+  def s9_sql_cosine(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    embs(s, dir).createOrReplaceTempView("embeddings_v")
+    s.sql(
+      """SELECT a.vec_id,
+        |  round(graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                     CAST(q.embedding AS ARRAY<DOUBLE>)), 6) AS cos0
+        |FROM embeddings_v a,
+        |     (SELECT embedding FROM embeddings_v WHERE vec_id = 0) q
+        |ORDER BY a.vec_id""".stripMargin)
+  }
+
   // exact kNN graph (top-5 neighbors per vector) via broadcast
   // nested-loop + WindowGroupLimit — deterministic, DuckDB-expressible
   def s8_knn_graph(s: SparkSession, dir: String): DataFrame =
@@ -279,6 +295,7 @@ object PipelineQueries {
     "p3_token_budget" -> p3_token_budget _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s8_knn_graph" -> s8_knn_graph _,
+    "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
     "t1_token_count" -> t1_token_count _,
@@ -360,6 +377,12 @@ object PipelineQueries {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN m ON d.doc_id = m.u
         |ORDER BY doc_id""".stripMargin,
+    "s9_sql_cosine" ->
+      """SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.e), 6) AS cos0
+        |FROM embeddings a,
+        |  (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY a.vec_id""".stripMargin,
     "s8_knn_graph" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |p AS (
