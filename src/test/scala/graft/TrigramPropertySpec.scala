@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SegmentIndex
+import graft.sources.SegmentIndex.TriReq
+
+/** Property test for the regex → trigram-requirement compiler: on random
+  * regexes from a generative grammar, any string that MATCHES the regex
+  * must SATISFY the requirement tree (literal containment / AND / OR).
+  * That implication is exactly what makes manifest pruning sound — a
+  * segment lacking a required trigram can be skipped only if no matching
+  * string can avoid containing the literal.
+  *
+  * Matching strings are produced alongside each regex by construction
+  * (pick a branch per alternation, repeat quantified atoms a random
+  * legal number of times), then double-checked with java.util.regex.
+  */
+class TrigramPropertySpec extends AnyFunSuite {
+
+  // a generated pattern = (regex fragment, generator of matching strings)
+  private case class Pat(re: String, sample: Gen[String])
+
+  private val litChar: Gen[Char] = Gen.oneOf(('a' to 'h') ++ ('0' to '3'))
+
+  private def litRun(maxLen: Int): Gen[Pat] =
+    for {
+      n <- Gen.chooseNum(1, maxLen)
+      cs <- Gen.listOfN(n, litChar)
+    } yield { val s = cs.mkString; Pat(s, Gen.const(s)) }
+
+  private val dotAtom: Gen[Pat] =
+    litChar.map(c => Pat(".", Gen.const(c.toString)))
+
+  private val classAtom: Gen[Pat] =
+    Gen.const(Pat("[xyz]", Gen.oneOf("x", "y", "z")))
+
+  private def quantified(inner: Pat): Gen[Pat] = Gen.oneOf(
+    // ? : zero or one
+    Gen.oneOf(true, false).map(keep =>
+      Pat(s"(?:${inner.re})?", if (keep) inner.sample else Gen.const(""))),
+    // + : one to three
+    Gen.chooseNum(1, 3).map(k =>
+      Pat(s"(?:${inner.re})+",
+        Gen.listOfN(k, inner.sample).map(_.mkString))),
+    // {2,3}
+    Gen.chooseNum(2, 3).map(k =>
+      Pat(s"(?:${inner.re}){2,3}",
+        Gen.listOfN(k, inner.sample).map(_.mkString))))
+
+  private def alternation(depth: Int): Gen[Pat] =
+    for {
+      n <- Gen.chooseNum(2, 3)
+      branches <- Gen.listOfN(n, sequence(depth - 1))
+      pick <- Gen.chooseNum(0, n - 1)
+    } yield Pat(
+      branches.map(_.re).mkString("(", "|", ")"),
+      Gen.delay(branches(pick).sample))
+
+  private def atom(depth: Int): Gen[Pat] =
+    if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom)
+    else Gen.frequency(
+      4 -> litRun(6),
+      1 -> dotAtom,
+      1 -> classAtom,
+      2 -> alternation(depth),
+      1 -> Gen.lzy(atom(depth - 1).flatMap(quantified)))
+
+  private def sequence(depth: Int): Gen[Pat] =
+    for {
+      n <- Gen.chooseNum(1, 4)
+      parts <- Gen.listOfN(n, atom(depth))
+    } yield Pat(
+      parts.map(_.re).mkString,
+      Gen.sequence[List[String], String](parts.map(_.sample)).map(_.mkString))
+
+  /** Does `s` satisfy the requirement tree? */
+  private def satisfies(s: String, r: TriReq): Boolean = r match {
+    case TriReq.Free => true
+    case TriReq.Lit(l) => l.length < 3 || s.contains(l)
+    case TriReq.All(xs) => xs.forall(satisfies(s, _))
+    case TriReq.AnyOf(xs) => xs.exists(satisfies(s, _))
+  }
+
+  test("matching strings always satisfy the trigram requirement tree") {
+    val gen = for {
+      p <- sequence(3)
+      s <- p.sample
+    } yield (p.re, s)
+    var checked = 0
+    for (i <- 0 until 500) {
+      val (re, s) = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      // sanity: the constructed sample really matches
+      assert(s.matches(re), s"generator bug: '$s' !~ /$re/ (seed $i)")
+      val req = SegmentIndex.requiredTrigrams(re)
+      assert(satisfies(s, req),
+        s"soundness violation: '$s' matches /$re/ but fails $req (seed $i)")
+      checked += 1
+    }
+    assert(checked == 500)
+  }
+
+  test("requirement is not vacuous on plain literals") {
+    // guard against the trivial 'always Free' implementation
+    assert(SegmentIndex.requiredTrigrams("abcdef") == TriReq.Lit("abcdef"))
+    assert(SegmentIndex.requiredTrigrams("abc(def|ghi)") != TriReq.Free)
+  }
+}
