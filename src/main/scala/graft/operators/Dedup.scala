@@ -383,7 +383,7 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
-      Similarity.toDoubleVec(col(vecCol)).as("v"))
+      col(vecCol).as("v"))
     val withBlock =
       if (lshBits > 0)
         vecs.withColumn("block",

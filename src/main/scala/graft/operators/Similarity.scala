@@ -37,7 +37,7 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        cosine(toDoubleVec(col(vecCol)), litVec(query)).as("score"))
+        cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
 
@@ -87,8 +87,8 @@ object Similarity {
       }
     }
     val withBucket = df.select(col(idCol).as("id"),
-      toDoubleVec(col(vecCol)).as("v"),
-      hyperplaneBucket(toDoubleVec(col(vecCol)), bits, dim).as("bucket"))
+      col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), bits, dim).as("bucket"))
     withBucket
       .where(hammingBits(col("bucket"), lit(queryBucket)) <= probeRadius)
       .select(col("id"), cosine(col("v"), litVec(query)).as("score"))
@@ -166,7 +166,7 @@ object Similarity {
     val probes = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qn).map { case (a, b) => a * b }.sum, i) }
       .sortBy(-_._1).take(nProbe).map(_._2).toSeq
-    df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .where(ivfAssign(col("v"), cents).isin(probes: _*))
       .select(col("id"), cosine(col("v"), litVec(query)).as("score"))
       .orderBy(desc("score"), col("id"))
@@ -183,10 +183,15 @@ object Similarity {
     * (LSH-blocked) is the approximate scale path. */
   def knnGraphExact(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val right = broadcast(
       vecs.select(col("id").as("id_b"), col("v").as("v_b")))
+    // the probe side carries ALL the O(N²) scoring work — spread it
+    // across the cluster even when the source is one small file (a
+    // single-partition probe side serializes the whole join on one core)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val scored = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+      .repartition(parts, col("id_a"))
       .join(right, col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("score"))
@@ -203,7 +208,7 @@ object Similarity {
     * hyperplanes are drawn over. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bits: Int = 12, dim: Int = 64): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("block", hyperplaneBucket(col("v"), bits, dim))
     val a = vecs.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
     val b = vecs.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
