@@ -127,6 +127,29 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- pipeline
 
+  /** Benchmark decontamination: for every corpus document, the number of
+    * distinct character n-grams it shares with a benchmark/eval corpus.
+    * Docs with n_shared > 0 are contamination candidates to drop before
+    * training.
+    *
+    * Scale shape: the benchmark's distinct gram-hash set is tiny next to
+    * the corpus (eval sets are MBs) — it is aggregated once and
+    * BROADCAST; the corpus side explodes its per-doc gram hashes map-side
+    * and the broadcast join filters them immediately, so the only shuffle
+    * carries (doc_id) for MATCHED grams — at 100 TB that is proportional
+    * to the contamination, not the corpus. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def grams = graft.functions.SketchExpressions.charNgramHashes(col(textCol), n)
+    val benchGrams = benchmark.select(explode(grams).as("g")).distinct()
+    // per-doc grams are already distinct (charNgramHashes dedups), so a
+    // plain count after the join counts distinct shared grams
+    corpus.select(col(idCol), explode(grams).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** One-pass document profile: id, language, token count, quality,
     * fingerprint — the per-document columns a corpus-curation pipeline
     * materializes before filtering/dedup. The token statistics struct is

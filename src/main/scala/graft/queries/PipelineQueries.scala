@@ -238,6 +238,17 @@ object PipelineQueries {
         sum(when(col("q") >= 0.8, 1L).otherwise(0L)).as("n_pass"))
       .orderBy("source")
 
+  // t5: eval-set decontamination — distinct shared 8-grams between each
+  // corpus doc and a benchmark slice; the benchmark gram set is broadcast
+  // so the corpus never shuffles (only matched doc_ids do)
+  def t5_contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contamination(
+        d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+        "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   // t4: the composed curation pipeline — profile → language/quality
   // filter → exact dedup → near-dup removal (minhash LSH) → corpus stats.
   // The end-to-end shape a pre-training data pipeline runs; each stage is
@@ -303,6 +314,7 @@ object PipelineQueries {
     "t2_fingerprint" -> t2_fingerprint _,
     "t3_quality_by_source" -> t3_quality_by_source _,
     "t4_curation_pipeline" -> t4_curation_pipeline _,
+    "t5_contamination" -> t5_contamination _,
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _
   )
@@ -329,6 +341,18 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "t5_contamination" ->
+      """WITH bg AS (
+        |  SELECT DISTINCT unnest(list_distinct([substr(text, i, 8)
+        |    for i in range(1, greatest(length(text), 8) - 6)])) AS g
+        |  FROM documents WHERE doc_id < 20),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct([substr(text, i, 8)
+        |    for i in range(1, greatest(length(text), 8) - 6)])) AS g
+        |  FROM documents WHERE doc_id >= 20)
+        |SELECT cg.doc_id, count(*) AS n_shared
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
     "p1_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824

@@ -84,6 +84,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination counts distinct shared n-grams against a benchmark") {
+    // 29 chars → 22 distinct 8-grams; fully contained in docs 0/1/2,
+    // partially in doc 5 ("fox LEAPS over"), absent from docs 3/4
+    val bench = Seq((100L, "brown fox jumps over the lazy")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 5L), s"got $out")
+    assert(out(0L) == 22 && out(1L) == 22 && out(2L) == 22)
+    assert(out(5L) > 0 && out(5L) < 22, s"partial overlap, got ${out(5L)}")
+    assert(!out.contains(3L) && !out.contains(4L), "unrelated docs clean")
+  }
+
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
