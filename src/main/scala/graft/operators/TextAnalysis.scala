@@ -127,6 +127,23 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- pipeline
 
+  /** Gopher-style repetition signal: the duplicate word-bigram fraction
+    * (1 − distinct/total). Boilerplate and template spam repeat phrases;
+    * a high fraction flags them for the curation filter. Bigrams ride
+    * the hashed word-shingle expression (distinct 64-bit hashes), so no
+    * string arrays shuffle or sort. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val total = greatest(size(toks) - 1, lit(1)).cast("long")
+    val distinctBg = size(graft.functions.SketchExpressions
+      .wordShingleHashes(toks, 2)).cast("long")
+    df.select(col(idCol), total.as("n_bigrams"),
+        distinctBg.as("n_distinct_bigrams"))
+      .withColumn("dup_frac", round(
+        lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"),
+        6))
+  }
+
   /** Benchmark decontamination: for every corpus document, the number of
     * distinct character n-grams it shares with a benchmark/eval corpus.
     * Docs with n_shared > 0 are contamination candidates to drop before

@@ -249,6 +249,13 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // t6: duplicate word-bigram fraction (Gopher repetition rule) —
+  // deterministic, DuckDB-expressible via string bigrams (the hashed
+  // shingles preserve distinct counts barring 64-bit collisions)
+  def t6_repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   // t4: the composed curation pipeline — profile → language/quality
   // filter → exact dedup → near-dup removal (minhash LSH) → corpus stats.
   // The end-to-end shape a pre-training data pipeline runs; each stage is
@@ -315,6 +322,7 @@ object PipelineQueries {
     "t3_quality_by_source" -> t3_quality_by_source _,
     "t4_curation_pipeline" -> t4_curation_pipeline _,
     "t5_contamination" -> t5_contamination _,
+    "t6_repetition" -> t6_repetition _,
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _
   )
@@ -341,6 +349,23 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "t6_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks), 2)),
+        |      i -> CASE WHEN i + 1 <= len(toks)
+        |                THEN toks[i] || ' ' || toks[i + 1]
+        |                ELSE toks[i] END) AS bigrams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+        |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        |    / len(bigrams), 6) AS dup_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
     "t5_contamination" ->
       """WITH bg AS (
         |  SELECT DISTINCT unnest(list_distinct([substr(text, i, 8)
