@@ -312,18 +312,23 @@ object Dedup {
     * operator that turns pair lists (minhash/simhash/embedding) into a
     * keep-set.
     *
-    * Scale notes: each round is one join + one min-groupBy on (id) —
-    * shuffle carries (id, candidate-label) pairs only. Rounds needed =
-    * graph diameter; near-dup components are dense and shallow (cliques
-    * plus short chains), so convergence in ≤ ~5 rounds is typical.
+    * Scale notes: each round is two joins + one min-groupBy on (id) —
+    * shuffle carries (id, candidate-label) pairs only. The round combines
+    * neighbor-min propagation with POINTER JUMPING
+    * (label ← min(label, labels[label], min over neighbors' labels)):
+    * jumping doubles the distance information travels per round, so
+    * convergence takes O(log diameter) rounds instead of O(diameter) —
+    * a 10⁶-node chain converges in ~20 rounds, not 10⁶. Labels always
+    * point at a node of the same component (neighbors are reachable;
+    * label(label) is reachable by transitivity), values only decrease,
+    * and the fixpoint of neighbor-min forces a single label per
+    * component — the component minimum.
     * Convergence detection rides the propagation aggregation itself: the
     * old label is carried through the min-groupBy (tagged union row) and
-    * compared in the same job, so each round runs ONE join+shuffle action
+    * compared in the same job, so each round runs ONE shuffle action
     * (the localCheckpoint) plus a scan of the materialized checkpoint for
-    * the changed flag — no separate convergence join. Lineage is cut per
-    * round so the driver loop does not re-execute prior rounds; for
-    * adversarial long-path graphs swap in large-star/small-star (Kiveris
-    * et al. 2014) — same join shape, O(log²) rounds.
+    * the changed flag. Lineage is cut per round so the driver loop does
+    * not re-execute prior rounds.
     *
     * Throws IllegalStateException if maxIters rounds pass without
     * convergence — a silent bail would return split clusters. */
@@ -342,11 +347,17 @@ object Dedup {
         val neighborLabels = edges
           .join(labels.select(col("id").as("v"), col("label")), "v")
           .select(col("u").as("id"), col("label"), lit(false).as("own"))
+        // pointer jump: follow the current label to ITS label
+        val jumped = labels.select(col("id"), col("label").as("_via"))
+          .join(labels.select(col("id").as("_via"), col("label").as("_jl")),
+            "_via")
+          .select(col("id"), col("_jl").as("label"), lit(false).as("own"))
         // Every id has exactly one own=true row (its current label), so
         // max(when(own, label)) recovers the old label inside the same
         // aggregation that computes the new min label.
         val next = labels.select(col("id"), col("label"), lit(true).as("own"))
           .union(neighborLabels)
+          .union(jumped)
           .groupBy("id")
           .agg(min(col("label")).as("label"),
                max(when(col("own"), col("label"))).as("_old"))
@@ -358,9 +369,8 @@ object Dedup {
       }
       if (!converged)
         throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIters rounds; " +
-          "graph diameter exceeds maxIters — raise maxIters or use " +
-          "large-star/small-star for long-path graphs")
+          s"connectedComponents did not converge in $maxIters rounds " +
+          "(pointer jumping needs ~log2(diameter) rounds) — raise maxIters")
       labels.select(col("id"), col("label").as("cluster"))
     } finally edges.unpersist()
   }

@@ -144,6 +144,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    // a 200-node path has diameter 199: pure min-label propagation needs
+    // 199 rounds and would exhaust maxIters=25; pointer jumping doubles
+    // reach per round and must converge in ~log2(199)+const rounds
+    val chain = spark.range(199)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val labels = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "every node joins cluster 0")
+  }
+
   test("LSH bucket cap bounds a degenerate hot bucket") {
     // 50k identical docs → every id lands in one bucket per band. The cap
     // must apply BEFORE per-bucket materialization: the pairing completes
