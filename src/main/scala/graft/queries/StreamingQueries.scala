@@ -200,6 +200,24 @@ object StreamingQueries {
       .orderBy("ts", "event_type")
   }
 
+  /** T3: session windows (30-min inactivity gap) per user — absent in
+    * the reference, subsumed by Spark's `session_window`, demonstrated
+    * here in batch mode (the same expression works under readStream with
+    * a watermark). A session ends gap after its LAST event; the oracle
+    * replicates the semantics with gaps-and-islands SQL (new session
+    * when the gap to the previous event is >= 30 min). */
+  def st5_session_window(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    ev.groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        expr("unix_millis(session_window.start)").as("session_start"),
+        expr("unix_millis(session_window.end)").as("session_end"),
+        col("user_id"), col("n"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** T4: per-key running stats via flatMapGroupsWithState across
     * micro-batches; the final update per key must equal the batch
     * aggregate (count/max/last-ts are monotone, so max over the update
@@ -236,7 +254,8 @@ object StreamingQueries {
     "st1_stream_window" -> st1_stream_window _,
     "st2_running_stats" -> st2_running_stats _,
     "st3_rollup_ingest" -> st3_rollup_ingest _,
-    "st4_rollup_segments" -> st4_rollup_segments _
+    "st4_rollup_segments" -> st4_rollup_segments _,
+    "st5_session_window" -> st5_session_window _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -269,6 +288,22 @@ object StreamingQueries {
         |      AS rollup_avg
         |  FROM events GROUP BY 1, 2)
         |SELECT r.* FROM r, mx WHERE r.ts + 60000 <= mx.m - 3600000
-        |ORDER BY ts, event_type""".stripMargin
+        |ORDER BY ts, event_type""".stripMargin,
+    "st5_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |m AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |         OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (
+        |  SELECT user_id, ms, sum(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT min(ms) AS session_start, max(ms) + 1800000 AS session_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
