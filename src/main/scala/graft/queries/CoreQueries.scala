@@ -264,6 +264,43 @@ object CoreQueries {
       .orderBy("src")
   }
 
+  // U3 set operations: users who clicked but never made a high-value
+  // purchase (EXCEPT) vs users who did both (INTERSECT) — Spark's
+  // built-in set ops, re-agged to a compact deterministic summary
+  // (the value>150 gate keeps both cohorts non-empty in the fixture)
+  def u3_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clickers = ev.where(col("event_type") === "click")
+      .select(col("user_id"))
+    val bigBuyers = ev.where(
+        col("event_type") === "purchase" && col("value") > 150)
+      .select(col("user_id"))
+    val onlyClicked = clickers.except(bigBuyers)
+      .select(col("user_id"), lit("click_only").as("cohort"))
+    val both = clickers.intersect(bigBuyers)
+      .select(col("user_id"), lit("both").as("cohort"))
+    onlyClicked.unionByName(both)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy("cohort")
+  }
+
+  // A14 grouping sets: one pass producing per-event_type totals AND the
+  // grand total (the reference has no grouping sets; Spark's native
+  // GROUPING SETS demonstrates the subsumption with an oracle)
+  def a14_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(event_type) AS BIGINT) AS is_total
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY is_total, event_type""".stripMargin)
+  }
+
   // ------------------------------------------------------------------ J*
   // J1 formula join — div semantics: inner join, drop zero denominator
   // (reference Formula.scala:59-63)
@@ -344,6 +381,8 @@ object CoreQueries {
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
     "u1_union" -> u1_union _,
+    "u3_set_ops" -> u3_set_ops _,
+    "a14_grouping_sets" -> a14_grouping_sets _,
     "j1_formula_div" -> j1_formula_div _,
     "j1_formula_add" -> j1_formula_add _,
     "j2_join_enrich" -> j2_join_enrich _,
@@ -453,6 +492,26 @@ object CoreQueries {
         |  SELECT event_id, value, 'purchases' AS src FROM events
         |  WHERE event_type = 'purchase'
         |) GROUP BY src ORDER BY src""".stripMargin,
+    "u3_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events
+        |      WHERE event_type = 'purchase' AND value > 150.0),
+        |u AS (
+        |  SELECT user_id, 'click_only' AS cohort
+        |  FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT user_id, 'both'
+        |  FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p))
+        |SELECT cohort, count(*) AS n_users, min(user_id) AS min_user,
+        |  max(user_id) AS max_user
+        |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "a14_grouping_sets" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(event_type) AS BIGINT) AS is_total
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY is_total, event_type""".stripMargin,
     "j1_formula_div" ->
       """WITH a AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
