@@ -394,14 +394,24 @@ object Dedup {
       threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).as("v"))
-    val withBlock =
-      if (lshBits > 0)
-        vecs.withColumn("block",
+    val pairs =
+      if (lshBits > 0) {
+        val withBlock = vecs.withColumn("block",
           Similarity.hyperplaneBucket(col("v"), lshBits, 64))
-      else vecs.withColumn("block", lit(0L))
-    val a = withBlock.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withBlock.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+        val a = withBlock.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
+        val b = withBlock.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
+        a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      } else {
+        // exact all-pairs: a hash join on a constant block key would land
+        // every row in one partition and run the N² loop on one core —
+        // broadcast one side and spread the probe side instead
+        val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+        vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+          .repartition(parts, col("id_a"))
+          .join(broadcast(vecs.select(col("id").as("id_b"), col("v").as("v_b"))),
+            col("id_a") < col("id_b"))
+      }
+    pairs
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
