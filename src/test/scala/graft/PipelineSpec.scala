@@ -18,6 +18,32 @@ class PipelineSpec extends AnyFunSuite {
     (5L, "the quick brown fox leaps over the lazy dog near the river bank today") // near dup of 0
   ).toDF("doc_id", "text")
 
+  test("charNgramHashes byte-offset walk matches substring hashing on multibyte text") {
+    // the offset-table fast path must produce the exact hashes of
+    // xxhash64(substr(text, i, n), 42) — including for multibyte UTF-8
+    // (é=2 bytes, 試/験=3, 😀=4) and strings shorter than n
+    val texts = Seq("héllo wörld", "日本語の試験テキストです", "a😀b😀c",
+      "plain ascii text", "ab", "é", "")
+    import graft.functions.SketchExpressions
+    for (t <- texts; n <- Seq(3, 4, 8)) {
+      val fast = Seq(t).toDF("text")
+        .select(SketchExpressions.charNgramHashes(col("text"), n).as("h"))
+        .collect()(0).getSeq[Long](0)
+      // reference: Spark's own substring + xxhash64, deduped + sorted
+      val len = t.codePointCount(0, t.length)
+      val grams = (0 until math.max(len - n + 1, 1)).map { i =>
+        val s = t.offsetByCodePoints(0, i)
+        val e = t.offsetByCodePoints(0, math.min(i + n, len))
+        t.substring(s, e)
+      }
+      val want = Seq(grams).toDF("g")
+        .select(explode(col("g")).as("g"))
+        .select(xxhash64(col("g")).as("h"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      assert(fast == want, s"text='$t' n=$n: $fast != $want")
+    }
+  }
+
   test("exact dedup keeps min id per distinct content") {
     val kept = Dedup.exact(corpus, "doc_id", Seq("text"))
       .select("doc_id").as[Long].collect().sorted
