@@ -314,6 +314,25 @@ object EngineQueries {
       .orderBy("step_ts", "group_key")
   }
 
+  // A2+A5: a percentile aggregation over pre-rolled metrics cannot be
+  // recovered from rollups — it degrades to the MAX envelope of the
+  // requested rollup series (reference BaseExpr.scala:380 MAX(rollup_<r>))
+  def ast_metrics_p90_rollup(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "p90", "rollup": "sum",
+        |            "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // F11/F13: exemplar output over a metrics-shaped table — the dataset's
   // fixed lead projection (ts, name) and rollup_* suppression decide the
   // output schema, which the oracle hash-checks
@@ -451,6 +470,7 @@ object EngineQueries {
     "ast_metrics_avg" -> ast_metrics_avg _,
     "ast_metrics_minmax" -> ast_metrics_minmax _,
     "ast_metrics_rollup_avg" -> ast_metrics_rollup_avg _,
+    "ast_metrics_p90_rollup" -> ast_metrics_p90_rollup _,
     "ast_duration_filter" -> ast_duration_filter _,
     "ast_chart_minmax" -> ast_chart_minmax _,
     "ast_exemplars" -> ast_exemplars _,
@@ -576,6 +596,15 @@ object EngineQueries {
         |  FROM events GROUP BY mts, event_type)
         |SELECT (mts // 86400000) * 86400000 AS step_ts,
         |  event_type AS group_key, round(max(rollup_avg), 6) AS value
+        |FROM rollup GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_p90_rollup" ->
+      """WITH rollup AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum
+        |  FROM events GROUP BY mts, event_type)
+        |SELECT (mts // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, round(max(rollup_sum), 6) AS value
         |FROM rollup GROUP BY step_ts, group_key
         |ORDER BY step_ts, group_key""".stripMargin,
     "ast_exemplars" ->
