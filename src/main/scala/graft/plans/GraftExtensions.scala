@@ -91,6 +91,34 @@ object GraftExtensions {
       (args: Seq[Expression]) => HllAgg(args.head).toAggregateExpression())),
     "hll_estimate_of" -> ((
       info("hll_estimate_of", "_FUNC_(sketch) - estimate from a serialized HLL sketch."),
-      (args: Seq[Expression]) => HllEstimateOf(args.head)))
+      (args: Seq[Expression]) => HllEstimateOf(args.head))),
+    // ---- reference-interop sketch payloads (SketchInterop.scala) ----
+    "graft_dd_proto" -> ((
+      info("graft_dd_proto", "_FUNC_(col) - DDSketch as the reference's protobuf payload."),
+      (args: Seq[Expression]) => DdProtoSketchAgg(args.head).toAggregateExpression())),
+    "graft_dd_proto_merge" -> ((
+      info("graft_dd_proto_merge", "_FUNC_(sketch) - merge serialized DDSketch proto payloads."),
+      (args: Seq[Expression]) => DdProtoMergeAgg(args.head).toAggregateExpression())),
+    "graft_dd_proto_quantile" -> ((
+      info("graft_dd_proto_quantile", "_FUNC_(sketch, q) - quantile of a DDSketch proto payload."),
+      (args: Seq[Expression]) => DdProtoQuantileOf(args.head, args(1)))),
+    "graft_dd_proto_stat" -> ((
+      info("graft_dd_proto_stat", "_FUNC_(sketch, stat) - count/sum/min/max/avg of a DDSketch proto payload."),
+      (args: Seq[Expression]) => DdProtoStatOf(args.head, str(args(1))))),
+    "graft_dd_to_proto" -> ((
+      info("graft_dd_to_proto", "_FUNC_(sketch) - native DDSketch bytes to proto payload."),
+      (args: Seq[Expression]) => DdToProto(args.head))),
+    "graft_dd_from_proto" -> ((
+      info("graft_dd_from_proto", "_FUNC_(sketch) - proto payload to native DDSketch bytes."),
+      (args: Seq[Expression]) => DdFromProto(args.head))),
+    "graft_hll_compat" -> ((
+      info("graft_hll_compat", "_FUNC_(col) - DataSketches HLL_4 compact image (reference byte format)."),
+      (args: Seq[Expression]) => DsHllAgg(args.head).toAggregateExpression())),
+    "graft_hll_compat_union" -> ((
+      info("graft_hll_compat_union", "_FUNC_(sketch) - union serialized DataSketches HLL images."),
+      (args: Seq[Expression]) => DsHllUnionAgg(args.head).toAggregateExpression())),
+    "graft_hll_compat_estimate" -> ((
+      info("graft_hll_compat_estimate", "_FUNC_(sketch) - estimate from a DataSketches HLL image."),
+      (args: Seq[Expression]) => DsHllEstimateOf(args.head)))
   )
 }

@@ -228,6 +228,64 @@ object CoreQueries {
         .hllEstimate(col("user_id")).as("users_est"))
       .orderBy("event_type")
 
+  // Sketch interop: the full lakeside segment loop in the reference's BYTE
+  // FORMATS (SketchInterop.scala). Stage 1 persists per-(group, segment)
+  // sketches exactly as lakeside ingest would — DataSketches HLL_4 lgK=12
+  // compact images (reference Aggregator.scala:43-58); stage 2 is the
+  // query-time merge (heapify + Union, TimeGroupedSketchAggregator
+  // .scala:48-55). The oracle checks the exact distinct count per group;
+  // the entry keeps only groups where the sketch estimate lands within
+  // 5% of exact (lgK=12 is ±1.6% σ, and these cardinalities are inside
+  // the sketch's exact coupon range) — so a wrong estimate drops rows and
+  // breaks the hash match. Deterministic: the library's hashing is seeded.
+  def k1_hll_interop(s: SparkSession, dir: String): DataFrame = {
+    val segments = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), (col("o_orderkey") % 8).as("segment"))
+      .agg(graft.functions.SketchInteropFunctions
+        .dsHllSketch(col("o_custkey")).as("sketch"))
+    val merged = segments
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.SketchInteropFunctions
+        .dsHllEstimateOf(graft.functions.SketchInteropFunctions
+          .dsHllUnion(col("sketch"))).as("est"))
+    val exact = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_users"))
+    merged.join(exact, "o_orderpriority")
+      .where(abs(col("est") - col("exact_users")) / col("exact_users") <= 0.05)
+      .select(col("o_orderpriority").as("priority"), col("exact_users"))
+      .orderBy("priority")
+  }
+
+  // Sketch interop, DDSketch side: per-(group, segment) sketches in the
+  // reference's protobuf payload (readable by BaseExpr.ddSketchFromBytes,
+  // reference BaseExpr.scala:97-102), merged at query time with
+  // DdProtoMergeAgg. The proto count is exact by construction (hash-
+  // checked); the p50/p95 gate compares the sketch quantile against
+  // Spark's own exact percentile — structural error ≤ ~1%, gate at 2%,
+  // so nothing is ever near the boundary and a broken codec drops rows.
+  def k2_dd_proto_interop(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{SketchInteropFunctions => SI}
+    val segments = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), (col("l_suppkey") % 16).as("segment"))
+      .agg(SI.ddProtoSketch(col("l_extendedprice")).as("sketch"))
+    val merged = segments
+      .groupBy(col("l_returnflag"))
+      .agg(SI.ddProtoStatOf(SI.ddProtoMerge(col("sketch")), "count").as("cnt_d"),
+        SI.ddProtoQuantileOf(SI.ddProtoMerge(col("sketch")), lit(0.5)).as("p50"),
+        SI.ddProtoQuantileOf(SI.ddProtoMerge(col("sketch")), lit(0.95)).as("p95"))
+    val exact = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5d)").as("x50"),
+        expr("percentile(l_extendedprice, 0.95d)").as("x95"))
+    merged.join(exact, "l_returnflag")
+      .where(abs(col("p50") - col("x50")) / col("x50") <= 0.02 &&
+        abs(col("p95") - col("x95")) / col("x95") <= 0.02)
+      .select(col("l_returnflag").as("flag"),
+        col("cnt_d").cast("long").as("cnt"))
+      .orderBy("flag")
+  }
+
   // A10 tag-value count (tags API: SELECT col, COUNT(*) GROUP BY col)
   def a10_tag_values(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -377,6 +435,8 @@ object CoreQueries {
     "a6_distinct_exact" -> a6_distinct_exact _,
     "a6_distinct_approx" -> a6_distinct_approx _,
     "a6_hll" -> a6_hll _,
+    "k1_hll_interop" -> k1_hll_interop _,
+    "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
@@ -473,6 +533,13 @@ object CoreQueries {
     "a6_distinct_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "k1_hll_interop" ->
+      """SELECT o_orderpriority AS priority,
+        |  count(DISTINCT o_custkey) AS exact_users
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k2_dd_proto_interop" ->
+      """SELECT l_returnflag AS flag, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a10_tag_values" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
