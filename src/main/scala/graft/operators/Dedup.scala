@@ -333,13 +333,22 @@ object Dedup {
     * Throws IllegalStateException if maxIters rounds pass without
     * convergence — a silent bail would return split clusters. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // No distinct() on the edge list: min-aggregation is idempotent, so
+    // duplicate pairs cannot change any label — they only add rows to the
+    // propagation join, and candidate generators emit (near-)distinct
+    // pairs already. Saves a full shuffle of the edge list.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct()
       .persist()
     try {
-      var labels = edges.select(col("u").as("id")).distinct()
-        .withColumn("label", col("id"))
+      // Seed with the one-hop minimum (node set + first propagation round
+      // fused into one groupBy) instead of the identity labeling — for
+      // the star-ish graphs near-dup pairs form this alone is close to
+      // the fixpoint, and it costs the same single shuffle that building
+      // the node set would.
+      var labels = edges.groupBy(col("u"))
+        .agg(min(col("v")).as("_mn"))
+        .select(col("u").as("id"), least(col("_mn"), col("u")).as("label"))
         .localCheckpoint()
       var iters = 0
       var converged = false
