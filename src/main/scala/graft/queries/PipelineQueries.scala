@@ -266,10 +266,13 @@ object PipelineQueries {
       .join(docs(s, dir).select(col("doc_id"), col("text"), col("source")), "doc_id")
     val kept = profiled
       .where(col("lang_pred") =!= "unknown" && col("quality") >= 0.5)
-    // `exact` is consumed twice (near-dup detection + anti-join); measured
-    // at sf0.1, recomputing the pruned-column DAG per consumer beats
-    // persist(), which blocks column pruning and materializes the wide
-    // intermediate (3.9s vs 7.5s)
+    // `exact` is consumed twice (near-dup detection + anti-join);
+    // recomputing the pruned-column DAG per consumer is the measured
+    // winner at sf0.1: recompute-twice 4.97s vs wide persist 7.5s,
+    // narrow persist incl. text 6.4s, tiny no-text persist + parquet
+    // text re-read 7.5s — every variant that moves corpus text through
+    // the block store or an extra shuffle loses to re-scanning parquet
+    // with pushdown. Same calculus at 100 TB: text is the corpus itself.
     val exact = Dedup.exact(kept, "doc_id", Seq("text"))
     val nearDupIds = Dedup.minhashNearDuplicates(exact, "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 16, threshold = 0.8)
