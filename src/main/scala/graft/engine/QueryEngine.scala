@@ -206,8 +206,37 @@ object QueryEngine {
       * metrics but does not prove it equals the aggregation. We keep the
       * weighted semantics above deliberately — they are correct for
       * re-aggregation — and note the fallback path is unproven parity.
+      *
+      * SKETCH-BEARING SEGMENTS: when the segment schema carries mergeable
+      * sketch columns (`sketch_dd` — DDSketch proto payload of the raw
+      * values, `sketch_hll` — DataSketches HLL image of the ingest-
+      * configured cardinality key), percentile and ces aggregations merge
+      * the sketches instead of degrading to the max-envelope /
+      * distinct-of-rollup-values fallbacks — the reference's sketch path
+      * (PushDownAggregatorStage merges per-segment sketches,
+      * TimeGroupedSketchAggregator.scala:36-55; quantile/estimate read
+      * from the merged sketch, BaseExpr.scala:57-61) rather than its
+      * SQL-over-rollup-columns path. Fallbacks remain for sketch-less
+      * segments.
       */
-    def metricsAgg(aggregation: String): Column = rollup match {
+    def metricsAgg(aggregation: String): Column = {
+      val sketchPath: Option[Column] = aggregation match {
+        case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit)
+            && base.columns.contains("sketch_dd") =>
+          val q = p.drop(1).toDouble / 100.0
+          Some(graft.functions.SketchInteropFunctions.ddProtoQuantileOf(
+            graft.functions.SketchInteropFunctions.ddProtoMerge(
+              FilterCompiler.fieldCol("sketch_dd")), lit(q)))
+        case "ces" if base.columns.contains("sketch_hll") =>
+          Some(graft.functions.SketchInteropFunctions.dsHllEstimateOf(
+            graft.functions.SketchInteropFunctions.dsHllUnion(
+              FilterCompiler.fieldCol("sketch_hll"))))
+        case _ => None
+      }
+      sketchPath.getOrElse(metricsRollupAgg(aggregation))
+    }
+
+    def metricsRollupAgg(aggregation: String): Column = rollup match {
       case Some(r) =>
         val t = rollupCol(r)
         aggregation match {
@@ -292,7 +321,7 @@ object QueryEngine {
   /** F13: internal columns suppressed from user-facing exemplar/tag output
     * (reference NoisyTagsDropper.scala:24-60): pre-rolled rollup_*
     * partials and time-partition/bookkeeping columns. */
-  private val noisyTagPrefixes: Seq[String] = Seq("rollup_")
+  private val noisyTagPrefixes: Seq[String] = Seq("rollup_", "sketch_")
   private val noisyTags: Set[String] =
     Set("day", "month", "hour", "minute", "year", "sketch")
 

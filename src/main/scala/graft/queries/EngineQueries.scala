@@ -217,7 +217,15 @@ object EngineQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("rollup_sum"),
           count(lit(1)).cast("double").as("rollup_count"),
           min(col("value")).as("rollup_min"),
-          max(col("value")).as("rollup_max"))
+          max(col("value")).as("rollup_max"),
+          // mergeable sketch columns in the reference's byte formats
+          // (SketchInterop.scala): DDSketch proto of the raw values for
+          // percentile re-aggregation, DataSketches HLL image of the
+          // ingest-configured cardinality key (user_id) for ces
+          graft.functions.SketchInteropFunctions
+            .ddProtoSketch(col("value")).as("sketch_dd"),
+          graft.functions.SketchInteropFunctions
+            .dsHllSketch(col("user_id")).as("sketch_hll"))
         .withColumn("rollup_avg", col("rollup_sum") / col("rollup_count"))
         .withColumn("name", lit("events.value"))
         .write.mode("overwrite").parquet(out)
@@ -318,7 +326,12 @@ object EngineQueries {
   // recovered from rollups — it degrades to the MAX envelope of the
   // requested rollup series (reference BaseExpr.scala:380 MAX(rollup_<r>))
   def ast_metrics_p90_rollup(s: SparkSession, dir: String): DataFrame = {
+    // sketch columns dropped: this entry pins the SKETCH-LESS segment
+    // semantics — percentile over pre-rolled columns degrades to the max
+    // envelope (BaseExpr.scala:380). Sketch-bearing segments take the
+    // merged-sketch path instead (ast_metrics_p90_sketch).
     val mdf = s.read.parquet(metricsDir(s, dir))
+      .drop("sketch_dd", "sketch_hll")
     val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
     val ast = AstJson.parseAstInput(
       """{"baseExpressions": {"a": {
@@ -330,6 +343,68 @@ object EngineQueries {
     QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
       .select(col("step_ts"), col("group_key"),
         round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A5-over-rollups via sketch-bearing segments: percentile aggregation
+  // merges the per-minute DDSketch proto payloads (reference sketch path,
+  // TimeGroupedSketchAggregator.scala:36-46 + BaseExpr.scala:59-61)
+  // instead of degrading to the max envelope. Oracle gate: DDSketch
+  // promises ±1% relative error against the ORDER STATISTIC at rank
+  // floor(q·(n-1)) — not against an interpolated percentile, which in a
+  // small group can sit half an order-statistic gap away (measured up to
+  // 18% on n≈50 groups). The gate computes that exact order statistic
+  // (per-group sort, bounded by group size) and admits 1.5% — structural
+  // error ≤ ~1%, so every group passes deterministically and a broken
+  // merge/codec drops rows and fails the hash.
+  def ast_metrics_p90_sketch(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "p90", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val est = QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+    val exact = Tables.load(s, dir, "events")
+      .groupBy(
+        (expr("ts div 1000000") - expr("ts div 1000000") % DAY).as("step_ts"),
+        col("event_type").as("group_key"))
+      .agg(expr("element_at(sort_array(collect_list(value)), " +
+        "cast(floor(0.9d * (count(value) - 1)) as int) + 1)").as("exact_p90"))
+    est.join(exact, Seq("step_ts", "group_key"))
+      .where(abs(col("value") - col("exact_p90")) / col("exact_p90") <= 0.015)
+      .select(col("step_ts"), col("group_key"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  // A6/ces over sketch-bearing segments: cardinality merges the
+  // per-minute DataSketches HLL images (heapify + Union, the reference's
+  // exact merge) and estimates at eval. Oracle gate: estimate within 5%
+  // of the exact distinct user count per (step, group) — these
+  // cardinalities sit in the sketch's near-exact range, so the gate is
+  // never near its boundary.
+  def ast_metrics_ces_sketch(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "ces", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val est = QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+    val exact = Tables.load(s, dir, "events")
+      .groupBy(
+        (expr("ts div 1000000") - expr("ts div 1000000") % DAY).as("step_ts"),
+        col("event_type").as("group_key"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("step_ts", "group_key"))
+      .where(abs(col("value") - col("exact_users")) / col("exact_users") <= 0.05)
+      .select(col("step_ts"), col("group_key"), col("exact_users"))
       .orderBy("step_ts", "group_key")
   }
 
@@ -471,6 +546,8 @@ object EngineQueries {
     "ast_metrics_minmax" -> ast_metrics_minmax _,
     "ast_metrics_rollup_avg" -> ast_metrics_rollup_avg _,
     "ast_metrics_p90_rollup" -> ast_metrics_p90_rollup _,
+    "ast_metrics_p90_sketch" -> ast_metrics_p90_sketch _,
+    "ast_metrics_ces_sketch" -> ast_metrics_ces_sketch _,
     "ast_duration_filter" -> ast_duration_filter _,
     "ast_chart_minmax" -> ast_chart_minmax _,
     "ast_exemplars" -> ast_exemplars _,
@@ -607,6 +684,15 @@ object EngineQueries {
         |  event_type AS group_key, round(max(rollup_sum), 6) AS value
         |FROM rollup GROUP BY step_ts, group_key
         |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_p90_sketch" ->
+      """SELECT DISTINCT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key
+        |FROM events ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_ces_sketch" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key,
+        |  count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY 1, 2 ORDER BY step_ts, group_key""".stripMargin,
     "ast_exemplars" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE value > 198.0 AND event_type = 'purchase'
