@@ -191,17 +191,42 @@ object CoreQueries {
       .orderBy("event_type")
 
   // A5 via the custom DDSketch TypedImperativeAggregate (the reference's
-  // exact sketch contract: relative accuracy 0.01, mergeable partials —
-  // rows-only check; accuracy/mergeability asserted in DDSketchSpec)
-  def a5_ddsketch(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  // exact sketch contract: relative accuracy 0.01, mergeable partials).
+  // Oracle-gated: the sketch quantile promises ±1% of the order statistic
+  // at its rank rule (rank = max(ceil(q·n), 1), 1-based); the gate
+  // computes those exact order statistics by distributed rank and admits
+  // 1.5%, so every group passes deterministically and a broken sketch
+  // drops rows and fails the hash. Deeper accuracy/mergeability
+  // properties remain asserted in DDSketchSpec.
+  def a5_ddsketch(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         graft.functions.DDSketchFunctions
           .ddsketchQuantile(col("value"), 0.5).as("p50"),
         graft.functions.DDSketchFunctions
-          .ddsketchQuantile(col("value"), 0.9).as("p90"))
+          .ddsketchQuantile(col("value"), 0.9).as("p90"),
+        count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val exact = t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === greatest(ceil(lit(0.5) * col("n")), lit(1L)),
+          col("value"))).as("x50"),
+        max(when(col("rn") === greatest(ceil(lit(0.9) * col("n")), lit(1L)),
+          col("value"))).as("x90"))
+    sk.join(exact, "event_type")
+      .where(abs(col("p50") - col("x50")) / col("x50") <= 0.015 &&
+        abs(col("p90") - col("x90")) / col("x90") <= 0.015)
+      .select(col("event_type"), col("n_rows"))
       .orderBy("event_type")
+  }
 
   // A6 cardinality — exact oracle form
   def a6_distinct_exact(s: SparkSession, dir: String): DataFrame =
@@ -219,14 +244,23 @@ object CoreQueries {
       .orderBy("event_type")
 
   // A6/A11 via the custom mergeable HLL sketch (lgK=12, the reference's
-  // accuracy point — rows-only check; accuracy/merge semantics asserted
-  // in HllSpec)
-  def a6_hll(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  // accuracy point). Oracle-gated: the estimate must land within 5% of
+  // the exact distinct count (lgK=12 σ is ±1.6%); the hash-checked
+  // output is the exact count, so a drifting estimator drops rows and
+  // fails. Merge semantics asserted in HllSpec.
+  def a6_hll(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(graft.functions.HllFunctions
         .hllEstimate(col("user_id")).as("users_est"))
+    val exact = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    sk.join(exact, "event_type")
+      .where(abs(col("users_est") - col("users")) / col("users") <= 0.05)
+      .select(col("event_type"), col("users"))
       .orderBy("event_type")
+  }
 
   // Sketch interop: the full lakeside segment loop in the reference's BYTE
   // FORMATS (SketchInterop.scala). Stage 1 persists per-(group, segment)
@@ -548,6 +582,12 @@ object CoreQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a6_distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_ddsketch" ->
+      """SELECT event_type, count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a6_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "k1_hll_interop" ->
