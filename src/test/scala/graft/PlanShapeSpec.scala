@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{CoreQueries, EngineQueries, PipelineQueries}
+
+/** Plan-shape regression tests: the 100 TB properties are properties of
+  * the PLAN, not of any small-scale timing — filters reaching the parquet
+  * scan, column pruning, top-k as TakeOrderedAndProject, per-key caps
+  * compiling to WindowGroupLimit, sketch aggregates running as
+  * ObjectHashAggregate with partial/final split. These lock the shapes
+  * recorded in PLANS.md against silent regressions (an innocent-looking
+  * refactor that breaks pushdown still passes value-equality tests; it
+  * does not pass these).
+  *
+  * Plans are inspected WITHOUT executing (queryExecution.executedPlan on
+  * the un-run query), on the sf0.001 fixture — plan shape is scale-free.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("f1_eq: equality filter is pushed into the parquet scan") {
+    val p = plan(CoreQueries.queries("f1_eq")(spark, dir))
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,click\\).*"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("f1_eq: scan reads only the projected columns") {
+    val p = plan(CoreQueries.queries("f1_eq")(spark, dir))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("event_id", "event_type", "user_id", "value"),
+      s"scan reads $cols")
+  }
+
+  test("o1_topk: top-k compiles to TakeOrderedAndProject, not global sort") {
+    val p = plan(CoreQueries.queries("o1_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+  }
+
+  test("s1_ann_bruteforce: brute-force top-k is scan + TakeOrderedAndProject") {
+    val p = plan(PipelineQueries.queries("s1_ann_bruteforce")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+  }
+
+  test("a1_step_agg: single shuffle with partial/final hash aggregation") {
+    val p = plan(CoreQueries.queries("a1_step_agg")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(p.contains("HashAggregate"), s"no HashAggregate:\n$p")
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
+  }
+
+  test("d2_minhash_lsh: per-bucket cap compiles to WindowGroupLimit") {
+    val p = plan(PipelineQueries.queries("d2_minhash_lsh")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+  }
+
+  test("ast_metrics_avg: rollup re-agg prunes to the two columns it reads") {
+    EngineQueries.prepare(spark, dir)
+    val p = plan(EngineQueries.queries("ast_metrics_avg")(spark, dir))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("ts", "event_type", "rollup_sum", "rollup_count"),
+      s"avg should read exactly ts/type/sum/count, got $cols")
+    assert(!read.contains("sketch_"),
+      s"sketch payload columns must not be scanned for a plain avg:\n$read")
+  }
+
+  test("k2 sketch aggregation runs as ObjectHashAggregate (partial/final)") {
+    val p = plan(CoreQueries.queries("k2_dd_proto_interop")(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"no ObjectHashAggregate:\n$p")
+  }
+}
