@@ -235,13 +235,21 @@ object CoreQueries {
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy("event_type")
 
-  // A6/A11 cardinality — HLL estimate (rows-only check; estimates differ
-  // across engines by design, bounded by ±1.6% at lgK=12)
-  def a6_distinct_approx(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  // A6/A11 cardinality — HLL++ estimate, oracle-gated against the exact
+  // count (≤5%; the default rsd is 5% at ~1σ but these cardinalities are
+  // far inside the sparse/exact regime). Output is the exact count.
+  def a6_distinct_approx(s: SparkSession, dir: String): DataFrame = {
+    val est = t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("users_est"))
+    val exact = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    est.join(exact, "event_type")
+      .where(abs(col("users_est") - col("users")) / col("users") <= 0.05)
+      .select(col("event_type"), col("users"))
       .orderBy("event_type")
+  }
 
   // A6/A11 via the custom mergeable HLL sketch (lgK=12, the reference's
   // accuracy point). Oracle-gated: the estimate must land within 5% of
@@ -582,6 +590,9 @@ object CoreQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a6_distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a6_distinct_approx" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a5_ddsketch" ->

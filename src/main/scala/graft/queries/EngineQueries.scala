@@ -523,13 +523,24 @@ object EngineQueries {
     QueryEngine.tagNames(eventsTel(s, dir), ast, START, END)
   }
 
-  // §3.3 cardinality API (HLL estimate → rows-only check)
+  // §3.3 cardinality API. Oracle-gated: the HLL++ estimate must land
+  // within 5% of the exact distinct tag-tuple count under the same
+  // filter; the hash-checked output is the exact count, so estimator
+  // drift fails the oracle instead of passing a rows-only check.
   def ast_cardinality(s: SparkSession, dir: String): DataFrame = {
     val ast = AstJson.parseBaseExpr(
       """{"id": "a", "dataset": "logs",
         |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
-    QueryEngine.cardinality(eventsTel(s, dir), ast,
+    val est = QueryEngine.cardinality(eventsTel(s, dir), ast,
       Seq("event_type", "user_id"), START, END)
+    val exact = Tables.load(s, dir, "events")
+      .where(col("props").isNotNull)
+      .agg(countDistinct(concat_ws(":", col("event_type"), col("user_id")))
+        .as("exact_tuples"))
+    est.crossJoin(exact)
+      .where(abs(col("cardinality") - col("exact_tuples")) /
+        col("exact_tuples") <= 0.05)
+      .select(col("exact_tuples"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,6 +760,10 @@ object EngineQueries {
         |  UNION ALL SELECT 'event_type', count(event_type) FROM f
         |  UNION ALL SELECT 'value', count(value) FROM f
         |  UNION ALL SELECT 'props', count(props) FROM f)
-        |WHERE n > 0 ORDER BY tagName""".stripMargin
+        |WHERE n > 0 ORDER BY tagName""".stripMargin,
+    "ast_cardinality" ->
+      """SELECT count(DISTINCT concat_ws(':', event_type, user_id))
+        |  AS exact_tuples
+        |FROM events WHERE props IS NOT NULL""".stripMargin
   )
 }
