@@ -247,32 +247,40 @@ object DdProto {
   // ---- decode ----
 
   private final class Reader(bytes: Array[Byte], var pos: Int, val end: Int) {
+    private def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"malformed DDSketch payload: $what at byte $pos of $end")
     def hasNext: Boolean = pos < end
     def readVarint(): Long = {
       var shift = 0; var v = 0L
-      while (true) {
+      while (shift <= 63) {
+        if (pos >= end) fail("truncated varint")
         val b = bytes(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
         shift += 7
       }
-      v
+      fail("varint longer than 64 bits")
     }
     def readDouble(): Double = {
+      if (pos + 8 > end) fail("truncated double")
       val v = ByteBuffer.wrap(bytes, pos, 8).order(ByteOrder.LITTLE_ENDIAN)
         .getDouble
       pos += 8
       v
     }
     def sub(len: Int): Reader = {
+      if (len < 0 || pos + len > end) fail(s"bad length $len")
       val r = new Reader(bytes, pos, pos + len); pos += len; r
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
-      case 5 => pos += 4
-      case t => throw new IllegalArgumentException(s"bad wire type $t")
+      case 1 => if (pos + 8 > end) fail("truncated fixed64") else pos += 8
+      case 2 =>
+        val len = readVarint().toInt
+        if (len < 0 || pos + len > end) fail(s"bad length $len") else pos += len
+      case 5 => if (pos + 4 > end) fail("truncated fixed32") else pos += 4
+      case t => fail(s"unsupported wire type $t")
     }
   }
 

@@ -223,6 +223,25 @@ class SketchInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("ddsketch proto: malformed payloads fail cleanly, not with index errors") {
+    val b = new DdogBuffer(DdProto.gammaOf(0.01), 0.0)
+    (1 to 100).foreach(i => b.insert(i.toDouble))
+    val good = DdProto.encode(b)
+    // truncations at every prefix length must raise IllegalArgumentException
+    // (or decode successfully when the cut lands on a field boundary)
+    for (len <- 0 until good.length) {
+      try DdProto.decode(java.util.Arrays.copyOf(good, len))
+      catch {
+        case _: IllegalArgumentException => // expected shape
+        case e: Throwable => fail(s"truncation at $len threw ${e.getClass}")
+      }
+    }
+    // garbage bytes
+    intercept[IllegalArgumentException] {
+      DdProto.decode(Array.fill[Byte](16)(0x7f))
+    }
+  }
+
   test("sketch interop functions work through SQL registration") {
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
