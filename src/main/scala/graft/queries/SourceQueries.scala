@@ -79,14 +79,45 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  /** S3/S4 deluxe: plan-time segment skipping through the custom
+    * Catalyst FileIndex — the query is a plain WHERE over the relation;
+    * Catalyst pushes the predicates and [[graft.sources.ManifestFileIndex]]
+    * prunes segment files inside scan planning (time bounds from the raw
+    * ts comparisons, trigram fingerprints from the equality). File-skip
+    * counts proven in ManifestFileIndexSpec; result equivalence proven
+    * here against the full table, since pruning is sound. */
+  def s10_fileindex_scan(s: SparkSession, dir: String): DataFrame = {
+    val startNs = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      .toEpochMilli * 1000000L
+    val endNs = java.time.Instant.parse("2024-01-20T00:00:00Z")
+      .toEpochMilli * 1000000L
+    val rel = graft.sources.ManifestFileIndex.relation(
+      s, manifest(s, dir), "ts", _ / 1000000L, Set("event_type"))
+    rel.where(col("ts") >= startNs && col("ts") < endNs &&
+        col("event_type") === "purchase")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_pruned_scan" -> s4_pruned_scan _,
     "s3_time_pruned" -> s3_time_pruned _,
     "s6_regex_pruned" -> s6_regex_pruned _,
-    "s7_regex_alternation" -> s7_regex_alternation _
+    "s7_regex_alternation" -> s7_regex_alternation _,
+    "s10_fileindex_scan" -> s10_fileindex_scan _
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s10_fileindex_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type = 'purchase'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s4_pruned_scan" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,

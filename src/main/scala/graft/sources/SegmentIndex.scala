@@ -79,7 +79,7 @@ object SegmentIndex {
 
   /** Trigram fingerprints a segment must contain for this predicate value
     * to possibly appear under column c; None = cannot prune on this leaf. */
-  private def valueFingerprints(c: String, v: String): Option[Seq[Long]] = {
+  private[graft] def valueFingerprints(c: String, v: String): Option[Seq[Long]] = {
     val s = v.toLowerCase
     if (s.length < 3) None
     else Some(

@@ -11,6 +11,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over a BaseRelation (e.g. a HadoopFsRelation wearing a
+    * custom FileIndex) — `Dataset.ofRows` + `LogicalRelation` are
+    * private[sql], so the wrap lives in this bridge. */
+  def ofRelation(
+      spark: SparkSession,
+      relation: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      execution.datasources.LogicalRelation(relation, isStreaming = false))
+
   /** Register a function into an ALREADY-RUNNING session's registry
     * (SparkSessionExtensions only apply to sessions built after
     * withExtensions; this covers the getOrCreate-reuse case). */
