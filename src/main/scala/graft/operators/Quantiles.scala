@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+/** Exact per-group order statistics by distributed selection.
+  *
+  * A `Window.partitionBy(group).orderBy(value)` row_number plan sorts
+  * every row of a group inside ONE task — with a handful of groups that
+  * is a handful of tasks sorting the whole table, the classic low-
+  * cardinality window trap. This helper instead:
+  *
+  *   1. range-partitions the narrow (group, value) projection across the
+  *      full shuffle width (a group larger than one partition simply
+  *      spans several — each task sorts ~1/parts of the data);
+  *   2. counts rows per (partition, group) — one tiny row per pair — and
+  *      prefix-sums them on the driver into global rank offsets (planning
+  *      metadata, KBs, same defensible collect as Sampling's prefix sum);
+  *   3. picks the target order statistics with one targeted job over only
+  *      the partitions that contain them, tracking local ranks.
+  *
+  * The shuffle carries (group, value) only; no task ever holds more than
+  * its partition slice; the result (groups × quantiles values) is
+  * inherently tiny. Rank convention: the statistic at quantile q over n
+  * rows is the value with 1-based rank `floor(q*(n-1)) + 1` — the
+  * nearest-rank form DDSketch's accuracy contract is stated against
+  * (reference BaseExpr.scala:97-102 quantile read path).
+  */
+object Quantiles {
+
+  /** Exact quantile values for each group of `groupCol` (a string
+    * column). Returns one row per group: (groupCol, <name> ...) with a
+    * double column per requested quantile. `qs` maps output column name
+    * to quantile in [0, 1]. */
+  def exactByGroup(df: DataFrame, groupCol: String, value: Column,
+      qs: Seq[(String, Double)], numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val narrow = df
+      .select(col(groupCol).cast("string").as("_g"),
+        value.cast("double").as("_v"))
+      .where(col("_g").isNotNull && col("_v").isNotNull)
+      .repartitionByRange(parts, col("_g"), col("_v"))
+      .sortWithinPartitions(col("_g"), col("_v"))
+      .persist()
+    try {
+      // (pid, group) -> row count; partitions hold contiguous (g, v)
+      // ranges so each pair appears once per partition it spans.
+      val counts: Array[(Int, String, Long)] = narrow.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0)
+            m.update(g, m.getOrElse(g, 0L) + 1L)
+          }
+          m.iterator.map { case (g, c) => (pid, g, c) }
+        }.collect()
+      val totals: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+      // global rank of the first row of (pid, g) = 1 + rows of g in
+      // earlier partitions (range partitioning keeps groups contiguous
+      // across pid order).
+      val offsets: Map[(Int, String), Long] = {
+        val byGroup = counts.groupBy(_._2)
+        byGroup.flatMap { case (g, cs) =>
+          val sorted = cs.sortBy(_._1)
+          sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+            .map { case ((pid, _, _), before) => (pid, g) -> before }
+        }
+      }
+      // (pid -> targets within it): group, quantile name, 1-based local rank
+      val targets: Map[Int, Seq[(String, String, Long)]] = (for {
+        (g, n) <- totals.toSeq
+        (name, q) <- qs
+      } yield {
+        val rank = math.floor(q * (n - 1)).toLong + 1 // 1-based global
+        val (pid, before) = offsets.collect {
+          case ((p, `g`), b) if b < rank &&
+              rank <= b + counts.find(c => c._1 == p && c._2 == g).get._3 =>
+            (p, b)
+        }.head
+        (pid, (g, name, rank - before))
+      }).groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2) }
+      val picked: Array[(String, String, Double)] = {
+        if (targets.isEmpty) Array.empty
+        else spark.sparkContext.runJob(
+          narrow.rdd,
+          (ctx: org.apache.spark.TaskContext, it: Iterator[Row]) => {
+            val want = targets(ctx.partitionId())
+            val local = scala.collection.mutable.HashMap.empty[String, Long]
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+            var remaining = want.size
+            while (remaining > 0 && it.hasNext) {
+              val r = it.next()
+              val g = r.getString(0)
+              val idx = local.getOrElse(g, 0L) + 1L
+              local.update(g, idx)
+              want.foreach { case (wg, name, lr) =>
+                if (wg == g && lr == idx) { out += ((g, name, r.getDouble(1))); remaining -= 1 }
+              }
+            }
+            out.toArray
+          },
+          targets.keys.toSeq.sorted).flatten
+      }
+      val names = qs.map(_._1)
+      val rows = picked.groupBy(_._1).toSeq.map { case (g, vs) =>
+        val byName = vs.map(v => v._2 -> v._3).toMap
+        Row.fromSeq(g +: names.map(byName))
+      }
+      val schema = StructType(StructField(groupCol, StringType) +:
+        names.map(n => StructField(n, DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } finally narrow.unpersist(blocking = false)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed selection vs a literal sort: same order statistics. */
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def oracle(values: Seq[Double], q: Double): Double = {
+    val sorted = values.sorted
+    sorted(math.floor(q * (sorted.size - 1)).toInt)
+  }
+
+  test("exactByGroup equals the sorted-array order statistic") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 4}", rng.nextInt(1000).toDouble + rng.nextDouble())
+    }
+    val df = rows.toDF("g", "v").repartition(16)
+    val got = graft.operators.Quantiles
+      .exactByGroup(df, "g", col("v"), Seq("p50" -> 0.5, "p95" -> 0.95, "p0" -> 0.0, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val byG = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2) }
+    assert(got.keySet === byG.keySet)
+    byG.foreach { case (g, vs) =>
+      val (p50, p95, p0, p100) = got(g)
+      assert(p50 === oracle(vs, 0.5), s"p50 of $g")
+      assert(p95 === oracle(vs, 0.95), s"p95 of $g")
+      assert(p0 === vs.min, s"min of $g")
+      assert(p100 === vs.max, s"max of $g")
+    }
+  }
+
+  test("groups spanning many partitions and duplicate-heavy values") {
+    import spark.implicits._
+    // one dominant group with few distinct values: rank picks must respect
+    // multiplicity, and the group spans several range partitions
+    val rows = (1 to 10000).map(i => ("big", (i % 7).toDouble)) ++
+      (1 to 5).map(i => ("tiny", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(32)
+    val got = graft.operators.Quantiles
+      .exactByGroup(df, "g", col("v"), Seq("p50" -> 0.5), numPartitions = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("big") === oracle(rows.filter(_._1 == "big").map(_._2), 0.5))
+    assert(got("tiny") === 3.0)
+  }
+
+  test("null group and null value rows are ignored") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), (null, Some(9.0)))
+      .toDF("g", "v")
+    val got = graft.operators.Quantiles
+      .exactByGroup(df, "g", col("v"), Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 2.0))
+  }
+}
