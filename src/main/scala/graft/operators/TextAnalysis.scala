@@ -182,4 +182,34 @@ object TextAnalysis {
         qualityFrom(col("_text"), col("_st")).as("quality"),
         contentHash(col("_text")).as("content_hash"),
         fingerprintSketch(col("_text")).as("fingerprint"))
+
+  // -------------------------------------------------------- PII redaction
+
+  /** PII patterns, ordered: each is both RE2- and java.util.regex-
+    * compatible (ASCII `\b`, non-capturing groups, bounded repeats), so
+    * an external auditor can replay the scrub in any engine. SSN runs
+    * before PHONE: both are digit-dash shapes and order makes the
+    * precedence explicit even though the patterns cannot overlap. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IP" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "PHONE" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** Replace every PII match with `[<TYPE>]`. A chain of codegen'd
+    * `regexp_replace` calls — one pass per pattern class, zero UDFs;
+    * at corpus scale this is a map-only stage that composes with any
+    * downstream filter/dedup without adding a shuffle. */
+  def redactPii(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (c, (tag, re)) =>
+      regexp_replace(c, re, s"[$tag]")
+    }
+
+  /** Per-class PII match counts as a struct column (computed on the
+    * UNREDACTED text): `n_email`, `n_ip`, `n_ssn`, `n_phone`. */
+  def piiCounts(textCol: Column): Column =
+    struct(piiPatterns.map { case (tag, re) =>
+      size(regexp_extract_all(textCol, lit(re), lit(0)))
+        .as(s"n_${tag.toLowerCase}")
+    }: _*)
 }

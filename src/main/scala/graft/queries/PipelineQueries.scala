@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
@@ -284,6 +284,40 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  // t7: PII redaction — the synthetic corpus is PII-free, so the entry
+  // plants deterministic PII (email / IP / SSN-shaped / phone-shaped
+  // strings derived from doc_id) and scrubs it with the codegen'd
+  // regexp_replace chain; the oracle replays the identical plant + scrub
+  // in DuckDB (patterns are RE2/Java-compatible by construction). Output
+  // proves both the match counts and the redacted text lengths per
+  // source. Map-only stage: at corpus scale this adds zero shuffles.
+  private def t7Augmented(idCol: Column, textCol: Column): Column = {
+    def z(c: Column, w: Int) = lpad(c.cast("string"), w, "0")
+    concat(textCol,
+      lit(" Contact user"), idCol.cast("string"),
+      lit("@example.com from 10."), (idCol % 256).cast("string"),
+      lit(".0."), (idCol % 100).cast("string"),
+      lit(" call 555-"), z(idCol % 1000, 3), lit("-"), z(idCol % 10000, 4),
+      lit(" ssn "), z(idCol % 1000, 3), lit("-"), z(idCol % 100, 2),
+      lit("-"), z(idCol % 10000, 4))
+  }
+
+  def t7_pii_redact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        t7Augmented(col("doc_id"), col("text")).as("_aug"))
+      .select(col("source"),
+        TextAnalysis.piiCounts(col("_aug")).as("c"),
+        length(TextAnalysis.redactPii(col("_aug"))).as("rlen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c.n_email").cast("long")).as("n_email"),
+        sum(col("c.n_ip").cast("long")).as("n_ip"),
+        sum(col("c.n_ssn").cast("long")).as("n_ssn"),
+        sum(col("c.n_phone").cast("long")).as("n_phone"),
+        sum(col("rlen").cast("long")).as("redacted_chars"))
+      .orderBy("source")
+
   // ------------------------------------------------------- multimodal
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -326,11 +360,47 @@ object PipelineQueries {
     "t4_curation_pipeline" -> t4_curation_pipeline _,
     "t5_contamination" -> t5_contamination _,
     "t6_repetition" -> t6_repetition _,
+    "t7_pii_redact" -> t7_pii_redact _,
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _
   )
 
+  private val t7OracleSql: String = {
+    val ps = TextAnalysis.piiPatterns
+    val redacted = ps.foldLeft("t") { case (acc, (tag, re)) =>
+      s"regexp_replace($acc, '$re', '[$tag]', 'g')"
+    }
+    val countCols = ps.map { case (tag, re) =>
+      s"len(regexp_extract_all(t, '$re')) AS n_${tag.toLowerCase}"
+    }.mkString(",\n    ")
+    val sumCols = ps.map { case (tag, _) =>
+      val n = s"n_${tag.toLowerCase}"
+      s"CAST(sum($n) AS BIGINT) AS $n"
+    }.mkString(",\n  ")
+    s"""WITH aug AS (
+       |  SELECT source,
+       |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+       |      || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT source,
+       |    $countCols,
+       |    length($redacted) AS rlen
+       |  FROM aug)
+       |SELECT source, count(*) AS n_docs,
+       |  $sumCols,
+       |  CAST(sum(rlen) AS BIGINT) AS redacted_chars
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t7_pii_redact" -> t7OracleSql,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
