@@ -120,4 +120,39 @@ object Sampling {
       }
     } finally narrow.unpersist(blocking = false)
   }
+
+  /** Deterministic corpus mixing to target stratum weights — the "40%
+    * web, 30% books, …" data-mixture step. Given target proportions
+    * `weights` (relative; strata absent from the map are dropped), keeps
+    * the LARGEST subcorpus achieving them exactly: the feasible total is
+    * T = min over strata of n_s / w_s, each stratum's keep rate is
+    * w_s · T / n_s, and membership is the [[gateSample]] hash gate —
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Scale shape: stratum counts + rates are computed IN-PLAN (a tiny
+    * aggregate broadcast back), so the result composes lazily like any
+    * DataFrame; the corpus itself only ever flows through one map-side
+    * filter — no shuffle, no action at build time. All rate arithmetic
+    * is float64 with a fixed evaluation order ((w·T)/n, floor to the
+    * gate threshold), so any engine replays the exact row set. */
+  def mixToWeights(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], score: Column,
+      modulus: Long = 4294967296L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = df.sparkSession
+    val wDf = spark.createDataFrame(
+      weights.toSeq.sortBy(_._1)).toDF(strataCol, "_w")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+      .join(broadcast(wDf), strataCol)
+    val tCap = counts.agg(min(col("_n") / col("_w")).as("_t"))
+    val rates = counts.crossJoin(broadcast(tCap))
+      .select(col(strataCol),
+        floor(least(lit(1.0), col("_w") * col("_t") / col("_n")) *
+          lit(modulus.toDouble)).as("_cut"))
+    df.join(broadcast(rates), strataCol)
+      .where(score < col("_cut"))
+      .drop("_cut")
+  }
 }

@@ -181,6 +181,18 @@ object PipelineQueries {
       .select(col("source"), col("doc_id"))
       .orderBy("source", "doc_id")
 
+  // p4: corpus mixing to target source weights — keeps the largest
+  // subcorpus matching the 0.4/0.3/0.2/0.1 mixture over four sources
+  // (others dropped); stratum rates are derived in-plan from the stratum
+  // counts and membership is the cross-engine mix32 gate, so DuckDB
+  // replays the identical row set from the same float64 rate arithmetic
+  def p4_source_mix(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixToWeights(docs(s, dir), "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        Sampling.mix32(col("doc_id")))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   // p3: token-budget selection — fill a 20k-token mix in deterministic
   // shuffle order via the two-phase distributed prefix sum
   def p3_token_budget(s: SparkSession, dir: String): DataFrame = {
@@ -348,6 +360,7 @@ object PipelineQueries {
     "p1_hash_sample" -> p1_hash_sample _,
     "p2_stratified_sample" -> p2_stratified_sample _,
     "p3_token_budget" -> p3_token_budget _,
+    "p4_source_mix" -> p4_source_mix _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s9_sql_cosine" -> s9_sql_cosine _,
@@ -455,6 +468,25 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY doc_id""".stripMargin,
+    "p4_source_mix" ->
+      """WITH w AS (
+        |  SELECT source, CAST(wd AS DOUBLE) AS w FROM (
+        |    VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)
+        |  ) v(source, wd)),
+        |n AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        |  FROM documents GROUP BY source),
+        |j AS (SELECT n.source, n.n_s, w.w FROM n JOIN w USING (source)),
+        |t AS (SELECT min(n_s / w) AS t FROM j),
+        |r AS (
+        |  SELECT j.source,
+        |    CAST(floor(LEAST(1.0, j.w * t.t / j.n_s) * 4294967296.0)
+        |      AS BIGINT) AS cut
+        |  FROM j, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < r.cut
+        |ORDER BY d.doc_id""".stripMargin,
     "p2_stratified_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

@@ -73,4 +73,24 @@ class SamplingSpec extends AnyFunSuite {
       numPartitions = 2).select("id").as[Long].collect()
     assert(boundary.sameElements(Array(1L)))
   }
+  test("mixToWeights hits the target mixture exactly at the feasible max") {
+    // strata sizes: src 0..4 each have 200 rows; weights favor src0 2:1:1
+    val out = Sampling.mixToWeights(rows, "src",
+      Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.25),
+      Sampling.mix32(col("id")))
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // feasible T = min(200/.5, 200/.25, 200/.25) = 400
+    // -> rates: src0 = 1.0 (kept fully), src1/2 = 0.5
+    assert(counts("0") == 200, s"binding stratum kept fully: $counts")
+    assert(counts.keySet == Set("0", "1", "2"), "unweighted strata dropped")
+    assert(math.abs(counts("1") - 100) < 40, s"src1 ~rate 0.5: $counts")
+    assert(math.abs(counts("2") - 100) < 40, s"src2 ~rate 0.5: $counts")
+    val again = Sampling.mixToWeights(rows, "src",
+      Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.25),
+      Sampling.mix32(col("id")))
+      .select("id").as[Long].collect().sorted
+    assert(again.sameElements(
+      out.select("id").as[Long].collect().sorted), "deterministic")
+  }
 }
