@@ -132,6 +132,23 @@ object PipelineQueries {
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), col("id"))
 
+  // s11: int8-quantized ANN, self-gated k1/k2-style — candidates come
+  // from the 1-byte-per-dim quantized-cosine scan (the 4×-smaller index
+  // a 100 TB deployment holds in memory), full-precision re-rank restores
+  // exact order, and the inner join keeps only exact-top-20 rows the
+  // quantized path confirmed: a recall miss or codec bug drops rows and
+  // fails the hash match. Oracle = the exact top-20 (s1's query).
+  def s11_quantized_ann(s: SparkSession, dir: String): DataFrame = {
+    val q = queryVec(s, dir)
+    val exact = Similarity.bruteForceTopK(embs(s, dir), "vec_id",
+      "embedding", q, k = 20)
+    val confirmed = Similarity.quantizedTopK(embs(s, dir), "vec_id",
+      "embedding", q, k = 20, overFetch = 3).select("id")
+    exact.join(confirmed, "id")
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("id"))
+  }
+
   // LSH-pruned ANN (bucket pruning is engine-specific → rows-only;
   // recall vs brute force asserted in SimilaritySpec)
   def s2_ann_lsh(s: SparkSession, dir: String): DataFrame =
@@ -362,6 +379,7 @@ object PipelineQueries {
     "p3_token_budget" -> p3_token_budget _,
     "p4_source_mix" -> p4_source_mix _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
+    "s11_quantized_ann" -> s11_quantized_ann _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
@@ -557,6 +575,14 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "s1_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id AS id,
+        |    list_cosine_similarity(embedding::DOUBLE[], qe) AS raw
+        |  FROM embeddings, q)
+        |SELECT id, round(raw, 6) AS score FROM scored
+        |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "s11_quantized_ann" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
         |scored AS (
         |  SELECT vec_id AS id,
