@@ -337,6 +337,18 @@ object CoreQueries {
       .orderBy("flag")
   }
 
+  // A15 (beyond the reference's sketch percentiles): EXACT per-group
+  // quantiles by distributed selection — range-partitioned narrow
+  // projection + driver rank offsets + targeted pick; no task ever sorts
+  // more than its slice (see Quantiles scaladoc). The oracle replicates
+  // the rank convention (floor(q·(n-1))+1) with a window; the value at a
+  // rank is a multiset property, so tie order cannot diverge.
+  def a15_exact_quantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactByGroup(
+        t(s, dir, "lineitem"), "l_returnflag",
+        col("l_extendedprice"), Seq("p50" -> 0.5, "p95" -> 0.95))
+      .orderBy("l_returnflag")
+
   // A10 tag-value count (tags API: SELECT col, COUNT(*) GROUP BY col)
   def a10_tag_values(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -488,6 +500,7 @@ object CoreQueries {
     "a6_hll" -> a6_hll _,
     "k1_hll_interop" -> k1_hll_interop _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
+    "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
@@ -600,6 +613,20 @@ object CoreQueries {
     "k2_dd_proto_interop" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a15_exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |      THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+        |      THEN v END) AS p95
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "a10_tag_values" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,

@@ -76,4 +76,26 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(CoreQueries.queries("k2_dd_proto_interop")(spark, dir))
     assert(p.contains("ObjectHashAggregate"), s"no ObjectHashAggregate:\n$p")
   }
+
+  test("s11: quantized candidate generation is scan + distributed top-k, " +
+      "never a vector shuffle") {
+    val p = plan(PipelineQueries.queries("s11_quantized_ann")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tiny candidate join must broadcast, not sort-merge:\n$p")
+  }
+
+  test("t7_pii_redact: redaction is map-only — one aggregation shuffle") {
+    val p = plan(PipelineQueries.queries("t7_pii_redact")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected the single partial/final agg exchange, found $exchanges:\n$p")
+  }
+
+  test("p4_source_mix: corpus side is one broadcast join + filter") {
+    val p = plan(PipelineQueries.queries("p4_source_mix")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the rate join:\n$p")
+  }
 }
