@@ -121,6 +121,64 @@ object Sampling {
     } finally narrow.unpersist(blocking = false)
   }
 
+  /** Greedy contiguous packing of the priority-ordered corpus into
+    * fixed-budget bins — the "shard a 10B-token mix into ~2B-token
+    * training files" step. A row's bin is `pre_cum / binSize` where
+    * pre_cum is its EXCLUSIVE running weight sum in priority order, so
+    * bins are contiguous spans of the ordered corpus and every bin
+    * except possibly the last holds ≥ binSize weight once its boundary
+    * row lands (a row straddling a boundary belongs to the bin where it
+    * starts). Deterministic for a total-order `priority` (append a
+    * unique id as the last key).
+    *
+    * Scale shape: same two-phase distributed prefix sum as
+    * [[takeUntilBudget]] — only (id, weight, priority) is ever
+    * shuffled; per-partition sums are prefix-summed on the driver (one
+    * long per partition) and each partition assigns its rows' bins in
+    * one local pass. Output: (idCol, weight, bin). */
+  def packByBudget(df: DataFrame, idCol: String, weightCol: String,
+      binSize: Long, priority: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(binSize > 0, s"binSize $binSize must be positive")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val pNames = priority.indices.map(i => s"_p$i")
+    // not persisted: both passes hang off the SAME shuffle dependency, so
+    // the range-exchange map outputs are written once and re-read (not
+    // recomputed) by the second pass; a partition's sorted order is
+    // deterministic for a total-order priority, so offsets stay valid
+    val narrow = df
+      .select(col(idCol).cast("long").as("_id") +:
+        col(weightCol).cast("long").as("_w") +:
+        priority.zip(pNames).map { case (c, n) => c.as(n) }: _*)
+      .repartitionByRange(parts, pNames.map(col): _*)
+      .sortWithinPartitions(pNames.map(col): _*)
+    val narrowRdd = narrow.rdd
+    val perPartition = narrowRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(_.getAs[Long]("_w")).sum)
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPartition.scanLeft(0L)(_ + _)
+    val out = narrowRdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.map { r =>
+        val w = r.getAs[Long]("_w")
+        val bin = cum / binSize
+        cum += w
+        org.apache.spark.sql.Row(r.getAs[Long]("_id"), w, bin)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(weightCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(out, schema)
+  }
+
   /** Deterministic corpus mixing to target stratum weights — the "40%
     * web, 30% books, …" data-mixture step. Given target proportions
     * `weights` (relative; strata absent from the map are dropped), keeps

@@ -183,6 +183,34 @@ object TextAnalysis {
         contentHash(col("_text")).as("content_hash"),
         fingerprintSketch(col("_text")).as("fingerprint"))
 
+  // ------------------------------------------------------------ chunking
+
+  /** Split documents into fixed-width token windows with overlap — the
+    * context-window preparation step (training shards / RAG indexing).
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens), one row per
+    * window; stride = width − overlap; the final window may be short;
+    * a window is emitted only if it starts before `n − overlap` (later
+    * starts would be pure suffixes of the previous window). Built from
+    * `sequence` + `posexplode` + `slice` — codegen'd, no UDFs; the
+    * explode multiplies rows ~n/stride but each output row carries one
+    * window, not the document, so the stage streams at corpus scale. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      width: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && width > overlap, s"need width > overlap >= 0")
+    val stride = width - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), size(col("_toks")) - 1, lit(stride))))
+      .where(col("col") === 0 ||
+        col("col") < size(col("_toks")) - overlap)
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("_toks"), col("col") + 1, lit(width)), " ")
+          .as("chunk_text"),
+        least(size(col("_toks")) - col("col"), lit(width)).cast("long")
+          .as("n_tokens"))
+  }
+
   // -------------------------------------------------------- PII redaction
 
   /** PII patterns, ordered: each is both RE2- and java.util.regex-

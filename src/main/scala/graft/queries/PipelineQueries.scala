@@ -210,6 +210,31 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // p5: sequence packing — shard the priority-ordered corpus into
+  // contiguous ~2000-token bins via the distributed prefix sum; output
+  // is per-bin shard stats. The oracle replays the same exclusive
+  // running sum with a window.
+  def p5_sequence_pack(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Sampling.mix32(col("doc_id")).as("pri"))
+    Sampling.packByBudget(t, "doc_id", "n_tokens", binSize = 2000L,
+        priority = Seq(col("pri"), col("doc_id")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("bin")
+  }
+
+  // t8: context-window chunking — 32-token windows, 8-token overlap,
+  // over a 50-doc slice (the oracle explodes every window as strings)
+  def t8_chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(
+        docs(s, dir).where(col("doc_id") < 50), "doc_id", "text",
+        width = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   // p3: token-budget selection — fill a 20k-token mix in deterministic
   // shuffle order via the two-phase distributed prefix sum
   def p3_token_budget(s: SparkSession, dir: String): DataFrame = {
@@ -378,6 +403,8 @@ object PipelineQueries {
     "p2_stratified_sample" -> p2_stratified_sample _,
     "p3_token_budget" -> p3_token_budget _,
     "p4_source_mix" -> p4_source_mix _,
+    "p5_sequence_pack" -> p5_sequence_pack _,
+    "t8_chunking" -> t8_chunking _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
     "s8_knn_graph" -> s8_knn_graph _,
@@ -486,6 +513,37 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY doc_id""".stripMargin,
+    "p5_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS pri
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY pri, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS pre_cum
+        |  FROM t)
+        |SELECT CAST(pre_cum // 2000 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t8_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, len(toks), 24)) AS strt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(strt // 24 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[strt + 1 : strt + 32], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - strt, 32) AS BIGINT) AS n_tokens
+        |FROM s
+        |WHERE strt = 0 OR strt < len(toks) - 8
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "p4_source_mix" ->
       """WITH w AS (
         |  SELECT source, CAST(wd AS DOUBLE) AS w FROM (

@@ -303,4 +303,33 @@ class PipelineSpec extends AnyFunSuite {
       .select("count").as[Long].collect()
     assert(perDoc.forall(_ <= 4))
   }
+  test("chunkByTokens: windows tile the token stream with the overlap") {
+    import spark.implicits._
+    val text = (1 to 75).map(i => s"w$i").mkString(" ")
+    val out = graft.operators.TextAnalysis.chunkByTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        width = 32, overlap = 8)
+      .orderBy("chunk_idx")
+      .collect()
+    // starts 0, 24, 48; start 72 >= 75-8 is a pure suffix and is dropped
+    assert(out.length === 3)
+    val chunks = out.map(_.getString(2).split(" ").toSeq)
+    assert(chunks(0) === (1 to 32).map(i => s"w$i"))
+    assert(chunks(1) === (25 to 56).map(i => s"w$i"))
+    assert(chunks(2) === (49 to 75).map(i => s"w$i"))
+    assert(out.map(_.getLong(3)).toSeq === Seq(32L, 32L, 27L))
+    // overlap: each window re-reads the previous window's last 8 tokens
+    assert(chunks(0).takeRight(8) === chunks(1).take(8))
+  }
+
+  test("chunkByTokens: short document yields exactly one full-copy chunk") {
+    import spark.implicits._
+    val out = graft.operators.TextAnalysis.chunkByTokens(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+        width = 32, overlap = 8)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(2) === "a b c")
+    assert(out.head.getLong(3) === 3L)
+  }
 }

