@@ -372,6 +372,20 @@ object PipelineQueries {
         sum(col("rlen").cast("long")).as("redacted_chars"))
       .orderBy("source")
 
+  // t9: corpus vocabulary / document-frequency statistics — the global
+  // term table a curation pipeline derives for stopword discovery, df
+  // cutoffs, and prefix-filter indexes. explode(distinct tokens) →
+  // groupBy(token): partial aggregation absorbs token skew map-side;
+  // the shuffle carries (token, partial count), never document text.
+  def t9_vocab_df(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token"))
+      .limit(50)
+
   // ------------------------------------------------------- multimodal
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -405,6 +419,7 @@ object PipelineQueries {
     "p4_source_mix" -> p4_source_mix _,
     "p5_sequence_pack" -> p5_sequence_pack _,
     "t8_chunking" -> t8_chunking _,
+    "t9_vocab_df" -> t9_vocab_df _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
     "s8_knn_graph" -> s8_knn_graph _,
@@ -513,6 +528,13 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY doc_id""".stripMargin,
+    "t9_vocab_df" ->
+      """SELECT token, count(*) AS df FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
     "p5_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -317,8 +317,36 @@ object StreamingQueries {
       .orderBy("key")
   }
 
+  /** Streaming exact dedup: `dropDuplicates` keyed state across
+    * micro-batches — the ingest-side "first occurrence only" gate (at
+    * ingest scale the state holds one empty entry per distinct key;
+    * with an event-time watermark, `dropDuplicatesWithinWatermark`
+    * bounds it). The chained stateful pipeline (dedup → aggregation)
+    * must converge to the batch COUNT(DISTINCT user_id) per type. */
+  def st7_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+    val plan = src.select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st7_stream_dedup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st7_stream_dedup").orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1_stream_window _,
+    "st7_stream_dedup" -> st7_stream_dedup _,
     "st2_running_stats" -> st2_running_stats _,
     "st3_rollup_ingest" -> st3_rollup_ingest _,
     "st4_rollup_segments" -> st4_rollup_segments _,
@@ -327,6 +355,9 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "st7_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "st1_stream_window" ->
       """SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS step_ts,
         |  event_type, count(*) AS n,
