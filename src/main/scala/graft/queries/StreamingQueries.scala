@@ -248,18 +248,15 @@ object StreamingQueries {
     val mxDf = ev.agg(max(col("ms")).as("mx"))
     val closed = ev.crossJoin(broadcast(mxDf))
       .where((col("ms") - col("ms") % 60000L) + 60000L <= col("mx") - 3600000L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("value")
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type")
-    val exact = closed
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        max(when(col("rn") === floor(lit(0.9) * (col("n") - 1)).cast("int") + 1,
-          col("value"))).as("x90"))
+    // exact x90 via distributed selection (Quantiles), NOT a
+    // Window.partitionBy(event_type) sort — with a handful of types the
+    // window plan sorts every closed event in as many tasks (the same
+    // low-cardinality trap k2's verification side had)
+    val exactUsers = closed.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val x90 = graft.operators.Quantiles.exactByGroup(
+      closed, "event_type", col("value"), Seq("x90" -> 0.9))
+    val exact = exactUsers.join(x90, Seq("event_type"))
     merged.join(exact, Seq("event_type"))
       .where(abs(col("p90") - col("x90")) / col("x90") <= 0.015 &&
         abs(col("users_est") - col("exact_users")) / col("exact_users") <= 0.05)
