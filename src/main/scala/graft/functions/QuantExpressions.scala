@@ -98,7 +98,11 @@ case class Int8Cosine(left: Expression, right: Expression)
   override def compute(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[Array[Byte]]
     val b = r.asInstanceOf[Array[Byte]]
-    val n = math.min(a.length, b.length)
+    // mismatched widths mean mixed embedding versions — a silent
+    // truncated dot product would return plausible-but-wrong scores
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"int8_cosine: code widths differ (${a.length} vs ${b.length})")
+    val n = a.length
     var dot = 0L
     var na = 0L
     var nb = 0L

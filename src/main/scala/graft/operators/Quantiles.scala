@@ -57,30 +57,34 @@ object Quantiles {
           }
           m.iterator.map { case (g, c) => (pid, g, c) }
         }.collect()
-      val totals: Map[String, Long] =
-        counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-      // global rank of the first row of (pid, g) = 1 + rows of g in
-      // earlier partitions (range partitioning keeps groups contiguous
-      // across pid order).
-      val offsets: Map[(Int, String), Long] = {
-        val byGroup = counts.groupBy(_._2)
-        byGroup.flatMap { case (g, cs) =>
+      // Per group, its partition spans in pid order with running "rows
+      // before" offsets (range partitioning keeps groups contiguous
+      // across pid order). Built once, looked up per target — linear in
+      // groups × partitions, not quadratic.
+      val spans: Map[String, Array[(Int, Long, Long)]] = // (pid, before, c)
+        counts.groupBy(_._2).map { case (g, cs) =>
           val sorted = cs.sortBy(_._1)
-          sorted.zip(sorted.scanLeft(0L)(_ + _._3))
-            .map { case ((pid, _, _), before) => (pid, g) -> before }
+          g -> sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+            .map { case ((pid, _, c), before) => (pid, before, c) }
+            .toArray
         }
-      }
       // (pid -> targets within it): group, quantile name, 1-based local rank
       val targets: Map[Int, Seq[(String, String, Long)]] = (for {
-        (g, n) <- totals.toSeq
+        (g, gSpans) <- spans.toSeq
+        n = gSpans.map(_._3).sum
         (name, q) <- qs
       } yield {
         val rank = math.floor(q * (n - 1)).toLong + 1 // 1-based global
-        val (pid, before) = offsets.collect {
-          case ((p, `g`), b) if b < rank &&
-              rank <= b + counts.find(c => c._1 == p && c._2 == g).get._3 =>
-            (p, b)
-        }.head
+        // binary search: last span with before < rank holds the target
+        val i = {
+          var lo = 0; var hi = gSpans.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (gSpans(mid)._2 < rank) lo = mid else hi = mid - 1
+          }
+          lo
+        }
+        val (pid, before, _) = gSpans(i)
         (pid, (g, name, rank - before))
       }).groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2) }
       val picked: Array[(String, String, Double)] = {

@@ -85,13 +85,10 @@ object Sampling {
       .sortWithinPartitions(pCols: _*)
       .persist()
     try {
-      val perPartition = narrow.rdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          Iterator.single(pid -> it.map(_.getAs[Long]("_w")).sum)
-        }.collect().sortBy(_._1).map(_._2)
-      val offsets = perPartition.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
+      val offsets = weightOffsets(narrow.rdd) // offsets(i) = sum before partition i
       // first partition whose cumulative end exceeds the budget
-      val crossing = perPartition.indices.find(i => offsets(i + 1) > budget)
+      val crossing = (0 until offsets.length - 1)
+        .find(i => offsets(i + 1) > budget)
       crossing match {
         case None => df // total weight fits the budget: keep everything
         case Some(pid) =>
@@ -155,11 +152,7 @@ object Sampling {
       .repartitionByRange(parts, pNames.map(col): _*)
       .sortWithinPartitions(pNames.map(col): _*)
     val narrowRdd = narrow.rdd
-    val perPartition = narrowRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single(pid -> it.map(_.getAs[Long]("_w")).sum)
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = perPartition.scanLeft(0L)(_ + _)
+    val offsets = weightOffsets(narrowRdd)
     val out = narrowRdd.mapPartitionsWithIndex { (pid, it) =>
       var cum = offsets(pid)
       it.map { r =>
@@ -201,16 +194,36 @@ object Sampling {
     val spark = df.sparkSession
     val wDf = spark.createDataFrame(
       weights.toSeq.sortBy(_._1)).toDF(strataCol, "_w")
-    val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).cast("double").as("_n"))
-      .join(broadcast(wDf), strataCol)
+    // LEFT join from the weights: a weighted stratum with no corpus rows
+    // gets _n = 0, making T = min(n/w) = 0 and the result EMPTY — the
+    // honest answer (no non-empty subcorpus can achieve a share of a
+    // stratum that has no rows), rather than silently renormalizing to
+    // the strata that happen to exist
+    val counts = wDf.join(
+        broadcast(df.groupBy(col(strataCol))
+          .agg(count(lit(1)).cast("double").as("_c"))),
+        Seq(strataCol), "left")
+      .select(col(strataCol), col("_w"),
+        coalesce(col("_c"), lit(0.0)).as("_n"))
     val tCap = counts.agg(min(col("_n") / col("_w")).as("_t"))
     val rates = counts.crossJoin(broadcast(tCap))
       .select(col(strataCol),
-        floor(least(lit(1.0), col("_w") * col("_t") / col("_n")) *
+        floor(when(col("_n") === 0.0, lit(0.0)) // empty stratum (T = 0)
+          .otherwise(least(lit(1.0), col("_w") * col("_t") / col("_n"))) *
           lit(modulus.toDouble)).as("_cut"))
     df.join(broadcast(rates), strataCol)
       .where(score < col("_cut"))
       .drop("_cut")
   }
+
+  /** Exclusive per-partition prefix offsets of the "_w" column of a
+    * partition-ordered narrow frame: offsets(i) = Σ weights before
+    * partition i (one long per partition collected — the planning-
+    * metadata footprint every two-phase prefix pass here shares). */
+  private def weightOffsets(rdd: org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row]): Array[Long] =
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.map(_.getAs[Long]("_w")).sum)
+      }.collect().sortBy(_._1).map(_._2)
+      .scanLeft(0L)(_ + _)
 }

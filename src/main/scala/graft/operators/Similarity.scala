@@ -249,21 +249,29 @@ object Similarity {
   }
 
   /** Top-k by quantized-cosine candidate generation + full-precision
-    * re-rank: the corpus scan reads 1-byte-per-dim codes (plus the float
-    * vector only for the k·overFetch survivors of the TakeOrdered), the
-    * re-rank restores exact ordering. Recall loss is bounded by the
-    * int8 cosine error (≲0.5% absolute at dim 64) against the score gap
-    * at the candidate cutoff — size overFetch accordingly. */
+    * re-rank. The candidate pass carries ONLY (id, qscore) through the
+    * distributed top-k — never a vector — and the re-rank is a separate
+    * id-filtered scan (an IN-list of ≤ k·overFetch ids, pushed into the
+    * parquet reader's row-group stats). With a PERSISTED code column
+    * (`quantizeInt8`'s struct written at ingest) the candidate scan
+    * reads 1 byte/dim; here codes are derived in-plan, which reads the
+    * float column once but keeps the memory/shuffle shape identical.
+    * Recall loss is bounded by the int8 cosine error (≲0.5% absolute at
+    * dim 64) against the score gap at the candidate cutoff — size
+    * overFetch accordingly. The candidate-id collect is ≤ k·overFetch
+    * values of planning metadata (same class as the query vector). */
   def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, overFetch: Int = 3): DataFrame = {
     val qq = lit(quantizeInt8Bytes(query))
-    val cand = df
-      .select(col(idCol).as("id"), col(vecCol).as("_vec"),
+    val candIds = df
+      .select(col(idCol).as("id"),
         int8Cosine(quantizeInt8(col(vecCol)).getField("q"), qq).as("qscore"))
       .orderBy(desc("qscore"), col("id"))
       .limit(k * overFetch)
-    cand
-      .select(col("id"), cosine(col("_vec"), litVec(query)).as("score"))
+      .select("id").collect().map(_.get(0)).toSeq
+    df.where(col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("id"),
+        cosine(col(vecCol), litVec(query)).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
   }

@@ -53,12 +53,40 @@ final class ManifestFileIndex(
 
   import ManifestFileIndex._
 
+  // One listStatus RPC per parent DIRECTORY (not one HEAD per segment —
+  // serial per-file getFileStatus against an object store would stall
+  // the driver for minutes at thousands of segments), directories
+  // fetched concurrently; files the manifest knows but the listing
+  // misses fall back to a direct lookup.
   private val statuses: Map[String, FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    manifest.map { seg =>
-      val p = new Path(seg.file)
-      seg.file -> p.getFileSystem(conf).getFileStatus(p)
-    }.toMap
+    val byParent = manifest.map(_.file).groupBy(f => new Path(f).getParent)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, byParent.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = byParent.toSeq.map { case (parent, files) =>
+        new java.util.concurrent.Callable[Seq[(String, FileStatus)]] {
+          override def call(): Seq[(String, FileStatus)] = {
+            val fs = parent.getFileSystem(conf)
+            // manifest strings may be unqualified; the listing is —
+            // key the lookup by the fully-qualified form of both
+            val wanted = files
+              .map(f => fs.makeQualified(new Path(f)).toString -> f).toMap
+            fs.listStatus(parent).toSeq
+              .flatMap(st => wanted.get(st.getPath.toString)
+                .map(orig => orig -> st))
+          }
+        }
+      }
+      val listed = pool.invokeAll(tasks.asJava).asScala
+        .flatMap(_.get()).toMap
+      val missing = manifest.map(_.file).toSet -- listed.keySet
+      listed ++ missing.map { f =>
+        val p = new Path(f)
+        f -> p.getFileSystem(conf).getFileStatus(p)
+      }
+    } finally pool.shutdown()
   }
 
   override def rootPaths: Seq[Path] =
@@ -93,7 +121,11 @@ final class ManifestFileIndex(
       seg.minTs <= tsToMillis(v)
     case GreaterThanOrEqual(LongLit(v), TsAttr(`tsCol`)) =>
       seg.minTs <= tsToMillis(v)
+    case GreaterThan(LongLit(v), TsAttr(`tsCol`)) =>
+      seg.minTs <= tsToMillis(v)
     case LessThanOrEqual(LongLit(v), TsAttr(`tsCol`)) =>
+      seg.maxTs >= tsToMillis(v)
+    case LessThan(LongLit(v), TsAttr(`tsCol`)) =>
       seg.maxTs >= tsToMillis(v)
     case EqualTo(TsAttr(`tsCol`), LongLit(v)) =>
       val ms = tsToMillis(v); seg.minTs <= ms && seg.maxTs >= ms

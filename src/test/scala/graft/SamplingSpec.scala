@@ -93,6 +93,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.sameElements(
       out.select("id").as[Long].collect().sorted), "deterministic")
   }
+  test("mixToWeights: a weighted stratum absent from the corpus -> empty") {
+    val out = Sampling.mixToWeights(rows, "src",
+      Map("0" -> 0.5, "nonexistent" -> 0.5),
+      Sampling.mix32(col("id")))
+    assert(out.count() === 0L,
+      "no subcorpus can give half its mass to a stratum with no rows")
+  }
+
   test("packByBudget: bins are contiguous prefix spans with exact sums") {
     val out = Sampling.packByBudget(rows, "id", "w", binSize = 100L,
       priority = Seq(Sampling.mix32(col("id")), col("id")))
@@ -107,10 +115,16 @@ class SamplingSpec extends AnyFunSuite {
       val bin = cum / 100L; cum += w; (id, w, bin)
     }.toSet
     assert(out.toSet === expect, "distributed bins equal sequential replay")
-    // every bin except the last spans >= binSize once closed
+    // every bin except the last must close at or past its budget
+    // boundary: bin b's cumulative span ends at or after (b+1)*binSize
     val totals = expect.groupBy(_._3).toSeq.sortBy(_._1)
       .map { case (b, rs) => b -> rs.toSeq.map(_._2).sum }
-    totals.dropRight(1).foreach { case (b, _) => () } // spans checked via replay
+    var cumEnd = 0L
+    totals.dropRight(1).foreach { case (b, tot) =>
+      cumEnd += tot
+      assert(cumEnd >= (b + 1) * 100L,
+        s"bin $b closed at $cumEnd before its boundary ${(b + 1) * 100L}")
+    }
   }
 
   test("packByBudget with a single partition equals many partitions") {
