@@ -467,6 +467,27 @@ object CoreQueries {
       .orderBy("n_name")
   }
 
+  // J-family extension: AS-OF join — each event enriched with the last
+  // CLOSED per-minute rollup of its type (anchor ts = minute END, so an
+  // event never sees its own minute), within a 10-minute tolerance.
+  // Operator: operators/AsOf bucketed-interval equi-join (no window over
+  // the fact side); oracle: DuckDB's native ASOF LEFT JOIN with the
+  // tolerance applied as a post-mask (equivalent: any anchor farther
+  // than the latest one is farther still).
+  def j3_asof_enrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      expr("ts div 1000000").as("ms"))
+    val rollups = ev.groupBy(col("event_type"),
+        (expr("ms div 60000") * 60000 + 60000).as("ats"))
+      .agg(count(lit(1)).as("rollup_n"))
+    graft.operators.AsOf.joinAsOf(ev.where(col("event_id") < 2000),
+        rollups, Seq("event_type"), "ms", "ats", Seq("rollup_n"),
+        toleranceMs = 600000L, bucketMs = 60000L)
+      .select(col("event_id"), col("event_type"), col("asof_ts"),
+        col("rollup_n"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------ W*
   // W1 window functions (absent in reference; free in Spark)
   def w1_window(s: SparkSession, dir: String): DataFrame = {
@@ -508,6 +529,7 @@ object CoreQueries {
     "u3_set_ops" -> u3_set_ops _,
     "a14_grouping_sets" -> a14_grouping_sets _,
     "j1_formula_div" -> j1_formula_div _,
+    "j3_asof_enrich" -> j3_asof_enrich _,
     "j1_formula_add" -> j1_formula_add _,
     "j2_join_enrich" -> j2_join_enrich _,
     "w1_window" -> w1_window _
@@ -613,6 +635,20 @@ object CoreQueries {
     "k2_dd_proto_interop" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j3_asof_enrich" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |r AS (
+        |  SELECT event_type, (ms // 60000) * 60000 + 60000 AS ats,
+        |    count(*) AS rollup_n
+        |  FROM ev GROUP BY 1, 2),
+        |l AS (SELECT * FROM ev WHERE event_id < 2000)
+        |SELECT l.event_id, l.event_type,
+        |  CASE WHEN l.ms - r.ats < 600000 THEN r.ats END AS asof_ts,
+        |  CASE WHEN l.ms - r.ats < 600000 THEN r.rollup_n END AS rollup_n
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.event_type = r.event_type AND l.ms >= r.ats
+        |ORDER BY event_id""".stripMargin,
     "a15_exact_quantiles" ->
       """WITH r AS (
         |  SELECT l_returnflag,
