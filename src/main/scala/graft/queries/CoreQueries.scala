@@ -488,6 +488,27 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // J-family extension: range join — every 5-minute sliding window (one
+  // per minute) covering each event, a multi-match interval join. Spark
+  // would plan the raw inequality join as BroadcastNestedLoop; the
+  // operator's bucketed equi-join shape is partitioned by key AND time.
+  // Oracle: DuckDB evaluates the same inequality join directly.
+  def j4_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      expr("ts div 1000000").as("ms"))
+    val intervals = ev
+      .groupBy(col("event_type"), (expr("ms div 60000") * 60000).as("lo"))
+      .agg(count(lit(1)).as("rollup_n"))
+      .withColumn("hi", col("lo") + 300000L)
+    graft.operators.RangeJoin.pointInInterval(
+        ev.where(col("event_id") < 500), intervals,
+        Seq("event_type"), "ms", "lo", "hi", Seq("rollup_n"),
+        bucketMs = 60000L, maxLenMs = 300000L)
+      .select(col("event_id"), col("event_type"),
+        col("range_lo"), col("rollup_n"))
+      .orderBy("event_id", "range_lo")
+  }
+
   // ------------------------------------------------------------------ W*
   // W1 window functions (absent in reference; free in Spark)
   def w1_window(s: SparkSession, dir: String): DataFrame = {
@@ -530,6 +551,7 @@ object CoreQueries {
     "a14_grouping_sets" -> a14_grouping_sets _,
     "j1_formula_div" -> j1_formula_div _,
     "j3_asof_enrich" -> j3_asof_enrich _,
+    "j4_range_join" -> j4_range_join _,
     "j1_formula_add" -> j1_formula_add _,
     "j2_join_enrich" -> j2_join_enrich _,
     "w1_window" -> w1_window _
@@ -649,6 +671,18 @@ object CoreQueries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.ats
         |ORDER BY event_id""".stripMargin,
+    "j4_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |r AS (
+        |  SELECT event_type, (ms // 60000) * 60000 AS lo,
+        |    (ms // 60000) * 60000 + 300000 AS hi, count(*) AS rollup_n
+        |  FROM ev GROUP BY 1, 2),
+        |l AS (SELECT * FROM ev WHERE event_id < 500)
+        |SELECT l.event_id, l.event_type, r.lo AS range_lo, r.rollup_n
+        |FROM l JOIN r
+        |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
+        |ORDER BY event_id, range_lo""".stripMargin,
     "a15_exact_quantiles" ->
       """WITH r AS (
         |  SELECT l_returnflag,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("point-in-interval equals the naive quadratic join (randomized)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val keys = Seq("a", "b")
+    val right = for (k <- keys; i <- 1 to 60) yield {
+      val lo = rng.nextInt(5000).toLong
+      (k, lo, lo + 1 + rng.nextInt(400).toLong, i.toLong)
+    }
+    val left = for (i <- 1 to 300)
+      yield (keys(rng.nextInt(2)), rng.nextInt(6000).toLong, i.toLong)
+    val got = RangeJoin.pointInInterval(
+        left.toDF("k", "ts", "id").repartition(8),
+        right.toDF("k", "lo", "hi", "x").repartition(4),
+        Seq("k"), "ts", "lo", "hi", Seq("x"),
+        bucketMs = 64L, maxLenMs = 512L)
+      .select("id", "range_lo", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (lk, ts, id) <- left
+      (rk, lo, hi, x) <- right
+      if lk == rk && lo <= ts && ts < hi
+    } yield (id, lo, x)).toSet
+    assert(got === want)
+  }
+
+  test("left join keeps uncovered points with null range columns") {
+    import spark.implicits._
+    val out = RangeJoin.pointInInterval(
+        Seq(("k", 10L, 1L), ("k", 999L, 2L)).toDF("k", "ts", "id"),
+        Seq(("k", 5L, 20L, 7L)).toDF("k", "lo", "hi", "x"),
+        Seq("k"), "ts", "lo", "hi", Seq("x"),
+        bucketMs = 16L, maxLenMs = 64L, joinType = "left")
+      .select("id", "x").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out === Map(1L -> Some(7L), 2L -> None))
+  }
+
+  test("an interval longer than maxLenMs fails loudly, never silently") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(
+          Seq(("k", 10L, 1L)).toDF("k", "ts", "id"),
+          Seq(("k", 0L, 10000L, 7L)).toDF("k", "lo", "hi", "x"),
+          Seq("k"), "ts", "lo", "hi", Seq("x"),
+          bucketMs = 16L, maxLenMs = 64L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxLenMs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxLenMs")))
+  }
+}
