@@ -337,6 +337,49 @@ object CoreQueries {
       .orderBy("flag")
   }
 
+  // K3 (beyond the reference's sketches): theta-sketch SET operations —
+  // audience overlap (|A ∩ B|, |A \ B|) from mergeable sketch payloads,
+  // the query class HLL cannot answer. Two-level build proves the merge
+  // path (per-segment sketches → union), k1-style; the gate keeps rows
+  // only while every estimate lands within 5% of the exact answer, and
+  // the output is the exact set-op counts DuckDB recomputes natively.
+  // Deterministic: the library's fixed default seed.
+  def k3_theta_setops(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ThetaFunctions => TF}
+    val ev = t(s, dir, "events")
+    def sketchOf(tpe: String, alias: String) = ev
+      .where(col("event_type") === tpe)
+      .groupBy((col("user_id") % 8).as("segment"))
+      .agg(TF.thetaSketch(col("user_id")).as("sk"))
+      .agg(TF.thetaUnion(col("sk")).as(alias))
+    def users(tpe: String) = ev.where(col("event_type") === tpe)
+      .select(col("user_id")).distinct()
+    val est = sketchOf("click", "sk_a").crossJoin(sketchOf("purchase", "sk_b"))
+      .select(
+        TF.thetaEstimateOf(col("sk_a")).as("est_a"),
+        TF.thetaEstimateOf(col("sk_b")).as("est_b"),
+        TF.thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("est_i"),
+        TF.thetaDiffEstimate(col("sk_a"), col("sk_b")).as("est_d"))
+    val a = users("click")
+    val b = users("purchase")
+    val exact = a.agg(count(lit(1)).as("n_click"))
+      .crossJoin(b.agg(count(lit(1)).as("n_purchase")))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_both")))
+      .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("n_click_only")))
+    // gate form |est - n| <= 0.05n + 0.5: relative 5% plus half-a-unit
+    // absolute slack so empty set-op results (n = 0 — here every click
+    // user also purchases) gate on "estimate rounds to zero" instead of
+    // dividing by zero
+    def ok(est: Column, n: Column) = abs(est - n) <= n * 0.05 + 0.5
+    exact.crossJoin(est)
+      .where(ok(col("est_a"), col("n_click")) &&
+        ok(col("est_b"), col("n_purchase")) &&
+        ok(col("est_i"), col("n_both")) &&
+        ok(col("est_d"), col("n_click_only")))
+      .select(col("n_click"), col("n_purchase"), col("n_both"),
+        col("n_click_only"))
+  }
+
   // A15 (beyond the reference's sketch percentiles): EXACT per-group
   // quantiles by distributed selection — range-partitioned narrow
   // projection + driver rank offsets + targeted pick; no task ever sorts
@@ -543,6 +586,7 @@ object CoreQueries {
     "k1_hll_interop" -> k1_hll_interop _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
+    "k3_theta_setops" -> k3_theta_setops _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
@@ -671,6 +715,18 @@ object CoreQueries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.ats
         |ORDER BY event_id""".stripMargin,
+    "k3_theta_setops" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT count(*) FROM a) AS n_click,
+        |  (SELECT count(*) FROM b) AS n_purchase,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+        |    AS n_both,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |    AS n_click_only""".stripMargin,
     "j4_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
