@@ -119,6 +119,29 @@ object GraftExtensions {
       (args: Seq[Expression]) => DsHllUnionAgg(args.head).toAggregateExpression())),
     "graft_hll_compat_estimate" -> ((
       info("graft_hll_compat_estimate", "_FUNC_(sketch) - estimate from a DataSketches HLL image."),
-      (args: Seq[Expression]) => DsHllEstimateOf(args.head)))
+      (args: Seq[Expression]) => DsHllEstimateOf(args.head))),
+    // ---- theta set-operation sketches (ThetaSketch.scala) ----
+    "graft_theta" -> ((
+      info("graft_theta", "_FUNC_(col) - mergeable theta sketch (binary, lgK=12)."),
+      (args: Seq[Expression]) => ThetaAgg(args.head).toAggregateExpression())),
+    "graft_theta_union" -> ((
+      info("graft_theta_union", "_FUNC_(sketch) - union serialized theta sketches."),
+      (args: Seq[Expression]) => ThetaUnionAgg(args.head).toAggregateExpression())),
+    "graft_theta_estimate" -> ((
+      info("graft_theta_estimate", "_FUNC_(sketch) - distinct estimate of a theta sketch."),
+      (args: Seq[Expression]) => ThetaEstimateOf(args.head))),
+    "graft_theta_intersect" -> ((
+      info("graft_theta_intersect", "_FUNC_(a, b) - |A INTERSECT B| estimate from two theta sketches."),
+      (args: Seq[Expression]) => ThetaSetOpEstimate(args.head, args(1), intersect = true))),
+    "graft_theta_diff" -> ((
+      info("graft_theta_diff", "_FUNC_(a, b) - |A EXCEPT B| estimate from two theta sketches."),
+      (args: Seq[Expression]) => ThetaSetOpEstimate(args.head, args(1), intersect = false))),
+    // ---- int8 embedding quantization (QuantExpressions.scala) ----
+    "graft_int8_quantize" -> ((
+      info("graft_int8_quantize", "_FUNC_(vec) - int8 scalar quantization: struct(q binary, scale double)."),
+      (args: Seq[Expression]) => Int8Quantize(args.head))),
+    "graft_int8_cosine" -> ((
+      info("graft_int8_cosine", "_FUNC_(a, b) - cosine of two int8 code vectors (scales cancel)."),
+      (args: Seq[Expression]) => Int8Cosine(args.head, args(1))))
   )
 }

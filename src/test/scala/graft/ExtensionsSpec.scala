@@ -43,4 +43,22 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(viaSketch == sqlQ)
   }
+  test("theta and int8 SQL functions work end-to-end") {
+    import spark.implicits._
+    (0 until 100).map(i => ("a", i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("theta_vals")
+    val est = spark.sql(
+      """SELECT graft_theta_estimate(graft_theta(v)) AS e,
+        |  graft_theta_intersect(graft_theta(v),
+        |    graft_theta(v % 50)) AS i
+        |FROM theta_vals""".stripMargin).head()
+    assert(est.getDouble(0) === 100.0)
+    assert(est.getDouble(1) === 50.0)
+    val cos = spark.sql(
+      """SELECT graft_int8_cosine(
+        |  graft_int8_quantize(array(1.0F, 0.0F, 1.0F)).q,
+        |  graft_int8_quantize(array(1.0F, 0.0F, 1.0F)).q) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
 }
