@@ -341,9 +341,40 @@ object StreamingQueries {
     s.table("st7_stream_dedup").orderBy("event_type")
   }
 
+  /** Stream-static join: the micro-batch stream enriched against a
+    * static dimension table on every batch — Spark broadcasts the
+    * static side into each micro-batch with no state. The synthetic
+    * user→customer mapping (user_id mod |customer| + 1) is replayed by
+    * the oracle; output = per-market-segment event counts. */
+  def st8_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val nCust = cust.count() // dimension size: a plan-time scalar
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+    val plan = src
+      .withColumn("c_custkey", pmod(col("user_id"), lit(nCust)) + 1)
+      .join(broadcast(cust), "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st8_stream_static_join")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st8_stream_static_join").orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1_stream_window _,
     "st7_stream_dedup" -> st7_stream_dedup _,
+    "st8_stream_static_join" -> st8_stream_static_join _,
     "st2_running_stats" -> st2_running_stats _,
     "st3_rollup_ingest" -> st3_rollup_ingest _,
     "st4_rollup_segments" -> st4_rollup_segments _,
@@ -355,6 +386,12 @@ object StreamingQueries {
     "st7_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "st8_stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events
+        |FROM events e
+        |JOIN customer c
+        |  ON (e.user_id % (SELECT count(*) FROM customer)) + 1 = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "st1_stream_window" ->
       """SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS step_ts,
         |  event_type, count(*) AS n,
