@@ -40,6 +40,58 @@ object Dedup {
     df.groupBy(xxhash64(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  // ------------------------------------------------------------ span dedup
+
+  /** C4-style repeated-span removal: tile every document into fixed
+    * `spanTokens`-token spans, keep only the globally FIRST occurrence of
+    * each distinct span (ordered by (id, span index)), and reassemble the
+    * surviving text. Output per document:
+    * (id, n_spans, n_kept, text_kept) — a document whose every span was
+    * seen earlier comes back with n_kept = 0 and empty text.
+    *
+    * This is the cross-document cousin of [[exact]]: exact dedup drops
+    * whole duplicate documents, span dedup strikes boilerplate
+    * (headers, license blocks, navigation chrome) duplicated INSIDE
+    * otherwise-distinct documents — the C4 pipeline's repeated-span rule.
+    *
+    * Scale shape: the keep/drop decision shuffles only
+    * (span_hash, id, idx) — never text. Span text shuffles exactly once,
+    * in the per-document reassembly groupBy; the decision frame arrives
+    * at that join already aggregated to one narrow row per document and
+    * hash-partitioned by id, so Catalyst plans the final join without a
+    * third exchange of the wide side. Span identity is the 64-bit
+    * xxhash64 of the span (same collision posture as [[exact]]). */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"spanTokens $spanTokens must be positive")
+    val toks = tokens(col(textCol))
+    val nSpans = floor((size(toks) + lit(spanTokens - 1)) / lit(spanTokens))
+      .cast("int")
+    val spans = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens)))))
+        .as(Seq("idx", "span")))
+    // first global occurrence per distinct span — narrow rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("idx"))
+    val keptIdx = spans
+      .select(col("id"), col("idx"), xxhash64(col("span")).as("h"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(collect_list(when(col("_rn") === 1, col("idx"))).as("keep_idx"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("span")))).as("sp"))
+    perDoc.join(keptIdx, "id")
+      .select(col("id"),
+        size(col("sp")).cast("long").as("n_spans"),
+        size(col("keep_idx")).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            filter(col("sp"), s => array_contains(col("keep_idx"), s.getField("idx"))),
+            s => s.getField("span")),
+          " ").as("text_kept"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Whitespace tokens. */

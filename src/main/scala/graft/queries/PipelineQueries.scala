@@ -93,6 +93,16 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  // d8: C4-style repeated-span removal — 10-token spans, first global
+  // occurrence (by doc_id, span index) survives, documents reassembled
+  // from surviving spans. Deterministic → the oracle replays the same
+  // tiling + first-occurrence window + ordered reassembly in DuckDB.
+  def d8_span_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(docs(s, dir), "doc_id", "text", spanTokens = 10)
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"),
+        col("text_kept"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------- similarity
 
   /** Query vector: embedding of vec_id = 0 (a query parameter, fetched
@@ -413,6 +423,7 @@ object PipelineQueries {
     "d5_embedding_neardup" -> d5_embedding_neardup _,
     "d5_embedding_lsh" -> d5_embedding_lsh _,
     "d6_dup_clusters" -> d6_dup_clusters _,
+    "d8_span_dedup" -> d8_span_dedup _,
     "p1_hash_sample" -> p1_hash_sample _,
     "p2_stratified_sample" -> p2_stratified_sample _,
     "p3_token_budget" -> p3_token_budget _,
@@ -482,6 +493,26 @@ object PipelineQueries {
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d8_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, len(toks), 10)) AS strt, toks
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, CAST(strt // 10 AS BIGINT) AS idx,
+        |    array_to_string(toks[strt + 1 : strt + 10], ' ') AS span
+        |  FROM s),
+        |k AS (
+        |  SELECT doc_id, idx, span, row_number() OVER (
+        |    PARTITION BY span ORDER BY doc_id, idx) AS rn
+        |  FROM sp)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+        |    ORDER BY idx), '') AS text_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id AS id,

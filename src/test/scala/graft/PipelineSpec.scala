@@ -50,6 +50,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(0L, 2L, 3L, 4L, 5L)))
   }
 
+  test("spanDedup keeps first global span occurrence and reassembles survivors") {
+    // 4-token spans: doc 0 = [a b c d][e f g h]; doc 1 repeats doc 0's
+    // first span then adds fresh text; doc 2 repeats its own first span
+    // in-document; doc 3 is entirely spans seen earlier
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d x y z w"),
+      (2L, "p q r s p q r s"),
+      (3L, "a b c d p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 4)
+      .orderBy("id")
+      .select("id", "n_spans", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, "a b c d e f g h"),
+      (1L, 2L, 1L, "x y z w"),   // shared prefix struck
+      (2L, 2L, 1L, "p q r s"),   // in-document repeat struck
+      (3L, 2L, 0L, "")))         // nothing new survives
+  }
+
+  test("spanDedup handles a final truncated span") {
+    val docs = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 4)
+      .select("n_spans", "n_kept", "text_kept")
+      .as[(Long, Long, String)].collect()(0)
+    assert(out === ((2L, 2L, "a b c d e")))
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val pairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)
