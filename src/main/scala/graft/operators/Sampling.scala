@@ -118,6 +118,32 @@ object Sampling {
     } finally narrow.unpersist(blocking = false)
   }
 
+  /** Deterministic global shuffle for training-data ordering: assign
+    * every row a (shard, pos) coordinate that is a pure function of its
+    * key — shard = mix(key) mod numShards, pos = dense rank of
+    * (mix(key), key) within the shard. Reading shards in any fixed
+    * discipline (concatenated, or round-robin by pos) replays the same
+    * pseudorandom permutation on every run, over any partitioning, and
+    * after appending late shards — which `df.orderBy(rand())` cannot
+    * promise.
+    *
+    * Scale shape: one shuffle on the shard key, then a per-shard sort.
+    * With numShards ≫ cores (training runs shard into thousands of
+    * files) every shard sorts in parallel and no single-partition global
+    * sort appears anywhere — the window's partitionBy is the shard key,
+    * never empty. Use `score` = [[mix32]] on an integer id when the
+    * permutation must replay in other engines. */
+  def globalShuffle(df: DataFrame, keyCol: String, numShards: Int,
+      score: Column): DataFrame = {
+    require(numShards > 0, s"numShards $numShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", score)
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
+
   /** Greedy contiguous packing of the priority-ordered corpus into
     * fixed-budget bins — the "shard a 10B-token mix into ~2B-token
     * training files" step. A row's bin is `pre_cum / binSize` where

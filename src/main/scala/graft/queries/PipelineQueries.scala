@@ -220,6 +220,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // p6: deterministic global shuffle — every doc gets a (shard, pos)
+  // training-order coordinate from pure key arithmetic (8 shards, mix32
+  // order within shard); the oracle replays the identical permutation
+  def p6_global_shuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.globalShuffle(docs(s, dir), "doc_id", numShards = 8,
+        score = Sampling.mix32(col("doc_id")))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   // p5: sequence packing — shard the priority-ordered corpus into
   // contiguous ~2000-token bins via the distributed prefix sum; output
   // is per-bin shard stats. The oracle replays the same exclusive
@@ -429,6 +438,7 @@ object PipelineQueries {
     "p3_token_budget" -> p3_token_budget _,
     "p4_source_mix" -> p4_source_mix _,
     "p5_sequence_pack" -> p5_sequence_pack _,
+    "p6_global_shuffle" -> p6_global_shuffle _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
@@ -582,6 +592,15 @@ object PipelineQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p6_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
+        |  FROM documents)
+        |SELECT doc_id, hh % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+        |    - 1 AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "t8_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -31,6 +31,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.sameElements(out.select("id").as[Long].collect().sorted))
   }
 
+  test("globalShuffle is a deterministic permutation with dense per-shard positions") {
+    val df = (0L until 1000L).toDF("id")
+    val out = Sampling.globalShuffle(df, "id", numShards = 7,
+      score = Sampling.mix32(col("id")))
+    val rows = out.select("id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 1000)
+    // (shard, pos) is a bijection onto dense 0..n_s-1 ranges
+    assert(rows.map(r => (r._2, r._3)).distinct.length === 1000)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted === (0L until g.length.toLong).toArray)
+    }
+    // re-running over a different partitioning replays the same coordinates
+    val again = Sampling.globalShuffle(df.repartition(13), "id", 7,
+      Sampling.mix32(col("id")))
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1) === rows.sortBy(_._1))
+  }
+
   test("takeUntilBudget equals the single-node prefix-sum answer") {
     // local reference: sort by (mix32, id), keep while inclusive cum <= budget
     def mix(id: Long): Long = {
