@@ -83,6 +83,7 @@ private[functions] object ComputeCodegen {
   def unbox(call: String, dataType: DataType): String = dataType match {
     case DoubleType => s"((java.lang.Double) $call).doubleValue()"
     case LongType => s"((java.lang.Long) $call).longValue()"
+    case BooleanType => s"((java.lang.Boolean) $call).booleanValue()"
     case _: ArrayType =>
       s"((org.apache.spark.sql.catalyst.util.ArrayData) $call)"
     case _: StructType =>

@@ -40,6 +40,54 @@ object Dedup {
     df.groupBy(xxhash64(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Build the serialized Bloom fingerprint of a corpus's content hashes —
+    * the reusable "everything we have ever ingested" artifact for
+    * [[incrementalNew]]. Size it for the FINAL corpus (a 1e9-item filter
+    * at 1% fpp is ~1.2 GB — broadcastable); persist the bytes beside the
+    * corpus and extend them batch-over-batch instead of rebuilding. */
+  def contentBloom(df: DataFrame, contentCols: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bloom = df.select(xxhash64(contentCols.map(col): _*).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Incremental dedup of a new batch against a historical corpus: rows
+    * of `newDf` whose content was never seen in `historyDf`. EXACT —
+    * the Bloom filter only routes:
+    *
+    *  - rows whose content hash misses the filter are DEFINITELY new
+    *    (no false negatives) and pass through map-side, never shuffling;
+    *  - the remaining sliver (true dups + the fpp fraction) is verified
+    *    with a hash anti-join against history, which shuffles 8-byte
+    *    hashes, never content.
+    *
+    * This is the daily-crawl shape at 100 TB: the history fingerprint is
+    * built ONCE (pass `bloomBytes` from [[contentBloom]], persisted as an
+    * offline artifact) and each day's batch — typically ~1000× smaller
+    * than history — is gated without scanning or shuffling the historical
+    * corpus at all on the definite-new path. Equality is by 64-bit
+    * content hash (same collision posture as [[exact]]). */
+  def incrementalNew(newDf: DataFrame, historyDf: DataFrame,
+      contentCols: Seq[String], expectedItems: Long,
+      fpp: Double = 0.01, bloomBytes: Array[Byte] = null): DataFrame = {
+    val h = xxhash64(contentCols.map(col): _*)
+    val bytes = if (bloomBytes != null) bloomBytes
+      else contentBloom(historyDf, contentCols, expectedItems, fpp)
+    val flagged = newDf
+      .withColumn("_h", h)
+      .withColumn("_might",
+        graft.functions.BloomExpressions.mightContain(bytes, col("_h")))
+    val definiteNew = flagged.where(!col("_might"))
+    val confirmedNew = flagged.where(col("_might"))
+      .join(historyDf.select(h.as("_h")).distinct(), Seq("_h"), "left_anti")
+    definiteNew.unionByName(confirmedNew).drop("_h", "_might")
+  }
+
   // ------------------------------------------------------------ span dedup
 
   /** C4-style repeated-span removal: tile every document into fixed

@@ -93,6 +93,24 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  // d7: incremental dedup of a "daily batch" against a historical corpus
+  // through the Bloom-routed exact path. History = doc_id < 250; the
+  // batch = doc_id >= 250 plus PLANTED copies of 50 historical texts
+  // (re-keyed to doc_id + 10000) so the duplicate path has real work.
+  // The result is exact (Bloom false positives are anti-join-verified),
+  // so the oracle is a plain NOT EXISTS on text.
+  def d7_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val history = d.where(col("doc_id") < 250)
+    val batch = d.where(col("doc_id") >= 250)
+      .unionByName(d.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    Dedup.incrementalNew(batch, history, Seq("text"),
+        expectedItems = 1L << 17)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   // d8: C4-style repeated-span removal — 10-token spans, first global
   // occurrence (by doc_id, span index) survives, documents reassembled
   // from surviving spans. Deterministic → the oracle replays the same
@@ -432,6 +450,7 @@ object PipelineQueries {
     "d5_embedding_neardup" -> d5_embedding_neardup _,
     "d5_embedding_lsh" -> d5_embedding_lsh _,
     "d6_dup_clusters" -> d6_dup_clusters _,
+    "d7_incremental_dedup" -> d7_incremental_dedup _,
     "d8_span_dedup" -> d8_span_dedup _,
     "p1_hash_sample" -> p1_hash_sample _,
     "p2_stratified_sample" -> p2_stratified_sample _,
@@ -503,6 +522,15 @@ object PipelineQueries {
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d7_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000, source, text FROM documents WHERE doc_id < 50)
+        |SELECT b.doc_id, b.source FROM batch b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id < 250 AND h.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
     "d8_span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

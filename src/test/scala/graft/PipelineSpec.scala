@@ -50,6 +50,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(0L, 2L, 3L, 4L, 5L)))
   }
 
+  test("incrementalNew is exact: equals the plain anti-join on content") {
+    val history = corpus.where(col("doc_id") <= 2)
+    val batch = corpus.where(col("doc_id") >= 1) // 1,2 dup history; 3,4,5 new
+    val got = Dedup.incrementalNew(batch, history, Seq("text"),
+        expectedItems = 100)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(3L, 4L, 5L))
+    // a pre-built filter artifact routes identically
+    val bytes = Dedup.contentBloom(history, Seq("text"), expectedItems = 100)
+    val again = Dedup.incrementalNew(batch, history, Seq("text"),
+        expectedItems = 100, bloomBytes = bytes)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === got)
+  }
+
+  test("incrementalNew survives an aggressively small filter (false positives verified)") {
+    // fpp 0.5 at 4 expected items forces Bloom false positives on some of
+    // 200 new rows — the anti-join must still return the exact answer
+    val history = Seq((0L, "seen a"), (1L, "seen b")).toDF("doc_id", "text")
+    val batch = (2L until 202L).map(i => (i, s"fresh text $i")).toDF("doc_id", "text")
+      .unionByName(Seq((500L, "seen a")).toDF("doc_id", "text"))
+    val got = Dedup.incrementalNew(batch, history, Seq("text"),
+        expectedItems = 4, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === (2L until 202L).toArray)
+  }
+
   test("spanDedup keeps first global span occurrence and reassembles survivors") {
     // 4-token spans: doc 0 = [a b c d][e f g h]; doc 1 repeats doc 0's
     // first span then adds fresh text; doc 2 repeats its own first span
