@@ -494,6 +494,44 @@ object Dedup {
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
   }
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): partition the embedding space with spherical
+    * k-means clusters, then within each cluster drop every item whose
+    * cosine to a lower-id cluster member reaches `threshold`. Output:
+    * the surviving (id, cluster) rows — semantically redundant items
+    * (paraphrases, re-renders, boilerplate variants that survive lexical
+    * dedup) collapse to their smallest-id representative.
+    *
+    * Train centroids once with [[Similarity.ivfCentroids]] (a plan
+    * constant — the driver never holds data, only k × dim doubles) and
+    * reuse them across batches so cluster ids are stable.
+    *
+    * Scale shape: the cluster id is the join key, so the quadratic
+    * pairwise check runs per-cluster on its own reducer — total work
+    * ~N²/k for balanced clusters; size k so N/k clusters fit a reducer
+    * (SemDeDup used 50k clusters at web scale). Only ids + vectors
+    * shuffle. A degenerate hot cluster (mode collapse in the embedding
+    * model) should be re-blocked with [[embeddingNearDuplicates]]'s
+    * hyperplane bits inside the cluster. Recall is bounded by the
+    * clustering: a near-dup pair split across cluster boundaries is not
+    * compared — the paper's accepted trade for O(N²/k). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    val withC = df.select(col(idCol).as("id"),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("cluster", Similarity.ivfAssign(col("v"), cents))
+    val a = withC.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withC.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    val drops = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b") &&
+        Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    withC.join(drops, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine >= threshold. lshBits > 0

@@ -177,6 +177,31 @@ object PipelineQueries {
       .orderBy(desc("score"), col("id"))
   }
 
+  // s12: SemDeDup semantic dedup over the IVF centroids. The entry gates
+  // PRECISION end-to-end: semanticDedup only ever drops an id with a
+  // verified lower-id neighbor at cosine >= threshold, so its survivors
+  // are a SUPERSET of the exact no-clustering survivors; the inner join
+  // therefore equals the exact survivor set (= the DuckDB oracle) unless
+  // the operator wrongly drops a row — which then fails the hash match.
+  // Recall across cluster boundaries (the paper's accepted trade) is
+  // asserted on planted near-identical vectors in PipelineSpec.
+  def s12_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = ivfCents.computeIfAbsent(dir, { d =>
+      Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
+    })
+    val clustered = Dedup.semanticDedup(e, "vec_id", "embedding",
+        cents, threshold = 0.4)
+      .select(col("id").as("vec_id"))
+    val exactDrops = Dedup.embeddingNearDuplicates(e, "vec_id", "embedding",
+        threshold = 0.4, lshBits = 0)
+      .select(col("id_b").as("vec_id")).distinct()
+    val exactSurvivors = e.select(col("vec_id"))
+      .join(exactDrops, Seq("vec_id"), "left_anti")
+    clustered.join(exactSurvivors, Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
   // LSH-pruned ANN (bucket pruning is engine-specific → rows-only;
   // recall vs brute force asserted in SimilaritySpec)
   def s2_ann_lsh(s: SparkSession, dir: String): DataFrame =
@@ -462,6 +487,7 @@ object PipelineQueries {
     "t9_vocab_df" -> t9_vocab_df _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
+    "s12_semantic_dedup" -> s12_semantic_dedup _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
@@ -748,6 +774,14 @@ object PipelineQueries {
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "s12_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
+        |SELECT vec_id FROM v
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
     "t1_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,

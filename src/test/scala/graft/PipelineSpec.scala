@@ -218,6 +218,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == Set((0L, 1L)))
   }
 
+  test("semanticDedup collapses planted paraphrase groups and never over-drops") {
+    // three tight groups of near-identical vectors (jittered copies of
+    // orthogonal bases) + two isolated points; near-identical vectors
+    // always share the nearest centroid, so within-group recall is exact
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3 - 1) }
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows =
+      bases.zipWithIndex.flatMap { case (b, g) =>
+        (0 until 4).map(i => (g * 10L + i, jitter(b, i)))
+      } ++ Seq((90L, Array(0f, 0f, 0f, 1f)),
+               (91L, Array(-1f, -1f, 0f, 0f).map(_ / math.sqrt(2).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // k = number of planted groups: the deterministic init seeds one
+    // centroid per group, so no group is split across two centroids
+    // (with k > groups a tight group can straddle two nearby centroids —
+    // exactly the recall trade the operator documents)
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 3,
+      maxSample = 100)
+    val surv = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.95)
+      .select("id").as[Long].collect().toSet
+    // each group keeps exactly its min id; isolated points survive
+    assert(surv === Set(0L, 10L, 20L, 90L, 91L))
+    // precision: survivors always contain the exact no-clustering survivors
+    val exactDrops = Dedup.embeddingNearDuplicates(df, "vec_id", "embedding",
+        threshold = 0.95).select("id_b").as[Long].collect().toSet
+    val exactSurv = rows.map(_._1).toSet -- exactDrops
+    assert(exactSurv.subsetOf(surv))
+  }
+
   test("dup clusters: transitive chains collapse to the min id") {
     // chain 0-1-2 (0≈1, 1≈2 but 0 and 2 never paired directly) + 4-5
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
