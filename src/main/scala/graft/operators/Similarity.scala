@@ -142,12 +142,15 @@ object Similarity {
     cents
   }
 
-  /** Cluster id of each vector under the trained centroids (argmax of
-    * dot with the normalized vector ≙ cosine assignment). */
+  /** Cluster id of each vector under the trained centroids. Cosine
+    * assignment ≙ argmax over centroids of dot(v, c)/‖v‖ — but ‖v‖ is a
+    * positive per-row constant, so the argmax is the plain dot argmax:
+    * no norm loop per centroid, and a zero vector (norm 0) degrades to
+    * all-zero scores instead of NaN. */
   def ivfAssign(vecCol: Column, cents: Array[Array[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(
-        (dot(vecCol, litVec(c.toIndexedSeq)) / norm(vecCol)).as("score"),
+        dot(vecCol, litVec(c.toIndexedSeq)).as("score"),
         lit(i).as("cluster"))
     }
     greatest(scored.toIndexedSeq: _*).getField("cluster")

