@@ -92,6 +92,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the single partial/final agg exchange, found $exchanges:\n$p")
   }
 
+  test("d7: bloom gate probes inside the scan filter; anti-join is on hashes") {
+    val p = plan(PipelineQueries.queries("d7_incremental_dedup")(spark, dir))
+    // the probe must be an in-plan expression fused into the batch filter
+    // (map-side, no join) — both polarities appear (definite-new routes
+    // on NOT might_contain, suspects on might_contain)
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom probe must be a plan expression:\n$p")
+    assert(p.contains("LeftAnti"), s"suspects need the exact anti-join:\n$p")
+    // every hash-partitioned exchange keys on the 8-byte content hash,
+    // never on text
+    val keys = "Exchange hashpartitioning\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(k => !k.contains("text")),
+      s"anti-join must shuffle hashes, never text: $keys")
+  }
+
+  test("d8: span keep/drop decision is a window over the span HASH") {
+    val p = plan(PipelineQueries.queries("d8_span_dedup")(spark, dir))
+    // decision shuffle keyed on the 64-bit span hash (narrow rows)…
+    assert("Exchange hashpartitioning\\(h#\\d+L".r.findFirstIn(p).isDefined,
+      s"no span-hash decision exchange in:\n$p")
+    // …feeding a window partitioned by that hash
+    assert("Window \\[.*\\], \\[h#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"first-occurrence window must partition by span hash:\n$p")
+    // exactly three hash exchanges: decision (h), reassembly (id),
+    // decision-aggregate (id) — a fourth would mean span text is
+    // shuffling somewhere it should not
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, found $exchanges:\n$p")
+  }
+
+  test("p6_global_shuffle: one exchange on the shard key, no global sort") {
+    val p = plan(PipelineQueries.queries("p6_global_shuffle")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shard exchange, found $exchanges:\n$p")
+    assert(p.contains("Window"), s"per-shard rank must be a window:\n$p")
+  }
+
   test("p4_source_mix: corpus side is one broadcast join + filter") {
     val p = plan(PipelineQueries.queries("p4_source_mix")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
