@@ -242,6 +242,53 @@ object Sampling {
       .drop("_cut")
   }
 
+  /** Deterministic upsampling to target stratum proportions, preserving
+    * the corpus size in expectation — the "repeat the high-quality
+    * source for multiple epochs" step of a training mix. Each stratum's
+    * rate is r_s = (w_s / Σw) · N / n_s, which (unlike [[mixToWeights]])
+    * may EXCEED 1: a row is emitted ⌊r⌋ times plus once more iff its
+    * hash score falls under the fractional remainder, with a `copy`
+    * index (1-based) distinguishing the repeats downstream (e.g. for
+    * shuffling copies into different shards via [[globalShuffle]] on
+    * (key, copy)).
+    *
+    * Scale shape: identical to [[mixToWeights]] — rates derive from a
+    * tiny in-plan aggregate that broadcasts back; the corpus flows
+    * through one broadcast join + a Generate (explode) whose fan-out is
+    * the copy count. No shuffle, fixed float64 evaluation order, so any
+    * engine replays the same multiset. */
+  def upsampleToWeights(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], score: Column,
+      modulus: Long = 4294967296L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = df.sparkSession
+    val wSum = weights.values.sum
+    val wDf = spark.createDataFrame(
+      weights.toSeq.sortBy(_._1)).toDF(strataCol, "_w")
+    val counts = wDf.join(
+        broadcast(df.groupBy(col(strataCol))
+          .agg(count(lit(1)).cast("double").as("_c"))),
+        Seq(strataCol), "left")
+      .select(col(strataCol), col("_w"),
+        coalesce(col("_c"), lit(0.0)).as("_n"))
+    val total = counts.agg(sum(col("_n")).as("_tot"))
+    val rates = counts.crossJoin(broadcast(total))
+      .where(col("_n") > 0.0) // an empty stratum cannot be upsampled
+      .select(col(strataCol),
+        floor(col("_w") / lit(wSum) * col("_tot") / col("_n")).as("_base"),
+        floor((col("_w") / lit(wSum) * col("_tot") / col("_n") -
+          floor(col("_w") / lit(wSum) * col("_tot") / col("_n"))) *
+          lit(modulus.toDouble)).as("_fcut"))
+    val copies = (col("_base") +
+      when(score < col("_fcut"), 1L).otherwise(0L)).cast("long")
+    df.join(broadcast(rates), strataCol)
+      .withColumn("copy", explode(
+        when(copies >= 1L, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+      .drop("_base", "_fcut")
+  }
+
   /** Exclusive per-partition prefix offsets of the "_w" column of a
     * partition-ordered narrow frame: offsets(i) = Σ weights before
     * partition i (one long per partition collected — the planning-

@@ -286,6 +286,18 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("doc_id")
 
+  // p7: deterministic upsampling — reweight four sources to
+  // 0.5/0.25/0.125/0.125 preserving corpus size, so the dominant target
+  // stratum repeats for multiple epochs (⌊r⌋ copies + hash-gated
+  // fractional copy). Dyadic weights sum to exactly 1.0 in float64, so
+  // the oracle's rate arithmetic replays bit-for-bit.
+  def p7_upsample(s: SparkSession, dir: String): DataFrame =
+    Sampling.upsampleToWeights(docs(s, dir), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+        Sampling.mix32(col("doc_id")))
+      .select(col("doc_id"), col("copy"))
+      .orderBy("doc_id", "copy")
+
   // p5: sequence packing — shard the priority-ordered corpus into
   // contiguous ~2000-token bins via the distributed prefix sum; output
   // is per-bin shard stats. The oracle replays the same exclusive
@@ -497,6 +509,7 @@ object PipelineQueries {
     "p4_source_mix" -> p4_source_mix _,
     "p5_sequence_pack" -> p5_sequence_pack _,
     "p6_global_shuffle" -> p6_global_shuffle _,
+    "p7_upsample" -> p7_upsample _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
@@ -660,6 +673,30 @@ object PipelineQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p7_upsample" ->
+      """WITH w AS (
+        |  SELECT source, CAST(wd AS DOUBLE) AS w FROM (
+        |    VALUES ('src0', 0.5), ('src1', 0.25),
+        |           ('src2', 0.125), ('src3', 0.125)) v(source, wd)),
+        |n AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+        |  FROM documents GROUP BY source),
+        |j AS (SELECT w.source, w.w, n.n_s FROM w JOIN n USING (source)),
+        |t AS (SELECT sum(n_s) AS tot FROM j),
+        |r AS (
+        |  SELECT j.source,
+        |    floor(j.w / 1.0 * t.tot / j.n_s) AS base,
+        |    CAST(floor((j.w / 1.0 * t.tot / j.n_s
+        |      - floor(j.w / 1.0 * t.tot / j.n_s)) * 4294967296.0)
+        |      AS BIGINT) AS fcut
+        |  FROM j, t)
+        |SELECT d.doc_id, CAST(u.cp AS BIGINT) AS copy
+        |FROM documents d
+        |JOIN r ON d.source = r.source,
+        |unnest(range(1, CAST(r.base AS BIGINT)
+        |  + (CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+        |          < r.fcut THEN 1 ELSE 0 END) + 1)) AS u(cp)
+        |ORDER BY doc_id, copy""".stripMargin,
     "p6_global_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -50,6 +50,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.sortBy(_._1) === rows.sortBy(_._1))
   }
 
+  test("upsampleToWeights emits floor(rate) copies plus a hash-gated fractional copy") {
+    // strata: a = 2 rows, b = 6 rows; equal target weights over 8 total
+    // → r_a = 0.5·8/2 = 2.0 exactly (2 copies each, no fractional gate),
+    //   r_b = 0.5·8/6 = 2/3 (0 or 1 copies, gated on mix32 < frac·2^32)
+    val df = (0L until 2L).map(i => (i, "a")).toDF("id", "s")
+      .unionByName((10L until 16L).map(i => (i, "b")).toDF("id", "s"))
+    val out = Sampling.upsampleToWeights(df, "s",
+        Map("a" -> 0.5, "b" -> 0.5), Sampling.mix32(col("id")))
+      .select("id", "copy").as[(Long, Long)].collect()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId(0L) === Seq(1L, 2L) && byId(1L) === Seq(1L, 2L))
+    val rB = 0.5 * 8 / 6
+    val fcut = math.floor((rB - math.floor(rB)) * 4294967296.0).toLong
+    def mix(k: Long) = ((k % 2147483648L) * 2654435761L) % 4294967296L
+    (10L until 16L).foreach { i =>
+      val want = if (mix(i) < fcut) Seq(1L) else Seq.empty
+      assert(byId.getOrElse(i, Seq.empty) === want, s"row $i")
+    }
+    // an empty-stratum weight upsamples nothing and does not divide by zero
+    val out2 = Sampling.upsampleToWeights(df, "s",
+        Map("a" -> 0.5, "ghost" -> 0.5), Sampling.mix32(col("id")))
+      .select("id").as[Long].collect()
+    assert(out2.forall(_ < 2L))
+  }
+
   test("takeUntilBudget equals the single-node prefix-sum answer") {
     // local reference: sort by (mix32, id), keep while inclusive cum <= budget
     def mix(id: Long): Long = {
