@@ -176,6 +176,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension calibration statistics of an embedding column —
+    * (dim, n, mn, mx, sx) with sx the dimension's value sum. This is the
+    * table int8 quantization ([[quantizeInt8]] calibration), feature
+    * normalization, and drift monitoring read.
+    *
+    * Scale shape: posexplode emits narrow (dim, value) pairs and partial
+    * aggregation collapses them to `dim` rows (= vector width) per
+    * mapper BEFORE the shuffle — the exchange carries ~dim × partitions
+    * tiny rows regardless of corpus size. The sum accumulates in
+    * DECIMAL(27,9) so partition order can never flip a low bit of the
+    * result (same posture as the engine's float aggregates). */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(toDoubleVec(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .cast("double").as("sx"))
+
   /** Exact kNN graph by broadcast nested-loop: the corpus joins against a
     * broadcast copy of itself, so every partition scores its rows against
     * all vectors locally — embarrassingly parallel, no pair shuffle. The

@@ -245,6 +245,17 @@ object PipelineQueries {
       .orderBy(desc("score"), col("id"))
   }
 
+  // s13: per-dimension embedding calibration stats — the quantization /
+  // normalization table. Decimal-accumulated sums keep the mean exact
+  // across partition orders; the oracle replays the same decimal
+  // accumulation.
+  def s13_dim_stats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(embs(s, dir), "embedding")
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        round(col("sx") / col("n"), 6).as("mean"))
+      .orderBy("dim")
+
   // --------------------------------------------------------- sampling
 
   // p1: deterministic Bernoulli sample — membership depends only on the
@@ -515,6 +526,7 @@ object PipelineQueries {
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
     "s12_semantic_dedup" -> s12_semantic_dedup _,
+    "s13_dim_stats" -> s13_dim_stats _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
@@ -825,6 +837,17 @@ object PipelineQueries {
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "s13_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT dim, count(*) AS n,
+        |  round(min(x), 6) AS mn, round(max(x), 6) AS mx,
+        |  round(CAST(sum(CAST(x AS DECIMAL(27, 9))) AS DOUBLE) / count(*), 6)
+        |    AS mean
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "s12_semantic_dedup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |drops AS (
