@@ -34,8 +34,13 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
-  // MinHash+LSH near-dup pairs (sketch-based candidate generation →
-  // rows-only; exactness covered by DedupSpec)
+  // MinHash+LSH near-dup pairs, oracle-gated like d4: every emitted pair
+  // is exact-Jaccard-verified (precision 1 by construction), and the
+  // corpus's true pairs sit at J >= 0.9 where the r=8/b=16 banding miss
+  // probability is ~1e-4 — with a FIXED hash family the band keys are
+  // deterministic, so recall here is a reproducible fact, not a per-run
+  // gamble. The oracle brute-forces word-3-shingle Jaccard; the hashed
+  // shingle sets preserve distinct counts barring 64-bit collisions.
   def d2_minhash_lsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(s, dir), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 16, threshold = 0.8)
@@ -411,9 +416,11 @@ object PipelineQueries {
 
   // t4: the composed curation pipeline — profile → language/quality
   // filter → exact dedup → near-dup removal (minhash LSH) → corpus stats.
-  // The end-to-end shape a pre-training data pipeline runs; each stage is
-  // individually verified above, the composition is checked for
-  // determinism and sane totals here and in PipelineSpec.
+  // The end-to-end shape a pre-training data pipeline runs. Fully
+  // oracle-checked: the profile stage mirrors t2's expression-for-
+  // expression SQL, exact dedup is a window, and the near-dup stage is
+  // exact on this corpus for the same reason d2's oracle is (true pairs
+  // at J >= 0.9, deterministic banding, verified pairs only).
   def t4_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
     val profiled = TextAnalysis.profile(docs(s, dir), "doc_id", "text")
       .join(docs(s, dir).select(col("doc_id"), col("text"), col("source")), "doc_id")
@@ -587,6 +594,85 @@ object PipelineQueries {
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "t4_curation_pipeline" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> lower(w)) AS ltoks,
+        |    greatest(length(text), 1) AS glen
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, text, toks, glen,
+        |    greatest(len(toks), 1) AS ntok,
+        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |    len(list_intersect(ltoks, ['der','die','und','in','den','von','zu','das','mit','sich','des','auf','für','ist','im','dem','nicht','ein'])) AS s_de,
+        |    len(list_intersect(ltoks, ['the','of','and','to','in','is','that','it','was','for','on','are','with','as','his','they','at','be','this'])) AS s_en,
+        |    len(list_intersect(ltoks, ['de','la','que','el','en','y','los','del','se','las','por','un','para','con','una','su','al','es','lo'])) AS s_es,
+        |    len(list_intersect(ltoks, ['de','la','le','et','les','des','en','un','du','une','que','est','pour','qui','dans','par','plus','pas','au'])) AS s_fr,
+        |    length(regexp_replace(text, '[^\p{L} ]', '', 'g'))::DOUBLE / glen AS alpha_ratio,
+        |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS mean_wl,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS distinct_ratio
+        |  FROM p),
+        |q AS (
+        |  SELECT doc_id, source, text, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN cjk > length(text) * 0.2 THEN 'zh'
+        |         WHEN greatest(s_de, s_en, s_es, s_fr) > 0 THEN
+        |           CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |                WHEN s_en >= s_de THEN 'en'
+        |                ELSE 'de' END
+        |         ELSE 'unknown' END AS lang_pred,
+        |    alpha_ratio * 0.3
+        |      + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0
+        |              WHEN ntok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.1 END) * 0.2
+        |      + (CASE WHEN n_punct::DOUBLE / glen < 0.2 THEN 1.0 ELSE 0.3 END) * 0.15
+        |      + (CASE WHEN distinct_ratio > 0.3 THEN 1.0
+        |              WHEN distinct_ratio > 0.1 THEN 0.6 ELSE 0.2 END) * 0.15
+        |      AS quality
+        |  FROM f),
+        |kept AS (
+        |  SELECT doc_id, source, text, toks, n_tokens FROM q
+        |  WHERE lang_pred != 'unknown' AND quality >= 0.5),
+        |ex AS (
+        |  SELECT doc_id, source, toks, n_tokens FROM (
+        |    SELECT doc_id, source, toks, n_tokens,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(toks[i : i + 2], ' ')
+        |      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM ex),
+        |drops AS (
+        |  SELECT DISTINCT b.id FROM g a JOIN g b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM ex WHERE doc_id NOT IN (SELECT id FROM drops)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "d2_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(toks[i : i + 2], ' ')
+        |      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM t)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM g a JOIN g b ON a.id < b.id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "d7_incremental_dedup" ->
       """WITH batch AS (
         |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 250
