@@ -273,6 +273,55 @@ object Dedup {
     lshVerifiedPairs(withSets, numHashes, bands, threshold, maxBucket)
   }
 
+  /** Cross-corpus near-duplicate pairs: documents of `newDf` whose
+    * word-shingle Jaccard against some document of `historyDf` reaches
+    * `threshold` — the NEAR-dup analogue of [[incrementalNew]] for the
+    * daily-batch-vs-corpus shape. Output: (id_new, id_hist, jaccard).
+    *
+    * Candidates come from joining the two sides' LSH band keys (same
+    * banding as [[minhashNearDuplicates]], same deterministic hash
+    * family), then exact verification on the shingle-hash sets — so
+    * precision is 1 and the recall bound is the banding miss probability
+    * at the pair's similarity. In production the history side's
+    * (band, band_key, id) table and shingle sets are PERSISTED artifacts
+    * built once per corpus and appended batch-over-batch; each day's run
+    * shuffles only the batch's bands against them. History buckets are
+    * capped at maxBucket (smallest ids, deterministic) so a degenerate
+    * boilerplate bucket cannot blow up the candidate join. */
+  def crossNearDuplicates(newDf: DataFrame, historyDf: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      numHashes: Int = 128, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def sets(df: DataFrame) = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("set"))
+    val setsNew = sets(newDf)
+    val setsHist = sets(historyDf)
+    def banded(s: DataFrame) = lshBands(
+      s.select(col("id"), minhashSignature(col("set"), numHashes).as("sig")),
+      "id", "sig", bands, rowsPerBand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
+    val histCapped = banded(setsHist)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val cands = banded(setsNew).select(
+        col("band"), col("band_key"), col("id").as("id_new"))
+      .join(histCapped.select(
+        col("band"), col("band_key"), col("id").as("id_hist")),
+        Seq("band", "band_key"))
+      .select("id_new", "id_hist").distinct()
+    cands
+      .join(setsNew.select(col("id").as("id_new"), col("set").as("s_n")), "id_new")
+      .join(setsHist.select(col("id").as("id_hist"), col("set").as("s_h")), "id_hist")
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccardSorted(col("s_n"), col("s_h")))
+      .where(col("jaccard") >= threshold)
+      .select("id_new", "id_hist", "jaccard")
+  }
+
   // ------------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over a token-array column: bit i of the result is set

@@ -116,6 +116,21 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // d9: cross-corpus near-dup — the daily batch (doc_id >= 250) checked
+  // for near-duplicates against history (doc_id < 250) through the
+  // banded-LSH candidate join + exact verification. Oracle-gated on the
+  // same recall fact as d2 (cross pairs sit at J >= 0.9).
+  def d9_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.crossNearDuplicates(
+        d.where(col("doc_id") >= 250), d.where(col("doc_id") < 250),
+        "doc_id", "text", shingleWidth = 3, numHashes = 128, bands = 16,
+        threshold = 0.8)
+      .select(col("id_new"), col("id_hist"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_new", "id_hist")
+  }
+
   // d8: C4-style repeated-span removal — 10-token spans, first global
   // occurrence (by doc_id, span index) survives, documents reassembled
   // from surviving spans. Deterministic → the oracle replays the same
@@ -521,6 +536,7 @@ object PipelineQueries {
     "d6_dup_clusters" -> d6_dup_clusters _,
     "d7_incremental_dedup" -> d7_incremental_dedup _,
     "d8_span_dedup" -> d8_span_dedup _,
+    "d9_incremental_neardup" -> d9_incremental_neardup _,
     "p1_hash_sample" -> p1_hash_sample _,
     "p2_stratified_sample" -> p2_stratified_sample _,
     "p3_token_budget" -> p3_token_budget _,
@@ -657,6 +673,22 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM ex WHERE doc_id NOT IN (SELECT id FROM drops)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "d9_incremental_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(toks[i : i + 2], ' ')
+        |      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM t)
+        |SELECT n.id AS id_new, h.id AS id_hist,
+        |  round(CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(n.sh, h.sh))), 6) AS jaccard
+        |FROM g n JOIN g h ON n.id >= 250 AND h.id < 250
+        |WHERE CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(n.sh, h.sh))) >= 0.8
+        |ORDER BY id_new, id_hist""".stripMargin,
     "d2_minhash_lsh" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

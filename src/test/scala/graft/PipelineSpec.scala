@@ -50,6 +50,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(0L, 2L, 3L, 4L, 5L)))
   }
 
+  test("crossNearDuplicates finds batch-vs-history near-dups, never batch-internal pairs") {
+    val history = corpus.where(col("doc_id") <= 2) // 0, 1 (exact dups), 2 (near)
+    val batch = corpus.where(col("doc_id") >= 3)   // 5 is a near-dup of 0/1/2
+    // bands=32 (r=4) to band aggressively at this low threshold — same
+    // tuning as the within-corpus planted-dup test above
+    val pairs = Dedup.crossNearDuplicates(batch, history, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_new", "id_hist").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 0L)) && pairs.contains((5L, 1L)),
+      s"planted cross near-dup missing from $pairs")
+    assert(pairs.forall { case (n, h) => n >= 3 && h <= 2 },
+      s"only batch→history pairs allowed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._1 == 4L), "3/4 are unrelated")
+  }
+
   test("incrementalNew is exact: equals the plain anti-join on content") {
     val history = corpus.where(col("doc_id") <= 2)
     val batch = corpus.where(col("doc_id") >= 1) // 1,2 dup history; 3,4,5 new
