@@ -71,7 +71,9 @@ object Dedup {
     * offline artifact) and each day's batch — typically ~1000× smaller
     * than history — is gated without scanning or shuffling the historical
     * corpus at all on the definite-new path. Equality is by 64-bit
-    * content hash (same collision posture as [[exact]]). */
+    * content hash (same collision posture as [[exact]]). Duplicates
+    * WITHIN the batch are deliberately kept (both copies are "new");
+    * compose with [[exact]] on the result to collapse them. */
   def incrementalNew(newDf: DataFrame, historyDf: DataFrame,
       contentCols: Seq[String], expectedItems: Long,
       fpp: Double = 0.01, bloomBytes: Array[Byte] = null): DataFrame = {
@@ -108,7 +110,9 @@ object Dedup {
     * at that join already aggregated to one narrow row per document and
     * hash-partitioned by id, so Catalyst plans the final join without a
     * third exchange of the wide side. Span identity is the 64-bit
-    * xxhash64 of the span (same collision posture as [[exact]]). */
+    * xxhash64 of the span (same collision posture as [[exact]]).
+    * `idCol` must be unique per document — it is the reassembly key and
+    * the first-occurrence tiebreak. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 10): DataFrame = {
     require(spanTokens > 0, s"spanTokens $spanTokens must be positive")

@@ -136,6 +136,9 @@ object Sampling {
   def globalShuffle(df: DataFrame, keyCol: String, numShards: Int,
       score: Column): DataFrame = {
     require(numShards > 0, s"numShards $numShards must be positive")
+    require(!df.columns.exists(c => c == "shard" || c == "pos" || c == "_h"),
+      "globalShuffle adds shard/pos columns (and a _h scratch column); " +
+      "rename the existing ones first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
     df.withColumn("_h", score)
@@ -262,6 +265,8 @@ object Sampling {
       modulus: Long = 4294967296L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
+    require(!df.columns.contains("copy"),
+      "upsampleToWeights adds a copy column; rename the existing one first")
     val spark = df.sparkSession
     val wSum = weights.values.sum
     val wDf = spark.createDataFrame(
