@@ -48,7 +48,14 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // UNTIMED: with a 24g heap GC almost never fires, so Spark's
+      // GC-triggered ContextCleaner never releases earlier queries'
+      // broadcast/shuffle state — by query ~90 the accumulated pressure
+      // inflated late entries up to 6× run-to-run. A nudge between
+      // queries keeps each measurement independent of its position.
+      System.gc()
+      name -> dt
     }
     def jmap(m: Seq[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
