@@ -371,8 +371,86 @@ object StreamingQueries {
     s.table("st8_stream_static_join").orderBy("c_mktsegment")
   }
 
+  /** The documents table re-written once as a 4-file directory so the
+    * batch side of st9 arrives in multiple micro-batches. */
+  private val docStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def docStreamDir(s: SparkSession, sfDir: String): String =
+    docStreamDirs.computeIfAbsent(sfDir, { dir =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_docstream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        .getAbsolutePath
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming near-dup against a historical corpus: each micro-batch of
+    * arriving documents is LSH-banded in-flight (map-side custom
+    * expressions), joined against the STATIC history band table + shingle
+    * sets (per-corpus persisted artifacts — here derived from doc_id <
+    * 250), exact-verified with Jaccard, and pair-deduplicated across
+    * micro-batches with `dropDuplicates` keyed state (a pair found via
+    * two bands, or in two batches, emits once). Must converge to the d9
+    * batch answer. Production note: bound the pair state with
+    * `dropDuplicatesWithinWatermark` on arrival time. */
+  def st9_stream_neardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchExpressions
+    val numHashes = 128; val bands = 16; val rowsPerBand = numHashes / bands
+    val history = Tables.load(s, dir, "documents").where(col("doc_id") < 250)
+    val setsHist = history.select(col("doc_id").as("id_hist"),
+      SketchExpressions.wordShingleHashes(
+        graft.operators.Dedup.tokens(col("text")), 3).as("s_h"))
+    val histBands = graft.operators.Dedup.lshBands(
+        setsHist.select(col("id_hist").as("id"),
+          SketchExpressions.minhashSignature(col("s_h"), numHashes).as("sig")),
+        "id", "sig", bands, rowsPerBand)
+      .withColumnRenamed("id", "id_hist")
+    val src = s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(docStreamDir(s, dir))
+      .where(col("doc_id") >= 250)
+    val withSets = src.select(col("doc_id").as("id_new"),
+      SketchExpressions.wordShingleHashes(
+        graft.operators.Dedup.tokens(col("text")), 3).as("s_n"))
+    val banded = withSets.select(col("id_new"), col("s_n"),
+      posexplode(SketchExpressions.lshBandKeys(
+        SketchExpressions.minhashSignature(col("s_n"), numHashes),
+        bands, rowsPerBand)).as(Seq("band", "band_key")))
+    val plan = banded
+      .join(histBands, Seq("band", "band_key"))
+      .join(setsHist, Seq("id_hist"))
+      .withColumn("jaccard",
+        SketchExpressions.jaccardSorted(col("s_n"), col("s_h")))
+      .where(col("jaccard") >= 0.8)
+      .select(col("id_new"), col("id_hist"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicates("id_new", "id_hist")
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st9_stream_neardup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st9_stream_neardup").orderBy("id_new", "id_hist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1_stream_window _,
+    "st9_stream_neardup" -> st9_stream_neardup _,
     "st7_stream_dedup" -> st7_stream_dedup _,
     "st8_stream_static_join" -> st8_stream_static_join _,
     "st2_running_stats" -> st2_running_stats _,
@@ -383,6 +461,23 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same oracle as the batch twin d9 — the stream must converge to it
+    "st9_stream_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(toks[i : i + 2], ' ')
+        |      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM t)
+        |SELECT n.id AS id_new, h.id AS id_hist,
+        |  round(CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(n.sh, h.sh))), 6) AS jaccard
+        |FROM g n JOIN g h ON n.id >= 250 AND h.id < 250
+        |WHERE CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(n.sh, h.sh))) >= 0.8
+        |ORDER BY id_new, id_hist""".stripMargin,
     "st7_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
