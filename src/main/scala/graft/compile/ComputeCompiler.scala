@@ -21,6 +21,12 @@ object ComputeCompiler {
     "div" -> Some(2), "sub" -> Some(2), "strpos" -> Some(2)
   )
 
+  /** Function-spec metadata: name → arity (None = variadic) — the
+    * payload behind the reference's functionSpecs endpoint
+    * (reference QueryApi.scala:356-359, ComputeFunction.getSpecs); an
+    * API layer serializes this map directly. */
+  def specs: Map[String, Option[Int]] = arity
+
   def validate(fc: FunctionCall): Unit = {
     arity.get(fc.name) match {
       case None =>

@@ -392,6 +392,23 @@ object CoreQueries {
         col("l_extendedprice"), Seq("p50" -> 0.5, "p95" -> 0.95))
       .orderBy("l_returnflag")
 
+  // A16 (beyond the reference): two-phase salted aggregation for hot
+  // keys — per-(key, salt) partial then per-key final, so a dominant key
+  // spreads over n reducers instead of one. The salt derives from row
+  // content (no rand()), so retries and the oracle replay identically;
+  // sums accumulate in decimal so the extra aggregation layer cannot
+  // flip a float bit vs the oracle's direct group-sum.
+  def a16_salted_agg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            dec(col("value")).as("v")),
+        keyCols = Seq("event_type"), valueCol = "v",
+        saltCols = Seq("event_id"), n = 16)
+      .select(col("event_type"),
+        col("sum_v").cast("double").as("total"), col("count"))
+      .orderBy("event_type")
+
   // A10 tag-value count (tags API: SELECT col, COUNT(*) GROUP BY col)
   def a10_tag_values(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -586,6 +603,7 @@ object CoreQueries {
     "k1_hll_interop" -> k1_hll_interop _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
+    "a16_salted_agg" -> a16_salted_agg _,
     "k3_theta_setops" -> k3_theta_setops _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
@@ -739,6 +757,11 @@ object CoreQueries {
         |FROM l JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
         |ORDER BY event_id, range_lo""".stripMargin,
+    "a16_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a15_exact_quantiles" ->
       """WITH r AS (
         |  SELECT l_returnflag,
