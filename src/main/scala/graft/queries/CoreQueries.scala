@@ -580,7 +580,27 @@ object CoreQueries {
       .orderBy("user_id", "rn")
   }
 
+  // J5 (beyond the reference): salted equi-join for a skewed fact key
+  // against a dimension too big to broadcast — the dimension replicates
+  // n× with a salt column and the join key becomes (key, salt), so a hot
+  // customer spreads over n reducers. Result must equal the plain join;
+  // the oracle is that plain join. broadcast hints are disabled so the
+  // salted SortMergeJoin path actually executes at fixture scale.
+  def j5_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders")
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("v"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(fact, dim.hint("shuffle_merge"),
+        "o_custkey", n = 8, factSaltCols = Seq("v"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("v")).cast("double").as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j5_salted_join" -> j5_salted_join _,
     "f1_eq" -> f1_eq _,
     "f2_neq" -> f2_neq _,
     "f3_in" -> f3_in _,
@@ -757,6 +777,12 @@ object CoreQueries {
         |FROM l JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
         |ORDER BY event_id, range_lo""".stripMargin,
+    "j5_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "a16_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
