@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Sampling}
+
+/** Property tests for the round-3 pipeline operators: each distributed
+  * implementation is compared against an independent single-node
+  * reference evaluation on randomized corpora (fixed ScalaCheck seeds —
+  * reproducible failures).
+  */
+class PipelinePropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // small-vocab random corpora make span/shingle collisions likely —
+  // the interesting regime for dedup operators
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+  private val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 23)
+    toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield toks.mkString(" ")
+
+  private def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val g = Gen.listOfN(nDocs, docGen)
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  // single-node reference: the same tiling + first-global-occurrence rule
+  private def spanDedupRef(docs: Seq[(Long, String)], w: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val spans = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val n = (toks.size + w - 1) / w
+      (0 until n).map(i => (id, i.toLong, toks.slice(i * w, i * w + w).mkString(" ")))
+    }
+    val firstSeen = scala.collection.mutable.Map[String, (Long, Long)]()
+    spans.sortBy(s => (s._1, s._2)).foreach { case (id, idx, sp) =>
+      if (!firstSeen.contains(sp)) firstSeen(sp) = (id, idx)
+    }
+    spans.groupBy(_._1).map { case (id, ss) =>
+      val kept = ss.filter { case (i, idx, sp) => firstSeen(sp) == ((i, idx)) }
+        .sortBy(_._2)
+      id -> ((ss.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" ")))
+    }
+  }
+
+  test("spanDedup equals the single-node reference on random small-vocab corpora") {
+    for (seed <- 1L to 4L) {
+      val docs = corpus(seed, 40)
+      val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+          spanTokens = 3)
+        .select("id", "n_spans", "n_kept", "text_kept")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === spanDedupRef(docs, 3), s"seed=$seed")
+    }
+  }
+
+  test("crossNearDuplicates: exact precision, and recall == brute force on high-J pairs") {
+    // jaccard over word-3-shingle string sets, single-node
+    def shingles(text: String): Set[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      if (toks.size <= 3) Set(toks.mkString(" "))
+      else (0 to toks.size - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    def jacc(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    for (seed <- 10L to 12L) {
+      val base = corpus(seed, 20)
+      // history = originals; batch = near-identical copies (one token
+      // appended) with offset ids + fresh unrelated docs
+      val hist = base
+      val batch = base.take(8).map { case (id, t) => (id + 100, t + " alpha") } ++
+        corpus(seed + 50, 8).map { case (id, t) => (id + 200, t) }
+      val got = Dedup.crossNearDuplicates(
+          batch.toDF("doc_id", "text"), hist.toDF("doc_id", "text"),
+          "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.7)
+        .select("id_new", "id_hist", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      val histSh = hist.map { case (id, t) => id -> shingles(t) }.toMap
+      val batchSh = batch.map { case (id, t) => id -> shingles(t) }.toMap
+      // precision: every emitted pair really has J >= 0.7, with the right J
+      got.foreach { case (n, h, j) =>
+        val want = jacc(batchSh(n), histSh(h))
+        assert(want >= 0.7 && math.abs(want - j) < 1e-9, s"seed=$seed pair=($n,$h)")
+      }
+      // recall at high J: the planted copies (J typically >= 0.8 against
+      // their originals) must all be found
+      val planted = for {
+        (bid, bsh) <- batchSh.toSeq; (hid, hsh) <- histSh
+        if jacc(bsh, hsh) >= 0.85
+      } yield (bid, hid)
+      val gotPairs = got.map(p => (p._1, p._2)).toSet
+      planted.foreach { p =>
+        assert(gotPairs.contains(p), s"seed=$seed missed high-J pair $p")
+      }
+    }
+  }
+
+  test("upsampleToWeights matches the per-row closed form") {
+    for (seed <- 20L to 22L) {
+      val docs = corpus(seed, 60).zipWithIndex.map { case ((id, t), i) =>
+        (id, t, s"s${i % 3}")
+      }
+      val df = docs.toDF("doc_id", "text", "src")
+      val weights = Map("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.25)
+      val got = Sampling.upsampleToWeights(df, "src", weights,
+          Sampling.mix32(col("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val wSum = weights.values.sum
+      val nBy = docs.groupBy(_._3).view.mapValues(_.size.toDouble).toMap
+      val tot = nBy.values.sum
+      def mix(k: Long) = ((k % 2147483648L) * 2654435761L) % 4294967296L
+      docs.foreach { case (id, _, srcK) =>
+        val r = weights(srcK) / wSum * tot / nBy(srcK)
+        val base = math.floor(r).toLong
+        val fcut = math.floor((r - math.floor(r)) * 4294967296.0).toLong
+        val want = base + (if (mix(id) < fcut) 1L else 0L)
+        assert(got.getOrElse(id, 0L) === want, s"seed=$seed id=$id")
+      }
+    }
+  }
+
+  test("globalShuffle is a stable bijection on random corpora") {
+    for (seed <- 30L to 31L) {
+      val ids = corpus(seed, 80).map(_._1 * 7 + 3) // non-contiguous keys
+      val df = ids.toDF("id")
+      val out = Sampling.globalShuffle(df, "id", numShards = 5,
+          score = Sampling.mix32(col("id")))
+        .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+      assert(out.map(_._1).sorted === ids.sorted.toArray)
+      out.groupBy(_._2).foreach { case (_, g) =>
+        assert(g.map(_._3).sorted === (0L until g.length.toLong).toArray)
+      }
+    }
+  }
+}
