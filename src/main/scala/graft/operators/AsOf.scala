@@ -68,7 +68,7 @@ object AsOf {
       anchors("_rts") <= probe(leftTs) &&
       probe(leftTs) < anchors("_e")
     probe.join(anchors, cond, joinType)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         Seq(col("_rts").as("asof_ts")) ++
         rightCols.map(c => col(s"_rv_$c").as(c)): _*)
   }

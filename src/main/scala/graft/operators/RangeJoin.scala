@@ -54,7 +54,7 @@ object RangeJoin {
       anchors("_lo") <= probe(pointCol) &&
       probe(pointCol) < anchors("_hi")
     probe.join(anchors, cond, joinType)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         Seq(col("_lo").as("range_lo"), col("_hi").as("range_hi")) ++
         rightCols.map(c => col(s"_rv_$c").as(c)): _*)
   }

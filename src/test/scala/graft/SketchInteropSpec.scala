@@ -44,7 +44,7 @@ class SketchInteropSpec extends AnyFunSuite {
     val trueDistinct = 8 * 500 + 1000 // ids 0 until 4500+1000-? -> max id 3500+1499=4999 + 1
     val df = segs.toDF("sketch")
     val est = df.agg(SI.dsHllEstimateOf(SI.dsHllUnion(col("sketch"))).as("est"))
-      .head.getDouble(0)
+      .head().getDouble(0)
     val exact = 5000.0
     assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
     assert(trueDistinct > 0) // silence unused warning paths
@@ -53,7 +53,7 @@ class SketchInteropSpec extends AnyFunSuite {
   test("hll: graft-written payloads are readable by the reference read path") {
     import spark.implicits._
     val df = (0 until 4000).map(i => s"entity-${i % 1700}").toDF("v")
-    val bytes = df.agg(SI.dsHllSketch(col("v")).as("sk")).head
+    val bytes = df.agg(SI.dsHllSketch(col("v")).as("sk")).head()
       .getAs[Array[Byte]](0)
     // Exactly BaseExpr.hllSketchFromBytes(bytes).getEstimate
     val sk = HllSketch.heapify(bytes)
@@ -77,7 +77,7 @@ class SketchInteropSpec extends AnyFunSuite {
     val values = (0 until 3000).map(i => s"svc-${i % 997}")
     // graft agg (single partition for a deterministic build order)
     val bytes = values.toDF("v").coalesce(1)
-      .agg(SI.dsHllSketch(col("v")).as("sk")).head.getAs[Array[Byte]](0)
+      .agg(SI.dsHllSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
     val ref = HllSketch.heapify(referenceHllBytes(values))
     val ours = HllSketch.heapify(bytes)
     // same library, same coupons -> identical estimates on identical input
@@ -252,7 +252,7 @@ class SketchInteropSpec extends AnyFunSuite {
         |       graft_dd_proto_stat(graft_dd_proto_merge(sk), 'count') AS cnt,
         |       graft_hll_compat_estimate(graft_hll_compat_union(hsk)) AS users
         |FROM (SELECT g, graft_dd_proto(v) AS sk, graft_hll_compat(u) AS hsk
-        |      FROM si_t GROUP BY g)""".stripMargin).head
+        |      FROM si_t GROUP BY g)""".stripMargin).head()
     assert(row.getDouble(1) === 1000.0)
     // discrete 1..100 deciles: rank rule lands on the 50/51 bucket, ±1% each
     assert(row.getDouble(0) >= 49.0 && row.getDouble(0) <= 53.0,
@@ -262,7 +262,7 @@ class SketchInteropSpec extends AnyFunSuite {
     val rt = spark.sql(
       """SELECT ddsketch_quantile_of(
         |         graft_dd_from_proto(graft_dd_to_proto(ddsketch(v))), 0.9d) AS p90
-        |FROM si_t""".stripMargin).head.getDouble(0)
+        |FROM si_t""".stripMargin).head().getDouble(0)
     assert(math.abs(rt - 91.0) / 91.0 < 0.03, s"p90=$rt")
   }
 }
