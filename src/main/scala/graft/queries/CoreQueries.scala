@@ -580,6 +580,36 @@ object CoreQueries {
       .orderBy("user_id", "rn")
   }
 
+  // J6 (beyond the reference): the classic selective multi-way join
+  // (TPC-H Q3 shape) — customer filter → orders date filter → lineitem
+  // date filter, 3-way join, grouped revenue, top-10. The plan proof at
+  // scale: both dimension filters push to the parquet scans, Catalyst
+  // reorders so the small filtered sides broadcast (AQE decides from
+  // runtime sizes), and the top-10 compiles to TakeOrderedAndProject —
+  // never a global sort. Decimal revenue keeps the oracle hash exact.
+  def j6_multiway_join(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01 00:00:00"
+    val cust = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    // decimal × decimal: a decimal × double product would promote to
+    // double (both engines) and make the sum partition-order-dependent
+    val li = t(s, dir, "lineitem")
+      .where(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(8, 6))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
   // J5 (beyond the reference): salted equi-join for a skewed fact key
   // against a dimension too big to broadcast — the dimension replicates
   // n× with a salt column and the join key becomes (key, salt), so a hot
@@ -601,6 +631,7 @@ object CoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_salted_join" -> j5_salted_join _,
+    "j6_multiway_join" -> j6_multiway_join _,
     "f1_eq" -> f1_eq _,
     "f2_neq" -> f2_neq _,
     "f3_in" -> f3_in _,
@@ -777,6 +808,19 @@ object CoreQueries {
         |FROM l JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
         |ORDER BY event_id, range_lo""".stripMargin,
+    "j6_multiway_join" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l.l_discount AS DECIMAL(8,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "j5_salted_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

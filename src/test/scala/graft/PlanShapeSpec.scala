@@ -130,6 +130,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"per-shard rank must be a window:\n$p")
   }
 
+  test("j6_multiway_join: filters pushed, dimensions broadcast, top-k not a global sort") {
+    val p = plan(CoreQueries.queries("j6_multiway_join")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r.findFirstIn(p).isDefined,
+      s"lineitem date filter not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING".r.findFirstIn(p).isDefined,
+      s"customer segment filter not pushed:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"filtered dimensions must broadcast:\n$p")
+  }
+
   test("p4_source_mix: corpus side is one broadcast join + filter") {
     val p = plan(PipelineQueries.queries("p4_source_mix")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
