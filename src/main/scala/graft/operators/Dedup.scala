@@ -80,6 +80,11 @@ object Dedup {
     val h = xxhash64(contentCols.map(col): _*)
     val bytes = if (bloomBytes != null) bloomBytes
       else contentBloom(historyDf, contentCols, expectedItems, fpp)
+    // The batch is scanned twice (definite-new branch + suspects branch)
+    // rather than persisted: the probe is a pushed-down map expression,
+    // and re-reading a daily batch with scan pruning beats writing it
+    // through the block store — the same measured calculus as the
+    // curation pipeline's recompute-vs-persist choice.
     val flagged = newDf
       .withColumn("_h", h)
       .withColumn("_might",

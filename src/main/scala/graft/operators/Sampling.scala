@@ -259,7 +259,10 @@ object Sampling {
     * tiny in-plan aggregate that broadcasts back; the corpus flows
     * through one broadcast join + a Generate (explode) whose fan-out is
     * the copy count. No shuffle, fixed float64 evaluation order, so any
-    * engine replays the same multiset. */
+    * engine replays the same multiset. For bit-exact cross-engine replay
+    * prefer weights whose sum is exact in float64 (e.g. dyadic
+    * fractions): Σw is accumulated in map iteration order here and in
+    * declaration order in a SQL mirror. */
   def upsampleToWeights(df: DataFrame, strataCol: String,
       weights: Map[String, Double], score: Column,
       modulus: Long = 4294967296L): DataFrame = {
