@@ -253,6 +253,7 @@ object PipelineQueries {
       Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
     })
     d7BloomFor(s, dir)
+    bpeFor(s, dir)
   }
 
   def s5_ann_ivf(s: SparkSession, dir: String): DataFrame = {
@@ -507,6 +508,45 @@ object PipelineQueries {
       .orderBy(desc("df"), col("token"))
       .limit(50)
 
+  // t11: real BPE tokenization — merges trained once per dataset (a plan
+  // constant, like the IVF centroids), greedy encode per row inside
+  // codegen. The oracle checks the codec end-to-end: decoding the
+  // subword stream must reproduce the whitespace-normalized document,
+  // which DuckDB computes directly. Merge-table quality and subword
+  // counts are asserted in BpeSpec (hand-derived merges, round trips,
+  // partition determinism).
+  private val bpeMerges = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+
+  private def bpeFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMerges.computeIfAbsent(dir, { d =>
+      graft.functions.Bpe.train(docs(s, d), "text", numMerges = 200)
+    })
+
+  def t11_bpe_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFor(s, dir)
+    docs(s, dir).select(col("doc_id"),
+        trim(regexp_replace(
+          concat_ws("", graft.functions.Bpe.encode(col("text"), merges)),
+          graft.functions.Bpe.EndOfWord, " ")).as("decoded"))
+      .orderBy("doc_id")
+  }
+
+  // t12: tokenizer-grade corpus statistics (rows-only: subword segmenting
+  // is tokenizer-specific) — per-source subword counts and compression
+  // vs whitespace tokens, the budgeting table a real pipeline derives
+  def t12_bpe_stats(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFor(s, dir)
+    docs(s, dir).select(col("source"),
+        size(graft.functions.Bpe.encode(col("text"), merges)).as("n_sub"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sub").cast("long")).as("n_subwords"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------- multimodal
 
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
@@ -562,6 +602,8 @@ object PipelineQueries {
     "t5_contamination" -> t5_contamination _,
     "t6_repetition" -> t6_repetition _,
     "t7_pii_redact" -> t7_pii_redact _,
+    "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
+    "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _
   )
@@ -955,6 +997,10 @@ object PipelineQueries {
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "t11_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s13_dim_stats" ->
       """WITH x AS (
         |  SELECT CAST(u.i - 1 AS BIGINT) AS dim,
