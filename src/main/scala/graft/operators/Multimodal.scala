@@ -61,20 +61,55 @@ object Multimodal {
     }
   }
 
+  // container magic bytes (public file-format signatures)
+  private val jpegMagic = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+  private val pngMagic =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  private val riffMagic = "RIFF".getBytes("US-ASCII")
+  private val waveTag = "WAVE".getBytes("US-ASCII")
+
   /** Build a media table from any (id, string) source — the test stand-in
-    * for reading real image/audio files: payload = utf-8 bytes, metadata
-    * synthesized deterministically from the content. */
-  def syntheticMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * for reading real image/audio files: payload = the format's REAL
+    * magic-byte header + utf-8 content bytes (so byte-level operators
+    * like [[detectFormat]] exercise genuine container signatures),
+    * metadata synthesized deterministically from the content. */
+  def syntheticMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fmt = element_at(array(lit("jpeg"), lit("png"), lit("wav")),
+      (pmod(xxhash64(col(textCol)), lit(3)) + 1).cast("int"))
+    val header = when(fmt === "jpeg", lit(jpegMagic))
+      .when(fmt === "png", lit(pngMagic))
+      // RIFF<size little-endian, unknown here: zeros>WAVE
+      .otherwise(lit(riffMagic ++ Array[Byte](0, 0, 0, 0) ++ waveTag))
     df.select(
       col(idCol).cast("long").as("media_id"),
-      encode(col(textCol), "utf-8").as("payload"),
+      concat(header, encode(col(textCol), "utf-8")).as("payload"),
       struct(
-        element_at(array(lit("jpeg"), lit("png"), lit("wav")),
-          (pmod(xxhash64(col(textCol)), lit(3)) + 1).cast("int")).as("format"),
+        fmt.as("format"),
         (pmod(xxhash64(col(textCol)), lit(1024)) + 32).cast("int").as("width"),
         (pmod(xxhash64(col(textCol), lit(1)), lit(1024)) + 32).cast("int").as("height"),
         pmod(xxhash64(col(textCol), lit(2)), lit(600000)).as("duration_ms")
       ).as("meta"))
+  }
+
+  /** Container format from payload magic bytes — a REAL byte-level
+    * detector (no codec needed): JPEG FF D8 FF, PNG 89 50 4E 47 …,
+    * WAV = RIFF….WAVE; anything else → "unknown". Pure Column
+    * comparisons on binary prefixes — codegen, pushup-friendly, and the
+    * first line of defense against mislabeled/corrupt media at ingest. */
+  def detectFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(payload, 1, 3) === lit(jpegMagic), "jpeg")
+      .when(substring(payload, 1, 8) === lit(pngMagic), "png")
+      .when(substring(payload, 1, 4) === lit(riffMagic) &&
+        substring(payload, 9, 4) === lit(waveTag), "wav")
+      .otherwise("unknown")
+
+  /** Shannon entropy (bits/byte, 0-8) of the payload's byte histogram —
+    * a codec-free signal for corrupt/compressed/encrypted blobs (true
+    * media sits near its container's typical entropy; truncated or
+    * zero-filled payloads fall out of band). Custom expression: one pass
+    * over the bytes per row. */
+  def byteEntropy(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ByteEntropy.of(payload)
 
   /** Decode + feature-extract: (media_id, features array<float>, n_bytes).
     * Batched per partition; codec init happens once per partition, not

@@ -558,6 +558,24 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  // m3: byte-level media validation — REAL compute (no codec): container
+  // format from magic bytes + Shannon entropy of the payload histogram,
+  // rolled up per detected format. rows-only (the payload bytes are
+  // engine-synthesized); detect==meta.format totality and entropy bounds
+  // asserted in PipelineSpec.
+  def m3_format_detect(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaTable(
+      docs(s, dir).where(col("doc_id") < 200), "doc_id", "text")
+    media.select(
+        Multimodal.detectFormat(col("payload")).as("detected"),
+        Multimodal.byteEntropy(col("payload")).as("ent"))
+      .groupBy("detected")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("ent").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 4).as("mean_entropy"))
+      .orderBy("detected")
+  }
+
   def m2_frame_sample(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMediaTable(
       docs(s, dir).where(col("doc_id") < 100), "doc_id", "text")
@@ -605,7 +623,8 @@ object PipelineQueries {
     "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
     "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
-    "m2_frame_sample" -> m2_frame_sample _
+    "m2_frame_sample" -> m2_frame_sample _,
+    "m3_format_detect" -> m3_format_detect _
   )
 
   private val t7OracleSql: String = {

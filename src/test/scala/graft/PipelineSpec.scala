@@ -265,6 +265,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(exactSurv.subsetOf(surv))
   }
 
+  test("detectFormat reads real magic bytes; byteEntropy is bounded and exact on known input") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMediaTable(corpus, "doc_id", "text")
+    val rows = media.select(col("meta.format").as("fmt"),
+        Multimodal.detectFormat(col("payload")).as("det"),
+        Multimodal.byteEntropy(col("payload")).as("ent"))
+      .as[(String, String, Double)].collect()
+    rows.foreach { case (fmt, det, ent) =>
+      assert(det === fmt, "detector must agree with the header it was given")
+      assert(ent > 0.0 && ent <= 8.0)
+    }
+    // hand-check entropy: payload of 4 distinct equi-frequent bytes = 2 bits
+    val two = Seq(Tuple1(Array[Byte](1, 2, 3, 4, 1, 2, 3, 4))).toDF("p")
+      .select(Multimodal.byteEntropy(col("p"))).as[Double].collect()(0)
+    assert(math.abs(two - 2.0) < 1e-12)
+    // corrupt header → unknown
+    val unk = Seq(Tuple1("plain text".getBytes("UTF-8"))).toDF("p")
+      .select(Multimodal.detectFormat(col("p"))).as[String].collect()(0)
+    assert(unk === "unknown")
+  }
+
   test("dup clusters: transitive chains collapse to the min id") {
     // chain 0-1-2 (0≈1, 1≈2 but 0 and 2 never paired directly) + 4-5
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
