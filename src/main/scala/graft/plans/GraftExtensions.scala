@@ -68,6 +68,10 @@ object GraftExtensions {
     "graft_cosine" -> ((
       info("graft_cosine", "_FUNC_(a, b) - cosine similarity of two numeric arrays."),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1)))),
+    "graft_byte_entropy" -> ((
+      info("graft_byte_entropy",
+        "_FUNC_(payload) - Shannon entropy (bits/byte) of a binary column."),
+      (args: Seq[Expression]) => ByteEntropyExpr(args.head))),
     "graft_regex_extract_struct" -> ((
       info("graft_regex_extract_struct",
         "_FUNC_(msg, regex, f1, f2, ...) - single-pass multi-group extraction to a struct."),

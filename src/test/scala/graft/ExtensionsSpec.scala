@@ -23,13 +23,15 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_simhash(array('hello', 'world')) AS sh,
         |  size(graft_char_ngrams('hello world', 3)) AS ng,
         |  graft_regex_extract_struct('lat=12 lon=34',
-        |    'lat=(\\d+) lon=(\\d+)', 'lat', 'lon').lat AS lat
+        |    'lat=(\\d+) lon=(\\d+)', 'lat', 'lon').lat AS lat,
+        |  graft_byte_entropy(cast('aabb' AS BINARY)) AS ent
         |""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Int]("m") == 16)
     assert(r.getAs[Int]("ng") == 9) // 11 chars → 9 distinct trigrams
     assert(r.getAs[String]("lat") == "12")
+    assert(math.abs(r.getAs[Double]("ent") - 1.0) < 1e-12) // 2 symbols 50/50
   }
 
   test("ddsketch SQL aggregate matches the DataFrame form") {
