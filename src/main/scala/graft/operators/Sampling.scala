@@ -161,7 +161,10 @@ object Sampling {
     * [[takeUntilBudget]] — only (id, weight, priority) is ever
     * shuffled; per-partition sums are prefix-summed on the driver (one
     * long per partition) and each partition assigns its rows' bins in
-    * one local pass. Output: (idCol, weight, bin). */
+    * one local pass. Output: (idCol, weight, bin, tok_offset) where
+    * tok_offset is the row's starting weight offset WITHIN its bin
+    * (pre_cum mod binSize) — the per-sequence start position a training
+    * loader needs to place documents inside a packed context window. */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       binSize: Long, priority: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
@@ -187,8 +190,9 @@ object Sampling {
       it.map { r =>
         val w = r.getAs[Long]("_w")
         val bin = cum / binSize
+        val off = cum - bin * binSize
         cum += w
-        org.apache.spark.sql.Row(r.getAs[Long]("_id"), w, bin)
+        org.apache.spark.sql.Row(r.getAs[Long]("_id"), w, bin, off)
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -197,6 +201,8 @@ object Sampling {
       org.apache.spark.sql.types.StructField(weightCol,
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tok_offset",
         org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(out, schema)
   }

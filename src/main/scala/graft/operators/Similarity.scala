@@ -187,9 +187,11 @@ object Similarity {
     * tiny rows regardless of corpus size. The sum accumulates in
     * DECIMAL(27,9) so partition order can never flip a low bit of the
     * result (same posture as the engine's float aggregates). */
-  def dimStats(df: DataFrame, vecCol: String): DataFrame =
-    df.select(posexplode(toDoubleVec(col(vecCol))).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
+  def dimStats(df: DataFrame, vecCol: String, keys: Seq[String] = Nil)
+      : DataFrame =
+    df.select(keys.map(col) :+
+        posexplode(toDoubleVec(col(vecCol))).as(Seq("dim", "x")): _*)
+      .groupBy(keys.map(col) :+ col("dim"): _*)
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("mn"),
         max(col("x")).as("mx"),

@@ -277,6 +277,20 @@ object PipelineQueries {
         round(col("sx") / col("n"), 6).as("mean"))
       .orderBy("dim")
 
+  // s14: per-source embedding centroids — the "domain centroid" table
+  // for routing, drift monitoring, and cluster labeling. Long format
+  // (source, dim, mean): scalar columns hash-compare cleanly and the
+  // shuffle still carries only (key, dim, partial aggregates).
+  def s14_group_centroids(s: SparkSession, dir: String): DataFrame = {
+    val joined = embs(s, dir).join(
+      docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+      "vec_id")
+    Similarity.dimStats(joined, "embedding", keys = Seq("source"))
+      .select(col("source"), col("dim").cast("long").as("dim"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"))
+      .orderBy("source", "dim")
+  }
+
   // --------------------------------------------------------- sampling
 
   // p1: deterministic Bernoulli sample — membership depends only on the
@@ -345,6 +359,21 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy("bin")
+  }
+
+  // p8: packed-sequence layout — the per-document (bin, tok_offset)
+  // coordinates a training loader consumes to place documents inside
+  // fixed 2000-token context windows; same distributed prefix sum as
+  // p5, replayed by the oracle's running-sum window.
+  def p8_pack_offsets(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      Sampling.mix32(col("doc_id")).as("pri"))
+    Sampling.packByBudget(t, "doc_id", "n_tokens", binSize = 2000L,
+        priority = Seq(col("pri"), col("doc_id")))
+      .select(col("doc_id"), col("bin"), col("tok_offset"))
+      .orderBy("doc_id")
   }
 
   // t8: context-window chunking — 32-token windows, 8-token overlap,
@@ -602,12 +631,14 @@ object PipelineQueries {
     "p5_sequence_pack" -> p5_sequence_pack _,
     "p6_global_shuffle" -> p6_global_shuffle _,
     "p7_upsample" -> p7_upsample _,
+    "p8_pack_offsets" -> p8_pack_offsets _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
     "s12_semantic_dedup" -> s12_semantic_dedup _,
     "s13_dim_stats" -> s13_dim_stats _,
+    "s14_group_centroids" -> s14_group_centroids _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
@@ -864,6 +895,21 @@ object PipelineQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p8_pack_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS pri
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY pri, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS pre_cum
+        |  FROM t)
+        |SELECT doc_id, CAST(pre_cum // 2000 AS BIGINT) AS bin,
+        |  CAST(pre_cum % 2000 AS BIGINT) AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "p7_upsample" ->
       """WITH w AS (
         |  SELECT source, CAST(wd AS DOUBLE) AS w FROM (
@@ -1016,6 +1062,17 @@ object PipelineQueries {
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "s14_group_centroids" ->
+      """WITH x AS (
+        |  SELECT d.source, CAST(u.i - 1 AS BIGINT) AS dim,
+        |    CAST(e.embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings e
+        |  JOIN documents d ON e.vec_id = d.doc_id,
+        |    unnest(range(1, len(e.embedding) + 1)) AS u(i))
+        |SELECT source, dim, count(*) AS n,
+        |  round(CAST(sum(CAST(x AS DECIMAL(27, 9))) AS DOUBLE) / count(*), 6)
+        |    AS mean
+        |FROM x GROUP BY source, dim ORDER BY source, dim""".stripMargin,
     "t11_bpe_roundtrip" ->
       """SELECT doc_id,
         |  regexp_replace(trim(text), '\s+', ' ', 'g') AS decoded
