@@ -101,7 +101,39 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------- corpus text search
+
+  /** Trigram manifest over the multi-file DOCUMENTS corpus — the same
+    * data-skipping machinery applied to the training-data side: corpus
+    * grep (contamination hunting, PII audits, targeted re-filters at
+    * 100 TB) should open only segments whose fingerprint set can match.
+    * doc_id stands in for the time axis (id-range bounds prune too). */
+  private val docManifests =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docManifest(s: SparkSession, dir: String): DataFrame =
+    docManifests.computeIfAbsent(dir, { d =>
+      val segDir = StreamingQueries.docStreamDir(s, d)
+      val files = new java.io.File(segDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      SegmentIndex.build(s, files, "doc_id", identity, Seq("text")).cache()
+    })
+
+  /** S4 over the corpus: contains() search through the trigram index,
+    * then the exact predicate. Pruning is sound → oracle vs the full
+    * table (file-skipping itself is proven in SegmentIndexSpec). */
+  def s15_docs_grep(s: SparkSession, dir: String): DataFrame = {
+    val clause = Filter("text", List("vector"), Ops.CONTAINS)
+    val df = SegmentIndex.scan(s, docManifest(s, dir), Some(clause),
+        Set("text"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return s.emptyDataFrame)
+    df.where(col("text").rlike("(?i).*vector.*"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_docs_grep" -> s15_docs_grep _,
     "s4_pruned_scan" -> s4_pruned_scan _,
     "s3_time_pruned" -> s3_time_pruned _,
     "s6_regex_pruned" -> s6_regex_pruned _,
@@ -110,6 +142,10 @@ object SourceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s15_docs_grep" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE regexp_matches(text, '(?i).*vector.*')
+        |ORDER BY doc_id""".stripMargin,
     "s10_fileindex_scan" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

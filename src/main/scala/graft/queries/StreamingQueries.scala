@@ -376,7 +376,7 @@ object StreamingQueries {
   private val docStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def docStreamDir(s: SparkSession, sfDir: String): String =
+  private[queries] def docStreamDir(s: SparkSession, sfDir: String): String =
     docStreamDirs.computeIfAbsent(sfDir, { dir =>
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
