@@ -15,9 +15,11 @@ object SourceQueries {
   private val manifests =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Pre-build the segment dir + manifest (ingest-time artifacts). */
-  private[graft] def prepare(s: SparkSession, dir: String): Unit =
+  /** Pre-build the segment dirs + manifests (ingest-time artifacts). */
+  private[graft] def prepare(s: SparkSession, dir: String): Unit = {
     manifest(s, dir).count()
+    docManifest(s, dir).count()
+  }
 
   private def manifest(s: SparkSession, dir: String): DataFrame =
     manifests.computeIfAbsent(dir, { d =>
