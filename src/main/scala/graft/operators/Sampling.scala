@@ -271,7 +271,7 @@ object Sampling {
     * declaration order in a SQL mirror. */
   def upsampleToWeights(df: DataFrame, strataCol: String,
       weights: Map[String, Double], score: Column,
-      modulus: Long = 4294967296L): DataFrame = {
+      modulus: Long = 4294967296L, maxRate: Double = 1000.0): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     require(!df.columns.contains("copy"),
@@ -287,8 +287,16 @@ object Sampling {
       .select(col(strataCol), col("_w"),
         coalesce(col("_c"), lit(0.0)).as("_n"))
     val total = counts.agg(sum(col("_n")).as("_tot"))
+    // rate cap folded into the plan (the RangeJoin fan-out pattern): a
+    // tiny stratum under a big weight means one row explodes r× on one
+    // task — fail the job loudly instead of silently flooding it
+    val rateExpr = col("_w") / lit(wSum) * col("_tot") / col("_n")
     val rates = counts.crossJoin(broadcast(total))
       .where(col("_n") > 0.0) // an empty stratum cannot be upsampled
+      .withColumn("_chk", assert_true(rateExpr <= lit(maxRate),
+        lit(s"upsample rate exceeds maxRate=$maxRate for a stratum — " +
+          "raise maxRate only if the explode fan-out is intended")))
+      .where(col("_chk").isNull) // assert_true returns null; keeps the check live
       .select(col(strataCol),
         floor(col("_w") / lit(wSum) * col("_tot") / col("_n")).as("_base"),
         floor((col("_w") / lit(wSum) * col("_tot") / col("_n") -

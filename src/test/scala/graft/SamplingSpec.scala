@@ -73,6 +73,12 @@ class SamplingSpec extends AnyFunSuite {
         Map("a" -> 0.5, "ghost" -> 0.5), Sampling.mix32(col("id")))
       .select("id").as[Long].collect()
     assert(out2.forall(_ < 2L))
+    // a rate above maxRate fails the job loudly (explode-bomb guard)
+    intercept[Exception] {
+      Sampling.upsampleToWeights(df, "s", Map("a" -> 0.5, "b" -> 0.5),
+          Sampling.mix32(col("id")), maxRate = 1.5)
+        .count()
+    }
   }
 
   test("takeUntilBudget equals the single-node prefix-sum answer") {
