@@ -344,6 +344,36 @@ object PipelineQueries {
       .select(col("doc_id"), col("copy"))
       .orderBy("doc_id", "copy")
 
+  // p9: sharded training-order export — the materialization step after
+  // p6: write the corpus as parquet partitioned by shard (one directory
+  // per training file), then read the layout BACK from the files. The
+  // oracle is p6's: the hash match proves the persisted shards contain
+  // exactly the computed (shard, pos) permutation — the write→read loop
+  // loses nothing. Written once per dataset (an export artifact);
+  // partitionBy(shard) writes each shard's rows together, which at
+  // corpus scale is the layout a training loader streams sequentially.
+  private val shardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shardedExport(s: SparkSession, dir: String): String =
+    shardDirs.computeIfAbsent(dir, { d =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_shards_${d.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      Sampling.globalShuffle(docs(s, d), "doc_id", numShards = 8,
+          score = Sampling.mix32(col("doc_id")))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      out
+    })
+
+  def p9_sharded_export(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(shardedExport(s, dir))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("pos"))
+      .orderBy("doc_id")
+
   // p5: sequence packing — shard the priority-ordered corpus into
   // contiguous ~2000-token bins via the distributed prefix sum; output
   // is per-bin shard stats. The oracle replays the same exclusive
@@ -632,6 +662,7 @@ object PipelineQueries {
     "p6_global_shuffle" -> p6_global_shuffle _,
     "p7_upsample" -> p7_upsample _,
     "p8_pack_offsets" -> p8_pack_offsets _,
+    "p9_sharded_export" -> p9_sharded_export _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
@@ -935,6 +966,15 @@ object PipelineQueries {
         |          < r.fcut THEN 1 ELSE 0 END) + 1)) AS u(cp)
         |ORDER BY doc_id, copy""".stripMargin,
     "p6_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
+        |  FROM documents)
+        |SELECT doc_id, hh % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+        |    - 1 AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "p9_sharded_export" ->
       """WITH h AS (
         |  SELECT doc_id,
         |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
