@@ -236,6 +236,19 @@ object QueryEngine {
       sketchPath.getOrElse(metricsRollupAgg(aggregation))
     }
 
+    // shared arms (used by both rollup branches and the raw path): ces is
+    // a distinct count of the group-key tuple per step bucket (HLL++,
+    // mergeable — reference Aggregator.scala:43-60); percentiles over
+    // pre-rolled data degrade to the max envelope of the chosen column
+    // (reference BaseExpr.scala:380: MAX(rollup_<r>))
+    def cesAgg(fallback: Column): Column = {
+      val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
+        else List(fallback)
+      approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+    }
+    def isPercentile(p: String): Boolean =
+      p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit)
+
     def metricsRollupAgg(aggregation: String): Column = rollup match {
       case Some(r) =>
         val t = rollupCol(r)
@@ -245,14 +258,8 @@ object QueryEngine {
           case "min" => min(t)
           case "max" => max(t)
           case "avg" => avgOf(t)
-          case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
-            // percentile over pre-rolled data degrades to the max envelope
-            // of the requested rollup (reference BaseExpr.scala:380)
-            max(t)
-          case "ces" =>
-            val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
-              else List(t)
-            approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+          case p if isPercentile(p) => max(t)
+          case "ces" => cesAgg(t)
           case other =>
             throw new IllegalArgumentException(s"unknown aggregation $other")
         }
@@ -267,14 +274,8 @@ object QueryEngine {
               sum(rollupCol("sum").cast("decimal(28,10)")).cast("double") /
                 sum(rollupCol("count"))
             else sum(rollupCol("sum")) / sum(rollupCol("count"))
-          case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
-            // percentile over pre-rolled data degrades to the max envelope
-            // (reference BaseExpr.scala:380: MAX(rollup_<r>))
-            max(rollupCol("sum"))
-          case "ces" =>
-            val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
-              else List(rollupCol("sum"))
-            approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+          case p if isPercentile(p) => max(rollupCol("sum"))
+          case "ces" => cesAgg(rollupCol("sum"))
           case other =>
             throw new IllegalArgumentException(s"unknown aggregation $other")
         }
@@ -290,16 +291,11 @@ object QueryEngine {
         case "min" => min(target)
         case "max" => max(target)
         case "avg" => avgOf(target)
-        case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit) =>
+        case p if isPercentile(p) =>
           val q = p.drop(1).toDouble / 100.0
           if (exactPercentiles) expr_percentile(target, q)
           else percentile_approx(target, lit(q), lit(10000))
-        case "ces" =>
-          // distinct count of the group-key tuple per step bucket (HLL++,
-          // mergeable — reference Aggregator.scala:43-60)
-          val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
-            else List(target)
-          approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+        case "ces" => cesAgg(target)
         case other =>
           throw new IllegalArgumentException(s"unknown aggregation $other")
       }

@@ -311,7 +311,9 @@ object DdProto {
           val arr = new Array[Double](n)
           var i = 0
           while (i < n) { arr(i) = r.readDouble(); i += 1 }
-          contiguous = arr
+          // proto3: a packed repeated field may arrive as several runs —
+          // parsers must concatenate, not last-wins
+          contiguous = if (contiguous == null) arr else contiguous ++ arr
         case (2, 1) => // unpacked repeated double
           contiguous =
             (if (contiguous == null) Array.empty[Double] else contiguous) :+
@@ -347,8 +349,10 @@ object DdProto {
               case (_, w) => m.skip(w)
             }
           }
-        case (2, 2) => pos = decodeStore(r.sub(r.readVarint().toInt))
-        case (3, 2) => neg = decodeStore(r.sub(r.readVarint().toInt))
+        // proto3 merges repeated occurrences of an embedded message;
+        // for stores the bin lists concatenate (addBin accumulates)
+        case (2, 2) => pos = pos ++ decodeStore(r.sub(r.readVarint().toInt))
+        case (3, 2) => neg = neg ++ decodeStore(r.sub(r.readVarint().toInt))
         case (4, 1) => zero = r.readDouble()
         case (_, w) => r.skip(w)
       }
@@ -467,10 +471,24 @@ case class DdProtoMergeAgg(
       s"$prettyName requires a binary input, got ${t.sql}")
   }
 
+  // An EMPTY accumulation buffer adopts the first payload's index
+  // mapping instead of pinning gammaOf(alpha): payloads written at a
+  // different relative accuracy are mutually mergeable and must not
+  // throw just because the default buffer disagrees with them. A
+  // genuine mapping mismatch BETWEEN payloads still fails loudly in
+  // DdogBuffer.merge.
+  private def adoptOrMerge(b: DdogBuffer, o: DdogBuffer): DdogBuffer =
+    if (b.count == 0.0 &&
+        (b.gamma != o.gamma || b.indexOffset != o.indexOffset)) o
+    else { b.merge(o); b }
+
+  override def merge(b: DdogBuffer, o: DdogBuffer): DdogBuffer =
+    if (o.count == 0.0) b else adoptOrMerge(b, o)
+
   override def update(b: DdogBuffer, input: InternalRow): DdogBuffer = {
     val v = child.eval(input)
-    if (v != null) b.merge(DdProto.decode(v.asInstanceOf[Array[Byte]]))
-    b
+    if (v == null) b
+    else adoptOrMerge(b, DdProto.decode(v.asInstanceOf[Array[Byte]]))
   }
 
   override def withNewMutableAggBufferOffset(o: Int): DdProtoMergeAgg =
@@ -490,6 +508,11 @@ case class DdProtoQuantileOf(left: Expression, right: Expression)
     with ComputeBinaryCodegen {
 
   override def dataType: DataType = DoubleType
+
+  // returns null for an empty sketch even when inputs are non-nullable —
+  // without this override the non-nullable codegen path would unbox the
+  // null and NPE
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -519,6 +542,9 @@ case class DdProtoStatOf(child: Expression, stat: String)
     s"unknown DDSketch stat '$stat'")
 
   override def dataType: DataType = DoubleType
+
+  // min/max of an empty sketch are null regardless of child nullability
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -44,6 +44,12 @@ object AsOf {
     require(bucketMs > 0, s"bucketMs $bucketMs must be positive")
     require(joinType == "left" || joinType == "inner",
       s"unsupported join type $joinType")
+    require(!left.columns.contains("_b"),
+      "as-of join uses a _b bucket column; rename the left side's first")
+    val clash = rightCols.toSet ++ Set("asof_ts")
+    require(left.columns.count(clash.contains) == 0,
+      s"output columns ${left.columns.filter(clash.contains).mkString(",")} " +
+      "exist on both sides; alias the left side's first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(rightTs))
     // interval end: next anchor, clipped to the tolerance horizon

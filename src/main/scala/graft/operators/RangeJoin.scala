@@ -32,6 +32,12 @@ object RangeJoin {
       s"need maxLenMs >= bucketMs > 0, got bucket=$bucketMs max=$maxLenMs")
     require(joinType == "inner" || joinType == "left",
       s"unsupported join type $joinType")
+    require(!left.columns.contains("_b"),
+      "range join uses a _b bucket column; rename the left side's first")
+    val clash = rightCols.toSet ++ Set("range_lo", "range_hi")
+    require(left.columns.count(clash.contains) == 0,
+      s"output columns ${left.columns.filter(clash.contains).mkString(",")} " +
+      "exist on both sides; alias the left side's first")
     val rk = keys.indices.map(i => s"_rk$i")
     val anchors = right.select(
       keys.zip(rk).map { case (k, n) => col(k).as(n) } ++

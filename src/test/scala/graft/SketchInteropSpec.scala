@@ -223,6 +223,53 @@ class SketchInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("ddsketch proto: empty sketch yields null quantile, not an NPE, under codegen") {
+    import spark.implicits._
+    // lit(bytes) is non-nullable, so this exercises the non-nullable
+    // codegen path that unboxes the compute() result
+    val empty = DdProto.encode(new DdogBuffer(DdProto.gammaOf(0.01), 0.0))
+    val r = Seq(1).toDF("x")
+      .select(SI.ddProtoQuantileOf(lit(empty), lit(0.5)).as("q"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("ddsketch proto: merge agg adopts the first payload's mapping (alpha != default)") {
+    import spark.implicits._
+    // payloads written at alpha=0.02 — the default-alpha agg buffer must
+    // adopt their mapping instead of throwing a mapping mismatch
+    def payload(vs: Seq[Double]): Array[Byte] = {
+      val b = new DdogBuffer(DdProto.gammaOf(0.02), 0.0)
+      vs.foreach(b.insert)
+      DdProto.encode(b)
+    }
+    val df = Seq(payload(Seq(1.0, 2.0)), payload(Seq(3.0, 4.0, 100.0)))
+      .toDF("sk")
+    val p50 = df.agg(SI.ddProtoQuantileOf(
+        SI.ddProtoMerge(col("sk")), lit(0.5)).as("q"))
+      .head().getDouble(0)
+    assert(math.abs(p50 - 3.0) <= 3.0 * 0.02 + 1e-9)
+  }
+
+  test("ddsketch proto: concatenated messages decode as a protobuf merge") {
+    // proto3: concatenating two serialized messages merges them — the
+    // repeated/message store fields concatenate (bin counts add), while
+    // the scalar zero_count field last-wins (so zeros live only in the
+    // SECOND payload here, where last-wins equals the sum)
+    def payload(vs: Seq[Double]): Array[Byte] = {
+      val b = new DdogBuffer(DdProto.gammaOf(0.01), 0.0)
+      vs.foreach(b.insert)
+      DdProto.encode(b)
+    }
+    val p1 = payload(Seq(1.0, 2.0, -5.0))
+    val p2 = payload(Seq(3.0, 4.0, 0.0))
+    val merged = DdProto.decode(p1 ++ p2)
+    assert(merged.count === 6.0)
+    val reference = DdProto.decode(p1)
+    reference.merge(DdProto.decode(p2))
+    assert(math.abs(merged.quantile(0.5) - reference.quantile(0.5)) < 1e-12)
+  }
+
   test("ddsketch proto: malformed payloads fail cleanly, not with index errors") {
     val b = new DdogBuffer(DdProto.gammaOf(0.01), 0.0)
     (1 to 100).foreach(i => b.insert(i.toDouble))
