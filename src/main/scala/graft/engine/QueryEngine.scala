@@ -58,18 +58,36 @@ object QueryEngine {
   val GROUP_KEY = "group_key"
   val LABEL = "label"
 
-  /** When true, p* aggregations use exact `percentile` (oracle-matchable);
-    * when false (default), `percentile_approx` — the scale path. */
-  @volatile var exactPercentiles: Boolean = false
+  /** Plan-construction options, scoped per thread (DynamicVariable):
+    * a global mutable flag would race when two queries are BUILT
+    * concurrently — one thread's finally-reset could strip the other's
+    * mode mid-construction. Scoping covers plan construction only, which
+    * is exactly when these are read (they select which Column expression
+    * enters the plan).
+    *
+    * - exactPercentiles: p* aggregations use exact `percentile`
+    *   (oracle-matchable) instead of `percentile_approx` (scale path).
+    * - decimalAverages: avg accumulates the numerator in DECIMAL and
+    *   divides once, bit-identical across engines/runs (oracle mode);
+    *   default is native double avg — the scale path. Why it exists:
+    *   averages of 2-decimal data tie at the round-6 boundary whenever
+    *   the count divides the sum into an exact multiple of 5e-7, and a
+    *   1-ulp summation-order difference then flips the rounded value. */
+  private case class Flags(
+      exactPercentiles: Boolean = false,
+      decimalAverages: Boolean = false)
+  private val flagScope = new scala.util.DynamicVariable(Flags())
 
-  /** When true, avg aggregations accumulate the numerator in DECIMAL and
-    * divide once, making the value bit-identical across engines and runs
-    * (oracle mode); default is native double avg — the scale path.
-    * Why it exists: averages of 2-decimal data tie at the round-6
-    * boundary whenever the count divides the sum into an exact multiple
-    * of 5e-7 (common: counts with small power-of-two factors), and a
-    * 1-ulp summation-order difference then flips the rounded value. */
-  @volatile var decimalAverages: Boolean = false
+  /** Build plans inside `body` with exact (oracle-mode) percentiles. */
+  def withExactPercentiles[A](body: => A): A =
+    flagScope.withValue(flagScope.value.copy(exactPercentiles = true))(body)
+
+  /** Build plans inside `body` with decimal-accumulated averages. */
+  def withDecimalAverages[A](body: => A): A =
+    flagScope.withValue(flagScope.value.copy(decimalAverages = true))(body)
+
+  private def exactPercentiles: Boolean = flagScope.value.exactPercentiles
+  private def decimalAverages: Boolean = flagScope.value.decimalAverages
 
   private def avgOf(t: Column): Column =
     if (decimalAverages)

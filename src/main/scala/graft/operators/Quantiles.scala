@@ -29,12 +29,24 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   */
 object Quantiles {
 
+  /** Default rank convention: 1-based `floor(q*(n-1)) + 1` (see class
+    * doc). */
+  def nearestRank(q: Double, n: Long): Long =
+    math.floor(q * (n - 1)).toLong + 1
+
+  /** `max(ceil(q*n), 1)` — the convention a5's DDSketch verification
+    * gate is stated against. */
+  def ceilRank(q: Double, n: Long): Long =
+    math.max(math.ceil(q * n).toLong, 1L)
+
   /** Exact quantile values for each group of `groupCol` (a string
     * column). Returns one row per group: (groupCol, <name> ...) with a
     * double column per requested quantile. `qs` maps output column name
-    * to quantile in [0, 1]. */
+    * to quantile in [0, 1]; `rankOf` maps (q, group size) to the 1-based
+    * rank of the statistic. */
   def exactByGroup(df: DataFrame, groupCol: String, value: Column,
-      qs: Seq[(String, Double)], numPartitions: Int = 0): DataFrame = {
+      qs: Seq[(String, Double)], numPartitions: Int = 0,
+      rankOf: (Double, Long) => Long = nearestRank): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -74,7 +86,7 @@ object Quantiles {
         n = gSpans.map(_._3).sum
         (name, q) <- qs
       } yield {
-        val rank = math.floor(q * (n - 1)).toLong + 1 // 1-based global
+        val rank = rankOf(q, n) // 1-based global
         // binary search: last span with before < rank holds the target
         val i = {
           var lo = 0; var hi = gSpans.length - 1

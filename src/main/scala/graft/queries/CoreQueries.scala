@@ -207,20 +207,13 @@ object CoreQueries {
         graft.functions.DDSketchFunctions
           .ddsketchQuantile(col("value"), 0.9).as("p90"),
         count(lit(1)).as("n_rows"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("value")
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type")
-    val exact = t(s, dir, "events")
-      .select(col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy(col("event_type"))
-      .agg(
-        max(when(col("rn") === greatest(ceil(lit(0.5) * col("n")), lit(1L)),
-          col("value"))).as("x50"),
-        max(when(col("rn") === greatest(ceil(lit(0.9) * col("n")), lit(1L)),
-          col("value"))).as("x90"))
+    // distributed selection, not Window.partitionBy(event_type): a
+    // handful of event types would sort the whole table in a handful of
+    // tasks (the k2-documented low-cardinality window trap)
+    val exact = graft.operators.Quantiles.exactByGroup(
+      t(s, dir, "events"), "event_type", col("value"),
+      Seq("x50" -> 0.5, "x90" -> 0.9),
+      rankOf = graft.operators.Quantiles.ceilRank)
     sk.join(exact, "event_type")
       .where(abs(col("p50") - col("x50")) / col("x50") <= 0.015 &&
         abs(col("p90") - col("x90")) / col("x90") <= 0.015)

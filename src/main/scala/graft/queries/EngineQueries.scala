@@ -111,13 +111,12 @@ object EngineQueries {
         |  "filter": {"k": "value", "v": ["0"], "op": "gt", "dataType": "number"},
         |  "chart": {"aggregation": "p90", "groupBys": ["event_type"]}
         |}}}""".stripMargin)
-    QueryEngine.exactPercentiles = true
-    try {
+    QueryEngine.withExactPercentiles {
       QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
         .select(col("step_ts"), col("group_key"),
           round(col("value"), 4).as("value"))
         .orderBy("step_ts", "group_key")
-    } finally QueryEngine.exactPercentiles = false
+    }
   }
 
   // O1 exemplars through the AST (window sized so limit never truncates —
@@ -189,12 +188,12 @@ object EngineQueries {
         |  "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
         |  "chart": {"aggregation": "avg", "groupBys": ["event_type"]}
         |}}}""".stripMargin)
-    QueryEngine.decimalAverages = true
-    try QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
-      .select(col("step_ts"), col("group_key"),
-        round(col("value"), 6).as("value"))
-      .orderBy("step_ts", "group_key")
-    finally QueryEngine.decimalAverages = false
+    QueryEngine.withDecimalAverages {
+      QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+        .select(col("step_ts"), col("group_key"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "group_key")
+    }
   }
 
   // A2: metrics dataset — pre-rolled per-minute rollup_* columns
@@ -278,12 +277,12 @@ object EngineQueries {
         |  "filter": {"k": "event_type", "op": "exists"},
         |  "chart": {"aggregation": "avg", "groupBys": ["event_type"]}
         |}}}""".stripMargin)
-    QueryEngine.decimalAverages = true
-    try QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
-      .select(col("step_ts"), col("group_key"),
-        round(col("value"), 6).as("value"))
-      .orderBy("step_ts", "group_key")
-    finally QueryEngine.decimalAverages = false
+    QueryEngine.withDecimalAverages {
+      QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+        .select(col("step_ts"), col("group_key"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "group_key")
+    }
   }
 
   // A2: min/max over metrics re-aggregate their own rollup columns
@@ -437,11 +436,11 @@ object EngineQueries {
         |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
         |        "chart": {"aggregation": "avg", "groupBys": []}}
         |}, "formulae": ["a / b"]}""".stripMargin)
-    QueryEngine.decimalAverages = true
-    try QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
-      .select(col("step_ts"), round(col("value"), 6).as("value"))
-      .orderBy("step_ts")
-    finally QueryEngine.decimalAverages = false
+    QueryEngine.withDecimalAverages {
+      QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")
+    }
   }
 
   // §3.1 step 1: relative time-range strings + auto-step selection wired

@@ -1210,13 +1210,13 @@ object PipelineQueries {
         |  FROM p),
         |g AS (
         |  SELECT source,
-        |    round(alpha_ratio * 0.3
+        |    alpha_ratio * 0.3
         |      + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
         |      + (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 1.0
         |              WHEN ntok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.1 END) * 0.2
         |      + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.15
         |      + (CASE WHEN distinct_ratio > 0.3 THEN 1.0
-        |              WHEN distinct_ratio > 0.1 THEN 0.6 ELSE 0.2 END) * 0.15, 6) AS q
+        |              WHEN distinct_ratio > 0.1 THEN 0.6 ELSE 0.2 END) * 0.15 AS q
         |  FROM f)
         |SELECT source, count(*) AS n,
         |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass

@@ -12,8 +12,11 @@ import graft.sources.SegmentIndex
   * asserted in SegmentIndexSpec on segments with disjoint contents. */
 object SourceQueries {
 
-  private val manifests =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // keyed by (session, dir) like Tables.load: a cached DataFrame is bound
+  // to the session that built it — keying by dir alone would hand a later
+  // session a plan on a possibly-stopped predecessor
+  private val manifests = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   /** Pre-build the segment dirs + manifests (ingest-time artifacts). */
   private[graft] def prepare(s: SparkSession, dir: String): Unit = {
@@ -22,11 +25,11 @@ object SourceQueries {
   }
 
   private def manifest(s: SparkSession, dir: String): DataFrame =
-    manifests.computeIfAbsent(dir, { d =>
-      val segDir = StreamingQueries.streamDir(s, d)
+    manifests.computeIfAbsent((s, dir), { case (sess, d) =>
+      val segDir = StreamingQueries.streamDir(sess, d)
       val files = new java.io.File(segDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
-      SegmentIndex.build(s, files, "ts",
+      SegmentIndex.build(sess, files, "ts",
         ts => expr("ts div 1000000"), Seq("event_type")).cache()
     })
 
@@ -110,15 +113,15 @@ object SourceQueries {
     * grep (contamination hunting, PII audits, targeted re-filters at
     * 100 TB) should open only segments whose fingerprint set can match.
     * doc_id stands in for the time axis (id-range bounds prune too). */
-  private val docManifests =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val docManifests = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private def docManifest(s: SparkSession, dir: String): DataFrame =
-    docManifests.computeIfAbsent(dir, { d =>
-      val segDir = StreamingQueries.docStreamDir(s, d)
+    docManifests.computeIfAbsent((s, dir), { case (sess, d) =>
+      val segDir = StreamingQueries.docStreamDir(sess, d)
       val files = new java.io.File(segDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
-      SegmentIndex.build(s, files, "doc_id", identity, Seq("text")).cache()
+      SegmentIndex.build(sess, files, "doc_id", identity, Seq("text")).cache()
     })
 
   /** S4 over the corpus: contains() search through the trigram index,

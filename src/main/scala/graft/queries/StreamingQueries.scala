@@ -83,7 +83,7 @@ object StreamingQueries {
     q.awaitTermination()
     s.table("st1_stream_window")
       .select(
-        (unix_timestamp(col("window.start")) * 1000L).as("step_ts"),
+        expr("unix_millis(window.start)").as("step_ts"),
         col("event_type"), col("n"),
         col("dtotal").cast("double").as("total"))
       .orderBy("step_ts", "event_type")
@@ -122,7 +122,7 @@ object StreamingQueries {
     q.awaitTermination()
     s.table("st3_rollup_ingest")
       .select(
-        (unix_timestamp(col("window.start")) * 1000L).as("ts"),
+        expr("unix_millis(window.start)").as("ts"),
         col("event_type"),
         col("dsum").cast("double").as("rollup_sum"),
         col("n").cast("double").as("rollup_count"),
@@ -186,7 +186,7 @@ object StreamingQueries {
           graft.functions.SketchInteropFunctions
             .dsHllSketch(col("user_id")).as("sketch_hll"))
         .select(
-          (unix_timestamp(col("window.start")) * 1000L).as("ts"),
+          expr("unix_millis(window.start)").as("ts"),
           col("event_type"),
           col("dsum").cast("double").as("rollup_sum"),
           col("n").cast("double").as("rollup_count"),

@@ -55,8 +55,12 @@ object SegmentIndex {
       tsToMillis: Column => Column, indexed: Seq[String]): DataFrame = {
     val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val present = df.columns.toSet
-    val fps: Column = flatten(array(
-      indexed.filter(present.contains).map(fingerprintCol): _*))
+    val idx = indexed.filter(present.contains)
+    // no indexed columns (bounds-only manifest) → empty fingerprint set;
+    // flatten(array()) would be ARRAY<NULL> and fail analysis
+    val fps: Column =
+      if (idx.isEmpty) array().cast("array<bigint>")
+      else flatten(array(idx.map(fingerprintCol): _*))
     val base = df.select(
       input_file_name().as("file"),
       tsToMillis(col(s"`$tsCol`")).as("_ts_ms"),

@@ -48,7 +48,7 @@ object StreamingEngine {
       .agg(aggs.head, aggs.tail: _*)
     // expose the bucket as epoch-millis step_ts, like the batch chart path
     windowed.withColumn("step_ts",
-        (unix_timestamp(col("window.start")) * 1000L))
+        expr("unix_millis(window.start)"))
       .drop("window")
   }
 
