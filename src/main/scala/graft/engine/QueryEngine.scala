@@ -141,7 +141,9 @@ object QueryEngine {
   /** Post-agg count↔rate transform
     * (reference ASTUtils.getTransformerFunc:190-219). */
   private def transform(e: BaseExpr, stepMs: Long, v: Column): Column = {
-    val stepSec = stepMs / 1000L
+    // double division: integer div would make sub-second steps divide by
+    // zero and mis-scale steps that are not whole seconds
+    val stepSec = stepMs / 1000.0
     val chartType = e.chart.map(_.chartType).getOrElse("count")
     if (e.dataset == "metrics") {
       (chartType, e.metricType) match {
@@ -445,6 +447,9 @@ object QueryEngine {
             .otherwise(col(GROUP_KEY)))
         .select(col(STEP_TS), col(GROUP_KEY), col(VALUE), col(LABEL))
     }
+    require(all.nonEmpty,
+      "AST yields no output series: no formulae and every base " +
+      "expression has returnResults=false")
     all.reduceLeft(_ unionByName _).orderBy(STEP_TS, LABEL)
   }
 
@@ -522,17 +527,20 @@ object QueryEngine {
   private def applyConst(df: DataFrame, c: Double, op: String,
       constOnLeft: Boolean): DataFrame = {
     val v = col(VALUE)
+    // div-by-zero drops the bucket (reference Formula.scala:59-63).
+    // The zero-denominator filter must run BEFORE the value column is
+    // replaced: filtering the withColumn output would test the
+    // TRANSFORMED value (c/v), wrongly dropping every bucket of a
+    // "0 / a" formula and any bucket whose quotient underflows to 0.
+    val base = if (op == "div" && constOnLeft) df.where(v =!= 0.0) else df
     val newV = op match {
       case "add" => v + c
       case "sub" => if (constOnLeft) lit(c) - v else v - c
       case "mul" => v * c
       case "div" => if (constOnLeft) lit(c) / v else v / c
     }
-    val out = df.withColumn(VALUE, newV)
-    // div-by-zero drops the bucket (reference Formula.scala:59-63)
-    if (op == "div" && constOnLeft) out.where(v =!= 0.0)
-    else if (op == "div" && c == 0.0) out.limit(0)
-    else out
+    val out = base.withColumn(VALUE, newV)
+    if (op == "div" && !constOnLeft && c == 0.0) out.limit(0) else out
   }
 
   private def combine(d1: DataFrame, d2: DataFrame, op: String): DataFrame = {

@@ -14,8 +14,11 @@ import graft.ast.DataTypes
   */
 object QuantityParser {
 
+  // the decimal point must be escaped: an unescaped `.` lets "1,5s"
+  // match with group(1) = "1,5", and toDouble then throws instead of the
+  // contract's "matches nothing"
   private val quantityRegex: Pattern =
-    Pattern.compile("([0-9]+(.[0-9]+)?)(\\w+|µs)")
+    Pattern.compile("([0-9]+(\\.[0-9]+)?)(\\w+|µs)")
 
   private val duration: Map[String, Double] = {
     val s = 1e9; val ms = 1e6; val us = 1e3; val m = 60 * 1e9

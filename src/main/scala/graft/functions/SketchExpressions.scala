@@ -84,6 +84,7 @@ private[functions] object ComputeCodegen {
     case DoubleType => s"((java.lang.Double) $call).doubleValue()"
     case LongType => s"((java.lang.Long) $call).longValue()"
     case BooleanType => s"((java.lang.Boolean) $call).booleanValue()"
+    case BinaryType => s"((byte[]) $call)"
     case _: ArrayType =>
       s"((org.apache.spark.sql.catalyst.util.ArrayData) $call)"
     case _: StructType =>
@@ -414,7 +415,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vectors: 0/0 would be NaN, which Spark orders ABOVE every
+    // real score and which passes >= thresholds — a single zero embedding
+    // would pollute top-k and mark whole clusters as duplicates. Define
+    // cosine-with-zero as 0.0 (no similarity), like Int8Cosine.
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =

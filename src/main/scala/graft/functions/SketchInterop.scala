@@ -559,7 +559,9 @@ case class DdProtoStatOf(child: Expression, stat: String)
       case "sum" => b.sum
       case "min" => if (b.count == 0) null else b.min
       case "max" => if (b.count == 0) null else b.max
-      case "avg" => if (b.count == 0) 0.0 else b.sum / b.count
+      // null, not 0.0: an empty sketch has no average, and 0.0 would be
+      // indistinguishable from a genuinely measured zero
+      case "avg" => if (b.count == 0) null else b.sum / b.count
     }
   }
 

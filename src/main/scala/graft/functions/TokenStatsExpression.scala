@@ -43,19 +43,25 @@ case class TokenStats(child: Expression, profiles: Seq[Seq[String]])
   override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    var cnt = 0L
     var charSum = 0L
     var longExtra = 0L
     val seen = new java.util.HashSet[String]()
     val seenLower = new java.util.HashSet[String]()
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val len = t.numChars()
-      charSum += len
-      if (len > 8) longExtra += (len - 8) / 4
-      val s = t.toString
-      seen.add(s)
-      seenLower.add(t.toLowerCase.toString)
+      // user-supplied array<string> columns may carry null elements —
+      // skip them (split() output never does, but the input type allows it)
+      if (!arr.isNullAt(i)) {
+        cnt += 1
+        val t = arr.getUTF8String(i)
+        val len = t.numChars()
+        charSum += len
+        if (len > 8) longExtra += (len - 8) / 4
+        val s = t.toString
+        seen.add(s)
+        seenLower.add(t.toLowerCase.toString)
+      }
       i += 1
     }
     val hits = new Array[Any](profiles.length)
@@ -65,7 +71,7 @@ case class TokenStats(child: Expression, profiles: Seq[Seq[String]])
       p += 1
     }
     new GenericInternalRow(Array[Any](
-      n.toLong, charSum, seen.size.toLong, longExtra,
+      cnt, charSum, seen.size.toLong, longExtra,
       new GenericArrayData(hits)))
   }
 

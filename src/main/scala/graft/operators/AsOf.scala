@@ -4,10 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed AS-OF join: each left row is matched to the single right
-  * row with the greatest `rightTs <= leftTs` for its key, if that match
-  * is within `toleranceMs` — the "enrich each event with the latest
-  * preceding rollup/quote/state" operator (DuckDB/kdb ASOF JOIN; Spark
-  * has no native equivalent).
+  * row with the greatest `rightTs <= leftTs` for its key, if
+  * `leftTs - rightTs < toleranceMs` — the tolerance horizon is
+  * EXCLUSIVE (a row exactly toleranceMs after its anchor does not
+  * match; pandas merge_asof is inclusive — half-open intervals tile the
+  * timeline without overlap, and the spec + DuckDB oracle pin this
+  * choice). The "enrich each event with the latest preceding
+  * rollup/quote/state" operator (DuckDB/kdb ASOF JOIN; Spark has no
+  * native equivalent).
   *
   * Scale shape: the textbook formulation — union both sides, window over
   * key ordered by ts, `last(value, ignoreNulls)` — partitions by KEY

@@ -594,15 +594,19 @@ object Dedup {
 
   /** Near-duplicate pairs by embedding cosine >= threshold. lshBits > 0
     * blocks on random-hyperplane buckets (the scale path); 0 compares all
-    * pairs (test scale only). */
+    * pairs (test scale only). `lshDim` must cover the embedding width —
+    * hyperplanes are drawn over the first lshDim dimensions, and a
+    * too-small value silently blocks on a prefix projection (recall
+    * loss for 384/768-dim embeddings left at a 64 default). */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
+      threshold: Double = 0.95, lshBits: Int = 0,
+      lshDim: Int = 64): DataFrame = {
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).as("v"))
     val pairs =
       if (lshBits > 0) {
         val withBlock = vecs.withColumn("block",
-          Similarity.hyperplaneBucket(col("v"), lshBits, 64))
+          Similarity.hyperplaneBucket(col("v"), lshBits, lshDim))
         val a = withBlock.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
         val b = withBlock.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
         a.join(b, Seq("block")).where(col("id_a") < col("id_b"))

@@ -34,6 +34,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ent") - 1.0) < 1e-12) // 2 symbols 50/50
   }
 
+  test("binary-returning scalars survive whole-stage codegen (unbox byte[])") {
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0).toDF("v").createOrReplaceTempView("bc_vals")
+    // the outer projection over the aggregate output runs in whole-stage
+    // codegen: ComputeCodegen.unbox must handle BinaryType
+    val p = spark.sql(
+      """SELECT graft_dd_to_proto(sk) AS p FROM
+        |  (SELECT ddsketch(v) AS sk FROM bc_vals)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    assert(p.nonEmpty)
+    val q = spark.sql(
+      s"""SELECT graft_dd_proto_quantile(graft_dd_to_proto(sk), 0.5d) FROM
+         |  (SELECT ddsketch(v) AS sk FROM bc_vals)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(q - 2.0) <= 2.0 * 0.011)
+  }
+
   test("ddsketch SQL aggregate matches the DataFrame form") {
     import spark.implicits._
     Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v").createOrReplaceTempView("vals")

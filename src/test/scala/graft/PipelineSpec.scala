@@ -233,6 +233,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == Set((0L, 1L)))
   }
 
+  test("zero-norm embeddings score 0 cosine, never NaN (NaN outranks everything)") {
+    val vs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),          // zero vector
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val c = vs.where(col("vec_id") === 0)
+      .crossJoin(vs.where(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")))
+      .as[Double].collect()(0)
+    assert(c === 0.0 && !c.isNaN)
+    // a zero vector must not pollute top-k or mark others as duplicates
+    val top = Similarity.bruteForceTopK(vs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 2).select("id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+    val dups = Dedup.embeddingNearDuplicates(vs, "vec_id", "embedding",
+      threshold = 0.9).select("id_b").as[Long].collect().toSet
+    assert(!dups.contains(1L) || dups === Set(2L))
+    assert(dups === Set(2L)) // only the planted near-dup of 1
+  }
+
   test("semanticDedup collapses planted paraphrase groups and never over-drops") {
     // three tight groups of near-identical vectors (jittered copies of
     // orthogonal bases) + two isolated points; near-identical vectors
