@@ -57,10 +57,11 @@ object Bench {
       System.gc()
       name -> dt
     }
-    def jmap(m: Seq[(String, String)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v) => k -> v.toString })
-    val errs = jmap(errors.toSeq.map { case (k, v) => k -> ("\"" + v + "\"") })
+    // full escaping (JsonOut): a Spark error message containing an ANSI
+    // escape or other control char must not break the driver's json.load
+    val qs = JsonOut.obj(
+      results.map { case (k, v) => k -> v.toString }, quoteValues = false)
+    val errs = JsonOut.obj(errors.toSeq, quoteValues = true)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's

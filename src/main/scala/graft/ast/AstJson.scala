@@ -52,7 +52,10 @@ object AstJson {
     require(filterNode != null, "No filter provided!")
     BaseExpr(
       id = id,
-      dataset = str(node, "dataset").getOrElse("logs"),
+      // reference default is "metrics" (ASTUtils.scala:297 getOrElse) —
+      // a payload omitting dataset must chart metrics with rollup
+      // re-aggregation, not per-row log semantics
+      dataset = str(node, "dataset").getOrElse("metrics"),
       filter = parseFilter(filterNode),
       extractor = obj(node, "extract").map(parseExtractor),
       compute = obj(node, "compute").map(parseCompute),
@@ -127,9 +130,11 @@ object AstJson {
     )
 
   def parseFunctionCall(node: JsonNode): FunctionCall = {
-    val args = Option(node.get("args")).map {
-      _.elements().asScala.map(parseComputeArg).toList
-    }.getOrElse(Nil)
+    // the reference payload key is "arguments" (ComputeFunction.scala:235);
+    // "args" is kept as a shorthand alias
+    val args = Option(node.get("arguments")).orElse(Option(node.get("args")))
+      .map(_.elements().asScala.map(parseComputeArg).toList)
+      .getOrElse(Nil)
     FunctionCall(node.get("name").textValue(), args)
   }
 
@@ -142,6 +147,8 @@ object AstJson {
         parseFunctionCall(if (node.has("functionCall")) node.get("functionCall") else node)
       case _ =>
         val v = node.get("value")
+        require(v != null, // decode error, not an NPE (reference
+          s"literal compute arg without a value: $node") // ComputeFunction.scala:261
         val dt = str(node, "dataType").getOrElse(
           if (v.isNumber) DataTypes.NUMBER else DataTypes.STRING)
         LiteralArg(v.asText(), dt)

@@ -35,9 +35,28 @@ object FormulaParser {
         case ')' => toks += RParen; i += 1
         case '+' | '-' | '*' | '/' => toks += Op(c); i += 1
         case d if d.isDigit =>
+          // NUMBER with optional exponent — the reference grammar's
+          // SCIENTIFIC_NUMBER: NUMBER (E SIGN? UNSIGNED_INTEGER)?
+          // (reference ArithmeticParser.g4:84-86), so "1e3"/"2E-4" are
+          // valid constants and must not lex as Num + Id
           val start = i
           while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-          toks += Num(s.substring(start, i).toDouble)
+          if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+            val mark = i
+            var j = i + 1
+            if (j < s.length && (s.charAt(j) == '+' || s.charAt(j) == '-')) j += 1
+            if (j < s.length && s.charAt(j).isDigit) {
+              while (j < s.length && s.charAt(j).isDigit) j += 1
+              i = j
+            } else i = mark // bare trailing 'e' is an identifier start
+          }
+          val text = s.substring(start, i)
+          val num = try text.toDouble catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"malformed number '$text' in formula: $s")
+          }
+          toks += Num(num)
         case a if a.isLetter || a == '_' =>
           val start = i
           while (i < s.length &&

@@ -69,6 +69,14 @@ object FilterCompiler {
       case Ops.NOT_IN => !c.isin(f.v: _*)
       case Ops.REGEX => c.rlike(s"(?i)$headV")
       case Ops.CONTAINS => c.rlike(s"(?i).*$headV.*")
+      // an unparseable threshold (normalize → NaN) must match NOTHING for
+      // every comparison: Spark orders NaN above all numbers, so a bare
+      // `x < NaN` would be TRUE for every castable row (gt/ge only
+      // happen to work). The reference fails the query outright (DuckDB
+      // cannot bind its NaN literal); matching nothing is the documented
+      // graceful form of the same outcome.
+      case Ops.GT | Ops.GE | Ops.LT | Ops.LE if normalized.isNaN =>
+        lit(false)
       case Ops.GT => tryCastDouble(f.k) > normalized
       case Ops.GE => tryCastDouble(f.k) >= normalized
       case Ops.LT => tryCastDouble(f.k) < normalized

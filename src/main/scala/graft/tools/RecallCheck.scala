@@ -40,6 +40,9 @@ object RecallCheck {
         shingleWidth = 3, numHashes = 128, bands = 16,
         threshold = threshold)
       .select("id_a", "id_b")
+    // both frames feed three actions — persist or the O(n²) brute force
+    // and the LSH pipeline recompute per action
+    exact.persist(); lsh.persist()
     val nExact = exact.count()
     val missed = exact.except(lsh).collect()
     val extra = lsh.except(exact).count() // must be 0: pairs are verified

@@ -84,6 +84,42 @@ class AstSpec extends AnyFunSuite {
     assert(QuantityParser.normalize("1a2s", DataTypes.DURATION) == 0.0)
   }
 
+  test("reference payload shapes: arguments key, metrics default, missing literal value") {
+    // the reference emits "arguments" (ComputeFunction.scala:235) — both
+    // spellings must decode identically
+    val fc = AstJson.parseFunctionCall(new com.fasterxml.jackson.databind
+      .ObjectMapper().readTree(
+      """{"name":"mul","arguments":[
+        |  {"type":"literal","value":2,"dataType":"number"},
+        |  {"type":"literal","value":3,"dataType":"number"}]}""".stripMargin))
+    assert(fc.args.length == 2)
+    // missing dataset routes to metrics (reference ASTUtils.scala:297)
+    val b = AstJson.parseBaseExpr(
+      """{"filter": {"k": "x", "op": "exists"}}""")
+    assert(b.dataset == "metrics")
+    // a literal arg without a value is a decode error, not an NPE
+    val err = intercept[IllegalArgumentException] {
+      AstJson.parseBaseExpr(
+        """{"dataset":"logs","filter":{"k":"x","op":"exists"},
+          |"compute":{"labelName":"y","functionCall":{"name":"mul",
+          |  "args":[{"type":"literal","dataType":"number"}]}}}""".stripMargin)
+    }
+    assert(err.getMessage.contains("literal compute arg without a value"))
+  }
+
+  test("formula constants accept scientific notation (reference grammar parity)") {
+    import graft.ast.{FormulaParser, BaseExpr, Filter, Ops}
+    val base = Map("a" -> BaseExpr(id = "a",
+      filter = Filter(k = "x", op = Ops.EXISTS)))
+    val node = FormulaParser.parse("a * 1e3", base)
+    assert(node != null)
+    assert(FormulaParser.parse("a / 2E-2", base) != null)
+    val bad = intercept[IllegalArgumentException] {
+      FormulaParser.parse("a * 1.2.3", base)
+    }
+    assert(bad.getMessage.contains("malformed number"))
+  }
+
   test("time range resolution") {
     val now = java.time.Instant.parse("2024-01-31T00:00:00Z")
     val (s1, e1) = TimeRange.resolve("e-1h", "now", now)

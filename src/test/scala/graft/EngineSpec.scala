@@ -29,6 +29,17 @@ class EngineSpec extends AnyFunSuite {
     assert(df.where(c).count() == 3)
   }
 
+  test("filter compiler: unparseable threshold (NaN) matches NOTHING for all comparisons") {
+    // Spark orders NaN above every double: a bare `x < NaN` would be TRUE
+    // for every castable row — lt/le must fold to false like gt/ge do
+    for (op <- Seq(Ops.GT, Ops.GE, Ops.LT, Ops.LE)) {
+      val c = FilterCompiler.compile(
+        Filter("dur", List("100"), op), // dataType defaults STRING → NaN
+        df.columns.toSet)
+      assert(df.where(c).count() == 0, s"op=$op must match nothing")
+    }
+  }
+
   test("filter compiler: try_cast numeric comparison drops garbage rows") {
     val c = FilterCompiler.compile(
       Filter("dur", List("15"), Ops.GT, dataType = DataTypes.NUMBER),
