@@ -41,13 +41,13 @@ class SketchInteropSpec extends AnyFunSuite {
     val segs = (0 until 8).map { s =>
       referenceHllBytes((s * 500 until s * 500 + 1500).map(i => s"user-$i"))
     }
-    val trueDistinct = 8 * 500 + 1000 // ids 0 until 4500+1000-? -> max id 3500+1499=4999 + 1
+    // distinct ids span 0 until 8*500+1000 = 5000 (last segment covers
+    // 3500 until 5000)
+    val exact = (8 * 500 + 1000).toDouble
     val df = segs.toDF("sketch")
     val est = df.agg(SI.dsHllEstimateOf(SI.dsHllUnion(col("sketch"))).as("est"))
       .head().getDouble(0)
-    val exact = 5000.0
     assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
-    assert(trueDistinct > 0) // silence unused warning paths
   }
 
   test("hll: graft-written payloads are readable by the reference read path") {
