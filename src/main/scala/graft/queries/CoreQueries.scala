@@ -603,6 +603,32 @@ object CoreQueries {
       .limit(10)
   }
 
+  // J7 (beyond the reference): the star-schema rollup over EVERY
+  // dimension table in the fixture — lineitem joined through supplier →
+  // nation → region (Q5's local-supplier chain) and part (type filter),
+  // revenue per (region, part type). The snowflake dimensions are tiny
+  // and broadcast; the fact table streams through map-side hash joins
+  // with zero fact-side shuffles before the final 2-key aggregate.
+  def j7_star_rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"),
+      (dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount"))
+        .cast(org.apache.spark.sql.types.DecimalType(8, 6))).as("rev"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+    val reg = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+    val prt = t(s, dir, "part")
+      .where(col("p_type").isin("ECONOMY", "STANDARD"))
+      .select(col("p_partkey"), col("p_type"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name"), col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("r_name", "p_type")
+  }
+
   // J5 (beyond the reference): salted equi-join for a skewed fact key
   // against a dimension too big to broadcast — the dimension replicates
   // n× with a salt column and the join key becomes (key, salt), so a hot
@@ -625,6 +651,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j5_salted_join" -> j5_salted_join _,
     "j6_multiway_join" -> j6_multiway_join _,
+    "j7_star_rollup" -> j7_star_rollup _,
     "f1_eq" -> f1_eq _,
     "f2_neq" -> f2_neq _,
     "f3_in" -> f3_in _,
@@ -801,6 +828,18 @@ object CoreQueries {
         |FROM l JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
         |ORDER BY event_id, range_lo""".stripMargin,
+    "j7_star_rollup" ->
+      """SELECT r.r_name, p.p_type, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l.l_discount AS DECIMAL(8,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type IN ('ECONOMY', 'STANDARD')
+        |GROUP BY 1, 2 ORDER BY r_name, p_type""".stripMargin,
     "j6_multiway_join" ->
       """SELECT o.o_orderkey, o.o_orderpriority,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
