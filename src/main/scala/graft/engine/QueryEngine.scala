@@ -182,8 +182,9 @@ object QueryEngine {
           val casted =
             if (e.syntheticFields.contains(fieldName)) raw.cast("double")
             else {
-              val quoted = if (fieldName.contains(".")) s"`$fieldName`" else fieldName
-              expr(s"try_cast($quoted as double)")
+              // ALWAYS backtick-quote: an unquoted "x-request-id" would
+              // parse as the subtraction x - request - id
+              expr(s"try_cast(`${fieldName.replace("`", "``")}` as double)")
             }
           chartOpts.fieldType match {
             case Some(DataTypes.DURATION) => casted / 1000000L // ns → ms
@@ -241,8 +242,7 @@ object QueryEngine {
       */
     def metricsAgg(aggregation: String): Column = {
       val sketchPath: Option[Column] = aggregation match {
-        case p if p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit)
-            && base.columns.contains("sketch_dd") =>
+        case p if isPercentile(p) && base.columns.contains("sketch_dd") =>
           val q = p.drop(1).toDouble / 100.0
           Some(graft.functions.SketchInteropFunctions.ddProtoQuantileOf(
             graft.functions.SketchInteropFunctions.ddProtoMerge(
@@ -383,13 +383,24 @@ object QueryEngine {
   /** Tag-value counts: SELECT tag, COUNT(*) ... GROUP BY tag
     * (reference BaseExpr.scala:127-143, default limit 1000). */
   def tagValues(tel: Telemetry, e: BaseExpr, tagName: String,
-      startMs: Long, endMs: Long, limit: Int = 1000): DataFrame =
-    prepared(tel, e, startMs, endMs)
+      startMs: Long, endMs: Long, limit: Int = 1000): DataFrame = {
+    val base = prepared(tel, e, startMs, endMs)
+    // a tag absent from the scanned segments' schema has no values —
+    // return the empty frame instead of an unresolved-column error
+    // (missing-column tolerance is load-bearing for per-segment schemas,
+    // same contract as the filter compiler's fold-to-false)
+    if (!base.columns.contains(tagName) &&
+        !e.syntheticFields.contains(tagName))
+      return base.limit(0)
+        .select(lit(null).cast("string").as("tagValue"),
+          lit(0L).as("count"))
+    base
       .where(FilterCompiler.fieldCol(tagName).isNotNull)
       .groupBy(FilterCompiler.fieldCol(tagName).as("tagValue"))
       .agg(count(lit(1)).as("count"))
       .orderBy(desc("count"), col("tagValue"))
       .limit(limit)
+  }
 
   /** Tag names present (non-null somewhere) under the filter
     * (reference tag-name mode, Commons.scala:407-423 + dedup stage);
@@ -428,7 +439,13 @@ object QueryEngine {
     * the sorted final-grouping tag values joined with ":" (missing tag →
     * ""); `add` zero-fills a missing side via full-outer join; sub/mul
     * inner-join; div inner-joins and drops zero denominators.
-    */
+    *
+    * LABEL CONTRACT: grouped rows are labeled with the group key alone
+    * (the reference's SSE protocol keys each stream by expression id, so
+    * its labels never need the id). When a caller unions multiple
+    * returning expressions that share a grouping, the rows interleave
+    * under identical labels — evaluate each expression separately (or
+    * combine via `formulae`) if per-expression identity matters. */
   def evaluate(tables: String => Telemetry, ast: ASTInput,
       startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
     val formulaNodes: List[(String, AstNode)] = ast.formulae.map { f =>

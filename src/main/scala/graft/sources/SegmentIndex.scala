@@ -85,7 +85,10 @@ object SegmentIndex {
     * to possibly appear under column c; None = cannot prune on this leaf. */
   private[graft] def valueFingerprints(c: String, v: String): Option[Seq[Long]] = {
     val s = v.toLowerCase
-    if (s.length < 3) None
+    // numeric-looking values are unprunable: EQ compiles to a coercing
+    // === (a long column 1234 matches the value "1234.0"), so the
+    // VALUE's string trigrams need not appear in the stored form
+    if (s.length < 3 || s.toDoubleOption.isDefined) None
     else Some(
       (0 to s.length - 3).map { i =>
         val g = s.substring(i, i + 3)
@@ -180,19 +183,33 @@ object SegmentIndex {
           case '\\' =>
             if (i + 1 >= n) throw Bail
             val c = regex.charAt(i + 1)
+            // escapes with a multi-char OPERAND (\x41 ￿ \0101 \cJ
+            // \p{L} \k<g> \N{..} \Q..\E): treating the operand chars as
+            // literal text would demand trigrams a matching string need
+            // not contain — bail (no pruning) rather than prune unsoundly
+            if ("xucpPkNQE0".indexOf(c) >= 0) throw Bail
             i += 2
             // \d \w \s \b … match unknown text; escaped metachar is literal
             if (Character.isLetterOrDigit(c)) Right(Free) else Left(c)
           case '[' =>
+            // character classes nest in Java regex ([a[b]c], [a&&[^b]]) —
+            // track depth so the tail of a nested class is not parsed as
+            // literal text (which would add false trigram requirements)
             var j = i + 1
+            var depth = 1
             if (j < n && regex.charAt(j) == '^') j += 1
             if (j < n && regex.charAt(j) == ']') j += 1
-            while (j < n && regex.charAt(j) != ']') {
-              if (regex.charAt(j) == '\\') j += 1
+            while (j < n && depth > 0) {
+              regex.charAt(j) match {
+                case '\\' => j += 1
+                case '[' => depth += 1
+                case ']' => depth -= 1
+                case _ =>
+              }
               j += 1
             }
-            if (j >= n) throw Bail
-            i = j + 1; Right(Free)
+            if (depth != 0) throw Bail
+            i = j; Right(Free)
           case '.' | '^' | '$' => i += 1; Right(Free)
           case '*' | '?' | '+' | '{' => throw Bail // dangling quantifier
           case c => i += 1; Left(c)
@@ -284,7 +301,7 @@ object SegmentIndex {
   def candidate(clause: QueryClause, indexed: Set[String]): Column = clause match {
     case Filter(k, vs, op, _, false, false) if indexed.contains(k) =>
       op match {
-        case Ops.EQ | Ops.CONTAINS =>
+        case Ops.EQ =>
           vs.headOption.flatMap(valueFingerprints(k, _)) match {
             case Some(fps) =>
               // ALL trigrams of the value must be present
@@ -292,9 +309,12 @@ object SegmentIndex {
                 .reduce(_ && _)
             case None => lit(true)
           }
-        case Ops.REGEX =>
-          // trigram set algebra over the regex's forced literals:
-          // sequences AND their runs, alternation branches OR them
+        case Ops.REGEX | Ops.CONTAINS =>
+          // CONTAINS compiles to a REGEX with active metacharacters
+          // (reference BaseExpr.scala:500-501 regexp_matches '.*v.*'), so
+          // its value must go through the same trigram set algebra —
+          // treating "a.cde" as a literal would prune segments whose rows
+          // match via the wildcard
           vs.headOption.map(v => reqColumn(k, requiredTrigrams(v)))
             .getOrElse(lit(true))
         case Ops.IN =>

@@ -57,10 +57,18 @@ object StreamingEngine {
     * the verification harness to oracle-check streaming plans against the
     * same SQL as their batch twins. maxFilesPerTrigger forces multiple
     * micro-batches so incremental state actually exercises. */
+  /** Drain a bounded file-stream plan into a memory sink and return the
+    * result table. `outputMode` defaults to append — note that under
+    * append a WATERMARKED windowed aggregation emits a window only once
+    * the watermark passes its end, so the trailing ~watermark-delay of
+    * windows stays in the state store at termination and is absent from
+    * the result. Pass "complete" when the result must equal the batch
+    * twin over ALL input (the mode every oracle-compared entry uses);
+    * append is the production shape for closed-window emission. */
   def runToCompletion(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
       plan: DataFrame => DataFrame, queryName: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1, outputMode: String = "append"): DataFrame = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -68,7 +76,7 @@ object StreamingEngine {
     val q = plan(src).writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("append")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

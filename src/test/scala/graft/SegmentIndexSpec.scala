@@ -57,6 +57,30 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(files.exists(_.contains("seg1")) && files.exists(_.contains("seg3")))
   }
 
+  test("contains treats metacharacters as regex, not literal (pruning soundness)") {
+    import graft.ast.{Filter, Ops}
+    // "a.cde" as a CONTAINS value is a REGEX (reference regexp_matches):
+    // a segment holding only "axcde" matches via the wildcard and must
+    // NOT be pruned on the literal's trigrams ("a.c", ".cd")
+    val cand = SegmentIndex.candidate(
+      Filter("event_type", List("a.cde"), Ops.CONTAINS), Set("event_type"))
+    assert(cand != null) // compiles through the regex path, not literal
+    // requiredTrigrams("a.cde") sees '.' as Free: the runs "a" and "cde"
+    // remain, and "a" (< 3 chars) imposes no trigram — so a segment
+    // holding only "axcde" (which contains "cde") survives pruning
+    import graft.sources.SegmentIndex.TriReq
+    val req = SegmentIndex.requiredTrigrams("a.cde")
+    assert(req == TriReq.All(List(TriReq.Lit("a"), TriReq.Lit("cde"))))
+  }
+
+  test("numeric-looking EQ values do not prune (coercing equality)") {
+    // a long column 1234 matches the value "1234.0" through ==='s
+    // numeric coercion; the value's own trigrams ("34.", "4.0") need not
+    // exist in any segment — pruning must abstain
+    assert(SegmentIndex.valueFingerprints("v", "1234.0").isEmpty)
+    assert(SegmentIndex.valueFingerprints("v", "click").nonEmpty)
+  }
+
   test("AND intersects, OR unions candidate sets (U2 set algebra)") {
     val and = BinaryClause(
       Filter("service", List("checkout-api"), Ops.EQ),

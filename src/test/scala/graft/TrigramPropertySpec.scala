@@ -106,4 +106,18 @@ class TrigramPropertySpec extends AnyFunSuite {
     assert(SegmentIndex.requiredTrigrams("abcdef") == TriReq.Lit("abcdef"))
     assert(SegmentIndex.requiredTrigrams("abc(def|ghi)") != TriReq.Free)
   }
+
+  test("operand-bearing escapes and nested classes never yield false requirements") {
+    def sat(s: String, req: TriReq): Boolean = satisfies(s, req)
+    // \x41 = 'A': the operand digits must NOT become required literals
+    assert(sat("Aabc", SegmentIndex.requiredTrigrams("\\x41abc")))
+    // \cJ = LF; \0101 = 'A'; \p{L} = any letter; \Q..\E literal quote
+    assert(sat("xAy", SegmentIndex.requiredTrigrams("x\\0101y")))
+    assert(sat("qz", SegmentIndex.requiredTrigrams("\\p{Lu}qz")))
+    assert(sat("a.c", SegmentIndex.requiredTrigrams("\\Qa.c\\E")))
+    // nested class union [a[b]c] matches 'b' — the tail must not be
+    // parsed as literal text
+    assert(sat("xbyz", SegmentIndex.requiredTrigrams("x[a[b]c]yz")))
+    assert(sat("xayz", SegmentIndex.requiredTrigrams("x[a-z&&[^bc]]yz")))
+  }
 }
