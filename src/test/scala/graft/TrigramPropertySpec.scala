@@ -33,8 +33,21 @@ class TrigramPropertySpec extends AnyFunSuite {
   private val dotAtom: Gen[Pat] =
     litChar.map(c => Pat(".", Gen.const(c.toString)))
 
-  private val classAtom: Gen[Pat] =
-    Gen.const(Pat("[xyz]", Gen.oneOf("x", "y", "z")))
+  private val classAtom: Gen[Pat] = Gen.oneOf(
+    Pat("[xyz]", Gen.oneOf("x", "y", "z")),
+    // nested class union (Java semantics: {a} ∪ {b,c} ∪ {d})
+    Pat("[a[bc]d]", Gen.oneOf("a", "b", "c", "d")),
+    // intersection with negation: [a-h] ∩ ¬{b,c}
+    Pat("[a-h&&[^bc]]", Gen.oneOf("a", "d", "e", "f", "g", "h")))
+
+  private val escapeAtom: Gen[Pat] = Gen.oneOf(
+    Pat("\\d", Gen.oneOf("0", "1", "2", "3")),
+    Pat("\\w", Gen.oneOf("a", "b", "0")),
+    // operand-bearing escapes: the compiler must bail (Free) rather than
+    // read the operand digits as literal requirements
+    Pat("\\x61", Gen.const("a")),
+    Pat("\\0141", Gen.const("a")),
+    Pat("\\p{Lower}", Gen.oneOf("a", "b", "c")))
 
   private def quantified(inner: Pat): Gen[Pat] = Gen.oneOf(
     // ? : zero or one
@@ -59,13 +72,19 @@ class TrigramPropertySpec extends AnyFunSuite {
       Gen.delay(branches(pick).sample))
 
   private def atom(depth: Int): Gen[Pat] =
-    if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom)
+    if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom, escapeAtom)
     else Gen.frequency(
       4 -> litRun(6),
       1 -> dotAtom,
       1 -> classAtom,
+      1 -> escapeAtom,
       2 -> alternation(depth),
-      1 -> Gen.lzy(atom(depth - 1).flatMap(quantified)))
+      // quantify only UNQUANTIFIED base atoms: nesting quantifiers over
+      // single-char wildcards ((?:(?:\d)+)+) makes the java.util.regex
+      // sanity check itself explode with catastrophic backtracking
+      1 -> Gen.lzy(
+        Gen.oneOf(litRun(6), dotAtom, classAtom, escapeAtom)
+          .flatMap(quantified)))
 
   private def sequence(depth: Int): Gen[Pat] =
     for {
