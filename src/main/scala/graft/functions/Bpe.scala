@@ -30,12 +30,19 @@ object Bpe {
   /** End-of-word marker (Sennrich-style); keeps merges word-bounded and
     * makes decoding unambiguous — provided the corpus does not contain
     * the literal string "</w>" (production tokenizers escape to byte
-    * level; this implementation documents the assumption instead). */
+    * level; this implementation enforces the assumption at training
+    * time so a violation fails loudly at the source rather than as a
+    * confusing decode mismatch downstream). */
   val EndOfWord = "</w>"
 
   /** Train `numMerges` BPE merges from a (word, freq) table. */
   def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int)
       : Seq[(String, String)] = {
+    wordCounts.find(_._1.contains(EndOfWord)).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"BPE corpus word '$w' contains the reserved end-of-word marker " +
+          s"'$EndOfWord'; escape or strip it before training")
+    }
     var words: Array[(Array[String], Long)] = wordCounts.map { case (w, f) =>
       (splitSymbols(w) :+ EndOfWord, f)
     }.toArray

@@ -108,15 +108,20 @@ trait ComputeUnaryCodegen { self: UnaryExpression =>
     // compute may return null (e.g. regex non-match) — re-set isNull, which
     // nullSafeCodeGen declares as an assignable local. When the expression
     // is non-nullable, isNull is a literal and compute never returns null.
-    if (nullable)
+    if (nullable) {
+      // fresh per-expression local: two of these in one codegen scope
+      // (e.g. a wide projection) must not collide on the variable name —
+      // a collision fails compilation and drops the whole stage to the
+      // interpreted fallback
+      val r = ctx.freshName("graftR")
       nullSafeCodeGen(ctx, ev, c => s"""
-        Object graftR = $ref.compute($c);
-        if (graftR == null) {
+        Object $r = $ref.compute($c);
+        if ($r == null) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = ${ComputeCodegen.unbox("graftR", dataType)};
+          ${ev.value} = ${ComputeCodegen.unbox(r, dataType)};
         }""")
-    else
+    } else
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($c)", dataType)};")
   }
@@ -132,15 +137,16 @@ trait ComputeBinaryCodegen { self: BinaryExpression =>
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, classOf[ComputeBinaryCodegen].getName)
-    if (nullable)
+    if (nullable) {
+      val r = ctx.freshName("graftR")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        Object graftR = $ref.compute($a, $b);
-        if (graftR == null) {
+        Object $r = $ref.compute($a, $b);
+        if ($r == null) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = ${ComputeCodegen.unbox("graftR", dataType)};
+          ${ev.value} = ${ComputeCodegen.unbox(r, dataType)};
         }""")
-    else
+    } else
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"${ev.value} = ${ComputeCodegen.unbox(s"$ref.compute($a, $b)", dataType)};")
   }

@@ -488,7 +488,14 @@ case class DdProtoMergeAgg(
   override def update(b: DdogBuffer, input: InternalRow): DdogBuffer = {
     val v = child.eval(input)
     if (v == null) b
-    else adoptOrMerge(b, DdProto.decode(v.asInstanceOf[Array[Byte]]))
+    else {
+      // Same empty-payload short-circuit as merge(): a serialized EMPTY
+      // sketch may carry a different index mapping than the buffer, and
+      // DdogBuffer.merge would throw on the mapping mismatch even though
+      // the payload contributes no data.
+      val o = DdProto.decode(v.asInstanceOf[Array[Byte]])
+      if (o.count == 0.0) b else adoptOrMerge(b, o)
+    }
   }
 
   override def withNewMutableAggBufferOffset(o: Int): DdProtoMergeAgg =

@@ -280,12 +280,19 @@ object Sampling {
     val wSum = weights.values.sum
     val wDf = spark.createDataFrame(
       weights.toSeq.sortBy(_._1)).toDF(strataCol, "_w")
-    val counts = wDf.join(
-        broadcast(df.groupBy(col(strataCol))
-          .agg(count(lit(1)).cast("double").as("_c"))),
-        Seq(strataCol), "left")
-      .select(col(strataCol), col("_w"),
-        coalesce(col("_c"), lit(0.0)).as("_n"))
+    // Joined from the OBSERVED-strata side with an in-plan assert: a
+    // stratum present in the corpus but absent from the weights map
+    // would otherwise be silently dropped by the final inner join —
+    // contradicting the "preserves corpus size in expectation" contract.
+    // An upsampler must be told about every stratum it sees.
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("_c"))
+      .join(broadcast(wDf), Seq(strataCol), "left")
+      .withColumn("_cov", assert_true(col("_w").isNotNull,
+        concat(lit("upsampleToWeights: stratum '"), col(strataCol),
+          lit("' has no weight — cover every observed stratum"))))
+      .where(col("_cov").isNull) // assert_true yields null; keeps the check live
+      .select(col(strataCol), col("_w"), col("_c").as("_n"))
     val total = counts.agg(sum(col("_n")).as("_tot"))
     // rate cap folded into the plan (the RangeJoin fan-out pattern): a
     // tiny stratum under a big weight means one row explodes r× on one

@@ -338,7 +338,11 @@ object PipelineQueries {
   // fractional copy). Dyadic weights sum to exactly 1.0 in float64, so
   // the oracle's rate arithmetic replays bit-for-bit.
   def p7_upsample(s: SparkSession, dir: String): DataFrame =
-    Sampling.upsampleToWeights(docs(s, dir), "source",
+    // the explicit isin() selection mirrors the oracle's inner join:
+    // upsampleToWeights itself rejects observed-but-unweighted strata
+    Sampling.upsampleToWeights(
+        docs(s, dir).where(col("source").isin("src0", "src1", "src2", "src3")),
+        "source",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
         Sampling.mix32(col("doc_id")))
       .select(col("doc_id"), col("copy"))

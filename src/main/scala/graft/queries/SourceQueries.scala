@@ -129,9 +129,18 @@ object SourceQueries {
     * table (file-skipping itself is proven in SegmentIndexSpec). */
   def s15_docs_grep(s: SparkSession, dir: String): DataFrame = {
     val clause = Filter("text", List("vector"), Ops.CONTAINS)
+    // Pruning every file is a valid empty RESULT, not a schema-less one:
+    // downstream select/compare still needs the (doc_id, source) shape.
+    val emptyTyped = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType))))
     val df = SegmentIndex.scan(s, docManifest(s, dir), Some(clause),
         Set("text"), Long.MinValue, Long.MaxValue)
-      .getOrElse(return s.emptyDataFrame)
+      .getOrElse(return emptyTyped)
     df.where(col("text").rlike("(?i).*vector.*"))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")

@@ -69,10 +69,17 @@ class SamplingSpec extends AnyFunSuite {
       assert(byId.getOrElse(i, Seq.empty) === want, s"row $i")
     }
     // an empty-stratum weight upsamples nothing and does not divide by zero
-    val out2 = Sampling.upsampleToWeights(df, "s",
+    val out2 = Sampling.upsampleToWeights(df.where($"s" === "a"), "s",
         Map("a" -> 0.5, "ghost" -> 0.5), Sampling.mix32(col("id")))
       .select("id").as[Long].collect()
-    assert(out2.forall(_ < 2L))
+    assert(out2.forall(_ < 2L) && out2.nonEmpty)
+    // an observed stratum with no weight fails loudly instead of being
+    // silently dropped (the "preserves corpus size" contract)
+    intercept[Exception] {
+      Sampling.upsampleToWeights(df, "s", Map("a" -> 1.0),
+          Sampling.mix32(col("id")))
+        .count()
+    }
     // a rate above maxRate fails the job loudly (explode-bomb guard)
     intercept[Exception] {
       Sampling.upsampleToWeights(df, "s", Map("a" -> 0.5, "b" -> 0.5),
