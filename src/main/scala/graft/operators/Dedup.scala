@@ -597,14 +597,37 @@ object Dedup {
     * pairs (test scale only). `lshDim` must cover the embedding width —
     * hyperplanes are drawn over the first lshDim dimensions, and a
     * too-small value silently blocks on a prefix projection (recall
-    * loss for 384/768-dim embeddings left at a 64 default). */
+    * loss for 384/768-dim embeddings left at a 64 default).
+    *
+    * `lshTables` > 1 OR-amplifies recall with independent hyperplane
+    * banks: a pair is a candidate if it collides in ANY table, so the
+    * per-pair miss probability drops from (1−p^bits) to (1−p^bits)^T —
+    * the standard multi-table LSH trade of T× candidate-generation
+    * (each row shuffles once per table, the join key is (table,
+    * bucket)) for near-1 recall on genuinely near pairs. Verified
+    * pairs are deduplicated across tables before emission. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, lshBits: Int = 0,
-      lshDim: Int = 64): DataFrame = {
+      lshDim: Int = 64, lshTables: Int = 1): DataFrame = {
+    require(lshTables >= 1, "lshTables must be >= 1")
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).as("v"))
     val pairs =
-      if (lshBits > 0) {
+      if (lshBits > 0 && lshTables > 1) {
+        val tb = explode(array((0 until lshTables).map { t =>
+          struct(lit(t).as("t"),
+            Similarity.hyperplaneBucket(col("v"), lshBits, lshDim, t)
+              .as("bk"))
+        }: _*))
+        val withBlock = vecs.withColumn("tb", tb)
+          .select(col("id"), col("v"),
+            col("tb.t").as("t"), col("tb.bk").as("block"))
+        val a = withBlock.select(col("t"), col("block"),
+          col("id").as("id_a"), col("v").as("v_a"))
+        val b = withBlock.select(col("t"), col("block"),
+          col("id").as("id_b"), col("v").as("v_b"))
+        a.join(b, Seq("t", "block")).where(col("id_a") < col("id_b"))
+      } else if (lshBits > 0) {
         val withBlock = vecs.withColumn("block",
           Similarity.hyperplaneBucket(col("v"), lshBits, lshDim))
         val a = withBlock.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
@@ -620,9 +643,12 @@ object Dedup {
           .join(broadcast(vecs.select(col("id").as("id_b"), col("v").as("v_b"))),
             col("id_a") < col("id_b"))
       }
-    pairs
+    val verified = pairs
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    // a pair colliding in several tables is emitted once; cosine is
+    // deterministic per pair so distinct over all three columns dedups
+    if (lshTables > 1) verified.distinct() else verified
   }
 }

@@ -44,8 +44,10 @@ object Similarity {
   // ------------------------------------------------------ hyperplane LSH
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64 → uniform in
-    * [-1, 1)); plane j is row j. */
-  def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    * [-1, 1)); plane j of bank b is global plane index b·bits + j, so
+    * bank 0 reproduces the historical planes and banks are mutually
+    * independent — the ingredient OR-amplified (multi-table) LSH needs. */
+  def hyperplanes(bits: Int, dim: Int, bank: Int = 0): Seq[Seq[Double]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -54,15 +56,17 @@ object Similarity {
     }
     (0 until bits).map { j =>
       (0 until dim).map { i =>
-        mix(j.toLong * 100003 + i).toDouble / Long.MaxValue.toDouble
+        mix((bank.toLong * bits + j) * 100003 + i).toDouble /
+          Long.MaxValue.toDouble
       }
     }
   }
 
   /** Sign-bucket of a vector under `bits` random hyperplanes: bit j set
     * iff dot(v, plane_j) > 0. */
-  def hyperplaneBucket(vecCol: Column, bits: Int, dim: Int): Column =
-    hyperplanes(bits, dim).zipWithIndex.map { case (p, j) =>
+  def hyperplaneBucket(vecCol: Column, bits: Int, dim: Int,
+      bank: Int = 0): Column =
+    hyperplanes(bits, dim, bank).zipWithIndex.map { case (p, j) =>
       when(dot(vecCol, litVec(p)) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 

@@ -89,14 +89,29 @@ object PipelineQueries {
   }
 
   // embedding near-dup through the hyperplane-LSH blocked path — the
-  // scale path (candidate pairs restricted to one bucket, never all-pairs).
-  // rows-only: bucketing is engine-specific; containment-in-all-pairs and
-  // recall on planted near-identical vectors asserted in PipelineSpec
-  def d5_embedding_lsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDuplicates(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.4, lshBits = 4)
+  // scale path (candidate pairs restricted to colliding buckets, never
+  // all-pairs), self-gated with a planted known answer: each of
+  // vec_ids 0..24 gets a deterministic near-copy (id+100000) at cosine
+  // ≈ 0.997, so the exact pair set at threshold 0.9 is exactly those 25
+  // pairs (organic pairs top out near 0.52). The 4-table × 8-bit
+  // OR-amplified blocking must recover every planted pair — a missed
+  // collision drops a row and fails the oracle hash. Precision is
+  // structural: candidates are exact-cosine-verified before emission.
+  def d5_embedding_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // two selects: the perturbation is seeded by the SOURCE id, and a
+    // single select aliasing "vec_id" would lateral-resolve the seed to
+    // the new id instead of the input column
+    val planted = e.where(col("vec_id") < 25)
+      .select(col("vec_id").as("src_id"),
+        perturbedVec(col("embedding"), col("vec_id")).as("embedding"))
+      .select((col("src_id") + 100000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingNearDuplicates(e.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.9, lshBits = 8, lshTables = 4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
 
   // d7: incremental dedup of a "daily batch" against a historical corpus
   // through the Bloom-routed exact path. History = doc_id < 250; the
@@ -149,6 +164,33 @@ object PipelineQueries {
     embs(s, dir).where(col("vec_id") === 0)
       .select(col("embedding")).collect()(0)
       .getSeq[Float](0).map(_.toDouble)
+
+  /** Deterministic near-copy of a unit vector: element i (1-based)
+    * shifted by scale·(((seed·31 + i) mod 7) − 3). Integer arithmetic +
+    * one double multiply, so Spark and DuckDB replay it bit-for-bit; at
+    * scale 0.005 over 64 dims the copy sits at cosine ≈ 0.997 to its
+    * source — squarely in the regime hyperplane LSH is built for, far
+    * above this synthetic corpus's organic maximum (≈ 0.52). */
+  private def perturbedVec(vecCol: Column, seedCol: Column,
+      scale: Double = 0.005): Column =
+    transform(sequence(lit(1), size(vecCol)), i =>
+      element_at(vecCol, i) +
+        lit(scale) * (pmod(seedCol * 31 + i, lit(7)) - lit(3)).cast("double"))
+
+  /** The ANN gate corpus: the embeddings table (as double vectors) plus
+    * 25 planted near-copies of the query vector under ids 100001..100025.
+    * With organic cosine-to-query ≤ ~0.41, the exact top-26 is precisely
+    * {query} ∪ planted — a known answer an approximate path must fully
+    * recover for the oracle hash to match. */
+  private def withPlantedQueryCopies(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.where(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(25L))).as("i"), col("embedding"))
+      .select((col("i") + 100000L).as("vec_id"),
+        perturbedVec(col("embedding"), col("i") + 100000L).as("embedding"))
+    e.unionByName(planted)
+  }
 
   // §2.9: the SQL-registered function surface end-to-end — the same
   // custom Catalyst expressions (graft_cosine here) callable from
@@ -222,13 +264,19 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  // LSH-pruned ANN (bucket pruning is engine-specific → rows-only;
-  // recall vs brute force asserted in SimilaritySpec)
+  // s2: hyperplane-LSH ANN, self-gated k1/k2-style in the regime LSH
+  // serves (high similarity — this near-orthogonal corpus's organic
+  // top-20 at cosine ~0.4 is information-theoretically NOT LSH-findable,
+  // so the gate plants the known answer instead): 25 deterministic
+  // near-copies of the query at cosine ≈ 0.997 make the exact top-26
+  // exactly {query} ∪ planted, and the bucket-pruned scan (Hamming ≤ 3
+  // of 12-bit codes — candidates ≈ 3% of the corpus) must recover every
+  // one for the hash to match. A recall or bucketing bug drops rows and
+  // fails the oracle.
   def s2_ann_lsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.annTopK(embs(s, dir), "vec_id", "embedding",
-        queryVec(s, dir), k = 20, bits = 12, probeRadius = 3)
+    Similarity.annTopK(withPlantedQueryCopies(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 26, bits = 12, probeRadius = 3)
       .select(col("id"), round(col("score"), 6).as("score"))
-      .orderBy(desc("score"), col("id"))
 
   // IVF ANN: spherical-kmeans centroids (trained once per dataset, a
   // plan-time constant) + nProbe-cluster scan (rows-only; recall asserted
@@ -256,14 +304,18 @@ object PipelineQueries {
     bpeFor(s, dir)
   }
 
+  // s5: IVF ANN with the same planted-answer gate as s2 — centroids
+  // stay trained on the organic corpus (prepare()), the planted copies
+  // assign to clusters at query time, and all of them must land inside
+  // the 6 probed clusters (verified: they do, with margin) or rows drop
+  // and the hash fails. Scan cost stays ~nProbe/k of the corpus.
   def s5_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val cents = ivfCents.computeIfAbsent(dir, { d =>
       Similarity.ivfCentroids(embs(s, d), "vec_id", "embedding", k = 16)
     })
-    Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding",
-        queryVec(s, dir), k = 20, cents, nProbe = 6)
+    Similarity.ivfTopK(withPlantedQueryCopies(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 26, cents, nProbe = 6)
       .select(col("id"), round(col("score"), 6).as("score"))
-      .orderBy(desc("score"), col("id"))
   }
 
   // s13: per-dimension embedding calibration stats — the quantization /
@@ -727,6 +779,24 @@ object PipelineQueries {
        |FROM red GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Shared exact-top-26 oracle for the planted-answer ANN gates: the
+    * corpus plus 25 deterministic near-copies of the query vector
+    * (same integer-seeded perturbation as [[perturbedVec]]). */
+  private val plantedAnnOracle: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+      |planted AS (
+      |  SELECT 100000 + u.i AS vec_id,
+      |    list_transform(range(1, len(qe) + 1),
+      |      j -> qe[j] + 0.005 * (((100000 + u.i) * 31 + j) % 7 - 3)) AS e
+      |  FROM q, unnest(range(1, 26)) AS u(i)),
+      |v AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted),
+      |scored AS (
+      |  SELECT vec_id AS id, list_cosine_similarity(e, qe) AS raw
+      |  FROM v, q)
+      |SELECT id, round(raw, 6) AS score FROM scored
+      |ORDER BY raw DESC, id LIMIT 26""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t7_pii_redact" -> t7OracleSql,
     "d1_dedup_exact" ->
@@ -1106,6 +1176,24 @@ object PipelineQueries {
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    // s2/s5: exact top-26 over the corpus ∪ 25 planted near-copies of
+    // the query — the known answer the LSH / IVF paths must fully recover
+    "s2_ann_lsh" -> plantedAnnOracle,
+    "s5_ann_ivf" -> plantedAnnOracle,
+    "d5_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |    list_transform(range(1, len(e) + 1),
+        |      j -> e[j] + 0.005 * ((vec_id * 31 + j) % 7 - 3)) AS pe
+        |  FROM base WHERE vec_id < 25),
+        |v AS (SELECT vec_id, e FROM base
+        |      UNION ALL SELECT pid AS vec_id, pe AS e FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "s14_group_centroids" ->
       """WITH x AS (
         |  SELECT d.source, CAST(u.i - 1 AS BIGINT) AS dim,

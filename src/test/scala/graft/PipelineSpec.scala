@@ -341,15 +341,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == 32L * 31 / 2, s"expected C(32,2) capped pairs, got $n")
   }
 
-  test("d5 LSH entry pairs are a subset of the all-pairs near-dup result") {
+  test("d5 LSH entry recovers exactly the planted near-copy pairs") {
+    // the gated entry plants a near-copy (id+100000, cos ≈ 0.997) for
+    // vec_ids 0..24; at threshold 0.9 the exact answer is precisely
+    // those pairs, and the OR-amplified blocked path must find them all
+    // (full recall) and nothing else (precision via cosine verification)
     val lsh = graft.queries.PipelineQueries
       .d5_embedding_lsh(spark, SparkTestSession.sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val all = graft.queries.PipelineQueries
-      .d5_embedding_neardup(spark, SparkTestSession.sfDir)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(all), s"LSH found pairs outside all-pairs: ${lsh -- all}")
-    assert(lsh.nonEmpty, "LSH-blocked path found no pairs at test scale")
+    val want = (0L until 25L).map(i => (i, i + 100000L)).toSet
+    assert(lsh == want, s"missed=${want -- lsh} extra=${lsh -- want}")
   }
 
   test("ann LSH top-k recall vs brute force on real embeddings") {
