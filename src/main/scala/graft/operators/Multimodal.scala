@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The Spark-side contract is real — schemas, per-partition batched
-  * execution, deterministic output — while the actual codecs are STUBBED
-  * (this container has no image/audio libraries): `decodeStub` derives
-  * deterministic pseudo-features from the bytes. Swap `MediaCodec` for a
-  * real implementation (JNI/javacpp ffmpeg etc.) without touching the
-  * plumbing.
+  * The image path is REAL end-to-end: [[Bmp.encodeGray]] writes genuine
+  * 24-bit BMP containers, [[ImageIoCodec]] decodes them back to pixels
+  * through `javax.imageio` (public JDK API, no extra dependency), and
+  * [[decodeImages]]/[[sampleImageRows]] derive per-image and per-row
+  * luminance statistics from the decoded pixels. Audio/video codecs
+  * remain stubbed behind the same [[MediaCodec]] seam (this container
+  * has no ffmpeg) — swap in a JNI/javacpp implementation without
+  * touching the plumbing.
   *
   * Scale notes: decode runs in `mapPartitions` so a real codec
   * amortizes init per partition (the Scala analogue of mapInPandas
@@ -37,11 +39,15 @@ object Multimodal {
     StructField("meta", mediaMetaType)
   ))
 
-  /** The codec seam. Deterministic stub: "decodes" a payload into a
-    * fixed-length feature vector derived from byte statistics. A real
-    * implementation would decode pixels/samples here. */
+  /** A decoded raster: grayscale pixel values 0..255, row-major. */
+  case class DecodedImage(width: Int, height: Int, gray: Array[Int])
+
+  /** The codec seam: feature extraction over raw payload bytes, plus an
+    * optional real image decode (None = this codec cannot decode the
+    * payload — stub codecs and non-image formats). */
   trait MediaCodec extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Float]
+    def decodeImage(payload: Array[Byte]): Option[DecodedImage] = None
   }
 
   object StubCodec extends MediaCodec {
@@ -61,6 +67,190 @@ object Multimodal {
     }
   }
 
+  /** Minimal deterministic 24-bit BMP writer (public Windows bitmap
+    * format: 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up
+    * BGR rows padded to 4 bytes). Byte-for-byte reproducible — the
+    * fixture generator for the real decode path. */
+  object Bmp {
+    def encodeGray(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, "empty image")
+      val rowBytes = w * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val imgSize = (rowBytes + pad) * h
+      val size = 54 + imgSize
+      val buf = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(imgSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var y = h - 1
+      while (y >= 0) { // bottom-up row order
+        var x = 0
+        while (x < w) {
+          val v = (lum(x, y) & 0xff).toByte
+          buf.put(v).put(v).put(v) // B, G, R
+          x += 1
+        }
+        var p = 0
+        while (p < pad) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      buf.array()
+    }
+  }
+
+  /** Real image decode through `javax.imageio` (JDK-builtin readers:
+    * BMP, PNG, GIF, JPEG). Grayscale extraction is exact for our
+    * gray-BMP fixtures (r == g == b) and integer BT.601 luma otherwise.
+    * Feature extraction = per-band mean luminance over `dim` horizontal
+    * bands of the decoded raster (real pixel features), falling back to
+    * the byte-statistics stub for payloads no JDK reader accepts. */
+  object ImageIoCodec extends MediaCodec {
+    override def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+      if (payload == null || payload.isEmpty) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            gray(y * w + x) =
+              if (r == g && g == b) r else (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedImage(w, h, gray))
+      }
+    }
+
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decodeImage(payload) match {
+        case None => StubCodec.features(payload, dim)
+        case Some(di) =>
+          val out = new Array[Float](dim)
+          val counts = new Array[Int](dim)
+          var y = 0
+          while (y < di.height) {
+            val band = math.min(dim - 1, y * dim / di.height)
+            var x = 0
+            while (x < di.width) {
+              out(band) += di.gray(y * di.width + x) / 255.0f
+              counts(band) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var j = 0
+          while (j < dim) {
+            if (counts(j) > 0) out(j) /= counts(j)
+            j += 1
+          }
+          out
+      }
+  }
+
+  /** Deterministic grayscale fixture pixel: (id·31 + x·7 + y·13) mod 256
+    * — pure integer arithmetic an oracle can replay analytically. */
+  def fixturePixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Real-image media table: one genuine BMP per input id, pixels from
+    * [[fixturePixel]], dimensions 16+id%17 × 16+(id·7)%13. The payloads
+    * are decodable containers, so the decode → feature path downstream
+    * is the real one end-to-end. */
+  def syntheticImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + (id % 17).toInt
+          val h = 16 + ((id * 7) % 13).toInt
+          val payload = Bmp.encodeGray(w, h, (x, y) => fixturePixel(id, x, y))
+          Row(id, payload, Row("bmp", w, h, null))
+        }
+      }(enc)
+  }
+
+  /** Decode each payload and derive per-image raster statistics:
+    * (media_id, width, height, mean_lum, n_bytes) — undecodable
+    * payloads keep their byte count with null raster columns. Batched
+    * per partition; only scalars flow downstream. */
+  def decodeImages(media: DataFrame,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_lum", DoubleType),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          codec.decodeImage(payload) match {
+            case Some(di) =>
+              var s = 0L
+              var i = 0
+              while (i < di.gray.length) { s += di.gray(i); i += 1 }
+              Row(id, di.width, di.height,
+                s.toDouble / (di.width.toLong * di.height), nBytes)
+            case None => Row(id, null, null, null, nBytes)
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame sampling over REAL pixel data: treat the decoded raster's
+    * scanlines as a frame sequence (the image analogue of video frame
+    * sampling — same cadence/cap contract as [[sampleFrames]]) and emit
+    * one row per sampled line with its mean luminance. Payload bytes
+    * never fan out — only (id, frame_idx, row_y, row_mean_lum) rows. */
+  def sampleImageRows(media: DataFrame, everyN: Int, maxFrames: Int = 32,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("row_y", IntegerType, nullable = false),
+      StructField("row_mean_lum", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeImage(payload) match {
+            case None => Iterator.empty
+            case Some(di) =>
+              Iterator.tabulate(
+                  math.min(maxFrames, (di.height + everyN - 1) / everyN)) {
+                idx =>
+                  val y = idx * everyN
+                  var s = 0L
+                  var x = 0
+                  while (x < di.width) { s += di.gray(y * di.width + x); x += 1 }
+                  Row(id, idx, y, s.toDouble / di.width)
+              }
+          }
+        }
+      }(enc)
+  }
+
   // container magic bytes (public file-format signatures)
   private val jpegMagic = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
   private val pngMagic =
@@ -72,22 +262,24 @@ object Multimodal {
     * for reading real image/audio files: payload = the format's REAL
     * magic-byte header + utf-8 content bytes (so byte-level operators
     * like [[detectFormat]] exercise genuine container signatures),
-    * metadata synthesized deterministically from the content. */
+    * metadata synthesized with integer arithmetic on the ID — fully
+    * replayable by an external oracle (no engine-specific hash). */
   def syntheticMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
     val fmt = element_at(array(lit("jpeg"), lit("png"), lit("wav")),
-      (pmod(xxhash64(col(textCol)), lit(3)) + 1).cast("int"))
+      (pmod(id, lit(3)) + 1).cast("int"))
     val header = when(fmt === "jpeg", lit(jpegMagic))
       .when(fmt === "png", lit(pngMagic))
       // RIFF<size little-endian, unknown here: zeros>WAVE
       .otherwise(lit(riffMagic ++ Array[Byte](0, 0, 0, 0) ++ waveTag))
     df.select(
-      col(idCol).cast("long").as("media_id"),
+      id.as("media_id"),
       concat(header, encode(col(textCol), "utf-8")).as("payload"),
       struct(
         fmt.as("format"),
-        (pmod(xxhash64(col(textCol)), lit(1024)) + 32).cast("int").as("width"),
-        (pmod(xxhash64(col(textCol), lit(1)), lit(1024)) + 32).cast("int").as("height"),
-        pmod(xxhash64(col(textCol), lit(2)), lit(600000)).as("duration_ms")
+        (pmod(id, lit(1024)) + 32).cast("int").as("width"),
+        (pmod(id * 7, lit(1024)) + 32).cast("int").as("height"),
+        pmod(id * 37, lit(600000)).as("duration_ms")
       ).as("meta"))
   }
 

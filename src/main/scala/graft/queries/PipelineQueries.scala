@@ -647,13 +647,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  // t12: tokenizer-grade corpus statistics (rows-only: subword segmenting
-  // is tokenizer-specific) — per-source subword counts and compression
-  // vs whitespace tokens, the budgeting table a real pipeline derives
+  /** Fixed merge table for the ORACLED stats entry: the four pairs share
+    * no symbols (8 distinct letters, none reappearing in a merged token),
+    * so greedy rank order cannot interfere and the subword count has a
+    * closed form — chars + 1 − Σ non-overlapping pair occurrences — that
+    * an independent SQL implementation (left-to-right `replace`
+    * counting) replays exactly. The production path (corpus-trained
+    * merges) stays oracled by t11's decode∘encode round-trip. */
+  private val t12FixedMerges =
+    Seq("t" -> "h", "e" -> "r", "i" -> "n", "o" -> "u")
+
+  // t12: tokenizer-grade corpus statistics — per-source subword counts
+  // and compression vs whitespace tokens, the budgeting table a real
+  // pipeline derives. The REAL greedy encoder (same codegen expression
+  // the trained path uses) runs against the fixed merge table above, so
+  // its merge application is externally verified pair by pair.
   def t12_bpe_stats(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeFor(s, dir)
     docs(s, dir).select(col("source"),
-        size(graft.functions.Bpe.encode(col("text"), merges)).as("n_sub"),
+        size(graft.functions.Bpe.encode(col("text"), t12FixedMerges)).as("n_sub"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -664,20 +675,27 @@ object PipelineQueries {
 
   // ------------------------------------------------------- multimodal
 
+  // m1: REAL image decode end-to-end — genuine BMP containers (written
+  // by the deterministic fixture encoder) decoded back through
+  // javax.imageio to pixels, with dimensions, mean luminance, and
+  // container byte size derived from the decoded raster. The oracle
+  // replays the pixel function and the BMP size formula analytically —
+  // a wrong header, row order, padding, or channel read diverges.
   def m1_multimodal_features(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMediaTable(
-      docs(s, dir).where(col("doc_id") < 200), "doc_id", "text")
-    Multimodal.extractFeatures(Multimodal.resize(media, 512, 512), dim = 8)
-      .select(col("media_id"), col("n_bytes"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+    val media = Multimodal.syntheticImageTable(
+      docs(s, dir).where(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeImages(media)
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("mean_lum"), 4).as("mean_lum"), col("n_bytes"))
       .orderBy("media_id")
   }
 
   // m3: byte-level media validation — REAL compute (no codec): container
   // format from magic bytes + Shannon entropy of the payload histogram,
-  // rolled up per detected format. rows-only (the payload bytes are
-  // engine-synthesized); detect==meta.format totality and entropy bounds
-  // asserted in PipelineSpec.
+  // rolled up per detected format. Oracled: the payload is magic-header
+  // + utf-8 text with an id-arithmetic format choice, so DuckDB rebuilds
+  // the exact byte multiset and replays the 0..255-ordered entropy sum.
   def m3_format_detect(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMediaTable(
       docs(s, dir).where(col("doc_id") < 200), "doc_id", "text")
@@ -691,11 +709,17 @@ object PipelineQueries {
       .orderBy("detected")
   }
 
+  // m2: frame sampling over REAL pixel data — every 4th scanline of the
+  // decoded raster (capped at 8), each with its decoded mean luminance.
+  // Oracle = the same rows from the analytic pixel function.
   def m2_frame_sample(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMediaTable(
-      docs(s, dir).where(col("doc_id") < 100), "doc_id", "text")
-    Multimodal.sampleFrames(media, everyMs = 60000, maxFrames = 8)
-      .orderBy("media_id", "frame_ts")
+    val media = Multimodal.syntheticImageTable(
+      docs(s, dir).where(col("doc_id") < 100), "doc_id")
+    Multimodal.sampleImageRows(media, everyN = 4, maxFrames = 8)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("row_y").cast("long").as("row_y"),
+        round(col("row_mean_lum"), 4).as("row_mean_lum"))
+      .orderBy("media_id", "frame_idx")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1233,6 +1257,96 @@ object PipelineQueries {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
         |  length(text) AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form subword counts: the fixed merge pairs are symbol-
+    // disjoint, so greedy BPE application = chars+1 − Σ left-to-right
+    // non-overlapping occurrences, countable with replace()
+    "t12_bpe_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |sub AS (
+        |  SELECT doc_id,
+        |    CASE WHEN w = '' THEN 0 ELSE
+        |      len(w) + 1
+        |      - (len(w) - len(replace(w, 'th', ''))) // 2
+        |      - (len(w) - len(replace(w, 'er', ''))) // 2
+        |      - (len(w) - len(replace(w, 'in', ''))) // 2
+        |      - (len(w) - len(replace(w, 'ou', ''))) // 2
+        |    END AS n_sub
+        |  FROM w),
+        |per AS (
+        |  SELECT doc_id, sum(n_sub) AS n_sub, count(*) AS n_tok
+        |  FROM sub GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(p.n_sub) AS BIGINT) AS n_subwords,
+        |  CAST(sum(p.n_tok) AS BIGINT) AS n_tokens
+        |FROM documents d JOIN per p USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // analytic replay of the BMP fixture: pixel function, dimensions,
+    // and container size (54-byte headers + 4-byte-padded BGR rows)
+    "m1_multimodal_features" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |dims AS (
+        |  SELECT doc_id AS id, CAST(16 + doc_id % 17 AS INT) AS w,
+        |    CAST(16 + (doc_id * 7) % 13 AS INT) AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT d.id, d.w, d.h,
+        |    sum((d.id * 31 + gx.v * 7 + gy.v * 13) % 256) AS s
+        |  FROM dims d
+        |  JOIN g gx ON gx.v < d.w
+        |  JOIN g gy ON gy.v < d.h
+        |  GROUP BY d.id, d.w, d.h)
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  round(CAST(s AS DOUBLE) / (w * h), 4) AS mean_lum,
+        |  CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes
+        |FROM px ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |dims AS (
+        |  SELECT doc_id AS id, CAST(16 + doc_id % 17 AS INT) AS w,
+        |    CAST(16 + (doc_id * 7) % 13 AS INT) AS h
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (
+        |  SELECT d.id, f.v AS frame_idx, f.v * 4 AS row_y, d.w
+        |  FROM dims d JOIN g f ON f.v < 8 AND f.v * 4 < d.h),
+        |px AS (
+        |  SELECT fr.id, fr.frame_idx, fr.row_y, any_value(fr.w) AS w,
+        |    sum((fr.id * 31 + gx.v * 7 + fr.row_y * 13) % 256) AS s
+        |  FROM fr JOIN g gx ON gx.v < fr.w
+        |  GROUP BY fr.id, fr.frame_idx, fr.row_y)
+        |SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(row_y AS BIGINT) AS row_y,
+        |  round(CAST(s AS DOUBLE) / w, 4) AS row_mean_lum
+        |FROM px ORDER BY media_id, frame_idx""".stripMargin,
+    // exact byte multiset of each payload (magic header + ascii text),
+    // entropy summed in the same 0..255 byte order as ByteEntropyExpr
+    "m3_format_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN [255, 216, 255]
+        |      WHEN 1 THEN [137, 80, 78, 71, 13, 10, 26, 10]
+        |      ELSE [82, 73, 70, 70, 0, 0, 0, 0, 87, 65, 86, 69] END
+        |      || list_transform(range(1, length(text) + 1),
+        |           i -> ord(substr(text, i, 1))) AS bytes
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, fmt, unnest(bytes) AS byte FROM m),
+        |hist AS (
+        |  SELECT doc_id, fmt, byte, count(*) AS c FROM b GROUP BY ALL),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM hist GROUP BY doc_id),
+        |ent AS (
+        |  SELECT h.doc_id, any_value(h.fmt) AS fmt,
+        |    -sum((h.c / t.n) * (ln(h.c / t.n) / ln(2)) ORDER BY h.byte) AS ent
+        |  FROM hist h JOIN tot t USING (doc_id) GROUP BY h.doc_id)
+        |SELECT fmt AS detected, count(*) AS n,
+        |  round(CAST(sum(CAST(ent AS DECIMAL(18, 6))) AS DOUBLE) / count(*), 4)
+        |    AS mean_entropy
+        |FROM ent GROUP BY fmt ORDER BY detected""".stripMargin,
     // mirrors TextAnalysis.languageId / subwordCountEstimate / qualityScore
     // expression-for-expression so the double arithmetic matches bit-wise
     "t2_profile" ->

@@ -434,7 +434,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("multimodal: stub decode is deterministic, frame sampling bounded") {
-    val media = Multimodal.syntheticMediaTable(corpus, "doc_id", "text")
+    // doc 6 repeats doc 0's text at the same id%3, so its payload
+    // (header + text bytes) is byte-identical to doc 0's
+    val media = Multimodal.syntheticMediaTable(
+      corpus.unionByName(Seq((6L,
+        "the quick brown fox jumps over the lazy dog near the river bank today"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text")
     assert(media.schema("payload").dataType ==
       org.apache.spark.sql.types.BinaryType)
     val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
@@ -442,13 +448,58 @@ class PipelineSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(f1 == f2, "stub codec must be deterministic")
-    assert(f1(0L) == f1(1L), "same payload -> same features")
+    assert(f1(0L) == f1(6L), "same payload -> same features")
     assert(f1(0L) != f1(3L))
     val frames = Multimodal.sampleFrames(media, 60000, maxFrames = 4)
     val perDoc = frames.groupBy("media_id").count()
       .select("count").as[Long].collect()
     assert(perDoc.forall(_ <= 4))
   }
+  test("BMP encode → javax.imageio decode round-trips every pixel") {
+    import graft.operators.Multimodal
+    // non-multiple-of-4 widths exercise row padding; the decoded raster
+    // must equal the source pixel function exactly, pixel for pixel
+    for ((w, h) <- Seq((17, 5), (16, 16), (1, 1), (33, 2))) {
+      val bytes = Multimodal.Bmp.encodeGray(w, h,
+        (x, y) => Multimodal.fixturePixel(42L, x, y))
+      val di = Multimodal.ImageIoCodec.decodeImage(bytes)
+        .getOrElse(fail(s"imageio could not decode ${w}x$h BMP"))
+      assert(di.width == w && di.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(di.gray(y * w + x) == Multimodal.fixturePixel(42L, x, y),
+          s"pixel ($x,$y) of ${w}x$h")
+    }
+    // a payload no JDK reader accepts falls back to None
+    assert(Multimodal.ImageIoCodec.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("decodeImages and sampleImageRows derive stats from decoded pixels") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticImageTable(
+      spark.range(5).select(col("id").as("doc_id")), "doc_id")
+    val stats = Multimodal.decodeImages(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 5L) {
+      val w = 16 + (id % 17).toInt; val h = 16 + ((id * 7) % 13).toInt
+      val r = stats(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.fixturePixel(id, x, y)).map(_.toLong).sum
+          .toDouble / (w * h)
+      assert(r.getDouble(3) == want, s"mean luminance of id=$id")
+    }
+    val frames = Multimodal.sampleImageRows(media, everyN = 4, maxFrames = 8)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val id = r.getLong(0); val y = r.getInt(2)
+      val w = 16 + (id % 17).toInt
+      val want = (0 until w).map(x => Multimodal.fixturePixel(id, x, y).toLong)
+        .sum.toDouble / w
+      assert(r.getDouble(3) == want && y == r.getInt(1) * 4)
+    }
+  }
+
   test("chunkByTokens: windows tile the token stream with the overlap") {
     import spark.implicits._
     val text = (1 to 75).map(i => s"w$i").mkString(" ")
