@@ -34,6 +34,7 @@ object SparkEntry {
     graft.queries.SourceQueries.prepare(spark, sfDir)
     graft.queries.EngineQueries.prepare(spark, sfDir)
     graft.queries.PipelineQueries.prepare(spark, sfDir)
+    graft.queries.StreamingQueries.prepare(spark, sfDir)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -52,8 +52,13 @@ object SegmentIndex {
     *    not its row count).
     */
   def build(spark: SparkSession, files: Seq[String], tsCol: String,
-      tsToMillis: Column => Column, indexed: Seq[String]): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      tsToMillis: Column => Column, indexed: Seq[String],
+      mergeSchema: Boolean = true): DataFrame = {
+    // mergeSchema=false skips the per-file footer merge pass — right for
+    // homogeneous segment families (one writer, one schema) with many
+    // small files, where the merge dominates the build
+    val df = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
     val present = df.columns.toSet
     val idx = indexed.filter(present.contains)
     // no indexed columns (bounds-only manifest) → empty fingerprint set;

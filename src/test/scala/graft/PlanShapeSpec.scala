@@ -147,4 +147,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus must never shuffle for the rate join:\n$p")
   }
+
+  test("st11: Catalyst partition pruning composes with manifest pruning") {
+    import graft.queries.StreamingQueries
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = StreamingQueries.rollupSegmentsBase(spark, dir)
+    // manifest pruning: the candidate file list is a strict subset
+    val manifest = spark.read.parquet(s"$base/manifest")
+    val t0 = 19737L * 86400000L + 6L * 3600000L
+    val listed = graft.sources.SegmentIndex
+      .prune(manifest, None, Set.empty, t0, t0 + 6L * 3600000L)
+    assert(listed.nonEmpty && listed.size < manifest.count(),
+      s"manifest pruning ineffective: ${listed.size} of ${manifest.count()}")
+    // partition pruning: the dateInt=/hour= predicate appears as
+    // PartitionFilters on the scan and prunes whole directories before
+    // any footer is opened
+    val df = StreamingQueries.queries("st11_partition_pruned")(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in st11 plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters on the scan:\n${scan.toString}")
+    assert(scan.partitionFilters.mkString.contains("date_int"),
+      s"date_int not in partition filters: ${scan.partitionFilters}")
+    // same predicate over the FULL directory (no manifest) also prunes:
+    // exactly the six hour-dirs of 2024-01-15 06..11 survive
+    val full = spark.read.parquet(s"$base/segments")
+      .where(org.apache.spark.sql.functions.col("date_int") === 20240115 &&
+        org.apache.spark.sql.functions.col("hour").between(6, 11))
+    val fullScan = full.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no scan"))
+    val dirsRead = fullScan.selectedPartitions.partitionCount
+    val totalDirs = spark.read.parquet(s"$base/segments")
+      .queryExecution.sparkPlan.collectFirst {
+        case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+      }.get
+    // at most the six predicate hours survive (fewer when the sparse
+    // fixture has empty hours), out of ~720 hour-dirs in the layout
+    assert(dirsRead >= 1 && dirsRead <= 6 && dirsRead < totalDirs,
+      s"partition pruning read $dirsRead of $totalDirs dirs")
+  }
 }

@@ -38,6 +38,32 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("st10: sealed segments and live state store tile the full rollup") {
+    // the union view must equal the complete-mode answer over ALL events,
+    // and the two halves must be disjoint (eviction-on-emit: a window is
+    // in the state store iff the watermark has not closed it)
+    val union = StreamingQueries.st10_live_sealed_union(spark, sf).collect()
+    val sealedN = StreamingQueries.st4_rollup_segments(spark, sf).count()
+    assert(sealedN < union.length,
+      "expected at least one unsealed in-flight window")
+    val complete = Tables.load(spark, sf, "events")
+      .groupBy(
+        (expr("ts div 1000000") - expr("ts div 1000000") % 60000L).as("ts"),
+        col("event_type"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("rollup_sum"),
+        count(lit(1)).cast("double").as("rollup_count"),
+        min("value").as("rollup_min"), max("value").as("rollup_max"))
+      .withColumn("rollup_avg", col("rollup_sum") / col("rollup_count"))
+      .select("ts", "event_type", "rollup_sum", "rollup_count",
+        "rollup_min", "rollup_max", "rollup_avg")
+      .orderBy("ts", "event_type")
+      .collect()
+    assert(union.length == complete.length,
+      s"union ${union.length} windows vs batch ${complete.length}")
+    union.zip(complete).foreach { case (u, b) => assert(u == b) }
+  }
+
   test("append mode with watermark drops late rows and closes windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
