@@ -234,17 +234,37 @@ object Similarity {
   /** All-pairs top-k neighbors per vector within LSH blocks — the batch
     * companion of annTopK for building kNN graphs. Quadratic within a
     * block; block count grows with bits. `dim` is the embedding width the
-    * hyperplanes are drawn over. */
+    * hyperplanes are drawn over. `tables` > 1 OR-amplifies recall with
+    * independent hyperplane banks (the standard multi-table trade: t×
+    * the block-join shuffle buys 1−(1−p^bits)^t recall per pair); a pair
+    * colliding in several tables is deduplicated by the max-score
+    * aggregate before ranking, so the graph itself is table-agnostic. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      bits: Int = 12, dim: Int = 64): DataFrame = {
+      bits: Int = 12, dim: Int = 64, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("block", hyperplaneBucket(col("v"), bits, dim))
-    val a = vecs.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = vecs.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
-    val scored = a.join(b, Seq("block"))
+    val blocked =
+      if (tables == 1)
+        vecs.select(lit(0).as("t"), col("id"), col("v"),
+          hyperplaneBucket(col("v"), bits, dim).as("block"))
+      else vecs.select(col("id"), col("v"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneBucket(col("v"), bits, dim, t)): _*))
+          .as(Seq("t", "block")))
+        .select(col("t"), col("id"), col("v"), col("block"))
+    val a = blocked.select(col("t"), col("block"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = blocked.select(col("t"), col("block"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    val collisions = a.join(b, Seq("t", "block"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("score"))
+    // single-table blocks are disjoint — no cross-table duplicates to
+    // collapse, and the ranking window's shuffle doubles as the only one
+    val scored =
+      if (tables == 1) collisions
+      else collisions.groupBy("id_a", "id_b").agg(max(col("score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a").orderBy(desc("score"), col("id_b"))
     scored.withColumn("rank", row_number().over(w))

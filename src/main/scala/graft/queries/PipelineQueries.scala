@@ -208,6 +208,30 @@ object PipelineQueries {
         |ORDER BY a.vec_id""".stripMargin)
   }
 
+  // s16: the kNN graph through the LSH-BLOCKED scale path (the plan a
+  // 100 TB corpus runs — block-join quadratic within buckets, never
+  // all-pairs), self-gated with planted known answers like s2/s5/d5:
+  // each of vec_ids 0..24 gets a deterministic near-copy at cosine
+  // ≈ 0.997, making the rank-1 neighbor of all 50 gated nodes a known
+  // (twin, cosine) fact far above the organic maximum (≈ 0.52). The
+  // 4-table × 8-bit OR-amplified blocking must put every twin pair in
+  // at least one shared bucket — a missed collision surfaces a wrong
+  // rank-1 neighbor and fails the oracle hash. The exact twin s8 stays
+  // the full-graph oracle at test scale.
+  def s16_knn_graph_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.where(col("vec_id") < 25)
+      .select(col("vec_id").as("src_id"),
+        perturbedVec(col("embedding"), col("vec_id")).as("embedding"))
+      .select((col("src_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.knnGraph(e.unionByName(planted), "vec_id", "embedding",
+        k = 1, bits = 8, tables = 4)
+      .where((col("id_a") < 25 || col("id_a") >= 100000L) && col("rank") === 1)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy("id_a")
+  }
+
   // exact kNN graph (top-5 neighbors per vector) via broadcast
   // nested-loop + WindowGroupLimit — deterministic, DuckDB-expressible
   def s8_knn_graph(s: SparkSession, dir: String): DataFrame =
@@ -751,6 +775,7 @@ object PipelineQueries {
     "s13_dim_stats" -> s13_dim_stats _,
     "s14_group_centroids" -> s14_group_centroids _,
     "s8_knn_graph" -> s8_knn_graph _,
+    "s16_knn_graph_lsh" -> s16_knn_graph_lsh _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
@@ -1177,6 +1202,22 @@ object PipelineQueries {
         |  FROM p)
         |SELECT id_a, id_b, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+    // every gated node's rank-1 neighbor is its planted twin at a
+    // cosine the oracle replays from the perturbation arithmetic
+    "s16_knn_graph_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id, vec_id + 100000 AS pid, e,
+        |    list_transform(range(1, len(e) + 1),
+        |      j -> e[j] + 0.005 * ((vec_id * 31 + j) % 7 - 3)) AS pe
+        |  FROM base WHERE vec_id < 25),
+        |twin_edges AS (
+        |  SELECT vec_id AS id_a, pid AS id_b,
+        |    round(list_cosine_similarity(e, pe), 6) AS score FROM planted
+        |  UNION ALL
+        |  SELECT pid AS id_a, vec_id AS id_b,
+        |    round(list_cosine_similarity(e, pe), 6) AS score FROM planted)
+        |SELECT id_a, id_b, score FROM twin_edges ORDER BY id_a""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
