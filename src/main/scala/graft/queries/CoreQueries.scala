@@ -402,6 +402,23 @@ object CoreQueries {
         col("sum_v").cast("double").as("total"), col("count"))
       .orderBy("event_type")
 
+  // A17: exponential moving average of the per-day value series per
+  // event type (reference EMA.scala:20-40's recurrence in its closed
+  // weighted-sum form — Ema.finalEma). The daily series is tiny after
+  // aggregation, so the ranking window orders 30 points per type, not
+  // raw events; the oracle replays the same weights with pow().
+  def a17_ema(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy((expr("ts div 1000000") - expr("ts div 1000000") % 86400000L)
+        .as("day"), col("event_type"))
+      .agg(dsum(col("value")).as("v"))
+    graft.functions.Ema.finalEma(daily, Seq("event_type"), col("day"),
+        col("v"), alpha = 0.3)
+      .select(col("event_type"), col("n_points"),
+        round(col("ema"), 6).as("ema"))
+      .orderBy("event_type")
+  }
+
   // A10 tag-value count (tags API: SELECT col, COUNT(*) GROUP BY col)
   def a10_tag_values(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -675,6 +692,7 @@ object CoreQueries {
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
+    "a17_ema" -> a17_ema _,
     "k3_theta_setops" -> k3_theta_setops _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
@@ -859,6 +877,20 @@ object CoreQueries {
         |    AS total
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "a17_ema" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
+        |  round(sum(CASE WHEN k = 1 THEN pow(0.7, n - 1)
+        |                 ELSE 0.3 * pow(0.7, n - k) END * v), 6) AS ema
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a16_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -106,6 +106,38 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** The JSON-AST pipeline over the FileIndex relation — pruning
+    * invisible to the engine: the telemetry table handed to QueryEngine
+    * is a [[graft.sources.ManifestFileIndex]] relation, so the AST's
+    * time range (compiled by Telemetry.nanos onto the raw ts column) and
+    * attribute filters are pushed by Catalyst into scan planning, where
+    * the manifest skips segment files — QueryEngine itself needs zero
+    * pruning cooperation. File-skip asserted in ManifestFileIndexSpec;
+    * results oracle-checked against the full table (pruning is sound). */
+  def ast_fileindex_chart(s: SparkSession, dir: String): DataFrame = {
+    val startMs = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val endMs = java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    graft.engine.QueryEngine.evaluate(
+        _ => astFileIndexTelemetry(s, dir), ast, startMs, endMs, 3600000L)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
+  private[graft] def astFileIndexTelemetry(
+      s: SparkSession, dir: String): graft.engine.Telemetry = {
+    val rel = graft.sources.ManifestFileIndex.relation(
+      s, manifest(s, dir), "ts", _ / 1000000L, Set("event_type"))
+    graft.engine.Telemetry.nanos(rel, "ts",
+      valueCol = col("value"), message = Some(col("props")))
+  }
+
   // ------------------------------------------------- corpus text search
 
   /** Trigram manifest over the multi-file DOCUMENTS corpus — the same
@@ -152,7 +184,8 @@ object SourceQueries {
     "s3_time_pruned" -> s3_time_pruned _,
     "s6_regex_pruned" -> s6_regex_pruned _,
     "s7_regex_alternation" -> s7_regex_alternation _,
-    "s10_fileindex_scan" -> s10_fileindex_scan _
+    "s10_fileindex_scan" -> s10_fileindex_scan _,
+    "ast_fileindex_chart" -> ast_fileindex_chart _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -160,6 +193,12 @@ object SourceQueries {
       """SELECT doc_id, source FROM documents
         |WHERE regexp_matches(text, '(?i).*vector.*')
         |ORDER BY doc_id""".stripMargin,
+    "ast_fileindex_chart" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts,
+        |  event_type AS group_key, round(sum(value), 6) AS value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |  AND epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705017600000
+        |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
     "s10_fileindex_scan" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -23,6 +23,24 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Ema.finalEma closed form equals the sequential recurrence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(10.0, 12.0, 9.0, 20.0, 15.0, 15.0, 3.25)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => ("g", i.toLong, x) }.toDF("g", "i", "x")
+      // shuffled input: ordering must come from the window, not the data
+      .repartition(4)
+    val row = graft.functions.Ema.finalEma(
+      df, Seq("g"), col("i"), col("x"), alpha = 0.3).collect()(0)
+    // the reference recurrence (EMA.scala:20-40): seed first, then
+    // ema += alpha * (sample - ema)
+    val want = xs.tail.foldLeft(xs.head)((e, x) => e + 0.3 * (x - e))
+    assert(row.getLong(1) == xs.length)
+    assert(math.abs(row.getDouble(2) - want) < 1e-9,
+      s"closed form ${row.getDouble(2)} vs recurrence $want")
+  }
+
   test("a3_pricing_agg values are sane") {
     val rows = CoreQueries.a3_pricing_agg(spark, dir).collect()
     assert(rows.length >= 3)

@@ -134,4 +134,14 @@ class ManifestFileIndexSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("ManifestFileIndex"), s"scan not using the index:\n$p")
   }
+
+  test("the JSON-AST path over the FileIndex relation skips segments") {
+    // the AST entry's own time range must reach the scan through the
+    // whole QueryEngine pipeline and prune the 4-file events layout
+    val df = graft.queries.SourceQueries
+      .queries("ast_fileindex_chart")(spark, "/root/testdata/sf0.001")
+    val n = filesRead(df)
+    assert(n >= 1 && n < 4,
+      s"AST time range should skip files in the 4-file layout, read $n")
+  }
 }
