@@ -240,4 +240,47 @@ object TextAnalysis {
       size(regexp_extract_all(textCol, lit(re), lit(0)))
         .as(s"n_${tag.toLowerCase}")
     }: _*)
+
+  // ------------------------------------------------------ LM quality score
+
+  /** CCNet-style language-model quality scoring (Wenzek et al., 2020,
+    * arXiv:1911.00359 §4.3): score each document by its per-token
+    * negative log-likelihood under a model trained on a REFERENCE corpus
+    * — low scores read like the reference, high scores are outliers; a
+    * quantile cut on the score is the classic "perplexity filter". The
+    * in-container model is an add-one-smoothed unigram LM (honest
+    * stand-in for CCNet's KenLM; same dataflow, same filter contract).
+    *
+    * Dataflow at 100 TB: one groupBy(token) count over the reference
+    * (partial/final — hot stopwords collapse map-side), a 1-row totals
+    * aggregate broadcast as a scalar, then score = explode → join on
+    * token → per-doc aggregate. The count table joins by token; AQE
+    * broadcasts it when small, otherwise both sides hash-partition on
+    * token — never on text. Per-token NLL is rounded to 9 places and
+    * accumulated in DECIMAL so the per-doc sum is identical under any
+    * row order or partitioning (and replayable by an external engine).
+    *
+    * Output: (id, n_tok, avg_nll) per scored document. */
+  def lmScore(scored: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    val refCounts = reference
+      .select(explode(tokens(col(refTextCol))).as("_w"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = refCounts.agg(
+      sum(col("_c")).cast("double").as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    val tok = scored.select(col(idCol).as("_id"),
+      explode(tokens(col(textCol))).as("_w"))
+    val nll = tok.join(refCounts, Seq("_w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("_id"),
+        round(-log((coalesce(col("_c"), lit(0L)) + lit(1)).cast("double")
+          / (col("_n") + col("_v"))), 9).as("_nll"))
+    nll.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(col("_nll").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .cast("double") / count(lit(1))).as("avg_nll"))
+      .select(col("_id").as("id"), col("n_tok"), col("avg_nll"))
+  }
 }

@@ -697,6 +697,20 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  // t13: CCNet-style LM quality scoring — per-token negative
+  // log-likelihood under an add-one unigram LM trained on the reference
+  // half of the corpus (doc_id < 250, the same history convention d7/d9
+  // use). The classic perplexity filter's score column; the oracle
+  // replays counts, smoothing, and the round-9 decimal-accumulated NLL.
+  def t13_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.lmScore(d, "doc_id", "text",
+        d.where(col("doc_id") < 250), "text")
+      .select(col("id").as("doc_id"), col("n_tok"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- multimodal
 
   // m1: REAL image decode end-to-end — genuine BMP containers (written
@@ -769,6 +783,7 @@ object PipelineQueries {
     "p9_sharded_export" -> p9_sharded_export _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
+    "t13_lm_score" -> t13_lm_score _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
     "s12_semantic_dedup" -> s12_semantic_dedup _,
@@ -1026,6 +1041,27 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY doc_id""".stripMargin,
+    // add-one unigram NLL vs the doc_id<250 reference corpus; per-token
+    // terms rounded to 9 places and summed in DECIMAL so the per-doc
+    // mean is order-independent on both engines
+    "t13_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |ref AS (
+        |  SELECT w, count(*) AS c FROM tok WHERE doc_id < 250 GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        |  FROM ref),
+        |terms AS (
+        |  SELECT t.doc_id,
+        |    round(-ln(CAST(coalesce(r.c, 0) + 1 AS DOUBLE) / (tot.n + tot.v)),
+        |      9) AS nll
+        |  FROM tok t LEFT JOIN ref r USING (w), tot)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(CAST(sum(CAST(nll AS DECIMAL(27, 9))) AS DOUBLE) / count(*),
+        |    4) AS avg_nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t9_vocab_df" ->
       """SELECT token, count(*) AS df FROM (
         |  SELECT doc_id,

@@ -500,6 +500,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lmScore: reference-like text scores below out-of-distribution text") {
+    import spark.implicits._
+    val ref = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the dog sleeps near the quiet river all day"),
+      (2L, "a fox and a dog play near the river")).toDF("doc_id", "text")
+    val scored = Seq(
+      (10L, "the fox jumps over the dog"), // in-distribution
+      (11L, "zx9 qw7 blorp vmme kkjq zzt")) // all-OOV garbage
+      .toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis
+      .lmScore(scored, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(10L) < m(11L),
+      s"in-distribution ${m(10L)} must score below OOV ${m(11L)}")
+    // all-OOV: every token hits the same add-one floor -ln(1/(N+V))
+    val nTotal = 27.0 // tokens in ref (9 + 9 + 9)
+    val vocab = ref.select(explode(graft.operators.TextAnalysis
+      .tokens(org.apache.spark.sql.functions.col("text")))).distinct().count()
+    val floor = -math.log(1.0 / (nTotal + vocab))
+    assert(math.abs(m(11L) - floor) < 1e-6,
+      s"OOV doc should sit at the smoothing floor $floor, got ${m(11L)}")
+  }
+
   test("chunkByTokens: windows tile the token stream with the overlap") {
     import spark.implicits._
     val text = (1 to 75).map(i => s"w$i").mkString(" ")
