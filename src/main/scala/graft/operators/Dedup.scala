@@ -542,6 +542,88 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., 2014, "Connected Components in MapReduce and
+    * Beyond", §3 Two-Phase). Where [[connectedComponents]] keeps the
+    * edge list fixed and propagates labels (O(log diameter) rounds, each
+    * joining the FULL edge list), the star rounds rewrite the edge list
+    * itself toward one star per component — edges shrink monotonically
+    * after the first rounds, so late rounds on a high-diameter graph
+    * (chains, lattices, adversarial crawl graphs) join a fraction of the
+    * original edges. The paper proves O(log² n) rounds worst case and
+    * ~log n in practice, with per-round cost proportional to the CURRENT
+    * edge count.
+    *
+    * large-star(u): every strictly-larger neighbor of u re-points to
+    * min(Γ(u) ∪ u); small-star(u): every smaller-or-equal neighbor and u
+    * re-point to the minimum of that smaller neighborhood. Both preserve
+    * connectivity and only ever decrease endpoint ids; the fixpoint is a
+    * star rooted at each component's minimum. Convergence is detected by
+    * a multiset hash of the edge list (sum of per-edge hashes + count —
+    * one tiny aggregate on the shrinking list per round).
+    *
+    * Output: (id, cluster) for every node appearing in `pairs`; the
+    * component minimum labels itself. */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val s = pairs.sparkSession
+    import org.apache.spark.sql.DataFrame
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    def edgeSig(e: DataFrame): (BigDecimal, Long) = {
+      // decimal accumulation: the hash sum must not overflow under ANSI
+      val r = e.agg(
+        coalesce(sum(xxhash64(col("a"), col("b"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)),
+        count(lit(1))).collect()(0)
+      (BigDecimal(r.getDecimal(0)), r.getLong(1))
+    }
+    var edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var sig: (BigDecimal, Long) = edgeSig(edges)
+    var iters = 0
+    var converged = edges.isEmpty
+    while (!converged && iters < maxIters) {
+      // large-star: m = min(Γ(u) ∪ u); (v, m) for v ∈ Γ(u), v > u
+      val symE = sym(edges)
+      val minsL = symE.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("u"), least(col("mb"), col("u")).as("m"))
+      val large = symE.join(minsL, col("a") === col("u"))
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      // small-star over the ≤ neighborhood: m = min(Γ≤(u) ∪ u);
+      // (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m
+      val symS = sym(large).where(col("b") <= col("a"))
+      val minsS = symS.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val small = symS.join(minsS, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(minsS.select(col("u").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = edgeSig(small)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = small
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // fixpoint is a star per component: every edge points node → root;
+    // roots label themselves
+    val members = edges.select(col("a").as("id"), col("b").as("cluster"))
+    val roots = edges.select(col("b").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    members.union(roots)
+  }
+
   /** Cluster assignment for every row of `df`: the smallest id reachable
     * through `pairs`; ids in no pair are their own cluster. */
   def dupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

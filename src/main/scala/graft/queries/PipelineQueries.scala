@@ -113,6 +113,24 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // d10: transitive clusters on a HIGH-DIAMETER graph via the
+  // large-star/small-star algorithm (Kiveris et al. 2014) — the planted
+  // edge set is chains of 50 consecutive doc_ids, the worst case for
+  // per-round label propagation (diameter = chain length) and exactly
+  // the regime the edge-rewriting algorithm exists for. Cluster = chain
+  // head, a closed form the oracle computes arithmetically.
+  def d10_chain_clusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val pairs = d.where(pmod(col("doc_id") + 1, lit(50)) =!= 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(d.select(col("doc_id").as("id_b")), Seq("id_b")) // extant nodes only
+    val comps = Dedup.connectedComponentsStar(pairs)
+      .withColumnRenamed("id", "doc_id")
+    d.join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .orderBy("doc_id")
+  }
+
   // d7: incremental dedup of a "daily batch" against a historical corpus
   // through the Bloom-routed exact path. History = doc_id < 250; the
   // batch = doc_id >= 250 plus PLANTED copies of 50 historical texts
@@ -784,6 +802,7 @@ object PipelineQueries {
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
+    "d10_chain_clusters" -> d10_chain_clusters _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
     "s12_semantic_dedup" -> s12_semantic_dedup _,
@@ -1041,6 +1060,10 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY doc_id""".stripMargin,
+    // chain heads in closed form: 50-blocks of consecutive ids
+    "d10_chain_clusters" ->
+      """SELECT doc_id, (doc_id // 50) * 50 AS cluster
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // add-one unigram NLL vs the doc_id<250 reference corpus; per-token
     // terms rounded to 9 places and summed in DECIMAL so the per-doc
     // mean is order-independent on both engines

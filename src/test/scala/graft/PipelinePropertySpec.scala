@@ -102,6 +102,31 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar equals label propagation on random graphs") {
+    // random sparse graphs + the pathological shapes: chains (max
+    // diameter — the case the star algorithm exists for) and stars
+    val rng = new scala.util.Random(42)
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      // random: 60 nodes, 45 random edges
+      Seq.fill(45)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b },
+      // two long chains (diameter ~50) + an isolated edge
+      (0L until 49L).map(i => (i, i + 1)) ++
+        (100L until 150L).map(i => (i, i + 1)) :+ (999L, 998L),
+      // hub star with duplicate + reversed edges
+      (1L to 30L).flatMap(i => Seq((0L, i), (i, 0L))),
+      // single edge
+      Seq((7L, 3L)))
+    for ((edges, i) <- cases.zipWithIndex) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"case $i: star $star vs propagation $prop")
+    }
+  }
+
   test("upsampleToWeights matches the per-row closed form") {
     for (seed <- 20L to 22L) {
       val docs = corpus(seed, 60).zipWithIndex.map { case ((id, t), i) =>
