@@ -591,11 +591,13 @@ object Dedup {
       val minsL = symE.groupBy(col("a").as("u"))
         .agg(min(col("b")).as("mb"))
         .select(col("u"), least(col("mb"), col("u")).as("m"))
+      // no distinct here: duplicate (v, m) edges from different u cannot
+      // change any min downstream — small-star's distinct collapses them
+      // once, saving a full shuffle per round
       val large = symE.join(minsL, col("a") === col("u"))
         .where(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .where(col("a") =!= col("b"))
-        .distinct()
       // small-star over the ≤ neighborhood: m = min(Γ≤(u) ∪ u);
       // (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m
       val symS = sym(large).where(col("b") <= col("a"))
