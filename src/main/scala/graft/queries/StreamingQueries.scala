@@ -298,6 +298,16 @@ object StreamingQueries {
     val manifest = s.read.parquet(s"$base/manifest")
     val listed = graft.sources.SegmentIndex
       .prune(manifest, None, Set.empty, st11Start, st11End)
+    if (listed.isEmpty)
+      // typed empty result, not a schema-less one: an empty candidate
+      // set is a legal answer for a fixture with no data in the window
+      return s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("n_windows", LongType),
+          StructField("n_events", LongType),
+          StructField("total", DoubleType))))
     s.read.option("basePath", s"$base/segments").parquet(listed: _*)
       .where(col("date_int") === 20240115 && col("hour").between(6, 11))
       .groupBy(col("event_type"))

@@ -148,6 +148,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must never shuffle for the rate join:\n$p")
   }
 
+  test("st10: one batch plan unions the parquet scan with the state source") {
+    import graft.queries.StreamingQueries
+    StreamingQueries.rollupSegmentsBase(spark, dir)
+    val p = plan(StreamingQueries.queries("st10_live_sealed_union")(spark, dir))
+    assert(p.contains("Union"), s"no Union in:\n$p")
+    assert(p.contains("BatchScan StateTable"),
+      s"live half must read the state source:\n$p")
+  }
+
+  test("s16: blocked kNN graph is equi-joined on (table, block), never a " +
+      "nested loop") {
+    val p = plan(PipelineQueries.queries("s16_knn_graph_lsh")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked path must not degrade to all-pairs:\n$p")
+  }
+
+  test("t13: LM scoring shuffles tokens and ids, never document text") {
+    val p = plan(PipelineQueries.queries("t13_lm_score")(spark, dir))
+    val keys = "Exchange hashpartitioning\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(k => !k.contains("text")),
+      s"no exchange may carry text: $keys")
+  }
+
   test("st11: Catalyst partition pruning composes with manifest pruning") {
     import graft.queries.StreamingQueries
     import org.apache.spark.sql.execution.FileSourceScanExec
