@@ -26,12 +26,20 @@ import org.apache.spark.sql.functions._
 object Ema {
 
   /** Final EMA per group of `valueCol` ordered by `orderCol`.
-    * Output: group columns + `n_points` + `ema`. */
+    * Output: group columns + `n_points` + `ema`.
+    *
+    * `orderCol` should be unique within a group (it is a time series
+    * axis); ties are broken deterministically by value so repeated runs
+    * agree, but the tie ORDER is this function's convention, not the
+    * sequential recurrence's (which has no tie concept). Each weighted
+    * term is rounded to 9 places and accumulated in DECIMAL, so the sum
+    * is independent of row order and partitioning — replayable exactly
+    * by an external engine. */
   def finalEma(df: DataFrame, groupCols: Seq[String], orderCol: Column,
       valueCol: Column, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     val grp = groupCols.map(col)
-    val w = Window.partitionBy(grp: _*).orderBy(col("_ord"))
+    val w = Window.partitionBy(grp: _*).orderBy(col("_ord"), col("_x"))
     val wAll = Window.partitionBy(grp: _*)
     val decay = lit(1.0 - alpha)
     df.select(grp :+ orderCol.as("_ord") :+ valueCol.as("_x"): _*)
@@ -40,9 +48,11 @@ object Ema {
       .groupBy(grp: _*)
       .agg(
         max(col("_n")).as("n_points"),
-        sum(
-          when(col("_k") === 1, pow(decay, col("_n") - 1))
-            .otherwise(lit(alpha) * pow(decay, col("_n") - col("_k")))
-            * col("_x")).as("ema"))
+        sum(round(
+            when(col("_k") === 1, pow(decay, col("_n") - 1))
+              .otherwise(lit(alpha) * pow(decay, col("_n") - col("_k")))
+              * col("_x"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .cast("double").as("ema"))
   }
 }

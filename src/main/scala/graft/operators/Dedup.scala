@@ -618,12 +618,22 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds")
     // fixpoint is a star per component: every edge points node → root;
-    // roots label themselves
+    // roots label themselves. Nodes whose only pairs were self-loops
+    // dropped out of the edge set at the start — restore them as their
+    // own singleton clusters so the contract ("every node appearing in
+    // pairs") matches connectedComponents exactly.
     val members = edges.select(col("a").as("id"), col("b").as("cluster"))
     val roots = edges.select(col("b").as("id")).distinct()
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
-    members.union(roots)
+    val labeled = members.union(roots)
+    val selfOnly = pairs
+      .select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    labeled.union(selfOnly)
   }
 
   /** Cluster assignment for every row of `df`: the smallest id reachable

@@ -110,8 +110,15 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     override def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
       if (payload == null || payload.isEmpty) return None
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      // a payload with a recognized magic but an unparseable body makes
+      // ImageIO.read THROW (IIOException/EOFException) rather than
+      // return null — e.g. png-magic + text from syntheticMediaTable, or
+      // a truncated BMP. The Option contract covers both failure modes:
+      // undecodable means None, never a task-killing exception.
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight

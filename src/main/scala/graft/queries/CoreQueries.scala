@@ -888,8 +888,9 @@ object CoreQueries {
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM daily)
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
-        |  round(sum(CASE WHEN k = 1 THEN pow(0.7, n - 1)
-        |                 ELSE 0.3 * pow(0.7, n - k) END * v), 6) AS ema
+        |  round(CAST(sum(CAST(round(CASE WHEN k = 1 THEN pow(0.7, n - 1)
+        |      ELSE 0.3 * pow(0.7, n - k) END * v, 9) AS DECIMAL(27, 9)))
+        |    AS DOUBLE), 6) AS ema
         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a16_salted_agg" ->
       """SELECT event_type,

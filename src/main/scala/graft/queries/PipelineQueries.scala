@@ -97,21 +97,28 @@ object PipelineQueries {
   // OR-amplified blocking must recover every planted pair — a missed
   // collision drops a row and fails the oracle hash. Precision is
   // structural: candidates are exact-cosine-verified before emission.
-  def d5_embedding_lsh(s: SparkSession, dir: String): DataFrame = {
+  /** The corpus ∪ 25 planted near-twins: each of vec_ids 0..24 gets a
+    * deterministic near-copy (id + 100000) at cosine ≈ 0.997 — the
+    * known answer the d5/s16 LSH gates must recover. Two selects: the
+    * perturbation is seeded by the SOURCE id, and a single select
+    * aliasing "vec_id" would lateral-resolve the seed to the new id
+    * instead of the input column. Any change here must be mirrored in
+    * the d5_embedding_lsh / s16_knn_graph_lsh oracle SQL. */
+  private def withPlantedTwins(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    // two selects: the perturbation is seeded by the SOURCE id, and a
-    // single select aliasing "vec_id" would lateral-resolve the seed to
-    // the new id instead of the input column
     val planted = e.where(col("vec_id") < 25)
       .select(col("vec_id").as("src_id"),
         perturbedVec(col("embedding"), col("vec_id")).as("embedding"))
       .select((col("src_id") + 100000L).as("vec_id"), col("embedding"))
-    Dedup.embeddingNearDuplicates(e.unionByName(planted), "vec_id",
+    e.unionByName(planted)
+  }
+
+  def d5_embedding_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(withPlantedTwins(s, dir), "vec_id",
         "embedding", threshold = 0.9, lshBits = 8, lshTables = 4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
-  }
 
   // d10: transitive clusters on a HIGH-DIAMETER graph via the
   // large-star/small-star algorithm (Kiveris et al. 2014) — the planted
@@ -237,13 +244,7 @@ object PipelineQueries {
   // rank-1 neighbor and fails the oracle hash. The exact twin s8 stays
   // the full-graph oracle at test scale.
   def s16_knn_graph_lsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
-    val planted = e.where(col("vec_id") < 25)
-      .select(col("vec_id").as("src_id"),
-        perturbedVec(col("embedding"), col("vec_id")).as("embedding"))
-      .select((col("src_id") + 100000L).as("vec_id"), col("embedding"))
-    Similarity.knnGraph(e.unionByName(planted), "vec_id", "embedding",
+    Similarity.knnGraph(withPlantedTwins(s, dir), "vec_id", "embedding",
         k = 1, bits = 8, tables = 4)
       .where((col("id_a") < 25 || col("id_a") >= 100000L) && col("rank") === 1)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))

@@ -37,7 +37,8 @@ class CoreQueriesSpec extends AnyFunSuite {
     // ema += alpha * (sample - ema)
     val want = xs.tail.foldLeft(xs.head)((e, x) => e + 0.3 * (x - e))
     assert(row.getLong(1) == xs.length)
-    assert(math.abs(row.getDouble(2) - want) < 1e-9,
+    // per-term round-9 accumulation bounds the divergence at n·5e-10
+    assert(math.abs(row.getDouble(2) - want) < xs.length * 5e-10 + 1e-12,
       s"closed form ${row.getDouble(2)} vs recurrence $want")
   }
 

@@ -116,7 +116,10 @@ class PipelinePropertySpec extends AnyFunSuite {
       // hub star with duplicate + reversed edges
       (1L to 30L).flatMap(i => Seq((0L, i), (i, 0L))),
       // single edge
-      Seq((7L, 3L)))
+      Seq((7L, 3L)),
+      // self-loop-only node beside a real edge: 7 must come back as its
+      // own singleton cluster, same as label propagation
+      Seq((7L, 7L), (1L, 2L)))
     for ((edges, i) <- cases.zipWithIndex) {
       val pairs = edges.toDF("id_a", "id_b")
       val star = Dedup.connectedComponentsStar(pairs).collect()

@@ -455,6 +455,34 @@ class PipelineSpec extends AnyFunSuite {
       .select("count").as[Long].collect()
     assert(perDoc.forall(_ <= 4))
   }
+  test("resize caps metadata dimensions and never touches the payload") {
+    val media = Multimodal.syntheticMediaTable(corpus, "doc_id", "text")
+    val r = Multimodal.resize(media, 64, 48).collect()
+    val orig = media.collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val m = row.getStruct(2)
+      assert(m.getInt(1) <= 64 && m.getInt(2) <= 48)
+      val o = orig(row.getLong(0))
+      assert(java.util.Arrays.equals(
+        row.getAs[Array[Byte]](1), o.getAs[Array[Byte]](1)),
+        "resize is a metadata stage; payload must pass through unchanged")
+      assert(m.getString(0) == o.getStruct(2).getString(0))
+    }
+  }
+
+  test("decode of a recognized-magic but unparseable payload yields None") {
+    // png magic + text body: ImageIO selects the PNG reader and throws —
+    // the codec must translate that to None, not kill the task
+    val media = Multimodal.syntheticMediaTable(corpus, "doc_id", "text")
+    val stats = Multimodal.decodeImages(media).collect()
+    assert(stats.length == corpus.count())
+    stats.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(3), "no payload here is decodable")
+      assert(r.getLong(4) > 0, "byte count survives undecodable payloads")
+    }
+  }
+
   test("BMP encode → javax.imageio decode round-trips every pixel") {
     import graft.operators.Multimodal
     // non-multiple-of-4 widths exercise row padding; the decoded raster
