@@ -307,6 +307,10 @@ object DdProto {
           bins += ((k, v))
         case (2, 2) => // packed contiguousBinCounts
           val len = r.readVarint().toInt
+          if (len % 8 != 0)
+            throw new IllegalArgumentException(
+              s"malformed DDSketch payload: packed double run of "
+                + s"$len bytes is not 8-aligned")
           val n = len / 8
           val arr = new Array[Double](n)
           var i = 0
@@ -383,7 +387,13 @@ object DdProto {
   /** DataDog proto payload → native buffer (bin j → bucket j+1); counts
     * round to whole insertions. */
   def toNative(b: DdogBuffer): DDSketchBuffer = {
-    val alpha = (b.gamma - 1) / (b.gamma + 1)
+    // (gamma-1)/(gamma+1) is not FP-exact: gamma built from alpha=0.01
+    // round-trips to 0.009999999999999957, and the native merge requires
+    // EXACT accuracy equality — snap to 12 significant decimals so a
+    // converted sketch merges with natively-built ones
+    val raw = (b.gamma - 1) / (b.gamma + 1)
+    val alpha = BigDecimal(raw)
+      .round(new java.math.MathContext(12)).toDouble
     val s = new DDSketchBuffer(alpha)
     s.zeroCount = math.round(b.zeroCount)
     s.count += s.zeroCount
@@ -439,7 +449,10 @@ case class DdProtoSketchAgg(
         case l: Long => l.toDouble
         case i: Int => i.toDouble
       }
-      if (!d.isNaN) b.insert(d)
+      // infinities map to a bin at Int.MaxValue and a later dense()
+      // materialization then allocates a 2^31 array (or a negative
+      // size) — drop them like NaN rather than killing the job
+      if (!d.isNaN && !d.isInfinite) b.insert(d)
     }
     b
   }

@@ -47,6 +47,8 @@ object Sampling {
     */
   def stratifiedTopN(df: DataFrame, strataCol: String, n: Int,
       priority: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("_rank"),
+      "input already has a _rank column") // same guard as globalShuffle
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(priority: _*)
     df.withColumn("_rank", row_number().over(w))
@@ -58,7 +60,10 @@ object Sampling {
     * count) is exhausted: the "fill a 10B-token training mix from the
     * best documents" step. Keeps every row whose inclusive running sum
     * is within the budget. Weights must be non-negative and `priority`
-    * must be a TOTAL order (add a unique id as the last key).
+    * must be a TOTAL order (add a unique id as the last key). Null
+    * priority values are handled with the sort's own NULLS FIRST
+    * ascending semantics, so a nullable score column cannot silently
+    * drop within-budget rows.
     *
     * Scale shape: a naive `Window.orderBy(...)` with no partition key
     * plans a SINGLE-partition global sort — a non-starter at corpus
@@ -109,9 +114,18 @@ object Sampling {
               found.get // exists: offsets(pid+1) > budget
             },
             Seq(pid)).head
-          // keep the strict lexicographic prefix before the excluded row
+          // keep the strict lexicographic prefix before the excluded
+          // row, under the SAME null ordering the range partition used
+          // (ascending, nulls first): null < v for non-null v, nothing
+          // is < null, and equality is null-safe — a plain `c < lit(v)`
+          // returns NULL for null inputs and where() would silently
+          // drop the best-priority rows
+          def ltNullsFirst(c: Column, v: Any): Column =
+            if (v == null) lit(false) else c.isNull || (c < lit(v))
+          def eqNullSafe(c: Column, v: Any): Column =
+            if (v == null) c.isNull else c <=> lit(v)
           val keep = priority.zip(firstExcluded).foldRight(lit(false)) {
-            case ((c, v), rest) => (c < lit(v)) || (c === lit(v) && rest)
+            case ((c, v), rest) => ltNullsFirst(c, v) || (eqNullSafe(c, v) && rest)
           }
           df.where(keep)
       }
@@ -188,6 +202,11 @@ object Sampling {
     val out = narrowRdd.mapPartitionsWithIndex { (pid, it) =>
       var cum = offsets(pid)
       it.map { r =>
+        // a non-numeric id/weight casts to null, and getAs[Long] would
+        // silently unbox that to 0 — corrupt coordinates, no error
+        if (r.isNullAt(r.fieldIndex("_id")) || r.isNullAt(r.fieldIndex("_w")))
+          throw new IllegalArgumentException(
+            "packByBudget: idCol/weightCol must be numeric and non-null")
         val w = r.getAs[Long]("_w")
         val bin = cum / binSize
         val off = cum - bin * binSize
@@ -285,20 +304,39 @@ object Sampling {
     // would otherwise be silently dropped by the final inner join —
     // contradicting the "preserves corpus size in expectation" contract.
     // An upsampler must be told about every stratum it sees.
-    val counts = df.groupBy(col(strataCol))
+    val observed = df.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("double").as("_c"))
+    val counts = observed
       .join(broadcast(wDf), Seq(strataCol), "left")
       .withColumn("_cov", assert_true(col("_w").isNotNull,
         concat(lit("upsampleToWeights: stratum '"), col(strataCol),
           lit("' has no weight — cover every observed stratum"))))
       .where(col("_cov").isNull) // assert_true yields null; keeps the check live
       .select(col(strataCol), col("_w"), col("_c").as("_n"))
-    val total = counts.agg(sum(col("_n")).as("_tot"))
+    // converse coverage: a WEIGHTED stratum absent from the corpus would
+    // silently shrink the output below N (its weight inflates wSum while
+    // _tot only counts observed rows). Zero rows when coverage holds;
+    // any survivor trips the runtime assert (the condition references a
+    // column, so constant folding cannot evaluate it at plan time).
+    // the assert must reference the OBSERVED side (_c0): a left-only
+    // condition would let Catalyst push the project below the join and
+    // evaluate the assert on every weight row before filtering
+    val absentCheck = broadcast(wDf)
+      .join(observed.select(col(strataCol), col("_c").as("_c0")),
+        Seq(strataCol), "left")
+      .where(col("_c0").isNull)
+      .select(col(strataCol), col("_w"),
+        assert_true(col("_c0").isNotNull,
+          concat(lit("upsampleToWeights: weighted stratum '"),
+            col(strataCol), lit("' is absent from the corpus")))
+          .cast("double").as("_n"))
+    val countsAll = counts.unionByName(absentCheck)
+    val total = countsAll.agg(sum(col("_n")).as("_tot"))
     // rate cap folded into the plan (the RangeJoin fan-out pattern): a
     // tiny stratum under a big weight means one row explodes r× on one
     // task — fail the job loudly instead of silently flooding it
     val rateExpr = col("_w") / lit(wSum) * col("_tot") / col("_n")
-    val rates = counts.crossJoin(broadcast(total))
+    val rates = countsAll.crossJoin(broadcast(total))
       .where(col("_n") > 0.0) // an empty stratum cannot be upsampled
       .withColumn("_chk", assert_true(rateExpr <= lit(maxRate),
         lit(s"upsample rate exceeds maxRate=$maxRate for a stratum — " +

@@ -42,8 +42,12 @@ object SegmentIndex {
         g => xxhash64(lit(c), g)),
       array().cast("array<bigint>"))
 
-  /** Build the manifest for a set of segment files. One distributed pass
-    * over the data, two small aggregations:
+  /** Build the manifest for a set of segment files. Two column-pruned
+    * scans of (tsCol + indexed columns) — NOT one pass: the bounds and
+    * fingerprint aggregations are independent subtrees, and caching the
+    * projected+exploded intermediate at ingest scale would cost more
+    * than the second pruned scan it saves (this is the once-per-segment-
+    * family ingest step, not a query path):
     *  - per-file bounds: count / min_ts / max_ts (shuffle carries one row
     *    per (partition, file));
     *  - per-file fingerprint set: explode → map-side distinct → collect_set
@@ -90,10 +94,18 @@ object SegmentIndex {
     * to possibly appear under column c; None = cannot prune on this leaf. */
   private[graft] def valueFingerprints(c: String, v: String): Option[Seq[Long]] = {
     val s = v.toLowerCase
-    // numeric-looking values are unprunable: EQ compiles to a coercing
-    // === (a long column 1234 matches the value "1234.0"), so the
-    // VALUE's string trigrams need not appear in the stored form
-    if (s.length < 3 || s.toDoubleOption.isDefined) None
+    // Coercion-unsafe values are unprunable. EQ compiles to a coercing
+    // ===, so any value the column type might canonicalize before
+    // comparing can match stored text whose trigrams differ from the
+    // query literal's:
+    //  - numeric-looking: a long column 1234 matches the value "1234.0";
+    //  - date/timestamp-looking: a date column matches "2026-1-1"
+    //    against rows fingerprinted as "2026-01-01".
+    // The date guard is shape-based (digits + date separators only) —
+    // conservative, and never fires for ordinary tag values.
+    val dateLike = s.nonEmpty && s.exists(_.isDigit) &&
+      s.forall(c => c.isDigit || " -/:.tz+".contains(c))
+    if (s.length < 3 || s.toDoubleOption.isDefined || dateLike) None
     else Some(
       (0 to s.length - 3).map { i =>
         val g = s.substring(i, i + 3)
@@ -357,9 +369,10 @@ object SegmentIndex {
     * IO-proportional to the candidate set. */
   def scan(spark: SparkSession, manifest: DataFrame,
       clause: Option[QueryClause], indexed: Set[String],
-      startMs: Long, endMs: Long): Option[DataFrame] = {
+      startMs: Long, endMs: Long, mergeSchema: Boolean = true): Option[DataFrame] = {
     val files = prune(manifest, clause, indexed, startMs, endMs)
     if (files.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
+    else Some(spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*))
   }
 }

@@ -68,11 +68,14 @@ class SamplingSpec extends AnyFunSuite {
       val want = if (mix(i) < fcut) Seq(1L) else Seq.empty
       assert(byId.getOrElse(i, Seq.empty) === want, s"row $i")
     }
-    // an empty-stratum weight upsamples nothing and does not divide by zero
-    val out2 = Sampling.upsampleToWeights(df.where($"s" === "a"), "s",
-        Map("a" -> 0.5, "ghost" -> 0.5), Sampling.mix32(col("id")))
-      .select("id").as[Long].collect()
-    assert(out2.forall(_ < 2L) && out2.nonEmpty)
+    // a weighted-but-ABSENT stratum fails loudly: its weight inflates
+    // wSum while the corpus cannot supply it, silently shrinking the
+    // output below N otherwise
+    intercept[Exception] {
+      Sampling.upsampleToWeights(df.where($"s" === "a"), "s",
+          Map("a" -> 0.5, "ghost" -> 0.5), Sampling.mix32(col("id")))
+        .select("id").as[Long].collect()
+    }
     // an observed stratum with no weight fails loudly instead of being
     // silently dropped (the "preserves corpus size" contract)
     intercept[Exception] {
