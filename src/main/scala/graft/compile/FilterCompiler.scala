@@ -31,7 +31,9 @@ object FilterCompiler {
     if (name.contains(".")) col(s"`$name`") else col(name)
 
   private def tryCastDouble(name: String): Column = {
-    val quoted = if (name.contains(".")) s"`$name`" else name
+    // ALWAYS backtick-quote (same hazard QueryEngine.chart escapes): an
+    // unquoted "x-request-id" parses as the subtraction x - request - id
+    val quoted = s"`${name.replace("`", "``")}`"
     expr(s"try_cast($quoted as double)")
   }
 

@@ -264,10 +264,16 @@ object QueryEngine {
     def cesAgg(fallback: Column): Column = {
       val keyCols = if (groupBys.nonEmpty) groupBys.map(FilterCompiler.fieldCol)
         else List(fallback)
-      approx_count_distinct(concat_ws(":", keyCols: _*)).cast("double")
+      approx_count_distinct(tupleKey(keyCols)).cast("double")
     }
-    def isPercentile(p: String): Boolean =
-      p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit)
+    def isPercentile(p: String): Boolean = {
+      val ok = p.startsWith("p") && p.length > 1 && p.drop(1).forall(_.isDigit)
+      // p999 (shorthand for p99.9 elsewhere) would otherwise reach
+      // percentile_approx as quantile 9.99 and die deep in analysis
+      if (ok) require(p.drop(1).toInt <= 100,
+        s"percentile aggregation '$p' out of range (p0..p100)")
+      ok
+    }
 
     def metricsRollupAgg(aggregation: String): Column = rollup match {
       case Some(r) =>
@@ -320,9 +326,19 @@ object QueryEngine {
           throw new IllegalArgumentException(s"unknown aggregation $other")
       }
 
+    // Raw-path ces estimates DISTINCT TAG TUPLES per step bucket
+    // (reference: one HLL over the groupBys-concatenated key per bucket,
+    // Aggregator.scala:43-60 — the tags feed the KEY, not the grouping):
+    // grouping by those same tags would make every value identically 1.
+    // The metrics sketch path keeps per-tag grouping — its distinct key
+    // is the ingest-configured column (user_id), not the tags.
+    val cesOverTuples = chartOpts.aggregation == "ces" && groupBys.nonEmpty &&
+      !(e.dataset == "metrics" && base.columns.contains("sketch_hll"))
+    val groupCols =
+      if (cesOverTuples) Nil
+      else groupBys.map(g => FilterCompiler.fieldCol(g).as(g))
     val grouped = base
-      .groupBy((stepTsCol(tel.tsMillis, stepMs) ::
-        groupBys.map(g => FilterCompiler.fieldCol(g).as(g))): _*)
+      .groupBy((stepTsCol(tel.tsMillis, stepMs) :: groupCols): _*)
       .agg(agg.cast("double").as(VALUE))
 
     grouped.withColumn(VALUE,
@@ -426,9 +442,17 @@ object QueryEngine {
     val base = prepared(tel, e, startMs, endMs)
     val keys = groupBys.filter(base.columns.toSet.contains)
       .map(FilterCompiler.fieldCol)
-    base.agg(
-      approx_count_distinct(concat_ws(":", keys: _*)).as("cardinality"))
+    base.agg(approx_count_distinct(tupleKey(keys)).as("cardinality"))
   }
+
+  /** The reference's groupBys-concatenated distinct key (':'-joined,
+    * Aggregator.scala:43-60) with one divergence: null parts coalesce to
+    * "" so the separator count is arity-stable — concat_ws SKIPS nulls,
+    * which conflated ("x", null) with (null, "x") as "x" and undercounted
+    * distinct tuples. The reference's separator-collision semantics
+    * ("x:y","z" vs "x","y:z") are kept as-is for parity. */
+  private def tupleKey(keys: Seq[Column]): Column =
+    concat_ws(":", keys.map(k => coalesce(k.cast("string"), lit(""))): _*)
 
   // ----------------------------------------------------------- formula layer
 
@@ -458,10 +482,14 @@ object QueryEngine {
 
     val all = (formulaNodes ++ baseSeries).map { case (labelStr, node) =>
       val grouping = AstOps.finalGrouping(node).toList.sorted
+      // relabel ONLY the genuinely ungrouped series (plan-time fact): a
+      // runtime GROUP_KEY === "" test would also catch a grouped series
+      // whose single tag is null, masquerading it as the overall series
+      val labelCol =
+        if (grouping.isEmpty) lit(seriesLabel(labelStr, node))
+        else col(GROUP_KEY)
       evalNode(tables, node, grouping, startMs, endMs, stepMs)
-        .withColumn(LABEL,
-          when(col(GROUP_KEY) === "", lit(seriesLabel(labelStr, node)))
-            .otherwise(col(GROUP_KEY)))
+        .withColumn(LABEL, labelCol)
         .select(col(STEP_TS), col(GROUP_KEY), col(VALUE), col(LABEL))
     }
     require(all.nonEmpty,

@@ -69,7 +69,7 @@ object Bpe {
     merges.toSeq
   }
 
-  private def splitSymbols(w: String): Array[String] = {
+  private[functions] def splitSymbols(w: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < w.length) {
@@ -80,7 +80,7 @@ object Bpe {
     out.toArray
   }
 
-  private def applyMerge(syms: Array[String], m: (String, String))
+  private[functions] def applyMerge(syms: Array[String], m: (String, String))
       : Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
@@ -97,9 +97,21 @@ object Bpe {
     * (freq desc, word asc — deterministic) word rows. */
   def train(df: DataFrame, textCol: String, numMerges: Int = 256,
       vocabCap: Int = 5000): Seq[(String, String)] = {
-    val counts = df
+    val words = df
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .where(col("w") =!= "")
+    // the marker guard must see the WHOLE corpus: trainFromCounts only
+    // inspects the collected top-vocabCap words, and a marker hiding in
+    // a rarer word would still corrupt decode() downstream (the encoder
+    // rejects it per row, but training is the documented fail point)
+    val offending = words.where(col("w").contains(EndOfWord))
+      .limit(1).collect()
+    if (offending.nonEmpty)
+      throw new IllegalArgumentException(
+        s"BPE corpus word '${offending(0).getString(0)}' contains the " +
+          s"reserved end-of-word marker '$EndOfWord'; escape or strip " +
+          "it before training")
+    val counts = words
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(desc("f"), col("w"))
       .limit(vocabCap)
@@ -141,17 +153,15 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
     text.trim.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        var syms = {
-          val b = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < w.length) {
-            val cp = w.codePointAt(i)
-            b += new String(Character.toChars(cp))
-            i += Character.charCount(cp)
-          }
-          b += Bpe.EndOfWord
-          b
-        }
+        // same reserved-marker contract as training: a marker inside a
+        // word would decode ambiguously, so it fails loudly here too
+        if (w.contains(Bpe.EndOfWord))
+          throw new IllegalArgumentException(
+            s"BPE input word '$w' contains the reserved end-of-word " +
+              s"marker '${Bpe.EndOfWord}'")
+        // the SAME split/merge helpers training uses — round-trip parity
+        // by construction, not by parallel-maintained copies
+        var syms = Bpe.splitSymbols(w) :+ Bpe.EndOfWord
         var done = false
         while (!done && syms.length > 1) {
           // lowest-rank adjacent pair
@@ -163,19 +173,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
             i += 1
           }
           if (bestAt < 0) done = true
-          else {
-            // merge EVERY occurrence of the best pair (left to right),
-            // matching the training-side applyMerge
-            val a = syms(bestAt); val b = syms(bestAt + 1)
-            val next = scala.collection.mutable.ArrayBuffer[String]()
-            var j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
-                next += (a + b); j += 2
-              } else { next += syms(j); j += 1 }
-            }
-            syms = next
-          }
+          else syms = Bpe.applyMerge(syms, (syms(bestAt), syms(bestAt + 1)))
         }
         syms.foreach(s => out += UTF8String.fromString(s))
       }

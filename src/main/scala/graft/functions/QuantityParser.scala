@@ -71,11 +71,15 @@ object QuantityParser {
 
   /** Filter-literal normalization (reference BaseExpr.scala:450-459):
     * number parses directly; duration/datasize go through the unit table;
-    * anything else is NaN (matches nothing). */
+    * anything UNPARSEABLE — including a malformed number or a quantity
+    * the unit table rejects — is NaN, which the filter compiler turns
+    * into match-nothing. (An earlier getOrElse(0.0) silently rewrote a
+    * bad duration threshold into `x > 0`, matching nearly everything —
+    * the opposite of the documented contract.) */
   def normalize(value: String, dataType: String): Double = dataType match {
-    case DataTypes.NUMBER => value.toDouble
+    case DataTypes.NUMBER => value.toDoubleOption.getOrElse(Double.NaN)
     case DataTypes.DURATION | DataTypes.DATA_SIZE =>
-      parseQuantity(value, dataType).getOrElse(0.0)
+      parseQuantity(value, dataType).getOrElse(Double.NaN)
     case _ => Double.NaN
   }
 }

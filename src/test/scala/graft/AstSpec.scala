@@ -75,13 +75,15 @@ class AstSpec extends AnyFunSuite {
     assert(QuantityParser.parseQuantity("3kb", DataTypes.DATA_SIZE).contains(3000.0))
     assert(QuantityParser.parseQuantity("1mib", DataTypes.DATA_SIZE).contains(131072.0))
     assert(QuantityParser.normalize("42", DataTypes.NUMBER) == 42.0)
-    assert(QuantityParser.normalize("bogus", DataTypes.DURATION) == 0.0)
+    // unparseable thresholds are NaN → the filter compiler matches
+    // NOTHING (a 0.0 default silently turned `x > bogus` into `x > 0`)
+    assert(QuantityParser.normalize("bogus", DataTypes.DURATION).isNaN)
     // non-dot pseudo-decimals must degrade gracefully, not throw (the
     // regex dot was once unescaped, making group(1) = "1,5" / "1a2" and
     // crashing toDouble): find() then parses the first valid quantity
     // substring ("5s") or falls through to the unknown-unit path
     assert(QuantityParser.parseQuantity("1,5s", DataTypes.DURATION).contains(5e9))
-    assert(QuantityParser.normalize("1a2s", DataTypes.DURATION) == 0.0)
+    assert(QuantityParser.normalize("1a2s", DataTypes.DURATION).isNaN)
   }
 
   test("reference payload shapes: arguments key, metrics default, missing literal value") {

@@ -173,4 +173,32 @@ class EngineSpec extends AnyFunSuite {
       0L, 100000L).collect()(0).getLong(0)
     assert(card == 3L) // (a,svc1), (b,svc1), (a,svc2)
   }
+
+  test("raw-path ces counts distinct tag tuples per bucket, never 1 per tag") {
+    // bucket [0,10s): tuples (a,svc1),(b,svc1),(a,svc2) -> 3;
+    // bucket [10s,20s): (a,svc1) -> 1. Grouping by the same tags the key
+    // is built from would have made every value identically 1.
+    val e = BaseExpr(id = "a",
+      filter = Filter("value", List("0"), Ops.GT, dataType = DataTypes.NUMBER),
+      chart = Some(ChartOptions(aggregation = "ces",
+        groupBys = List("level", "service"))))
+    val rows = QueryEngine.chart(tel, e, 0L, 100000L, 10000L)
+      .orderBy("step_ts").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((0L, 3.0), (10000L, 1.0)))
+  }
+
+  test("null tags make distinct key parts, not conflated tuples") {
+    import spark.implicits._
+    val t = Telemetry.millis(Seq(
+        (1000L, "x", null, 1.0), (1000L, null, "x", 1.0))
+        .toDF("ts", "a", "b", "value"),
+      "ts", col("value"))
+    val e = BaseExpr(id = "a", filter = Filter("value", List("0"), Ops.GT,
+      dataType = DataTypes.NUMBER))
+    // concat_ws alone skips nulls: both rows would key as "x" and count 1
+    val card = QueryEngine.cardinality(t, e, Seq("a", "b"), 0L, 10000L)
+      .collect()(0).getLong(0)
+    assert(card == 2L)
+  }
 }
