@@ -18,6 +18,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Collision-free per-dataset tmp path: the sanitized name alone is
+    * ambiguous ("/data/sf0.1" and "/data/sf0_1" both sanitize to
+    * "_data_sf0_1" — one dataset's artifacts would silently serve the
+    * other), so the full path's spec-fixed String.hashCode rides along. */
+  private[graft] def tmpDirFor(prefix: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+        Integer.toHexString(dir.hashCode)).getAbsolutePath
+
   // DataFrames are immutable logical plans — memoize per (session, path) so
   // repeated loads reuse one relation (no re-listing / schema re-inference
   // per query).

@@ -232,15 +232,20 @@ case class WordShingleHashes(child: Expression, w: Int)
     while (i < nShingles) {
       var j = 0
       var m = 0
+      // SKIP null tokens (concat_ws semantics — the HOF formulation this
+      // expression documents as identical skips nulls without a
+      // separator; substituting "" would inject a double separator and
+      // diverge from Dedup.wordShingles on null-bearing arrays)
       while (j < w && i + j < n) {
-        window(j) =
-          if (arr.isNullAt(i + j)) UTF8String.EMPTY_UTF8
-          else arr.getUTF8String(i + j)
-        m = j + 1
+        if (!arr.isNullAt(i + j)) {
+          window(m) = arr.getUTF8String(i + j)
+          m += 1
+        }
         j += 1
       }
       val shingle =
-        if (m == 1) window(0)
+        if (m == 0) UTF8String.EMPTY_UTF8
+        else if (m == 1) window(0)
         else UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(window, 0, m): _*)
       seen.add(XxHash64Function.hash(shingle, StringType, 42L))
       i += 1

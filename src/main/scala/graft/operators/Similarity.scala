@@ -111,8 +111,12 @@ object Similarity {
       maxSample: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
     val n = df.count()
     val rate = math.max(1L, n / maxSample)
+    // hash gate, NOT id arithmetic: strided/block-allocated ids can all
+    // satisfy `id % rate == 0` and collect the whole corpus; the hash
+    // makes the kept fraction ~1/rate for ANY id distribution, so the
+    // driver sample stays O(maxSample) w.h.p.
     val sample = df
-      .where(pmod(col(idCol), lit(rate)) === 0)
+      .where(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
       .select(toDoubleVec(col(vecCol)))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample")
@@ -152,6 +156,10 @@ object Similarity {
     * no norm loop per centroid, and a zero vector (norm 0) degrades to
     * all-zero scores instead of NaN. */
   def ivfAssign(vecCol: Column, cents: Array[Array[Double]]): Column = {
+    require(cents.nonEmpty, "no centroids")
+    // greatest() requires >= 2 args — a single-centroid index trivially
+    // assigns cluster 0 instead of failing analysis
+    if (cents.length == 1) return lit(0)
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(
         dot(vecCol, litVec(c.toIndexedSeq)).as("score"),

@@ -12,7 +12,9 @@ object TextAnalysis {
 
   // --------------------------------------------------------------- tokens
 
-  def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
+  // the ONE corpus tokenizer — Dedup shares it, and several DuckDB
+  // oracles replay it bit-for-bit as regexp_split_to_array(trim, '\s+')
+  def tokens(textCol: Column): Column = graft.operators.Dedup.tokens(textCol)
 
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(tokens(textCol))

@@ -205,9 +205,7 @@ object EngineQueries {
 
   private def metricsDir(s: SparkSession, sfDir: String): String =
     metricsDirs.computeIfAbsent(sfDir, { dir =>
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_metrics_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      val out = Tables.tmpDirFor("graft_metrics", dir)
       Tables.load(s, dir, "events")
         .groupBy(
           (expr("ts div 1000000") - expr("ts div 1000000") % 60000L).as("ts"),

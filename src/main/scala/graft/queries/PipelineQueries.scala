@@ -456,9 +456,7 @@ object PipelineQueries {
 
   private def shardedExport(s: SparkSession, dir: String): String =
     shardDirs.computeIfAbsent(dir, { d =>
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_shards_${d.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      val out = graft.Tables.tmpDirFor("graft_shards", d)
       Sampling.globalShuffle(docs(s, d), "doc_id", numShards = 8,
           score = Sampling.mix32(col("doc_id")))
         .select(col("doc_id"), col("shard"), col("pos"))

@@ -24,9 +24,7 @@ object StreamingQueries {
 
   private[queries] def streamDir(s: SparkSession, sfDir: String): String =
     streamDirs.computeIfAbsent(sfDir, { dir =>
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      val out = Tables.tmpDirFor("graft_stream", dir)
       Tables.load(s, dir, "events")
         .repartitionByRange(4, col("event_id"))
         .write.mode("overwrite").parquet(out)
@@ -172,9 +170,7 @@ object StreamingQueries {
   private[graft] def rollupSegmentsBase(s: SparkSession, dir: String): String =
     segmentBases.computeIfAbsent(dir, { d =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_st4_${d.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      val base = Tables.tmpDirFor("graft_st4", d)
       // fresh run dir: the build is idempotent and its output deterministic
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val segDir = s"$base/segments"
@@ -220,12 +216,25 @@ object StreamingQueries {
           .start()
       }
       q.awaitTermination()
-      val segFiles = s.read.parquet(segDir)
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      val manifest = graft.sources.SegmentIndex
-        .build(s, segFiles, "ts", identity, Seq("event_type"),
-          mergeSchema = false)
+      // filesystem walk, not a data scan: listing the written part files
+      // needs no footer reads, and it is well-defined even when the
+      // watermark closed ZERO windows (a data-span < watermark fixture)
+      // where s.read.parquet(segDir) would fail schema inference
+      val segFiles = listParquet(new java.io.File(segDir)).sorted
+      val manifest =
+        if (segFiles.isEmpty)
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(
+              StructField("file", StringType),
+              StructField("row_count", LongType),
+              StructField("min_ts", LongType),
+              StructField("max_ts", LongType),
+              StructField("fingerprints",
+                ArrayType(LongType, containsNull = false)))))
+        else graft.sources.SegmentIndex
+          .build(s, segFiles, "ts", identity, Seq("event_type"),
+            mergeSchema = false)
       manifest.write.mode("overwrite").parquet(s"$base/manifest")
       base
     })
@@ -234,6 +243,7 @@ object StreamingQueries {
     val base = rollupSegmentsBase(s, dir)
     val listed = s.read.parquet(s"$base/manifest")
       .select("file").collect().map(_.getString(0)).toSeq
+    if (listed.isEmpty) return emptyRollup(s).orderBy("ts", "event_type")
     s.read.parquet(listed: _*)
       .select(col("ts"), col("event_type"), col("rollup_sum"),
         col("rollup_count"), col("rollup_min"), col("rollup_max"),
@@ -243,6 +253,27 @@ object StreamingQueries {
 
   private val rollupCols = Seq("ts", "event_type", "rollup_sum",
     "rollup_count", "rollup_min", "rollup_max", "rollup_avg")
+
+  private def listParquet(dir: java.io.File): Seq[String] = {
+    val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    fs.filter(_.isDirectory).flatMap(listParquet) ++
+      fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath)
+  }
+
+  /** Typed empty rollup frame — the legal answer when the watermark
+    * sealed no windows; schema matches the segment read exactly. */
+  private def emptyRollup(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("ts", LongType),
+        StructField("event_type", StringType),
+        StructField("rollup_sum", DoubleType),
+        StructField("rollup_count", DoubleType),
+        StructField("rollup_min", DoubleType),
+        StructField("rollup_max", DoubleType),
+        StructField("rollup_avg", DoubleType))))
 
   /** The reference's sealed/unsealed split as one union view: a query
     * worker answers from SEALED segments on disk plus the collector's
@@ -262,8 +293,9 @@ object StreamingQueries {
     val base = rollupSegmentsBase(s, dir)
     val listed = s.read.parquet(s"$base/manifest")
       .select("file").collect().map(_.getString(0)).toSeq
-    val sealedHalf = s.read.parquet(listed: _*)
-      .select(rollupCols.map(col): _*)
+    val sealedHalf =
+      if (listed.isEmpty) emptyRollup(s)
+      else s.read.parquet(listed: _*).select(rollupCols.map(col): _*)
     val liveHalf = s.read.format("statestore").load(s"$base/ckpt")
       .select(
         expr("unix_millis(key.window.start)").as("ts"),
@@ -330,12 +362,18 @@ object StreamingQueries {
   def st6_sketch_segments(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{SketchInteropFunctions => SI}
     val base = rollupSegmentsBase(s, dir)
+    // ONE DDSketch merge per group; count and p90 are scalar readers
+    // over the merged payload — two independent merge aggregates would
+    // deserialize and merge every segment sketch twice
     val merged = s.read.parquet(s"$base/segments")
       .groupBy(col("event_type"))
       .agg(
-        SI.ddProtoStatOf(SI.ddProtoMerge(col("sketch_dd")), "count").as("cnt_d"),
-        SI.ddProtoQuantileOf(SI.ddProtoMerge(col("sketch_dd")), lit(0.9)).as("p90"),
+        SI.ddProtoMerge(col("sketch_dd")).as("dd"),
         SI.dsHllEstimateOf(SI.dsHllUnion(col("sketch_hll"))).as("users_est"))
+      .select(col("event_type"),
+        SI.ddProtoStatOf(col("dd"), "count").as("cnt_d"),
+        SI.ddProtoQuantileOf(col("dd"), lit(0.9)).as("p90"),
+        col("users_est"))
     val ev = Tables.load(s, dir, "events")
       .select(expr("ts div 1000000").as("ms"), col("event_type"),
         col("value"), col("user_id"))
@@ -472,10 +510,7 @@ object StreamingQueries {
 
   private[queries] def docStreamDir(s: SparkSession, sfDir: String): String =
     docStreamDirs.computeIfAbsent(sfDir, { dir =>
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_docstream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-        .getAbsolutePath
+      val out = Tables.tmpDirFor("graft_docstream", dir)
       Tables.load(s, dir, "documents")
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(out)
