@@ -69,8 +69,9 @@ object ComputeCompiler {
     case LabelArg(name, dataType) =>
       dataType match {
         case DataTypes.NUMBER =>
-          val quoted = if (name.contains(".")) s"`$name`" else name
-          expr(s"try_cast($quoted as double)")
+          // the safe always-backtick form — a dot-only check let
+          // "x-request-id" parse as the subtraction x - request - id
+          FilterCompiler.tryCastDouble(name)
         case _ => FilterCompiler.fieldCol(name)
       }
     case LiteralArg(value, dataType) =>

@@ -30,7 +30,7 @@ object FilterCompiler {
   def fieldCol(name: String): Column =
     if (name.contains(".")) col(s"`$name`") else col(name)
 
-  private def tryCastDouble(name: String): Column = {
+  private[graft] def tryCastDouble(name: String): Column = {
     // ALWAYS backtick-quote (same hazard QueryEngine.chart escapes): an
     // unquoted "x-request-id" parses as the subtraction x - request - id
     val quoted = s"`${name.replace("`", "``")}`"

@@ -121,7 +121,10 @@ object Dedup {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 10): DataFrame = {
     require(spanTokens > 0, s"spanTokens $spanTokens must be positive")
-    val toks = tokens(col(textCol))
+    // null text behaves like empty text: posexplode over a null token
+    // array would emit no rows and the document would VANISH from the
+    // per-document output instead of coming back as (id, 1, ·, "")
+    val toks = tokens(coalesce(col(textCol), lit("")))
     val nSpans = floor((size(toks) + lit(spanTokens - 1)) / lit(spanTokens))
       .cast("int")
     val spans = df.select(col(idCol).as("id"),
@@ -234,6 +237,11 @@ object Dedup {
     * J >= 0.90). Deterministic end-to-end: fixed hash family, no RNG. */
   private def lshVerifiedPairs(withSets: DataFrame, numHashes: Int,
       bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    // bands > numHashes would give rowsPerBand = 0 (every band key
+    // collapses to the band index — one global bucket, capped, near-zero
+    // recall); a non-dividing pair silently ignores trailing hashes
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val withSig = withSets.select(col("id"),
       minhashSignature(col("set"), numHashes).as("sig"))
@@ -345,15 +353,28 @@ object Dedup {
     call_function("shiftright", e, bits)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding
-    * on the four 16-bit chunks: any pair within distance 3 agrees on at
-    * least one chunk (pigeonhole). */
+    * on maxHamming+1 disjoint bit chunks of the 64-bit hash: a pair
+    * within distance maxHamming has fewer differing bits than chunks, so
+    * it agrees on at least one chunk (pigeonhole) — FULL recall at the
+    * requested radius, not just at 3 (the fixed 4x16 layout silently
+    * missed pairs at distance 4..maxHamming whose flips spread over all
+    * four chunks). maxHamming=3 reproduces the classic 4x16 banding. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming $maxHamming out of range (banding needs maxHamming+1 " +
+        "chunks of >= 2 bits each)")
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val lastWidth = 64 - chunkBits * (nChunks - 1)
+    val stdMask = (1L << chunkBits) - 1
+    val lastMask = if (lastWidth == 64) -1L else (1L << lastWidth) - 1
     val withSim = df.select(col(idCol).as("id"),
       simhash(tokens(col(textCol))).as("sh"))
     val banded = withSim.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(3)),
-          b => shiftright_dyn(col("sh"), b * 16).bitwiseAND(65535L)))
+        transform(sequence(lit(0), lit(nChunks - 1)),
+          b => shiftright_dyn(col("sh"), b * chunkBits).bitwiseAND(
+            when(b === nChunks - 1, lit(lastMask)).otherwise(lit(stdMask)))))
       .as(Seq("band", "band_key")))
     val pairs = bucketPairs(banded, maxBucket)
     val simA = withSim.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -577,8 +598,11 @@ object Dedup {
         count(lit(1))).collect()(0)
       (BigDecimal(r.getDecimal(0)), r.getLong(1))
     }
+    // native id type throughout (string/UUID ids order lexicographically
+    // — any total order serves the star algorithms); a long cast would
+    // throw under ANSI or null every edge out silently
     var edges = pairs
-      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .select(col("id_a").as("a"), col("id_b").as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
@@ -628,8 +652,8 @@ object Dedup {
       .withColumn("cluster", col("id"))
     val labeled = members.union(roots)
     val selfOnly = pairs
-      .select(col("id_a").cast("long").as("id"))
-      .union(pairs.select(col("id_b").cast("long").as("id")))
+      .select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
       .distinct()
       .join(labeled.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))

@@ -47,9 +47,14 @@ final class ManifestFileIndex(
     manifest: Seq[ManifestFileIndex.Segment],
     tsCol: String,
     tsToMillis: Long => Long,
-    indexed: Set[String],
-    override val partitionSchema: StructType = new StructType())
+    indexed: Set[String])
     extends FileIndex {
+
+  // listFiles always returns InternalRow.empty partition values, so a
+  // non-empty partition schema would make FileSourceScanExec read
+  // partition columns out of a zero-field row — this index models a flat
+  // (manifest-pruned) file set by construction
+  override val partitionSchema: StructType = new StructType()
 
   import ManifestFileIndex._
 
@@ -152,7 +157,11 @@ final class ManifestFileIndex(
   }
 
   private def hasTrigrams(seg: Segment, c: String, v: String): Boolean =
-    SegmentIndex.valueFingerprints(c, v) match {
+    // prune only when the manifest proves this column was fingerprinted
+    // at build time — a query-time `indexed` set wider than the
+    // build-time one must degrade to scan, not prune everything
+    if (!seg.fingerprints.contains(SegmentIndex.columnMarker(c))) true
+    else SegmentIndex.valueFingerprints(c, v) match {
       case Some(fps) => fps.forall(seg.fingerprints.contains)
       case None => true // value too short to index -> cannot exclude
     }

@@ -32,15 +32,34 @@ import graft.ast._
   */
 object SegmentIndex {
 
+  /** Marker fingerprint recording "column c WAS fingerprinted when this
+    * manifest was built". Pruning on column c is sound only when this
+    * marker is present: a query-time `indexed` set wider than the
+    * build-time one would otherwise find none of a value's trigrams in
+    * the segment set and prune EVERYTHING — silently empty results over
+    * data that matches. The 14-char marker input cannot collide with a
+    * real 3-char trigram input. */
+  private[graft] def columnMarker(c: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString("\u0000fingerprinted"),
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(c),
+        org.apache.spark.sql.types.StringType, 42L))
+
   /** Hash of one (column, trigram) pair. The column name is bound into the
     * hash so `a contains "foo"` can't match a segment that only has
-    * "foo" under column b. Null values → empty set. */
+    * "foo" under column b. Null values → the marker alone (the column is
+    * still fingerprinted; it just carries no trigrams in that row). */
   private def fingerprintCol(c: String): Column =
-    coalesce(
-      transform(
-        graft.operators.Dedup.charNgrams(lower(col(s"`$c`")), 3),
-        g => xxhash64(lit(c), g)),
-      array().cast("array<bigint>"))
+    concat(
+      array(lit(columnMarker(c))),
+      coalesce(
+        transform(
+          graft.operators.Dedup.charNgrams(lower(col(s"`$c`")), 3),
+          g => xxhash64(lit(c), g)),
+        array().cast("array<bigint>")))
 
   /** Build the manifest for a set of segment files. Two column-pruned
     * scans of (tsCol + indexed columns) — NOT one pass: the bounds and
@@ -305,12 +324,20 @@ object SegmentIndex {
     case TriReq.Free => lit(true)
     case TriReq.Lit(s) => valueFingerprints(k, s) match {
       case Some(fps) if fps.nonEmpty =>
-        fps.map(fp => array_contains(col("fingerprints"), fp)).reduce(_ && _)
+        guarded(k,
+          fps.map(fp => array_contains(col("fingerprints"), fp))
+            .reduce(_ && _))
       case _ => lit(true)
     }
     case TriReq.All(xs) => xs.map(reqColumn(k, _)).reduce(_ && _)
     case TriReq.AnyOf(xs) => xs.map(reqColumn(k, _)).reduce(_ || _)
   }
+
+  /** Trigram pruning applies only to segments whose manifest proves the
+    * column was fingerprinted at build time (see [[columnMarker]]);
+    * otherwise keep the segment. */
+  private def guarded(k: String, prune: Column): Column =
+    !array_contains(col("fingerprints"), columnMarker(k)) || prune
 
   /** Candidate predicate over the manifest for one clause; `lit(true)`
     * where the index can't help (sound: never prunes a matching segment).
@@ -322,8 +349,9 @@ object SegmentIndex {
           vs.headOption.flatMap(valueFingerprints(k, _)) match {
             case Some(fps) =>
               // ALL trigrams of the value must be present
-              fps.map(fp => array_contains(col("fingerprints"), fp))
-                .reduce(_ && _)
+              guarded(k,
+                fps.map(fp => array_contains(col("fingerprints"), fp))
+                  .reduce(_ && _))
             case None => lit(true)
           }
         case Ops.REGEX | Ops.CONTAINS =>
@@ -338,8 +366,9 @@ object SegmentIndex {
           // any of the values may match → union of per-value candidates
           val per = vs.map(v => valueFingerprints(k, v) match {
             case Some(fps) =>
-              fps.map(fp => array_contains(col("fingerprints"), fp))
-                .reduce(_ && _)
+              guarded(k,
+                fps.map(fp => array_contains(col("fingerprints"), fp))
+                  .reduce(_ && _))
             case None => lit(true)
           })
           if (per.isEmpty) lit(true) else per.reduce(_ || _)

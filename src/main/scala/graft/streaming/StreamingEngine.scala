@@ -45,18 +45,14 @@ object StreamingEngine {
       .withWatermark(tsCol, delay)
       .groupBy((window(col(tsCol), s"$stepMs milliseconds") ::
         groupBys.map(col).toList): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.headOption.getOrElse(throw new IllegalArgumentException(
+        "windowedAgg requires at least one aggregation")), aggs.tail: _*)
     // expose the bucket as epoch-millis step_ts, like the batch chart path
     windowed.withColumn("step_ts",
         expr("unix_millis(window.start)"))
       .drop("window")
   }
 
-  /** Run a streaming query over a static parquet directory to completion
-    * (Trigger.AvailableNow) and return the materialized result — used by
-    * the verification harness to oracle-check streaming plans against the
-    * same SQL as their batch twins. maxFilesPerTrigger forces multiple
-    * micro-batches so incremental state actually exercises. */
   /** Drain a bounded file-stream plan into a memory sink and return the
     * result table. `outputMode` defaults to append — note that under
     * append a WATERMARKED windowed aggregation emits a window only once

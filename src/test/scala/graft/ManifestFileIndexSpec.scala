@@ -75,6 +75,20 @@ class ManifestFileIndexSpec extends AnyFunSuite {
     assert(and.isEmpty, and) // alpha is entirely before 1500ms
   }
 
+  test("a column never fingerprinted at build time cannot prune") {
+    // query-time indexed set wider than build-time: the manifest carries
+    // no marker for "value", so equality on it must keep every segment —
+    // pruning would find zero of the literal's trigrams and drop ALL
+    val widened = new ManifestFileIndex(spark,
+      ManifestFileIndex.segmentsOf(manifest), "ts", _ / 1000000L,
+      Set("service", "value"))
+    val attr = relation().queryExecution.analyzed.output
+      .find(_.name == "value").get
+    val kept = widened.listFiles(Nil,
+      Seq(EqualTo(attr, Literal("somevalue")))).head.files
+    assert(kept.length == 3, s"unfingerprinted column pruned: ${kept.length}")
+  }
+
   test("unrecognized predicates never prune (soundness fallback)") {
     val files = prunedFiles(
       org.apache.spark.sql.catalyst.expressions.GreaterThan(
