@@ -60,6 +60,9 @@ final class DDSketchBuffer(val alpha: Double) extends Serializable {
   /** Quantile by rank walk: negatives (descending magnitude), zeros,
     * positives (ascending bucket). */
   def quantile(q: Double): Double = {
+    // an out-of-range q would silently clamp — q>1 walks off the end and
+    // returns the max bucket, masking the caller's bug
+    require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0, 1]")
     if (count == 0) return Double.NaN
     val rank = math.max(math.ceil(q * count).toLong, 1L)
     var seen = 0L
@@ -129,6 +132,9 @@ case class DDSketchQuantile(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[DDSketchBuffer] {
 
+  require(quantile >= 0.0 && quantile <= 1.0,
+    s"quantile $quantile out of [0, 1]")
+
   override def children: Seq[Expression] = Seq(child)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -192,6 +198,16 @@ case class DDSketchAgg(
     extends TypedImperativeAggregate[DDSketchBuffer] {
 
   override def children: Seq[Expression] = Seq(child)
+
+  // same numeric gate as DDSketchQuantile: without it a string column
+  // passes analysis and every task dies in update's type match
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType | LongType | IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ddsketch requires a numeric input, got ${t.sql}")
+  }
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -239,6 +255,9 @@ case class DDSketchQuantileOf(left: Expression, right: Expression)
     with ComputeBinaryCodegen {
 
   override def dataType: DataType = DoubleType
+  // null for an empty sketch even over non-nullable children — the
+  // codegen trait only emits the null-result branch when nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -247,9 +266,12 @@ case class DDSketchQuantileOf(left: Expression, right: Expression)
         s"ddsketch_quantile_of requires (binary, double), got ${l.sql}, ${r.sql}")
     }
 
-  override def compute(sketch: Any, q: Any): Any =
-    DDSketchBuffer.deserialize(sketch.asInstanceOf[Array[Byte]])
-      .quantile(q.asInstanceOf[Double])
+  override def compute(sketch: Any, q: Any): Any = {
+    val b = DDSketchBuffer.deserialize(sketch.asInstanceOf[Array[Byte]])
+    // empty sketch → null, matching the aggregate's convention — a NaN
+    // would rank ABOVE every real value in orderBy/max
+    if (b.count == 0) null else b.quantile(q.asInstanceOf[Double])
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DDSketchQuantileOf =

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   * aggregate exists for sketch-column persistence and running unions.
   */
 final class HllBuffer(val lgK: Int) extends Serializable {
+  // lower bound: the bias constant below assumes m >= 128; upper bound:
+  // keeps the register array sane and the idx shift meaningful (Scala
+  // shifts wrap mod 32 — an unchecked lgK=32 would give m = 1)
+  require(lgK >= 7 && lgK <= 26, s"lgK $lgK out of range [7, 26]")
   val m: Int = 1 << lgK
   val registers = new Array[Byte](m)
 
@@ -69,7 +73,17 @@ final class HllBuffer(val lgK: Int) extends Serializable {
 
 object HllBuffer {
   def deserialize(bytes: Array[Byte]): HllBuffer = {
-    val b = new HllBuffer(bytes(0).toInt)
+    // a foreign/corrupt payload must fail loudly, not produce a
+    // confident estimate from garbage registers: the header byte must be
+    // a legal lgK AND the length must match exactly
+    require(bytes != null && bytes.length >= 1,
+      "malformed HLL payload: empty")
+    val lgK = bytes(0).toInt
+    require(lgK >= 7 && lgK <= 26,
+      s"malformed HLL payload: header lgK $lgK out of range")
+    require(bytes.length == 1 + (1 << lgK),
+      s"malformed HLL payload: ${bytes.length} bytes for lgK $lgK")
+    val b = new HllBuffer(lgK)
     System.arraycopy(bytes, 1, b.registers, 0, b.m)
     b
   }

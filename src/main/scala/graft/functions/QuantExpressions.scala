@@ -60,6 +60,12 @@ case class Int8Quantize(child: Expression)
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      // a null element would NPE on the generic path or silently read
+      // as 0.0 on the unsafe path — same guard as the sibling
+      // array expressions (TokenStats/MinHash/SimHash)
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$prettyName: embedding has a null element at index $i")
       val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val ax = math.abs(x)
       if (ax > maxAbs) maxAbs = ax

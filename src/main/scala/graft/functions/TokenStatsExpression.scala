@@ -32,6 +32,12 @@ object TokenStatsExpression {
 case class TokenStats(child: Expression, profiles: Seq[Seq[String]])
     extends UnaryExpression with ComputeUnaryCodegen with StringArrayInput {
 
+  // tokens are matched LOWERCASED, so profile words must be lowercase
+  // too — normalize once at construction rather than trusting every
+  // caller (a profile containing "The" would silently never hit)
+  @transient private lazy val lowerProfiles: Seq[Seq[String]] =
+    profiles.map(_.map(_.toLowerCase))
+
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("char_sum", LongType, nullable = false),
@@ -64,10 +70,10 @@ case class TokenStats(child: Expression, profiles: Seq[Seq[String]])
       }
       i += 1
     }
-    val hits = new Array[Any](profiles.length)
+    val hits = new Array[Any](lowerProfiles.length)
     var p = 0
-    while (p < profiles.length) {
-      hits(p) = profiles(p).count(seenLower.contains).toLong
+    while (p < lowerProfiles.length) {
+      hits(p) = lowerProfiles(p).count(seenLower.contains).toLong
       p += 1
     }
     new GenericInternalRow(Array[Any](

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *    reducer. Two-phase: salt the key with `pmod(hash(random-ish), n)`
   *    derived from a row-local column (deterministic — no rand(), so
   *    retries/speculation recompute identical results), partially
-  *    aggregate per (key, salt), then finish per key. Works for any
-  *    algebraic aggregate.
+  *    aggregate per (key, salt), then finish per key. This helper
+  *    implements the sum/count pair (avg = sum/count at the caller);
+  *    the two-phase pattern generalizes to any algebraic aggregate with
+  *    a (partial, finish) decomposition — min/max/sum-of-squares follow
+  *    the same shape.
   *  - `saltedJoin`: a fact-side hot key joined against a dimension too
   *    big to broadcast. Fact rows get a deterministic salt in [0, n);
   *    the dimension is replicated n ways (explode over the salt range);
