@@ -61,9 +61,14 @@ object AstJson {
       compute = obj(node, "compute").map(parseCompute),
       chart = obj(node, "chart").map(parseChart),
       order = str(node, "order").getOrElse("DESC"),
-      limit = Option(node.get("limit")).map(_.intValue()).getOrElse(1000),
+      // a JSON null or textual value must fall back to the default, not
+      // decode as 0 (NullNode/TextNode.intValue() == 0 → a silent
+      // zero-row limit)
+      limit = Option(node.get("limit")).filter(_.isNumber)
+        .map(_.intValue()).getOrElse(1000),
       metricType = str(node, "metricType").getOrElse("gauge"),
-      returnResults = Option(node.get("returnResults")).forall(_.booleanValue())
+      returnResults = Option(node.get("returnResults")).filter(_.isBoolean)
+        .forall(_.booleanValue())
     )
   }
 
@@ -81,8 +86,13 @@ object AstJson {
       throw new IllegalArgumentException("No `k` provided in filter!"))
     val op = str(node, "op").getOrElse(
       throw new IllegalArgumentException("No op provided for filter!"))
-    val v = Option(node.get("v"))
-      .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil)
+    // a scalar v decodes as a one-element list (elements() on a scalar
+    // node is empty — it would otherwise become Nil and the error below
+    // would claim no value was provided when one clearly was)
+    val v = Option(node.get("v")).filterNot(_.isNull).map { n =>
+      if (n.isArray) n.elements().asScala.map(_.asText()).toList
+      else List(n.asText())
+    }.getOrElse(Nil)
     if (v.isEmpty && op != Ops.EXISTS && op != Ops.HAS)
       throw new IllegalArgumentException(s"No value for key = $k provided in filter!")
     Filter(
@@ -106,10 +116,14 @@ object AstJson {
 
   private def parseExtractor(node: JsonNode): Extractor =
     Extractor(
-      regex = node.get("regex").textValue(),
-      fields = node.get("fields").elements().asScala.map { f =>
-        ExtractedField(f.get("name").textValue(), f.get("type").textValue())
-      }.toList
+      regex = reqText(node, "regex", "extractor"),
+      fields = Option(node.get("fields")).filter(_.isArray).getOrElse(
+        throw new IllegalArgumentException(
+          s"extractor without a fields array: $node"))
+        .elements().asScala.map { f =>
+          ExtractedField(reqText(f, "name", "extracted field"),
+            reqText(f, "type", "extracted field"))
+        }.toList
     )
 
   private def parseChart(node: JsonNode): ChartOptions =
@@ -125,8 +139,10 @@ object AstJson {
 
   private def parseCompute(node: JsonNode): Compute =
     Compute(
-      labelName = node.get("labelName").textValue(),
-      functionCall = parseFunctionCall(node.get("functionCall"))
+      labelName = reqText(node, "labelName", "compute"),
+      functionCall = parseFunctionCall(Option(node.get("functionCall"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"compute without a functionCall: $node")))
     )
 
   def parseFunctionCall(node: JsonNode): FunctionCall = {
@@ -135,13 +151,13 @@ object AstJson {
     val args = Option(node.get("arguments")).orElse(Option(node.get("args")))
       .map(_.elements().asScala.map(parseComputeArg).toList)
       .getOrElse(Nil)
-    FunctionCall(node.get("name").textValue(), args)
+    FunctionCall(reqText(node, "name", "functionCall"), args)
   }
 
   private def parseComputeArg(node: JsonNode): ComputeArg =
     str(node, "type").getOrElse("literal") match {
       case "label" =>
-        LabelArg(node.get("name").textValue(),
+        LabelArg(reqText(node, "name", "label compute arg"),
           str(node, "dataType").getOrElse(DataTypes.STRING))
       case "functionCall" =>
         parseFunctionCall(if (node.has("functionCall")) node.get("functionCall") else node)
@@ -156,6 +172,12 @@ object AstJson {
 
   private def str(node: JsonNode, field: String): Option[String] =
     Option(node.get(field)).filter(n => n.isTextual).map(_.textValue())
+
+  /** Required textual field — a decode error naming the key, never an
+    * NPE (the file-wide convention). */
+  private def reqText(node: JsonNode, field: String, what: String): String =
+    str(node, field).getOrElse(throw new IllegalArgumentException(
+      s"$what without a `$field`: $node"))
 
   private def obj(node: JsonNode, field: String): Option[JsonNode] =
     Option(node.get(field)).filterNot(_.isNull)

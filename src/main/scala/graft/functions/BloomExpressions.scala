@@ -48,6 +48,18 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 
   override def prettyName: String = "graft_bloom_might_contain"
 
+  // content-based equality over the byte payload: Array[Byte] compares
+  // by reference in a case class, which would defeat expression
+  // canonicalization (semanticEquals, common-subexpression elimination,
+  // plan/exchange reuse) for byte-identical filters from separate reads
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContainLong =>
+      child == o.child && java.util.Arrays.equals(filterBytes, o.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   override protected def withNewChildInternal(newChild: Expression)
       : BloomMightContainLong = copy(child = newChild)
 }

@@ -28,7 +28,23 @@ case class RegexExtractStruct(child: Expression, regex: String,
     extends UnaryExpression with ComputeUnaryCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      // validate the pattern and its group count at ANALYSIS time —
+      // Spark's own regexp_extract validates the group index; without
+      // this a short pattern fails per-row on executors instead
+      try {
+        val p = java.util.regex.Pattern.compile(regex)
+        val groups = p.matcher("").groupCount()
+        if (groups < fields.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: regex has $groups capture group(s) but " +
+              s"${fields.length} field(s) were requested")
+        else TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: invalid regex: ${e.getMessage}")
+      }
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string input, got ${t.sql}")
   }
@@ -48,9 +64,11 @@ case class RegexExtractStruct(child: Expression, regex: String,
       var i = 0
       while (i < fields.length) {
         val g = m.group(i + 1)
-        // unmatched optional group → "" (regexp_extract's convention, so
-        // swapping the per-field formulation for this one is value-neutral)
-        out(i) = if (g == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(g)
+        // unmatched optional group → NULL field (the class contract):
+        // "" would crash a downstream numeric cast under ANSI and count
+        // as existing for IS NOT NULL filters — regexp_extract's ""
+        // convention is the wrong default for typed extraction
+        out(i) = if (g == null) null else UTF8String.fromString(g)
         i += 1
       }
       new GenericInternalRow(out)

@@ -51,7 +51,10 @@ object TimeRange {
         if (op == "-") base.minus(d) else base.plus(d)
       case NamedDate(r) => refVar(r, now, ref)
       case UnixDate(d) =>
-        val v = d.toLong
+        val v =
+          try d.toLong
+          catch { case ex: NumberFormatException =>
+            throw new IllegalArgumentException(s"invalid date $d", ex) }
         // values beyond Int.MaxValue are taken as epoch millis
         if (v > Int.MaxValue) Instant.ofEpochMilli(v)
         else Instant.ofEpochSecond(v)
@@ -82,7 +85,10 @@ object TimeRange {
 
   def parseDuration(str: String): Duration = str match {
     case AtPeriod(n, unit) =>
-      val v = n.toInt
+      val v =
+        try n.toInt
+        catch { case ex: NumberFormatException =>
+          throw new IllegalArgumentException(s"invalid period $str", ex) }
       unit match {
         case "seconds" | "second" | "s" => Duration.ofSeconds(v)
         case "minutes" | "minute" | "min" | "m" => Duration.ofMinutes(v)
@@ -93,7 +99,13 @@ object TimeRange {
         case "years" | "year" | "y" => Duration.ofDays(v * 365L)
         case other => throw new IllegalArgumentException(s"unknown unit $other")
       }
-    case iso if iso.startsWith("P") || iso.startsWith("PT") => Duration.parse(iso)
+    case iso if iso.startsWith("P") =>
+      // Duration.parse rejects week/month designators ("P1W"/"P1M") —
+      // keep the error contract uniform rather than leaking the raw
+      // DateTimeParseException (use "1w"/"1months" for those units)
+      try Duration.parse(iso)
+      catch { case ex: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"invalid period $iso", ex) }
     case other => throw new IllegalArgumentException(s"invalid period $other")
   }
 

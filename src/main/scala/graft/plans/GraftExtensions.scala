@@ -40,14 +40,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  private def str(e: Expression): String =
-    e.asInstanceOf[Literal].value.toString
+  /** Evaluate a parameter argument that must be a compile-time constant
+    * — any foldable expression qualifies (0.5 + 0.45 included), and a
+    * column reference gets a proper analysis-style error instead of a
+    * ClassCastException. */
+  private def const(e: Expression, what: String): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$what must be a constant, got: ${e.sql}")
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(s"$what must not be null")
+    v
+  }
 
-  private def int(e: Expression): Int =
-    e.asInstanceOf[Literal].value.toString.toInt
+  private def str(e: Expression): String = const(e, "argument").toString
+
+  private def int(e: Expression): Int = const(e, "argument").toString.toInt
 
   private def dbl(e: Expression): Double =
-    e.asInstanceOf[Literal].value.toString.toDouble
+    const(e, "argument").toString.toDouble
 
   val functions: Seq[(String, (ExpressionInfo, FunctionBuilder))] = Seq(
     "graft_minhash" -> ((
