@@ -726,7 +726,8 @@ object Dedup {
     * pairs are deduplicated across tables before emission. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, lshBits: Int = 0,
-      lshDim: Int = 64, lshTables: Int = 1): DataFrame = {
+      lshDim: Int = 64, lshTables: Int = 1,
+      maxExactRows: Long = 1000000L): DataFrame = {
     require(lshTables >= 1, "lshTables must be >= 1")
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).as("v"))
@@ -754,7 +755,16 @@ object Dedup {
       } else {
         // exact all-pairs: a hash join on a constant block key would land
         // every row in one partition and run the N² loop on one core —
-        // broadcast one side and spread the probe side instead
+        // broadcast one side and spread the probe side instead. LOUD size
+        // gate (one tiny count, like RangeJoin's fan-out cap): this twin
+        // exists as the oracle for the LSH path and must not be invocable
+        // on a real corpus by accident — O(N²) compare + full broadcast.
+        val n = vecs.count()
+        require(n <= maxExactRows,
+          s"embeddingNearDuplicates with lshBits=0 is exact all-pairs " +
+            s"(O(N²), one side broadcast) and is capped at $maxExactRows " +
+            s"rows; got $n. Set lshBits/lshTables for the LSH-blocked " +
+            "scale path, or raise maxExactRows deliberately.")
         val parts = df.sparkSession.sessionState.conf.numShufflePartitions
         vecs.select(col("id").as("id_a"), col("v").as("v_a"))
           .repartition(parts, col("id_a"))

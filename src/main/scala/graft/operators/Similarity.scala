@@ -219,8 +219,17 @@ object Similarity {
     * fits a broadcast (≲ 1M vectors); beyond that, [[knnGraph]]
     * (LSH-blocked) is the approximate scale path. */
   def knnGraphExact(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxExactRows: Long = 1000000L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // LOUD size gate (one tiny count, like RangeJoin's fan-out cap):
+    // the exact twin is the oracle for [[knnGraph]] and must not be
+    // invocable on a real corpus by accident — O(N²) scoring against a
+    // full-corpus broadcast.
+    val n = vecs.count()
+    require(n <= maxExactRows,
+      s"knnGraphExact is O(N²) with a full-corpus broadcast and is " +
+        s"capped at $maxExactRows rows; got $n. Use knnGraph (LSH-" +
+        "blocked) at scale, or raise maxExactRows deliberately.")
     val right = broadcast(
       vecs.select(col("id").as("id_b"), col("v").as("v_b")))
     // the probe side carries ALL the O(N²) scoring work — spread it

@@ -47,10 +47,33 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
-  // SimHash near-dup pairs (rows-only)
-  def d3_simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDuplicates(docs(s, dir), "doc_id", "text", maxHamming = 3)
+  // SimHash near-dup pairs, self-gated with planted known answers so the
+  // whole tokenize → simhash → pigeonhole-band → bucket-join → verify
+  // path is oracle-checkable. Each doc_id < 25 gets TWO planted twins:
+  //   +100000: the identical text        → same token multiset → hamming 0
+  //   +200000: text || ' ' || text       → every token count doubled; a
+  //            64-bit SimHash bit is sign(sum of per-token ±1 weights),
+  //            and doubling all counts scales every sum by 2, which
+  //            preserves its sign class — so hamming 0 PROVABLY, on a
+  //            document that is NOT byte-identical (this distinguishes a
+  //            real content simhash from a text-equality hash).
+  // The pigeonhole banding has full recall at hamming <= maxHamming, so
+  // all 3 pairs per family MUST surface. Output restricts to same-family
+  // pairs (ids congruent mod 100000 — organic ids are < 100000 and can
+  // never differ by a multiple of it), giving the analytic 75-row oracle:
+  // {(i, i+1e5, 0), (i, i+2e5, 0), (i+1e5, i+2e5, 0) | i < 25}. Organic
+  // pair determinism stays asserted in DedupSpec.
+  def d3_simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val base = d.where(col("doc_id") < 25)
+    val fam1 = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val fam2 = base.select((col("doc_id") + 200000L).as("doc_id"),
+      concat(col("text"), lit(" "), col("text")).as("text"))
+    Dedup.simhashNearDuplicates(d.union(fam1).union(fam2),
+        "doc_id", "text", maxHamming = 3)
+      .where(pmod(col("id_a"), lit(100000L)) === pmod(col("id_b"), lit(100000L)))
       .orderBy("id_a", "id_b")
+  }
 
   // exact n-gram Jaccard near-dup pairs over the WHOLE table: LSH-banded
   // candidate generation + exact jaccardSorted verification — no blocking
@@ -546,18 +569,33 @@ object PipelineQueries {
         col("quality"))
       .orderBy("doc_id")
 
-  // fingerprint sketches, scalarized for output (rows-only: xxhash64 is
-  // not reproducible in DuckDB; determinism asserted in TextAnalysisSpec)
-  def t2_fingerprint(s: SparkSession, dir: String): DataFrame =
+  // fingerprint sketches, oracle-checked STRUCTURALLY: DuckDB cannot
+  // reproduce xxhash64 values, but it can reproduce what the hashes are
+  // FOR. Per doc we emit the content_hash group's size, canonical (min)
+  // id, and the number of distinct winnowing fingerprints inside the
+  // group; the oracle computes the same three numbers grouped on raw
+  // `text`. Equality holds iff (a) content_hash is deterministic and
+  // injective on the corpus — a merge of two texts or a split of one
+  // changes a group size — and (b) the fingerprint is a pure function of
+  // the text (one distinct fingerprint per content group). Fingerprint
+  // injectivity is NOT claimed: winnowing intentionally collides on
+  // near-dups. Raw hex determinism stays asserted in TextAnalysisSpec.
+  def t2_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
     TextAnalysis.profile(docs(s, dir), "doc_id", "text")
-      .select(col("doc_id"),
-        hex(col("content_hash")).as("content_hash_hex"),
+      .select(col("doc_id"), col("content_hash"),
         // explicit per-element hex: a transform() lambda here would be
         // CodegenFallback and drop the whole projection out of codegen
         concat_ws("-", (1 to 4).map(i =>
           hex(element_at(col("fingerprint"), i))): _*)
-          .as("fingerprint_hex"))
+          .as("fp_hex"))
+      .select(col("doc_id"),
+        count(lit(1)).over(wH).as("hash_group_size"),
+        min("doc_id").over(wH).as("hash_canonical_id"),
+        size(collect_set(col("fp_hex")).over(wH)).cast("long")
+          .as("n_fp_in_group"))
       .orderBy("doc_id")
+  }
 
   // quality-filter pass rate per source — the curation aggregate
   def t3_quality_by_source(s: SparkSession, dir: String): DataFrame =
@@ -881,6 +919,29 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "t7_pii_redact" -> t7OracleSql,
+    // d3: planted families only — see d3_simhash for the hamming-0 proof.
+    // 25 families x 3 pairs, all analytic; organic ids never satisfy the
+    // mod-100000 congruence filter.
+    "d3_simhash" ->
+      """SELECT id_a, id_b, hamming FROM (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |    CAST(0 AS INTEGER) AS hamming FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 200000, CAST(0 AS INTEGER)
+        |  FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id + 200000, CAST(0 AS INTEGER)
+        |  FROM documents WHERE doc_id < 25
+        |) ORDER BY id_a, id_b""".stripMargin,
+    // t2_fingerprint: hash-group structure replayed by grouping on the
+    // raw text — equal iff content_hash is deterministic+injective on
+    // the corpus and the fingerprint is a pure function of the text.
+    "t2_fingerprint" ->
+      """SELECT doc_id,
+        |  count(*) OVER (PARTITION BY text) AS hash_group_size,
+        |  min(doc_id) OVER (PARTITION BY text) AS hash_canonical_id,
+        |  CAST(1 AS BIGINT) AS n_fp_in_group
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

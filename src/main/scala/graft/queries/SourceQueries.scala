@@ -33,12 +33,25 @@ object SourceQueries {
         ts => expr("ts div 1000000"), Seq("event_type")).cache()
     })
 
+  /** Pruning every file is a valid empty RESULT, not a schema-less one:
+    * downstream select/where and the oracle schema compare still need the
+    * entry's declared output shape. Spec `(name, ddlType)*`, e.g.
+    * `typedEmpty(s, "event_id" -> "bigint", "n" -> "bigint")`. */
+  private def typedEmpty(s: SparkSession, cols: (String, String)*): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DataType.fromDDL(t))
+      }))
+
   /** S4+U2: trigram-pruned scan, then the full filter. */
   def s4_pruned_scan(s: SparkSession, dir: String): DataFrame = {
     val clause = Filter("event_type", List("click"), Ops.EQ)
     val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
         Set("event_type"), Long.MinValue, Long.MaxValue)
-      .getOrElse(return s.emptyDataFrame)
+      .getOrElse(return typedEmpty(s, "event_id" -> "bigint",
+        "user_id" -> "bigint", "value" -> "double"))
     df.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy("event_id")
@@ -50,7 +63,8 @@ object SourceQueries {
     val end = java.time.Instant.parse("2024-01-12T00:00:00Z").toEpochMilli
     val df = SegmentIndex.scan(s, manifest(s, dir), None,
         Set("event_type"), start, end)
-      .getOrElse(return s.emptyDataFrame)
+      .getOrElse(return typedEmpty(s, "event_type" -> "string",
+        "n" -> "bigint"))
     df.where(expr("ts div 1000000") >= start && expr("ts div 1000000") < end)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -64,7 +78,8 @@ object SourceQueries {
     val clause = Filter("event_type", List("pur.has[a-e]+"), Ops.REGEX)
     val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
         Set("event_type"), Long.MinValue, Long.MaxValue)
-      .getOrElse(return s.emptyDataFrame)
+      .getOrElse(return typedEmpty(s, "event_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double"))
     df.where(col("event_type").rlike("(?i)pur.has[a-e]+"))
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy("event_id")
@@ -78,7 +93,8 @@ object SourceQueries {
     val clause = Filter("event_type", List("(purchase|signup)"), Ops.REGEX)
     val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
         Set("event_type"), Long.MinValue, Long.MaxValue)
-      .getOrElse(return s.emptyDataFrame)
+      .getOrElse(return typedEmpty(s, "event_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double"))
     df.where(col("event_type").rlike("(?i)(purchase|signup)"))
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy("event_id")
@@ -161,18 +177,10 @@ object SourceQueries {
     * table (file-skipping itself is proven in SegmentIndexSpec). */
   def s15_docs_grep(s: SparkSession, dir: String): DataFrame = {
     val clause = Filter("text", List("vector"), Ops.CONTAINS)
-    // Pruning every file is a valid empty RESULT, not a schema-less one:
-    // downstream select/compare still needs the (doc_id, source) shape.
-    val emptyTyped = s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType))))
     val df = SegmentIndex.scan(s, docManifest(s, dir), Some(clause),
         Set("text"), Long.MinValue, Long.MaxValue)
-      .getOrElse(return emptyTyped)
+      .getOrElse(return typedEmpty(s, "doc_id" -> "bigint",
+        "source" -> "string"))
     df.where(col("text").rlike("(?i).*vector.*"))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")

@@ -217,6 +217,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(g((3L, 1)) == 2L)
   }
 
+  test("exact twins refuse oversized inputs loudly (scale guard)") {
+    val eNd = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+        threshold = 0.95, maxExactRows = 3L).collect()
+    }
+    assert(eNd.getMessage.contains("all-pairs"))
+    val eKnn = intercept[IllegalArgumentException] {
+      Similarity.knnGraphExact(vecs, "vec_id", "embedding", k = 2,
+        maxExactRows = 3L).collect()
+    }
+    assert(eKnn.getMessage.contains("knnGraph"))
+  }
+
   test("embedding near-dup pairs") {
     val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
         threshold = 0.95)

@@ -195,6 +195,47 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(SegmentIndex.requiredTrigrams("(foo|)bar") == Lit("bar"))
   }
 
+  test("prune-to-zero-files returns a TYPED empty frame from every entry") {
+    // A corpus whose segments can never match the entries' predicates:
+    // no trigram of "click"/"pur"/"has"/"purchase"/"signup" in any
+    // event_type, every ts outside s3's 2024-01-10..12 window, and no
+    // trigram of "vector" in any document text. Each SourceQueries entry
+    // must come back EMPTY but with its declared schema — a schema-less
+    // emptyDataFrame would break downstream select/where and the oracle
+    // schema compare.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zero_sf").toString
+    val ts2023 = java.time.Instant.parse("2023-06-01T00:00:00Z")
+      .toEpochMilli * 1000000L
+    Seq((1L, ts2023, 10L, "view", 1.5, "{}"),
+        (2L, ts2023 + 1000000000L, 11L, "browse", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "plain words only", "en", "web", 16L),
+        (2L, "more plain words", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.types._
+    val expected = Map[String, StructType](
+      "s4_pruned_scan" -> StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType))),
+      "s3_time_pruned" -> StructType(Seq(StructField("event_type", StringType),
+        StructField("n", LongType))),
+      "s6_regex_pruned" -> StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))),
+      "s7_regex_alternation" -> StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))),
+      "s15_docs_grep" -> StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType))))
+    expected.foreach { case (name, schema) =>
+      val df = graft.queries.SourceQueries.queries(name)(spark, dir)
+      assert(df.count() == 0L, s"$name should prune to zero rows")
+      assert(StructType(df.schema.map(_.copy(nullable = true))) ==
+        StructType(schema.map(_.copy(nullable = true))),
+        s"$name schema ${df.schema.treeString}")
+    }
+  }
+
   test("pruned scan result equals full scan result") {
     val (_, segs) = segDir
     val clause = Filter("service", List("payment-svc"), Ops.EQ)
