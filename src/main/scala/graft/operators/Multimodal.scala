@@ -42,12 +42,17 @@ object Multimodal {
   /** A decoded raster: grayscale pixel values 0..255, row-major. */
   case class DecodedImage(width: Int, height: Int, gray: Array[Int])
 
-  /** The codec seam: feature extraction over raw payload bytes, plus an
-    * optional real image decode (None = this codec cannot decode the
-    * payload — stub codecs and non-image formats). */
+  /** A decoded audio clip: mono PCM sample values, native range
+    * (-32768..32767 for 16-bit sources). */
+  case class DecodedAudio(sampleRate: Int, samples: Array[Int])
+
+  /** The codec seam: feature extraction over raw payload bytes, plus
+    * optional real image/audio decodes (None = this codec cannot decode
+    * the payload — stub codecs and mismatched formats). */
   trait MediaCodec extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Float]
     def decodeImage(payload: Array[Byte]): Option[DecodedImage] = None
+    def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = None
   }
 
   object StubCodec extends MediaCodec {
@@ -98,6 +103,97 @@ object Multimodal {
         y -= 1
       }
       buf.array()
+    }
+  }
+
+  /** Minimal deterministic WAV/RIFF writer (public wave format: 12-byte
+    * RIFF header + 24-byte PCM `fmt ` chunk + `data` chunk), 16-bit
+    * signed little-endian mono. Byte-for-byte reproducible — the fixture
+    * generator for the real audio-decode path, mirroring [[Bmp]] for
+    * images. */
+  object Wav {
+    def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, "sampleRate must be positive")
+      val dataSize = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
+    }
+  }
+
+  /** Real audio decode through `javax.sound.sampled` (JDK-builtin WAV/
+    * AIFF/AU readers — same no-new-dependency play as [[ImageIoCodec]]).
+    * Accepts 16-bit signed PCM mono; anything the JDK reader rejects or
+    * any other sample layout decodes to None, never a task-killing
+    * exception. */
+  object JavaSoundCodec extends MediaCodec {
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decodeAudio(payload) match {
+        case None => StubCodec.features(payload, dim)
+        case Some(da) =>
+          // per-band mean |amplitude| over `dim` time bands — the audio
+          // analogue of ImageIoCodec's horizontal luminance bands
+          val out = new Array[Float](dim)
+          val counts = new Array[Int](dim)
+          val n = da.samples.length
+          var i = 0
+          while (i < n) {
+            val band = math.min(dim - 1, i * dim / math.max(1, n))
+            out(band) += math.abs(da.samples(i)) / 32768.0f
+            counts(band) += 1
+            i += 1
+          }
+          var j = 0
+          while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+          out
+      }
+
+    override def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
+      if (payload == null || payload.isEmpty) return None
+      var ais: javax.sound.sampled.AudioInputStream = null
+      try {
+        ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+        if (!ok) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            // the first byte of a frame is the high byte iff big-endian;
+            // .toInt on the high byte sign-extends, preserving negatives
+            samples(i) =
+              if (fmt.isBigEndian)
+                (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+              else
+                (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            i += 1
+          }
+          Some(DecodedAudio(fmt.getSampleRate.toInt, samples))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      } finally {
+        if (ais != null) ais.close()
+      }
     }
   }
 
@@ -186,6 +282,72 @@ object Multimodal {
           val h = 16 + ((id * 7) % 13).toInt
           val payload = Bmp.encodeGray(w, h, (x, y) => fixturePixel(id, x, y))
           Row(id, payload, Row("bmp", w, h, null))
+        }
+      }(enc)
+  }
+
+  /** Deterministic PCM fixture sample: ((id·31 + i·17) mod 4096) − 2048
+    * — pure integer arithmetic an oracle can replay analytically; values
+    * sit inside the 16-bit range so encode→decode is lossless. */
+  def fixtureSample(id: Long, i: Int): Int =
+    ((id * 31 + i * 17) % 4096).toInt - 2048
+
+  /** Real-audio media table: one genuine 16-bit PCM mono WAV per input
+    * id, samples from [[fixtureSample]], rate 8000+(id%3)·4000 Hz,
+    * length 256+(id·7)%97 samples. The payloads are decodable RIFF/WAVE
+    * containers, so the decode → stats path downstream is the real one
+    * end-to-end (the audio analogue of [[syntheticImageTable]]). */
+  def syntheticAudioTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = 256 + ((id * 7) % 97).toInt
+          val samples = Array.tabulate(n)(i => fixtureSample(id, i).toShort)
+          val payload = Wav.encodePcm16(rate, samples)
+          Row(id, payload, Row("wav", null, null, n * 1000L / rate))
+        }
+      }(enc)
+  }
+
+  /** Decode each payload and derive per-clip audio statistics:
+    * (media_id, sample_rate, n_samples, duration_ms, sum_sq, rms,
+    * n_bytes) — undecodable payloads keep their byte count with null
+    * audio columns. Batched per partition; payload bytes never shuffle —
+    * only scalars flow downstream. */
+  def decodeAudioClips(media: DataFrame,
+      codec: MediaCodec = JavaSoundCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("sum_sq", LongType),
+      StructField("rms", DoubleType),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          codec.decodeAudio(payload) match {
+            case Some(da) if da.samples.nonEmpty =>
+              var sumSq = 0L
+              var i = 0
+              while (i < da.samples.length) {
+                val s = da.samples(i).toLong
+                sumSq += s * s
+                i += 1
+              }
+              val n = da.samples.length.toLong
+              Row(id, da.sampleRate, n, n * 1000L / da.sampleRate, sumSq,
+                math.sqrt(sumSq.toDouble / n), nBytes)
+            case _ => Row(id, null, null, null, null, null, nBytes)
+          }
         }
       }(enc)
   }

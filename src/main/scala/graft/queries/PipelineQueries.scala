@@ -815,6 +815,25 @@ object PipelineQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // m4: REAL audio decode end-to-end — genuine RIFF/WAVE PCM16 containers
+  // (written by the deterministic fixture encoder) decoded back through
+  // javax.sound.sampled to samples, with rate, length, duration, energy,
+  // and RMS derived from the decoded PCM. The oracle replays the sample
+  // function and the 44-byte-header container size analytically — a
+  // wrong header field, sample width, endianness, or channel count
+  // diverges. rms = sqrt(sum_sq/n) is IEEE-exact on both sides: integer
+  // sum_sq and n match exactly, and /, sqrt are correctly rounded.
+  def m4_audio_decode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticAudioTable(
+      docs(s, dir).where(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeAudioClips(media)
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("duration_ms"), col("sum_sq"), col("rms"),
+        col("n_bytes"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
@@ -862,7 +881,8 @@ object PipelineQueries {
     "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _,
-    "m3_format_detect" -> m3_format_detect _
+    "m3_format_detect" -> m3_format_detect _,
+    "m4_audio_decode" -> m4_audio_decode _
   )
 
   private val t7OracleSql: String = {
@@ -1507,6 +1527,28 @@ object PipelineQueries {
         |  round(CAST(sum(CAST(ent AS DECIMAL(18, 6))) AS DOUBLE) / count(*), 4)
         |    AS mean_entropy
         |FROM ent GROUP BY fmt ORDER BY detected""".stripMargin,
+    // analytic replay of the WAV fixture: sample function, rate/length
+    // arithmetic, 44-byte canonical header size; rms replayed with the
+    // same IEEE double ops (exact-match safe — see m4_audio_decode)
+    "m4_audio_decode" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |    CAST(256 + (doc_id * 7) % 97 AS BIGINT) AS n_samples
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT unnest(range(0, 353)) AS v),
+        |s AS (
+        |  SELECT c.media_id, c.sample_rate, c.n_samples,
+        |    sum(((c.media_id * 31 + g.v * 17) % 4096 - 2048)
+        |      * ((c.media_id * 31 + g.v * 17) % 4096 - 2048)) AS sum_sq
+        |  FROM clips c JOIN g ON g.v < c.n_samples
+        |  GROUP BY c.media_id, c.sample_rate, c.n_samples)
+        |SELECT media_id, sample_rate, n_samples,
+        |  n_samples * 1000 // sample_rate AS duration_ms,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms,
+        |  44 + 2 * n_samples AS n_bytes
+        |FROM s ORDER BY media_id""".stripMargin,
     // mirrors TextAnalysis.languageId / subwordCountEstimate / qualityScore
     // expression-for-expression so the double arithmetic matches bit-wise
     "t2_profile" ->

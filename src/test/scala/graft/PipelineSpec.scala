@@ -514,6 +514,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.ImageIoCodec.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("WAV encode → javax.sound decode round-trips every sample") {
+    import graft.operators.Multimodal
+    for ((rate, n) <- Seq((8000, 256), (12000, 1), (16000, 352))) {
+      val samples = Array.tabulate(n)(i =>
+        Multimodal.fixtureSample(7L, i).toShort)
+      val bytes = Multimodal.Wav.encodePcm16(rate, samples)
+      assert(bytes.length == 44 + 2 * n, "canonical header size")
+      val da = Multimodal.JavaSoundCodec.decodeAudio(bytes)
+        .getOrElse(fail(s"javax.sound could not decode $rate Hz/$n WAV"))
+      assert(da.sampleRate == rate)
+      assert(da.samples.toSeq == samples.map(_.toInt).toSeq)
+    }
+    // extremes of the 16-bit range survive the byte reassembly
+    val edge = Array(Short.MinValue, Short.MaxValue, 0.toShort, (-1).toShort)
+    val dEdge = Multimodal.JavaSoundCodec
+      .decodeAudio(Multimodal.Wav.encodePcm16(8000, edge)).get
+    assert(dEdge.samples.toSeq == edge.map(_.toInt).toSeq)
+    // payloads no JDK reader accepts (or a recognized-magic corrupt RIFF
+    // body) decode to None, never a task-killing exception
+    assert(Multimodal.JavaSoundCodec.decodeAudio("not audio".getBytes).isEmpty)
+    val corrupt = "RIFF    WAVEjunk".getBytes("US-ASCII")
+    assert(Multimodal.JavaSoundCodec.decodeAudio(corrupt).isEmpty)
+  }
+
+  test("decodeAudioClips derives stats from decoded PCM") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticAudioTable(
+      spark.range(5).select(col("id").as("doc_id")), "doc_id")
+    val stats = Multimodal.decodeAudioClips(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 5L) {
+      val rate = 8000 + (id % 3).toInt * 4000
+      val n = 256 + ((id * 7) % 97).toInt
+      val r = stats(id)
+      assert(r.getInt(1) == rate && r.getLong(2) == n)
+      assert(r.getLong(3) == n * 1000L / rate)
+      val sumSq = (0 until n)
+        .map(i => { val s = Multimodal.fixtureSample(id, i).toLong; s * s }).sum
+      assert(r.getLong(4) == sumSq, s"sum_sq of id=$id")
+      assert(r.getDouble(5) == math.sqrt(sumSq.toDouble / n))
+      assert(r.getLong(6) == 44L + 2L * n)
+    }
+    // undecodable payloads keep their byte count with null audio columns
+    import spark.implicits._
+    val bad = Seq((99L, "noise".getBytes)).toDF("media_id", "payload")
+    val br = Multimodal.decodeAudioClips(bad).collect()(0)
+    assert(br.isNullAt(1) && br.isNullAt(5) && br.getLong(6) == 5L)
+  }
+
   test("decodeImages and sampleImageRows derive stats from decoded pixels") {
     import graft.operators.Multimodal
     val media = Multimodal.syntheticImageTable(
