@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * write evaluates every output column of the exact plan a user would run.
   * Failures are recorded per-query in an `errors` field rather than being
   * silently timed as successes.
+  *
+  * Each query runs 1 untimed warm-up + SPARK_GRAFT_BENCH_ITERS (default 3)
+  * timed iterations and reports the MEDIAN, so round-over-round
+  * comparisons measure plans, not shared-box load spikes (the r3→r4
+  * record drifted 1.33× on identical plans). `dispersion` records each
+  * query's relative spread (max-min)/median across the timed iterations —
+  * a large value flags a measurement to distrust, not a plan change.
+  * Query builders are idempotent (ingest-time artifacts are memoized per
+  * process via prepare()), so re-running measures the read-side plan.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,32 +47,59 @@ object Bench {
     // leaves this unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+      .max(1)
+    val dispersion = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      def once(): (Boolean, Double) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name,
+                Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // UNTIMED: with a 24g heap GC almost never fires, so Spark's
+        // GC-triggered ContextCleaner never releases earlier queries'
+        // broadcast/shuffle state — by query ~90 the accumulated pressure
+        // inflated late entries up to 6× run-to-run. A nudge between
+        // runs keeps each measurement independent of its position.
+        System.gc()
+        (ok, dt)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // UNTIMED: with a 24g heap GC almost never fires, so Spark's
-      // GC-triggered ContextCleaner never releases earlier queries'
-      // broadcast/shuffle state — by query ~90 the accumulated pressure
-      // inflated late entries up to 6× run-to-run. A nudge between
-      // queries keeps each measurement independent of its position.
-      System.gc()
-      name -> dt
+      // warm-up (untimed, also absorbs one-time ingest/broadcast builds);
+      // a failing query is reported once and not retried — its single
+      // failed wall-time stands so `total` still reflects the spent time
+      val warm = once()
+      val times: Seq[Double] =
+        if (!warm._1) Seq(warm._2)
+        else {
+          val timed = Seq.fill(iters)(once()).filter(_._1).map(_._2)
+          if (timed.isEmpty) Seq(warm._2) else timed
+        }
+      val sorted = times.sorted
+      val median = sorted(sorted.size / 2)
+      dispersion(name) =
+        if (median > 0) math.rint((sorted.last - sorted.head) / median * 1000) / 1000
+        else 0.0
+      name -> median
     }
     // full escaping (JsonOut): a Spark error message containing an ANSI
     // escape or other control char must not break the driver's json.load
     val qs = JsonOut.obj(
       results.map { case (k, v) => k -> v.toString }, quoteValues = false)
+    val disp = JsonOut.obj(
+      dispersion.toSeq.map { case (k, v) => k -> v.toString },
+      quoteValues = false)
     val errs = JsonOut.obj(errors.toSeq, quoteValues = true)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
     // machine parse in round 1 — also write the bare JSON line to a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")

@@ -482,14 +482,18 @@ object QueryEngine {
 
     val all = (formulaNodes ++ baseSeries).map { case (labelStr, node) =>
       val grouping = AstOps.finalGrouping(node).toList.sorted
-      // relabel ONLY the genuinely ungrouped series (plan-time fact): a
+      val df = evalNode(tables, node, grouping, startMs, endMs, stepMs)
+      // relabel ONLY the genuinely ungrouped series — plan-time facts: a
       // runtime GROUP_KEY === "" test would also catch a grouped series
-      // whose single tag is null, masquerading it as the overall series
+      // whose single tag is null, masquerading it as the overall series.
+      // "Ungrouped" is either no grouping at all, or a chart that carries
+      // none of its grouping columns (raw-path ces-over-tuples — the
+      // schema-metadata flag from seriesDf), whose key is constant "".
       val labelCol =
-        if (grouping.isEmpty) lit(seriesLabel(labelStr, node))
+        if (grouping.isEmpty || effectivelyUngrouped(df))
+          lit(seriesLabel(labelStr, node))
         else col(GROUP_KEY)
-      evalNode(tables, node, grouping, startMs, endMs, stepMs)
-        .withColumn(LABEL, labelCol)
+      df.withColumn(LABEL, labelCol)
         .select(col(STEP_TS), col(GROUP_KEY), col(VALUE), col(LABEL))
     }
     require(all.nonEmpty,
@@ -527,6 +531,20 @@ object QueryEngine {
     case _ => id
   }
 
+  /** Column metadata key marking a series whose chart carries NONE of its
+    * grouping columns (raw-path ces-over-tuples drops them: the tags feed
+    * the distinct KEY, not the grouping) — its group key is the constant
+    * ""/":" and labeling must fall back to the series label. A plan-time
+    * fact carried on the schema, so [[evaluate]] never needs a runtime
+    * `group_key === ""` test (which would also catch a grouped series
+    * whose single tag is null). */
+  private val UngroupedMetaKey = "graft.effectively_ungrouped"
+
+  private[engine] def effectivelyUngrouped(df: DataFrame): Boolean = {
+    val m = df.schema(GROUP_KEY).metadata
+    m.contains(UngroupedMetaKey) && m.getBoolean(UngroupedMetaKey)
+  }
+
   /** One series: (step_ts, group_key, value) with the group key built over
     * the formula's final grouping (absent tags → ""). */
   def seriesDf(tables: String => Telemetry, e: BaseExpr,
@@ -536,13 +554,18 @@ object QueryEngine {
     val c = chart(tel, e, startMs, endMs, stepMs)
     val own = e.chart.map(_.groupBys.toSet).getOrElse(Set.empty)
     val present = c.columns.toSet
+    val liveKeys = finalGrouping.filter(k =>
+      own.contains(k) && present.contains(k)).toSet
     val keyParts = finalGrouping.map { k =>
-      if (own.contains(k) && present.contains(k))
+      if (liveKeys.contains(k))
         coalesce(FilterCompiler.fieldCol(k).cast("string"), lit(""))
       else lit("")
     }
     val key = if (keyParts.isEmpty) lit("") else concat_ws(":", keyParts: _*)
-    c.select(col(STEP_TS), key.as(GROUP_KEY), col(VALUE))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(UngroupedMetaKey,
+        finalGrouping.nonEmpty && liveKeys.isEmpty).build()
+    c.select(col(STEP_TS), key.as(GROUP_KEY, meta), col(VALUE))
   }
 
   private def evalNode(tables: String => Telemetry, node: AstNode,

@@ -38,6 +38,13 @@ object Ema {
   def finalEma(df: DataFrame, groupCols: Seq[String], orderCol: Column,
       valueCol: Column, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    // internal working columns; a group column with one of these names
+    // would make the window/agg expressions ambiguous or silently wrong
+    val reserved = Set("_ord", "_x", "_k", "_n")
+    val clash = groupCols.filter(reserved)
+    require(clash.isEmpty,
+      s"finalEma group columns ${clash.mkString(", ")} collide with " +
+        s"internal working columns ${reserved.mkString("/")}; rename them")
     val grp = groupCols.map(col)
     val w = Window.partitionBy(grp: _*).orderBy(col("_ord"), col("_x"))
     val wAll = Window.partitionBy(grp: _*)

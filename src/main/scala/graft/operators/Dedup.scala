@@ -641,6 +641,20 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds")
+    // structural fixpoint check before labeling: a star forest has no
+    // edge whose target is another edge's source (depth ≤ 1). Guards the
+    // astronomically-unlikely multiset-hash collision between successive
+    // rounds declaring convergence on a non-star edge set — one tiny
+    // self-join on the final (shrunken) edge list, so wrong clusters are
+    // structurally impossible, not just improbable.
+    val twoHop = edges.alias("m")
+      .join(edges.alias("r"), col("m.b") === col("r.a"))
+      .limit(1)
+    if (!twoHop.isEmpty)
+      throw new IllegalStateException(
+        "connectedComponentsStar signature declared convergence on a " +
+        "non-star edge set (multiset-hash collision) — rerun or raise " +
+        "maxIters")
     // fixpoint is a star per component: every edge points node → root;
     // roots label themselves. Nodes whose only pairs were self-loops
     // dropped out of the edge set at the start — restore them as their

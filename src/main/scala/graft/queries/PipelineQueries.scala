@@ -1501,7 +1501,12 @@ object PipelineQueries {
         |  round(CAST(s AS DOUBLE) / w, 4) AS row_mean_lum
         |FROM px ORDER BY media_id, frame_idx""".stripMargin,
     // exact byte multiset of each payload (magic header + ascii text),
-    // entropy summed in the same 0..255 byte order as ByteEntropyExpr
+    // entropy summed in the same 0..255 byte order as ByteEntropyExpr.
+    // ASCII-only assumption made LOUD: the engine histograms the UTF-8
+    // bytes of the payload while ord() yields code points, so the two
+    // agree only when every character is single-byte — any non-ASCII
+    // fixture text raises via error() instead of silently diverging
+    // (DuckDB 1.0 has no blob indexing to replay multi-byte exactly).
     "m3_format_detect" ->
       """WITH m AS (
         |  SELECT doc_id,
@@ -1512,7 +1517,10 @@ object PipelineQueries {
         |      WHEN 1 THEN [137, 80, 78, 71, 13, 10, 26, 10]
         |      ELSE [82, 73, 70, 70, 0, 0, 0, 0, 87, 65, 86, 69] END
         |      || list_transform(range(1, length(text) + 1),
-        |           i -> ord(substr(text, i, 1))) AS bytes
+        |           i -> CASE WHEN octet_length(encode(text)) != length(text)
+        |                THEN error('m3 oracle assumes ASCII-only text; '
+        |                  || 'doc ' || doc_id || ' is multi-byte')
+        |                ELSE ord(substr(text, i, 1)) END) AS bytes
         |  FROM documents WHERE doc_id < 200),
         |b AS (SELECT doc_id, fmt, unnest(bytes) AS byte FROM m),
         |hist AS (

@@ -42,6 +42,16 @@ class CoreQueriesSpec extends AnyFunSuite {
       s"closed form ${row.getDouble(2)} vs recurrence $want")
   }
 
+  test("Ema.finalEma refuses group columns colliding with working names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g", 1L, 1.0)).toDF("_k", "i", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Ema.finalEma(df, Seq("_k"), col("i"), col("x"), 0.3)
+    }
+    assert(e.getMessage.contains("_k"))
+  }
+
   test("a3_pricing_agg values are sane") {
     val rows = CoreQueries.a3_pricing_agg(spark, dir).collect()
     assert(rows.length >= 3)

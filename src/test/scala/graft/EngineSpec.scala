@@ -188,6 +188,37 @@ class EngineSpec extends AnyFunSuite {
       Seq((0L, 3.0), (10000L, 1.0)))
   }
 
+  test("raw-path ces-with-groupBys series gets the series label, not ''/':'") {
+    // the ces chart drops the tag columns (they feed the distinct KEY,
+    // not the grouping), so the group key is the constant ""/":" — the
+    // label must fall back to the series label instead of emitting it
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs",
+        |        "filter": {"k": "value", "v": ["0"], "op": "gt",
+        |                   "dataType": "number"},
+        |        "chart": {"aggregation": "ces",
+        |                  "groupBys": ["level", "service"]}}
+        |}}""".stripMargin)
+    val rows = QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L)
+      .collect()
+    assert(rows.nonEmpty)
+    val labels = rows.map(_.getAs[String]("label")).distinct.toSeq
+    assert(labels.forall(l => l.nonEmpty && l != ":"),
+      s"ces-over-tuples label fell through to the raw group key: $labels")
+    // a genuinely grouped aggregation still labels with the group key
+    val grouped = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs",
+        |        "filter": {"k": "value", "v": ["0"], "op": "gt",
+        |                   "dataType": "number"},
+        |        "chart": {"aggregation": "count", "groupBys": ["level"]}}
+        |}}""".stripMargin)
+    val gl = QueryEngine.evaluate(_ => tel, grouped, 0L, 100000L, 10000L)
+      .collect().map(_.getAs[String]("label")).distinct.toSet
+    assert(gl.subsetOf(Set("a", "b")), s"grouped labels: $gl")
+  }
+
   test("null tags make distinct key parts, not conflated tuples") {
     import spark.implicits._
     val t = Telemetry.millis(Seq(

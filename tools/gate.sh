@@ -8,6 +8,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== gate: sbt Test/compile =="
+# stale reports from deleted/renamed specs would pollute the green-state
+# evidence (report set must == spec set at snapshot time)
+rm -rf target/test-reports
 sbt -batch Test/compile
 
 echo "== gate: sf0.001 smoke (SparkEntry.entry rows>0, all queries run) =="
@@ -17,6 +20,9 @@ n=$(ls /tmp/gate_smoke | wc -l)
 [ "$n" -ge 60 ] || { echo "GATE FAIL: only $n query outputs (expected >=60)"; exit 1; }
 
 if [ "${1:-}" = "--full" ]; then
+  echo "== gate: full test suite (fresh report dir) =="
+  sbt -batch test || { echo "GATE FAIL: test suite red"; exit 1; }
+
   echo "== gate: Verify + oracle at sf0.01 =="
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_verify" >/tmp/gate_verify.log 2>&1 \
     || { tail -30 /tmp/gate_verify.log; echo "GATE FAIL: Verify crashed"; exit 1; }
