@@ -75,7 +75,8 @@ object QueryEngine {
     *   1-ulp summation-order difference then flips the rounded value. */
   private case class Flags(
       exactPercentiles: Boolean = false,
-      decimalAverages: Boolean = false)
+      decimalAverages: Boolean = false,
+      noSharedScan: Boolean = false)
   private val flagScope = new scala.util.DynamicVariable(Flags())
 
   /** Build plans inside `body` with exact (oracle-mode) percentiles. */
@@ -86,8 +87,15 @@ object QueryEngine {
   def withDecimalAverages[A](body: => A): A =
     flagScope.withValue(flagScope.value.copy(decimalAverages = true))(body)
 
+  /** Build plans inside `body` with the shared-scan multi-expression
+    * rewrite disabled (per-node plans) — the A/B hook for equivalence
+    * tests; production callers never need it. */
+  def withoutSharedScan[A](body: => A): A =
+    flagScope.withValue(flagScope.value.copy(noSharedScan = true))(body)
+
   private def exactPercentiles: Boolean = flagScope.value.exactPercentiles
   private def decimalAverages: Boolean = flagScope.value.decimalAverages
+  private def sharedScanEnabled: Boolean = !flagScope.value.noSharedScan
 
   private def avgOf(t: Column): Column =
     if (decimalAverages)
@@ -480,7 +488,23 @@ object QueryEngine {
       .filter(_._2.returnResults)
       .map { case (id, b) => id -> (b: AstNode) }
 
-    val all = (formulaNodes ++ baseSeries).map { case (labelStr, node) =>
+    val outputs = formulaNodes ++ baseSeries
+    require(outputs.nonEmpty,
+      "AST yields no output series: no formulae and every base " +
+      "expression has returnResults=false")
+
+    // Shared-scan rewrite: a multi-expression dashboard AST over one raw
+    // dataset compiles to ONE segment scan and ONE shuffle instead of a
+    // scan+shuffle per BaseExpr reference (the reference executes N
+    // BaseExprs over a single segment stream, QueryEngineV2.scala:211-417
+    // — at 100 TB the per-expression rescans are the dominant IO cost).
+    val allRefs = outputs.flatMap { case (_, n) => AstOps.baseExprsIn(n) }
+    if (sharedScanEnabled && allRefs.size >= 2 &&
+        allRefs.map(_.dataset).distinct.size == 1 &&
+        allRefs.forall(sharedScanEligible))
+      return evaluateSharedScan(tables, outputs, startMs, endMs, stepMs)
+
+    val all = outputs.map { case (labelStr, node) =>
       val grouping = AstOps.finalGrouping(node).toList.sorted
       val df = evalNode(tables, node, grouping, startMs, endMs, stepMs)
       // relabel ONLY the genuinely ungrouped series — plan-time facts: a
@@ -496,10 +520,239 @@ object QueryEngine {
       df.withColumn(LABEL, labelCol)
         .select(col(STEP_TS), col(GROUP_KEY), col(VALUE), col(LABEL))
     }
-    require(all.nonEmpty,
-      "AST yields no output series: no formulae and every base " +
-      "expression has returnResults=false")
     all.reduceLeft(_ unionByName _).orderBy(STEP_TS, LABEL)
+  }
+
+  // ------------------------------------------- shared-scan multi-expression
+
+  /** A BaseExpr is shared-scan eligible when its chart is the raw
+    * aggregation path: no extractor/compute projections (their synthetic
+    * columns are per-expression), not the metrics rollup/sketch path
+    * (multi-column re-aggregation), and a null-ignoring aggregation —
+    * sum/count/min/max/avg/p* all skip nulls, which is what makes the
+    * `agg(when(slot, v))` pivot exact. ces is excluded: its
+    * distinct-tuple key construction changes the grouping itself. */
+  private def sharedScanEligible(e: BaseExpr): Boolean =
+    e.dataset != "metrics" && e.extractor.isEmpty && e.compute.isEmpty && {
+      val agg = e.chart.getOrElse(ChartOptions()).aggregation
+      agg match {
+        case "sum" | "count" | "min" | "max" | "avg" => true
+        case p if p.startsWith("p") && p.length > 1 &&
+            p.drop(1).forall(_.isDigit) && p.drop(1).toInt <= 100 => true
+        case _ => false
+      }
+    }
+
+  /** One (BaseExpr, consuming-output grouping) pair. The same expression
+    * referenced standalone (its own groupBys) and inside a formula (the
+    * formula's finalGrouping) needs a slot per context — the group-key
+    * layout differs. */
+  private case class SharedSlot(idx: Int, e: BaseExpr,
+      grouping: List[String], liveKeys: Set[String])
+
+  /** Compile the whole multi-expression AST to ONE scan + ONE shuffle:
+    *
+    *   scan → ts filter → OR-of-slot-filters (pushed down) →
+    *   explode(matching slots) → groupBy(step, raw-group-values) →
+    *   per-slot conditional aggregates + presence →
+    *   per-output value/label columns → explode(present outputs)
+    *
+    * Formulas become arithmetic over the pivoted per-slot columns with
+    * join semantics expressed as presence algebra (add: either side
+    * present + zero-fill; sub/mul: both; div: both and denominator ≠ 0)
+    * — the J1 alignment joins disappear entirely.
+    *
+    * Grouping is by RAW group values (null kept distinct from ""), so a
+    * base series keeps exactly the per-tuple rows the per-node path
+    * produced; the output group key string coalesces nulls to "" exactly
+    * like [[seriesDf]]. Divergence (documented): a formula operand whose
+    * grouping tag holds the literal "" no longer aligns with a dead-key
+    * operand's "" — the per-node path's string-key join conflated them.
+    *
+    * Scale shape: slot structs add O(slots) narrow columns per row
+    * pre-shuffle; the shuffle carries each matched row once per matching
+    * slot (same bytes the per-node path shuffled, minus the repeated
+    * scans); all aggregates keep Catalyst's partial/final split. */
+  private def evaluateSharedScan(tables: String => Telemetry,
+      outputs: List[(String, AstNode)], startMs: Long, endMs: Long,
+      stepMs: Long): DataFrame = {
+    val tel = tables(
+      outputs.flatMap(o => AstOps.baseExprsIn(o._2)).head.dataset)
+    val cols = tel.df.columns.toSet
+
+    // ---- slots: distinct (expr id, grouping context) pairs
+    val slotKeys: List[(String, List[String])] = outputs.flatMap {
+      case (_, node) =>
+        val g = AstOps.finalGrouping(node).toList.sorted
+        AstOps.baseExprsIn(node).map(b => (b.id, g))
+    }.distinct
+    val exprById: Map[String, BaseExpr] = outputs
+      .flatMap(o => AstOps.baseExprsIn(o._2)).map(b => b.id -> b).toMap
+    val slots: List[SharedSlot] = slotKeys.zipWithIndex.map {
+      case ((id, grouping), idx) =>
+        val e = exprById(id)
+        val own = e.chart.map(_.groupBys.toSet).getOrElse(Set.empty)
+        SharedSlot(idx, e, grouping,
+          grouping.filter(k => own.contains(k) && cols.contains(k)).toSet)
+    }
+    val slotIdx: Map[(String, List[String]), Int] =
+      slotKeys.zipWithIndex.toMap
+    val maxKt = slots.map(_.grouping.size).max.max(1)
+
+    // ---- per-slot row-level expressions (chart()'s raw value path)
+    def valueSrcOf(e: BaseExpr): (Column, Boolean) = {
+      val chartOpts = e.chart.getOrElse(ChartOptions())
+      chartOpts.fieldName match {
+        case Some(fieldName) =>
+          if (!cols.contains(fieldName)) (lit(null).cast("double"), true)
+          else {
+            val casted =
+              expr(s"try_cast(`${fieldName.replace("`", "``")}` as double)")
+            val scaled = chartOpts.fieldType match {
+              case Some(DataTypes.DURATION) => casted / 1000000L
+              case Some(DataTypes.DATA_SIZE) => casted / 1000L
+              case _ => casted
+            }
+            (scaled, true)
+          }
+        case None => (tel.value, false)
+      }
+    }
+    val matchedOf: Map[Int, Column] = slots.map { s =>
+      val (v, needNotNull) = valueSrcOf(s.e)
+      val f = FilterCompiler.compile(s.e.filter, cols)
+      s.idx -> (if (needNotNull) f && v.isNotNull else f)
+    }.toMap
+    val slotStructs: Seq[Column] = slots.map { s =>
+      val (v, _) = valueSrcOf(s.e)
+      // raw group values, padded to the widest slot so the struct array
+      // is uniformly typed; dead keys (tag not grouped/present for this
+      // slot) are null like the per-node path's "" — coalesced at output
+      val ktParts = s.grouping.map { k =>
+        if (s.liveKeys.contains(k))
+          FilterCompiler.fieldCol(k).cast("string")
+        else lit(null).cast("string")
+      }.padTo(maxKt, lit(null).cast("string"))
+      struct(
+        lit(s.idx).as("i"), matchedOf(s.idx).as("m"),
+        v.cast("double").as("v"), array(ktParts: _*).as("kt"))
+    }
+
+    val pre = tel.df
+      .where(tel.tsRange(startMs, endMs))
+      .where(slots.map(s => matchedOf(s.idx)).reduce(_ || _))
+      .select(
+        stepTsCol(tel.tsMillis, stepMs),
+        explode(filter(array(slotStructs: _*),
+          s => s.getField("m"))).as("_s"))
+      .select(col(STEP_TS), col("_s.i").as("_i"), col("_s.v").as("_v"),
+        col("_s.kt").as("_kt"))
+
+    // ---- one shuffle: per-slot conditional aggregates + presence
+    val aggCols: Seq[Column] = slots.flatMap { s =>
+      val v = when(col("_i") === s.idx, col("_v"))
+      val agg = s.e.chart.getOrElse(ChartOptions()).aggregation match {
+        case "sum" => sum(v)
+        case "count" => count(v).cast("double")
+        case "min" => min(v)
+        case "max" => max(v)
+        case "avg" => avgOf(v)
+        case p =>
+          val q = p.drop(1).toDouble / 100.0
+          if (exactPercentiles) expr_percentile(v, q)
+          else percentile_approx(v, lit(q), lit(10000))
+      }
+      Seq(
+        transform(s.e, stepMs, agg.cast("double")).cast("double")
+          .as(s"_v${s.idx}"),
+        // presence = the per-node path would have a group row: ≥1 matched
+        // row, independent of value nulls (count-over-all-null groups
+        // still exist there, with value 0/null)
+        (count(when(col("_i") === s.idx, lit(1))) > 0).as(s"_p${s.idx}"))
+    }
+    val pivoted = pre.groupBy(col(STEP_TS), col("_kt"))
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    // ---- per-output (value, presence) over the pivoted columns
+    def nodeCols(node: AstNode, grouping: List[String]): (Column, Column) =
+      node match {
+        case b: BaseExpr =>
+          val i = slotIdx((b.id, grouping))
+          (col(s"_v$i"), col(s"_p$i"))
+        case ConstantExpr(_) =>
+          throw new IllegalArgumentException(
+            "constant-only formula has no series to align with")
+        case Formula(e1, e2, op) => (e1, e2) match {
+          case (ConstantExpr(c), right) =>
+            val (rv, rp) = nodeCols(right, grouping)
+            op match {
+              case "add" => (rv + c, rp)
+              case "sub" => (lit(c) - rv, rp)
+              case "mul" => (rv * c, rp)
+              // when-guarded: ANSI division evaluates the value column on
+              // every pivot row, including the zero-denominator rows the
+              // presence filter drops afterwards
+              case "div" => (when(rv =!= 0.0, lit(c) / rv), rp && rv =!= 0.0)
+            }
+          case (left, ConstantExpr(c)) =>
+            val (lv, lp) = nodeCols(left, grouping)
+            op match {
+              case "add" => (lv + c, lp)
+              case "sub" => (lv - c, lp)
+              case "mul" => (lv * c, lp)
+              case "div" =>
+                if (c == 0.0) (lit(null).cast("double"), lit(false))
+                else (lv / c, lp)
+            }
+          case (left, right) =>
+            val (lv, lp) = nodeCols(left, grouping)
+            val (rv, rp) = nodeCols(right, grouping)
+            op match {
+              case "add" =>
+                (coalesce(lv, lit(0.0)) + coalesce(rv, lit(0.0)), lp || rp)
+              case "sub" => (lv - rv, lp && rp)
+              case "mul" => (lv * rv, lp && rp)
+              case "div" =>
+                (when(rv =!= 0.0, lv / rv), lp && rp && rv =!= 0.0)
+              case other =>
+                throw new IllegalArgumentException(s"unknown formula op $other")
+            }
+        }
+      }
+
+    def leftmostBase(n: AstNode): Option[BaseExpr] = n match {
+      case b: BaseExpr => Some(b)
+      case Formula(e1, e2, _) => leftmostBase(e1).orElse(leftmostBase(e2))
+      case _ => None
+    }
+
+    val outStructs: Seq[Column] = outputs.map { case (labelStr, node) =>
+      val grouping = AstOps.finalGrouping(node).toList.sorted
+      val (v, p) = nodeCols(node, grouping)
+      val keyCol =
+        if (grouping.isEmpty) lit("")
+        else array_join(
+          org.apache.spark.sql.functions.transform(
+            slice(col("_kt"), 1, grouping.size),
+            x => coalesce(x, lit(""))), ":")
+      // same ungrouped-ness rule as the per-node path: no grouping, or
+      // the (leftmost) chart carries none of its grouping columns
+      val ungrouped = grouping.isEmpty ||
+        leftmostBase(node).forall(b =>
+          slots(slotIdx((b.id, grouping))).liveKeys.isEmpty)
+      val labelCol =
+        if (ungrouped) lit(seriesLabel(labelStr, node)) else keyCol
+      struct(v.cast("double").as("v"), p.as("p"),
+        keyCol.as("k"), labelCol.as("l"))
+    }
+
+    pivoted
+      .select(col(STEP_TS),
+        explode(filter(array(outStructs: _*),
+          o => o.getField("p"))).as("_o"))
+      .select(col(STEP_TS), col("_o.k").as(GROUP_KEY),
+        col("_o.v").as(VALUE), col("_o.l").as(LABEL))
+      .orderBy(STEP_TS, LABEL)
   }
 
   /** Combined result of one AST evaluation: the chart series stream plus

@@ -219,6 +219,46 @@ class EngineSpec extends AnyFunSuite {
     assert(gl.subsetOf(Set("a", "b")), s"grouped labels: $gl")
   }
 
+  test("shared-scan rewrite is row-equivalent to the per-node path") {
+    // grouped series + ungrouped series + two formulas (one with a dead-
+    // key operand under the formula's grouping, one with a constant and a
+    // zero-denominator bucket) — every alignment rule the per-node path
+    // implements with joins, expressed as presence algebra in one plan
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs",
+        |        "filter": {"k": "level", "v": ["a"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": ["service"]}},
+        |  "b": {"dataset": "logs",
+        |        "filter": {"k": "level", "v": ["b"], "op": "eq"},
+        |        "chart": {"aggregation": "avg", "groupBys": []}},
+        |  "c": {"dataset": "logs",
+        |        "filter": {"k": "dur", "v": ["0"], "op": "gt",
+        |                   "dataType": "number"},
+        |        "chart": {"aggregation": "max", "groupBys": [],
+        |                  "fieldName": "dur", "chartType": "rate"}}
+        |}, "formulae": ["a + b", "(a / b) * 2"]}""".stripMargin)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9, r.getString(3))).sorted.toSeq
+    val shared = run(QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L))
+    val perNode = QueryEngine.withoutSharedScan {
+      run(QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L))
+    }
+    assert(shared == perNode,
+      s"shared:\n${shared.mkString("\n")}\nper-node:\n${perNode.mkString("\n")}")
+    // and the two paths genuinely differ: per-node aligns formulas with
+    // joins, the shared plan has none
+    val sharedPlan = QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L)
+      .queryExecution.executedPlan.toString
+    val perNodePlan = QueryEngine.withoutSharedScan {
+      QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!sharedPlan.contains("Join"), s"join in shared plan:\n$sharedPlan")
+    assert(perNodePlan.contains("Join"), "per-node path lost its joins")
+  }
+
   test("null tags make distinct key parts, not conflated tuples") {
     import spark.implicits._
     val t = Telemetry.millis(Seq(

@@ -212,4 +212,80 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(dirsRead >= 1 && dirsRead <= 6 && dirsRead < totalDirs,
       s"partition pruning read $dirsRead of $totalDirs dirs")
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Complement to the MANUAL salting in a16/j5: when the skew is in the
+    // FACT side of a shuffle join, AQE's skew-join handles it at runtime
+    // with no plan rewrite — it splits the oversized partition into
+    // subpartitions and replicates the matching build rows. Manual
+    // salting remains required where AQE cannot act: skewed AGGREGATION
+    // keys (a16 — skew-join only covers joins) and streaming joins
+    // (no AQE in micro-batch plans). Thresholds here are shrunk so the
+    // ~3 MB hot key trips the same code path a 300 GB key trips in
+    // production; the assertion is on the runtime plan marker, not times.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, lit, concat, sum}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = spark.range(0, 100000).select(
+        when($"id" % 100 =!= 0, lit("hot")) // 99% of rows share one key
+          .otherwise(concat(lit("k"), $"id" % 97)).as("key"),
+        $"id".cast("double").as("v"),
+        lit("x" * 64).as("pad")) // per-row bytes so the hot partition trips the threshold
+      val dim = spark.range(0, 98).select(
+        when($"id" === 0, lit("hot"))
+          .otherwise(concat(lit("k"), $"id" - 1)).as("key"),
+        ($"id" * 10).cast("double").as("weight"))
+      // keyless rollup: a groupBy(key) downstream would REUSE the join's
+      // hashpartitioning, and AQE refuses a skew split that introduces an
+      // extra shuffle (forceOptimizeSkewedJoin default false) — itself a
+      // documented reason manual salting can still be needed
+      val joined = fact.join(dim, "key").agg(sum($"v" * $"weight").as("wv"))
+      joined.collect() // AQE decides at runtime, on THIS queryExecution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("ast_multi_series: 3-expression AST compiles to ONE scan, one shuffle") {
+    // shared-scan rewrite: two base series + a formula over both must not
+    // rescan the source per expression reference (the per-node path did 4
+    // scans: 2 formula operands + 2 returning series). At 100 TB the
+    // rescans are the dominant IO cost of a multi-expression dashboard.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = EngineQueries.queries("ast_multi_series")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 FileScan, got ${scans.size}:\n" +
+      df.queryExecution.sparkPlan.toString)
+    // one aggregation shuffle; the only other exchange is the entry's
+    // display orderBy (range partitioning)
+    val p = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"formula alignment should be presence algebra, not a join:\n$p")
+  }
 }
