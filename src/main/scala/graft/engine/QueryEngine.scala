@@ -500,9 +500,11 @@ object QueryEngine {
     // — at 100 TB the per-expression rescans are the dominant IO cost).
     val allRefs = outputs.flatMap { case (_, n) => AstOps.baseExprsIn(n) }
     if (sharedScanEnabled && allRefs.size >= 2 &&
-        allRefs.map(_.dataset).distinct.size == 1 &&
-        allRefs.forall(sharedScanEligible))
-      return evaluateSharedScan(tables, outputs, startMs, endMs, stepMs)
+        allRefs.map(_.dataset).distinct.size == 1) {
+      val cols = tables(allRefs.head.dataset).df.columns.toSet
+      if (allRefs.forall(e => sharedScanEligible(e, cols)))
+        return evaluateSharedScan(tables, outputs, startMs, endMs, stepMs)
+    }
 
     val all = outputs.map { case (labelStr, node) =>
       val grouping = AstOps.finalGrouping(node).toList.sorted
@@ -525,20 +527,26 @@ object QueryEngine {
 
   // ------------------------------------------- shared-scan multi-expression
 
-  /** A BaseExpr is shared-scan eligible when its chart is the raw
-    * aggregation path: no extractor/compute projections (their synthetic
-    * columns are per-expression), not the metrics rollup/sketch path
-    * (multi-column re-aggregation), and a null-ignoring aggregation —
-    * sum/count/min/max/avg/p* all skip nulls, which is what makes the
-    * `agg(when(slot, v))` pivot exact. ces is excluded: its
-    * distinct-tuple key construction changes the grouping itself. */
-  private def sharedScanEligible(e: BaseExpr): Boolean =
-    e.dataset != "metrics" && e.extractor.isEmpty && e.compute.isEmpty && {
+  /** A BaseExpr is shared-scan eligible when its chart aggregation can be
+    * expressed as a null-ignoring conditional aggregate over at most two
+    * value columns: no extractor/compute projections (their synthetic
+    * columns are per-expression), and sum/count/min/max/avg/p* — all skip
+    * nulls, which is what makes the `agg(when(slot, v))` pivot exact.
+    * Covers the raw path AND the metrics rollup re-aggregation path
+    * (rollup_* columns are just per-slot value sources; avg's
+    * Σsum/Σcount ratio rides two columns). Excluded: ces (its
+    * distinct-tuple key construction changes the grouping itself) and
+    * percentile-over-sketch (TypedImperativeAggregate merge of
+    * per-segment sketch payloads — per-node keeps that path). */
+  private def sharedScanEligible(e: BaseExpr, cols: Set[String]): Boolean =
+    e.extractor.isEmpty && e.compute.isEmpty && {
       val agg = e.chart.getOrElse(ChartOptions()).aggregation
       agg match {
         case "sum" | "count" | "min" | "max" | "avg" => true
         case p if p.startsWith("p") && p.length > 1 &&
-            p.drop(1).forall(_.isDigit) && p.drop(1).toInt <= 100 => true
+            p.drop(1).forall(_.isDigit) && p.drop(1).toInt <= 100 =>
+          // metrics percentile with sketch_dd takes the sketch-merge path
+          !(e.dataset == "metrics" && cols.contains("sketch_dd"))
         case _ => false
       }
     }
@@ -623,8 +631,72 @@ object QueryEngine {
       val f = FilterCompiler.compile(s.e.filter, cols)
       s.idx -> (if (needNotNull) f && v.isNotNull else f)
     }.toMap
+
+    /** Per-slot row-level value columns (v, w) and the aggregate arm
+      * built from their when()-gated forms. Raw path: v = the charted
+      * value, w unused. Metrics path (chart():metricsRollupAgg): v/w are
+      * the rollup_* columns the aggregation re-aggregates — avg without
+      * an explicit rollup re-weights as Σ rollup_sum / Σ rollup_count,
+      * riding both columns. */
+    def armOf(s: SharedSlot): (Column, Column, (Column, Column) => Column) = {
+      val chartOpts = s.e.chart.getOrElse(ChartOptions())
+      val aggregation = chartOpts.aggregation
+      val nullD = lit(null).cast("double")
+      def pQuantile(p: String)(v: Column): Column = {
+        val q = p.drop(1).toDouble / 100.0
+        if (exactPercentiles) expr_percentile(v, q)
+        else percentile_approx(v, lit(q), lit(10000))
+      }
+      if (s.e.dataset == "metrics") {
+        val rollup: Option[String] = chartOpts.rollup match {
+          case Some(r) if !r.startsWith("p") => Some(r)
+          case _ => None
+        }
+        def rc(r: String): Column = FilterCompiler.fieldCol(s"rollup_$r")
+        rollup match {
+          case Some(r) =>
+            val arm: Column => Column = aggregation match {
+              case "sum" => sum
+              case "count" => count(_).cast("double")
+              case "min" => min
+              case "max" => max
+              case "avg" => avgOf
+              // percentile over pre-rolled data degrades to the max
+              // envelope of the chosen rollup (chart(): metricsRollupAgg)
+              case _ => max
+            }
+            (rc(r), nullD, (v, _) => arm(v))
+          case None =>
+            aggregation match {
+              case "sum" => (rc("sum"), nullD, (v, _) => sum(v))
+              case "count" => (rc("count"), nullD, (v, _) => sum(v))
+              case "min" => (rc("min"), nullD, (v, _) => min(v))
+              case "max" => (rc("max"), nullD, (v, _) => max(v))
+              case "avg" => (rc("sum"), rc("count"), (v, w) =>
+                if (decimalAverages)
+                  sum(v.cast("decimal(28,10)")).cast("double") / sum(w)
+                else sum(v) / sum(w))
+              case p => (rc("sum"), nullD, (v, _) => max(v))
+            }
+        }
+      } else {
+        val (v, _) = valueSrcOf(s.e)
+        val arm: Column => Column = aggregation match {
+          case "sum" => sum
+          case "count" => count(_).cast("double")
+          case "min" => min
+          case "max" => max
+          case "avg" => avgOf
+          case p => pQuantile(p)
+        }
+        (v, nullD, (vw, _) => arm(vw))
+      }
+    }
+    val arms: Map[Int, (Column, Column, (Column, Column) => Column)] =
+      slots.map(s => s.idx -> armOf(s)).toMap
+
     val slotStructs: Seq[Column] = slots.map { s =>
-      val (v, _) = valueSrcOf(s.e)
+      val (v, w, _) = arms(s.idx)
       // raw group values, padded to the widest slot so the struct array
       // is uniformly typed; dead keys (tag not grouped/present for this
       // slot) are null like the per-node path's "" — coalesced at output
@@ -635,7 +707,8 @@ object QueryEngine {
       }.padTo(maxKt, lit(null).cast("string"))
       struct(
         lit(s.idx).as("i"), matchedOf(s.idx).as("m"),
-        v.cast("double").as("v"), array(ktParts: _*).as("kt"))
+        v.cast("double").as("v"), w.cast("double").as("w"),
+        array(ktParts: _*).as("kt"))
     }
 
     val pre = tel.df
@@ -646,22 +719,14 @@ object QueryEngine {
         explode(filter(array(slotStructs: _*),
           s => s.getField("m"))).as("_s"))
       .select(col(STEP_TS), col("_s.i").as("_i"), col("_s.v").as("_v"),
-        col("_s.kt").as("_kt"))
+        col("_s.w").as("_w"), col("_s.kt").as("_kt"))
 
     // ---- one shuffle: per-slot conditional aggregates + presence
     val aggCols: Seq[Column] = slots.flatMap { s =>
-      val v = when(col("_i") === s.idx, col("_v"))
-      val agg = s.e.chart.getOrElse(ChartOptions()).aggregation match {
-        case "sum" => sum(v)
-        case "count" => count(v).cast("double")
-        case "min" => min(v)
-        case "max" => max(v)
-        case "avg" => avgOf(v)
-        case p =>
-          val q = p.drop(1).toDouble / 100.0
-          if (exactPercentiles) expr_percentile(v, q)
-          else percentile_approx(v, lit(q), lit(10000))
-      }
+      val (_, _, arm) = arms(s.idx)
+      val agg = arm(
+        when(col("_i") === s.idx, col("_v")),
+        when(col("_i") === s.idx, col("_w")))
       Seq(
         transform(s.e, stepMs, agg.cast("double")).cast("double")
           .as(s"_v${s.idx}"),

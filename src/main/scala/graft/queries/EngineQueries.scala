@@ -441,6 +441,30 @@ object EngineQueries {
     }
   }
 
+  // Shared-scan over METRICS rollup segments: a formula over two metrics
+  // expressions (purchase share of total) compiles to ONE segment scan —
+  // both operands' rollup re-aggregations ride the same pivot, and the
+  // J1 div alignment (drop zero denominators) is presence algebra, not a
+  // join. The reference evaluates N BaseExprs over one segment stream
+  // (QueryEngineV2.scala:211-417); this is that execution shape for the
+  // pre-rolled metrics path.
+  def ast_metrics_formula_ratio(s: SparkSession, dir: String): DataFrame = {
+    val mdf = s.read.parquet(metricsDir(s, dir))
+    val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "metrics", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["purchase"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}},
+        |  "b": {"dataset": "metrics", "returnResults": false,
+        |        "filter": {"k": "event_type", "op": "exists"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}}
+        |}, "formulae": ["a / b"]}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), round(col("value"), 6).as("value"))
+      .orderBy("step_ts")
+  }
+
   // §3.1 step 1: relative time-range strings + auto-step selection wired
   // end-to-end. "e-2d".."now" at a pinned now (the data's end — pinned so
   // the oracle is reproducible) resolves to a 2-day span, and
@@ -562,6 +586,7 @@ object EngineQueries {
     "ast_chart_with_exemplars" -> ast_chart_with_exemplars _,
     "ast_exemplars_metrics" -> ast_exemplars_metrics _,
     "ast_formula_avg_operand" -> ast_formula_avg_operand _,
+    "ast_metrics_formula_ratio" -> ast_metrics_formula_ratio _,
     "ast_relative_time" -> ast_relative_time _,
     "ast_tag_values" -> ast_tag_values _,
     "ast_tag_names" -> ast_tag_names _,
@@ -740,6 +765,22 @@ object EngineQueries {
         |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
         |      / count(value) AS v FROM events
         |  WHERE event_type = 'view' GROUP BY step_ts)
+        |SELECT a.step_ts AS step_ts, round(a.v / b.v, 6) AS value
+        |FROM a JOIN b USING (step_ts) WHERE b.v != 0.0
+        |ORDER BY step_ts""".stripMargin,
+    "ast_metrics_formula_ratio" ->
+      """WITH rollup AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum
+        |  FROM events GROUP BY mts, event_type),
+        |a AS (
+        |  SELECT (mts // 86400000) * 86400000 AS step_ts,
+        |    sum(rollup_sum) AS v FROM rollup
+        |  WHERE event_type = 'purchase' GROUP BY step_ts),
+        |b AS (
+        |  SELECT (mts // 86400000) * 86400000 AS step_ts,
+        |    sum(rollup_sum) AS v FROM rollup
+        |  WHERE event_type IS NOT NULL GROUP BY step_ts)
         |SELECT a.step_ts AS step_ts, round(a.v / b.v, 6) AS value
         |FROM a JOIN b USING (step_ts) WHERE b.v != 0.0
         |ORDER BY step_ts""".stripMargin,

@@ -208,51 +208,102 @@ object SegmentIndex {
       }
       (anyOf(branches.result()), i)
     }
+    // Literal FAMILIES (Cox, "Regular Expression Matching with a Trigram
+    // Index", swtch.com/~rsc/regexp/regexp4.html): an atom contributes a
+    // small set of alternative literal strings; adjacent families merge
+    // by cross product, so gr[ae]y requires (gray OR grey) and colou?r
+    // requires (color OR colour) instead of breaking the run at the
+    // class/optional. Caps keep the product bounded; overflowing a cap
+    // flushes the current family (weaker requirement — always sound).
     def parseSeq(start: Int): (TriReq, Int) = {
-      val atoms = scala.collection.mutable.ArrayBuffer[Either[Char, TriReq]]()
+      val MaxFamily = 16
+      val atoms = scala.collection.mutable.ArrayBuffer[Either[Seq[String], TriReq]]()
       var i = start
+
+      /** [c1c2…] with only plain positive members → their expansion;
+        * anything else (negation, ranges, nesting, &&, escapes) → None. */
+      def simpleClass(open: Int): Option[(Seq[String], Int)] = {
+        var j = open + 1
+        val members = Seq.newBuilder[String]
+        var count = 0
+        while (j < n && regex.charAt(j) != ']') {
+          val c = regex.charAt(j)
+          if ("^-&[\\".indexOf(c) >= 0) return None
+          members += c.toString; count += 1
+          if (count > 4) return None
+          j += 1
+        }
+        if (j >= n || count == 0) None else Some((members.result().distinct, j + 1))
+      }
+
       while (i < n && regex.charAt(i) != '|' && regex.charAt(i) != ')') {
         // one atom
-        val atom: Either[Char, TriReq] = regex.charAt(i) match {
+        val atom: Either[Seq[String], TriReq] = regex.charAt(i) match {
           case '(' =>
             val (r, k) = parseGroup(i); i = k; Right(r)
+          case '\\' if i + 1 < n && regex.charAt(i + 1) == 'Q' =>
+            // \Q…\E quotes everything in between literally (Java: a
+            // missing \E quotes to the end of the pattern). A quantifier
+            // after \E applies to the LAST quoted char only; requiring
+            // the whole quoted run is still ≤ what every match contains
+            // for ? and + (weaker/equal), and * is handled as optional.
+            val close = regex.indexOf("\\E", i + 2)
+            val content =
+              if (close < 0) { val c = regex.substring(i + 2); i = n; c }
+              else { val c = regex.substring(i + 2, close); i = close + 2; c }
+            Left(Seq(content))
           case '\\' =>
             if (i + 1 >= n) throw Bail
             val c = regex.charAt(i + 1)
-            // escapes with a multi-char OPERAND (\x41 ￿ \0101 \cJ
-            // \p{L} \k<g> \N{..} \Q..\E): treating the operand chars as
-            // literal text would demand trigrams a matching string need
-            // not contain — bail (no pruning) rather than prune unsoundly
-            if ("xucpPkNQE0".indexOf(c) >= 0) throw Bail
+            // escapes with a multi-char OPERAND (\x41 \0101 \cJ
+            // \p{L} \k<g> \N{..}): treating the operand chars as literal
+            // text would demand trigrams a matching string need not
+            // contain — bail (no pruning) rather than prune unsoundly
+            if ("xucpPkNE0".indexOf(c) >= 0) throw Bail
             i += 2
             // \d \w \s \b … match unknown text; escaped metachar is literal
-            if (Character.isLetterOrDigit(c)) Right(Free) else Left(c)
+            if (Character.isLetterOrDigit(c)) Right(Free)
+            else Left(Seq(c.toString))
           case '[' =>
-            // character classes nest in Java regex ([a[b]c], [a&&[^b]]) —
-            // track depth so the tail of a nested class is not parsed as
-            // literal text (which would add false trigram requirements)
-            var j = i + 1
-            var depth = 1
-            if (j < n && regex.charAt(j) == '^') j += 1
-            if (j < n && regex.charAt(j) == ']') j += 1
-            while (j < n && depth > 0) {
-              regex.charAt(j) match {
-                case '\\' => j += 1
-                case '[' => depth += 1
-                case ']' => depth -= 1
-                case _ =>
-              }
-              j += 1
+            simpleClass(i) match {
+              case Some((members, k)) => i = k; Left(members)
+              case None =>
+                // general classes nest in Java regex ([a[b]c], [a&&[^b]])
+                // — track depth so the tail of a nested class is not
+                // parsed as literal text (false trigram requirements)
+                var j = i + 1
+                var depth = 1
+                if (j < n && regex.charAt(j) == '^') j += 1
+                if (j < n && regex.charAt(j) == ']') j += 1
+                while (j < n && depth > 0) {
+                  regex.charAt(j) match {
+                    case '\\' => j += 1
+                    case '[' => depth += 1
+                    case ']' => depth -= 1
+                    case _ =>
+                  }
+                  j += 1
+                }
+                if (depth != 0) throw Bail
+                i = j; Right(Free)
             }
-            if (depth != 0) throw Bail
-            i = j; Right(Free)
           case '.' | '^' | '$' => i += 1; Right(Free)
           case '*' | '?' | '+' | '{' => throw Bail // dangling quantifier
-          case c => i += 1; Left(c)
+          case c => i += 1; Left(Seq(c.toString))
         }
         // quantifier (with optional reluctant/possessive suffix)
         if (i < n) regex.charAt(i) match {
-          case '*' | '?' =>
+          case '?' =>
+            i += 1
+            if (i < n && (regex.charAt(i) == '?' || regex.charAt(i) == '+')) i += 1
+            atom match {
+              // optional literal: add the empty alternative and keep
+              // merging (colou?r → {color, colour}); oversized → break
+              case Left(alts) if alts.size < MaxFamily =>
+                atoms += Left("" +: alts)
+              case _ => atoms += Right(Free)
+            }
+          case '*' =>
             i += 1
             if (i < n && (regex.charAt(i) == '?' || regex.charAt(i) == '+')) i += 1
             atoms += Right(Free) // atom optional; break the run
@@ -276,10 +327,19 @@ object SegmentIndex {
             val m = minS.toInt
             if (m == 0) atoms += Right(Free)
             else {
-              atoms += atom
               atom match {
-                case Left(c) => for (_ <- 1 until math.min(m, 5)) atoms += Left(c)
-                case _ => () // a group repeated imposes the same requirement
+                case Left(alts) =>
+                  // m exact copies via capped cross product ([ab]{3} →
+                  // 8 strings); overflow falls back to a single copy
+                  var acc = alts
+                  var copies = 1
+                  while (copies < math.min(m, 5) &&
+                      acc.size * alts.size <= MaxFamily) {
+                    acc = for (a <- acc; b <- alts) yield a + b
+                    copies += 1
+                  }
+                  atoms += Left(acc.distinct)
+                case r => atoms += r // a group repeated imposes the same requirement
               }
               if (maxS != minS) atoms += Right(Free)
             }
@@ -287,13 +347,22 @@ object SegmentIndex {
         }
         else atoms += atom
       }
-      // coalesce adjacent literal chars into runs; Free/group atoms break
+      // coalesce adjacent literal families by cross product; Free/group
+      // atoms (and cap overflows) break the run
       val parts = Seq.newBuilder[TriReq]
-      val run = new StringBuilder
-      def flushRun(): Unit =
-        if (run.nonEmpty) { parts += Lit(run.toString); run.clear() }
+      var runSet: Seq[String] = Seq("")
+      def flushRun(): Unit = {
+        val fam = runSet.distinct
+        // a requirement only exists if EVERY alternative carries a
+        // trigram — one short/empty member makes the family vacuous
+        if (fam.forall(_.length >= 3)) parts += anyOf(fam.map(Lit(_)))
+        runSet = Seq("")
+      }
       atoms.foreach {
-        case Left(c) => run += c
+        case Left(alts) =>
+          val cand = (for (r <- runSet; a <- alts) yield r + a).distinct
+          if (cand.size > MaxFamily) { flushRun(); runSet = alts.distinct }
+          else runSet = cand
         case Right(r) => flushRun(); parts += r
       }
       flushRun()

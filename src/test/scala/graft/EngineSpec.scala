@@ -259,6 +259,37 @@ class EngineSpec extends AnyFunSuite {
     assert(perNodePlan.contains("Join"), "per-node path lost its joins")
   }
 
+  test("shared-scan rewrite matches per-node on the metrics rollup path") {
+    // two metrics expressions re-aggregating pre-rolled columns + a div
+    // formula; avg rides (rollup_sum, rollup_count) as a two-column slot
+    val mdf = Seq(
+      (1000L, "m1", 10.0, 2.0, 1.0, 9.0),
+      (2000L, "m2", 6.0, 3.0, 1.0, 3.0),
+      (11000L, "m1", 8.0, 4.0, 0.5, 4.0),
+      (12000L, "m2", 0.0, 2.0, 0.0, 0.0)
+    ).toDF("ts", "name", "rollup_sum", "rollup_count", "rollup_min",
+      "rollup_max")
+    val telM = Telemetry.millis(mdf, "ts", col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "metrics",
+        |        "filter": {"k": "name", "v": ["m1"], "op": "eq"},
+        |        "chart": {"aggregation": "avg", "groupBys": ["name"]}},
+        |  "b": {"dataset": "metrics",
+        |        "filter": {"k": "name", "op": "exists"},
+        |        "chart": {"aggregation": "sum", "groupBys": ["name"]}}
+        |}, "formulae": ["b / a"]}""".stripMargin)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9, r.getString(3))).sorted.toSeq
+    val shared = run(QueryEngine.evaluate(_ => telM, ast, 0L, 100000L, 10000L))
+    val perNode = QueryEngine.withoutSharedScan {
+      run(QueryEngine.evaluate(_ => telM, ast, 0L, 100000L, 10000L))
+    }
+    assert(shared == perNode,
+      s"shared:\n${shared.mkString("\n")}\nper-node:\n${perNode.mkString("\n")}")
+  }
+
   test("null tags make distinct key parts, not conflated tuples") {
     import spark.implicits._
     val t = Telemetry.millis(Seq(

@@ -268,6 +268,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ast_metrics_formula_ratio: metrics formula AST is one scan, no join") {
+    // the shared-scan rewrite covers the pre-rolled metrics path too:
+    // both rollup re-aggregations of the ratio ride one segment scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = EngineQueries.queries("ast_metrics_formula_ratio")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 FileScan, got ${scans.size}:\n" +
+      df.queryExecution.sparkPlan.toString)
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "metrics formula alignment should be presence algebra, not a join")
+  }
+
   test("ast_multi_series: 3-expression AST compiles to ONE scan, one shuffle") {
     // shared-scan rewrite: two base series + a formula over both must not
     // rescan the source per expression reference (the per-node path did 4

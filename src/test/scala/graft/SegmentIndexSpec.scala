@@ -65,12 +65,12 @@ class SegmentIndexSpec extends AnyFunSuite {
     val cand = SegmentIndex.candidate(
       Filter("event_type", List("a.cde"), Ops.CONTAINS), Set("event_type"))
     assert(cand != null) // compiles through the regex path, not literal
-    // requiredTrigrams("a.cde") sees '.' as Free: the runs "a" and "cde"
-    // remain, and "a" (< 3 chars) imposes no trigram — so a segment
-    // holding only "axcde" (which contains "cde") survives pruning
+    // requiredTrigrams("a.cde") sees '.' as Free: the run "a" (< 3
+    // chars) imposes no trigram and is dropped at flush; only "cde"
+    // remains — so a segment holding only "axcde" survives pruning
     import graft.sources.SegmentIndex.TriReq
     val req = SegmentIndex.requiredTrigrams("a.cde")
-    assert(req == TriReq.All(List(TriReq.Lit("a"), TriReq.Lit("cde"))))
+    assert(req == TriReq.Lit("cde"))
   }
 
   test("numeric-looking EQ values do not prune (coercing equality)") {
@@ -187,9 +187,9 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(SegmentIndex.requiredTrigrams("(aaa(bbb|ccc)|ddd)") ==
       AnyOf(Seq(All(Seq(Lit("aaa"), AnyOf(Seq(Lit("bbb"), Lit("ccc"))))),
         Lit("ddd"))))
-    // non-capturing group; optional group drops its requirement
+    // non-capturing group ("x" < 3 chars imposes nothing and is dropped)
     assert(SegmentIndex.requiredTrigrams("(?:foo|bar)x") ==
-      All(Seq(AnyOf(Seq(Lit("foo"), Lit("bar"))), Lit("x"))))
+      AnyOf(Seq(Lit("foo"), Lit("bar"))))
     assert(SegmentIndex.requiredTrigrams("(foo|bar)?baz") == Lit("baz"))
     // empty branch → whole alternation unconstrained
     assert(SegmentIndex.requiredTrigrams("(foo|)bar") == Lit("bar"))

@@ -126,6 +126,34 @@ class TrigramPropertySpec extends AnyFunSuite {
     assert(SegmentIndex.requiredTrigrams("abc(def|ghi)") != TriReq.Free)
   }
 
+  test("literal families: classes and optionals strengthen, not break, the run") {
+    import TriReq._
+    // gr[ae]y: the class merges into the run as an alternative family
+    assert(SegmentIndex.requiredTrigrams("gr[ae]y") ==
+      AnyOf(Seq(Lit("gray"), Lit("grey"))))
+    // colou?r: optional char becomes the classic two-spelling requirement
+    assert(SegmentIndex.requiredTrigrams("colou?r") ==
+      AnyOf(Seq(Lit("color"), Lit("colour"))))
+    // \Q…\E quotes metachars into a literal requirement
+    assert(SegmentIndex.requiredTrigrams("\\Qa.b+c\\E") == Lit("a.b+c"))
+    // class repetition stays bounded and exact: [ab]{2} → 4 alternatives
+    assert(SegmentIndex.requiredTrigrams("x[ab]{2}y") match {
+      case AnyOf(xs) => xs.toSet == Set(
+        Lit("xaay"), Lit("xaby"), Lit("xbay"), Lit("xbby"))
+      case _ => false
+    })
+    // one short/empty alternative makes the family vacuous, never wrong:
+    // (ab)?cd requires nothing (cd alone is < 3 chars)
+    assert(SegmentIndex.requiredTrigrams("[xy]") == Free)
+    // soundness spot checks against real matches
+    for ((re, s) <- Seq(
+        ("gr[ae]y", "grey"), ("colou?r", "color"), ("x[ab]{2}y", "xbay"),
+        (".*\\Qa.b+c\\E.*", "za.b+cz"), ("err[0-9]or", "err5or"),
+        ("\\Qhttp://\\E[a-z]+\\Q.com\\E", "http://site.com")))
+      assert(s.matches(re) &&
+        satisfies(s, SegmentIndex.requiredTrigrams(re)), s"$re vs $s")
+  }
+
   test("operand-bearing escapes and nested classes never yield false requirements") {
     def sat(s: String, req: TriReq): Boolean = satisfies(s, req)
     // \x41 = 'A': the operand digits must NOT become required literals
