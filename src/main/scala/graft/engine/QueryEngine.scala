@@ -547,6 +547,9 @@ object QueryEngine {
             p.drop(1).forall(_.isDigit) && p.drop(1).toInt <= 100 =>
           // metrics percentile with sketch_dd takes the sketch-merge path
           !(e.dataset == "metrics" && cols.contains("sketch_dd"))
+        case "ces" =>
+          // metrics ces with sketch_hll takes the sketch-union path
+          !(e.dataset == "metrics" && cols.contains("sketch_hll"))
         case _ => false
       }
     }
@@ -599,9 +602,18 @@ object QueryEngine {
     val slots: List[SharedSlot] = slotKeys.zipWithIndex.map {
       case ((id, grouping), idx) =>
         val e = exprById(id)
-        val own = e.chart.map(_.groupBys.toSet).getOrElse(Set.empty)
-        SharedSlot(idx, e, grouping,
-          grouping.filter(k => own.contains(k) && cols.contains(k)).toSet)
+        val chartOpts = e.chart.getOrElse(ChartOptions())
+        val own = chartOpts.groupBys.toSet
+        // raw-path ces with groupBys drops them from the chart (the tags
+        // feed the distinct KEY, not the grouping — chart():cesOverTuples)
+        // so its group key is the constant ""/":" and its label falls
+        // back to the series label: model that as zero live keys
+        val cesOverTuples = chartOpts.aggregation == "ces" &&
+          chartOpts.groupBys.exists(cols.contains)
+        val live =
+          if (cesOverTuples) Set.empty[String]
+          else grouping.filter(k => own.contains(k) && cols.contains(k)).toSet
+        SharedSlot(idx, e, grouping, live)
     }
     val slotIdx: Map[(String, List[String]), Int] =
       slotKeys.zipWithIndex.toMap
@@ -638,14 +650,32 @@ object QueryEngine {
       * the rollup_* columns the aggregation re-aggregates — avg without
       * an explicit rollup re-weights as Σ rollup_sum / Σ rollup_count,
       * riding both columns. */
-    def armOf(s: SharedSlot): (Column, Column, (Column, Column) => Column) = {
+    /** Per-slot columns: value v, second value w (avg-no-rollup ratio),
+      * string key sv (ces distinct-tuple counting), and the aggregate arm
+      * over their when()-gated forms. */
+    case class SlotArm(v: Column, w: Column, sv: Column,
+        arm: (Column, Column, Column) => Column)
+
+    def armOf(s: SharedSlot): SlotArm = {
       val chartOpts = s.e.chart.getOrElse(ChartOptions())
       val aggregation = chartOpts.aggregation
       val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
       def pQuantile(p: String)(v: Column): Column = {
         val q = p.drop(1).toDouble / 100.0
         if (exactPercentiles) expr_percentile(v, q)
         else percentile_approx(v, lit(q), lit(10000))
+      }
+      // ces: the distinct key is the groupBys tuple when present, else
+      // the value column — chart():cesAgg; HLL++ ignores the nulls the
+      // when() gate produces for other slots' rows
+      def cesArm(fallback: Column): SlotArm = {
+        val keyCols = chartOpts.groupBys.filter(cols.contains)
+          .map(FilterCompiler.fieldCol)
+        val key =
+          if (keyCols.nonEmpty) tupleKey(keyCols) else fallback.cast("string")
+        SlotArm(nullD, nullD, key,
+          (_, _, sv) => approx_count_distinct(sv).cast("double"))
       }
       if (s.e.dataset == "metrics") {
         val rollup: Option[String] = chartOpts.rollup match {
@@ -655,48 +685,54 @@ object QueryEngine {
         def rc(r: String): Column = FilterCompiler.fieldCol(s"rollup_$r")
         rollup match {
           case Some(r) =>
-            val arm: Column => Column = aggregation match {
-              case "sum" => sum
-              case "count" => count(_).cast("double")
-              case "min" => min
-              case "max" => max
-              case "avg" => avgOf
-              // percentile over pre-rolled data degrades to the max
-              // envelope of the chosen rollup (chart(): metricsRollupAgg)
-              case _ => max
+            if (aggregation == "ces") cesArm(rc(r))
+            else {
+              val arm: Column => Column = aggregation match {
+                case "sum" => sum
+                case "count" => count(_).cast("double")
+                case "min" => min
+                case "max" => max
+                case "avg" => avgOf
+                // percentile over pre-rolled data degrades to the max
+                // envelope of the chosen rollup (chart(): metricsRollupAgg)
+                case _ => max
+              }
+              SlotArm(rc(r), nullD, nullS, (v, _, _) => arm(v))
             }
-            (rc(r), nullD, (v, _) => arm(v))
           case None =>
             aggregation match {
-              case "sum" => (rc("sum"), nullD, (v, _) => sum(v))
-              case "count" => (rc("count"), nullD, (v, _) => sum(v))
-              case "min" => (rc("min"), nullD, (v, _) => min(v))
-              case "max" => (rc("max"), nullD, (v, _) => max(v))
-              case "avg" => (rc("sum"), rc("count"), (v, w) =>
+              case "sum" => SlotArm(rc("sum"), nullD, nullS, (v, _, _) => sum(v))
+              case "count" => SlotArm(rc("count"), nullD, nullS, (v, _, _) => sum(v))
+              case "min" => SlotArm(rc("min"), nullD, nullS, (v, _, _) => min(v))
+              case "max" => SlotArm(rc("max"), nullD, nullS, (v, _, _) => max(v))
+              case "avg" => SlotArm(rc("sum"), rc("count"), nullS, (v, w, _) =>
                 if (decimalAverages)
                   sum(v.cast("decimal(28,10)")).cast("double") / sum(w)
                 else sum(v) / sum(w))
-              case p => (rc("sum"), nullD, (v, _) => max(v))
+              case "ces" => cesArm(rc("sum"))
+              case p => SlotArm(rc("sum"), nullD, nullS, (v, _, _) => max(v))
             }
         }
       } else {
         val (v, _) = valueSrcOf(s.e)
-        val arm: Column => Column = aggregation match {
-          case "sum" => sum
-          case "count" => count(_).cast("double")
-          case "min" => min
-          case "max" => max
-          case "avg" => avgOf
-          case p => pQuantile(p)
+        if (aggregation == "ces") cesArm(v)
+        else {
+          val arm: Column => Column = aggregation match {
+            case "sum" => sum
+            case "count" => count(_).cast("double")
+            case "min" => min
+            case "max" => max
+            case "avg" => avgOf
+            case p => pQuantile(p)
+          }
+          SlotArm(v, nullD, nullS, (vw, _, _) => arm(vw))
         }
-        (v, nullD, (vw, _) => arm(vw))
       }
     }
-    val arms: Map[Int, (Column, Column, (Column, Column) => Column)] =
-      slots.map(s => s.idx -> armOf(s)).toMap
+    val arms: Map[Int, SlotArm] = slots.map(s => s.idx -> armOf(s)).toMap
 
     val slotStructs: Seq[Column] = slots.map { s =>
-      val (v, w, _) = arms(s.idx)
+      val a = arms(s.idx)
       // raw group values, padded to the widest slot so the struct array
       // is uniformly typed; dead keys (tag not grouped/present for this
       // slot) are null like the per-node path's "" — coalesced at output
@@ -707,7 +743,8 @@ object QueryEngine {
       }.padTo(maxKt, lit(null).cast("string"))
       struct(
         lit(s.idx).as("i"), matchedOf(s.idx).as("m"),
-        v.cast("double").as("v"), w.cast("double").as("w"),
+        a.v.cast("double").as("v"), a.w.cast("double").as("w"),
+        a.sv.cast("string").as("sv"),
         array(ktParts: _*).as("kt"))
     }
 
@@ -719,14 +756,14 @@ object QueryEngine {
         explode(filter(array(slotStructs: _*),
           s => s.getField("m"))).as("_s"))
       .select(col(STEP_TS), col("_s.i").as("_i"), col("_s.v").as("_v"),
-        col("_s.w").as("_w"), col("_s.kt").as("_kt"))
+        col("_s.w").as("_w"), col("_s.sv").as("_sv"), col("_s.kt").as("_kt"))
 
     // ---- one shuffle: per-slot conditional aggregates + presence
     val aggCols: Seq[Column] = slots.flatMap { s =>
-      val (_, _, arm) = arms(s.idx)
-      val agg = arm(
+      val agg = arms(s.idx).arm(
         when(col("_i") === s.idx, col("_v")),
-        when(col("_i") === s.idx, col("_w")))
+        when(col("_i") === s.idx, col("_w")),
+        when(col("_i") === s.idx, col("_sv")))
       Seq(
         transform(s.e, stepMs, agg.cast("double")).cast("double")
           .as(s"_v${s.idx}"),

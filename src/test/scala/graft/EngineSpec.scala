@@ -236,7 +236,12 @@ class EngineSpec extends AnyFunSuite {
         |        "filter": {"k": "dur", "v": ["0"], "op": "gt",
         |                   "dataType": "number"},
         |        "chart": {"aggregation": "max", "groupBys": [],
-        |                  "fieldName": "dur", "chartType": "rate"}}
+        |                  "fieldName": "dur", "chartType": "rate"}},
+        |  "d": {"dataset": "logs",
+        |        "filter": {"k": "value", "v": ["0"], "op": "gt",
+        |                   "dataType": "number"},
+        |        "chart": {"aggregation": "ces",
+        |                  "groupBys": ["level", "service"]}}
         |}, "formulae": ["a + b", "(a / b) * 2"]}""".stripMargin)
     def run(f: => org.apache.spark.sql.DataFrame) =
       f.collect().map(r => (r.getLong(0), r.getString(1),
