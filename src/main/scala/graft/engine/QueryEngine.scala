@@ -493,20 +493,35 @@ object QueryEngine {
       "AST yields no output series: no formulae and every base " +
       "expression has returnResults=false")
 
-    // Shared-scan rewrite: a multi-expression dashboard AST over one raw
-    // dataset compiles to ONE segment scan and ONE shuffle instead of a
+    // Shared-scan rewrite: all multi-expression outputs over one raw
+    // dataset compile to ONE segment scan and ONE shuffle instead of a
     // scan+shuffle per BaseExpr reference (the reference executes N
     // BaseExprs over a single segment stream, QueryEngineV2.scala:211-417
     // — at 100 TB the per-expression rescans are the dominant IO cost).
-    val allRefs = outputs.flatMap { case (_, n) => AstOps.baseExprsIn(n) }
-    if (sharedScanEnabled && allRefs.size >= 2 &&
-        allRefs.map(_.dataset).distinct.size == 1) {
-      val cols = tables(allRefs.head.dataset).df.columns.toSet
-      if (allRefs.forall(e => sharedScanEligible(e, cols)))
-        return evaluateSharedScan(tables, outputs, startMs, endMs, stepMs)
-    }
+    // Outputs are BUCKETED by dataset, so a mixed logs+metrics dashboard
+    // still gets one scan per dataset; cross-dataset formulas and
+    // ineligible shapes stay per-node.
+    val (sharedBuckets, perNodeOutputs) =
+      if (!sharedScanEnabled) (Nil, outputs)
+      else {
+        val (single, multi) = outputs.partition { case (_, n) =>
+          AstOps.baseExprsIn(n).map(_.dataset).distinct.size == 1
+        }
+        val byDataset = single.groupBy { case (_, n) =>
+          AstOps.baseExprsIn(n).head.dataset }
+        val (shareable, solo) = byDataset.toList.partition { case (d, os) =>
+          val refs = os.flatMap(o => AstOps.baseExprsIn(o._2))
+          refs.size >= 2 && {
+            val cols = tables(d).df.columns.toSet
+            refs.forall(e => sharedScanEligible(e, cols))
+          }
+        }
+        (shareable.map(_._2), multi ++ solo.flatMap(_._2))
+      }
+    val sharedDfs = sharedBuckets.map(bucket =>
+      evaluateSharedScan(tables, bucket, startMs, endMs, stepMs))
 
-    val all = outputs.map { case (labelStr, node) =>
+    val perNodeDfs = perNodeOutputs.map { case (labelStr, node) =>
       val grouping = AstOps.finalGrouping(node).toList.sorted
       val df = evalNode(tables, node, grouping, startMs, endMs, stepMs)
       // relabel ONLY the genuinely ungrouped series — plan-time facts: a
@@ -522,7 +537,8 @@ object QueryEngine {
       df.withColumn(LABEL, labelCol)
         .select(col(STEP_TS), col(GROUP_KEY), col(VALUE), col(LABEL))
     }
-    all.reduceLeft(_ unionByName _).orderBy(STEP_TS, LABEL)
+    (sharedDfs ++ perNodeDfs).reduceLeft(_ unionByName _)
+      .orderBy(STEP_TS, LABEL)
   }
 
   // ------------------------------------------- shared-scan multi-expression
@@ -854,7 +870,7 @@ object QueryEngine {
           o => o.getField("p"))).as("_o"))
       .select(col(STEP_TS), col("_o.k").as(GROUP_KEY),
         col("_o.v").as(VALUE), col("_o.l").as(LABEL))
-      .orderBy(STEP_TS, LABEL)
+    // no orderBy here: evaluate() sorts once after unioning buckets
   }
 
   /** Combined result of one AST evaluation: the chart series stream plus

@@ -295,6 +295,44 @@ class EngineSpec extends AnyFunSuite {
       s"shared:\n${shared.mkString("\n")}\nper-node:\n${perNode.mkString("\n")}")
   }
 
+  test("mixed-dataset AST shares per dataset bucket and matches per-node") {
+    // logs panels + metrics panels in one dashboard AST: each dataset
+    // bucket gets its own shared scan; results must match per-node
+    val mdf = Seq(
+      (1000L, "m1", 10.0, 2.0, 1.0, 9.0),
+      (11000L, "m1", 8.0, 4.0, 0.5, 4.0),
+      (12000L, "m2", 6.0, 2.0, 2.0, 4.0)
+    ).toDF("ts", "name", "rollup_sum", "rollup_count", "rollup_min",
+      "rollup_max")
+    val telM = Telemetry.millis(mdf, "ts", col("rollup_sum"))
+    val tabs: String => Telemetry =
+      d => if (d == "metrics") telM else tel
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs",
+        |        "filter": {"k": "level", "v": ["a"], "op": "eq"},
+        |        "chart": {"aggregation": "count", "groupBys": []}},
+        |  "b": {"dataset": "logs",
+        |        "filter": {"k": "level", "v": ["b"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}},
+        |  "m": {"dataset": "metrics",
+        |        "filter": {"k": "name", "op": "exists"},
+        |        "chart": {"aggregation": "avg", "groupBys": ["name"]}},
+        |  "n": {"dataset": "metrics",
+        |        "filter": {"k": "name", "v": ["m1"], "op": "eq"},
+        |        "chart": {"aggregation": "max", "groupBys": []}}
+        |}, "formulae": ["a + b"]}""".stripMargin)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9, r.getString(3))).sorted.toSeq
+    val shared = run(QueryEngine.evaluate(tabs, ast, 0L, 100000L, 10000L))
+    val perNode = QueryEngine.withoutSharedScan {
+      run(QueryEngine.evaluate(tabs, ast, 0L, 100000L, 10000L))
+    }
+    assert(shared == perNode,
+      s"shared:\n${shared.mkString("\n")}\nper-node:\n${perNode.mkString("\n")}")
+  }
+
   test("null tags make distinct key parts, not conflated tuples") {
     import spark.implicits._
     val t = Telemetry.millis(Seq(
