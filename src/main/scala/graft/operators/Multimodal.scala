@@ -8,14 +8,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The image path is REAL end-to-end: [[Bmp.encodeGray]] writes genuine
-  * 24-bit BMP containers, [[ImageIoCodec]] decodes them back to pixels
-  * through `javax.imageio` (public JDK API, no extra dependency), and
-  * [[decodeImages]]/[[sampleImageRows]] derive per-image and per-row
-  * luminance statistics from the decoded pixels. Audio/video codecs
-  * remain stubbed behind the same [[MediaCodec]] seam (this container
-  * has no ffmpeg) — swap in a JNI/javacpp implementation without
-  * touching the plumbing.
+  * All three modalities are REAL end-to-end, pure-JVM (no ffmpeg in
+  * this container, no new dependency):
+  *  - images: [[Bmp.encodeGray]] writes genuine 24-bit BMP containers,
+  *    [[ImageIoCodec]] decodes them through `javax.imageio`;
+  *  - audio: [[Wav.encodePcm16]] writes genuine RIFF/WAVE PCM,
+  *    [[JavaSoundCodec]] decodes through `javax.sound.sampled`;
+  *  - video: [[Avi.encodeDib]]/[[Avi.encodeMjpeg]] write genuine
+  *    RIFF/AVI containers (uncompressed-DIB and MJPEG codec variants),
+  *    [[RiffVideoCodec]] walks the chunk tree and decodes frames
+  *    (DIB rasters exactly; MJPEG through `javax.imageio`).
+  * Exotic codecs (H.264 etc.) slot in behind the same [[MediaCodec]]
+  * seam as a JNI/javacpp implementation without touching the plumbing.
   *
   * Scale notes: decode runs in `mapPartitions` so a real codec
   * amortizes init per partition (the Scala analogue of mapInPandas
@@ -46,13 +50,19 @@ object Multimodal {
     * (-32768..32767 for 16-bit sources). */
   case class DecodedAudio(sampleRate: Int, samples: Array[Int])
 
+  /** A decoded video clip: per-frame grayscale rasters (row-major
+    * 0..255) plus the container's frame timing. */
+  case class DecodedVideo(width: Int, height: Int, microSecPerFrame: Long,
+      frames: IndexedSeq[Array[Int]])
+
   /** The codec seam: feature extraction over raw payload bytes, plus
-    * optional real image/audio decodes (None = this codec cannot decode
-    * the payload — stub codecs and mismatched formats). */
+    * optional real image/audio/video decodes (None = this codec cannot
+    * decode the payload — stub codecs and mismatched formats). */
   trait MediaCodec extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Float]
     def decodeImage(payload: Array[Byte]): Option[DecodedImage] = None
     def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = None
+    def decodeVideo(payload: Array[Byte]): Option[DecodedVideo] = None
   }
 
   object StubCodec extends MediaCodec {
@@ -130,6 +140,225 @@ object Multimodal {
       var i = 0
       while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
       buf.array()
+    }
+  }
+
+  /** Minimal deterministic AVI/RIFF writer (public format: RIFF('AVI ')
+    * with LIST hdrl [avih + LIST strl [strh 'vids' + strf
+    * BITMAPINFOHEADER]] and LIST movi of per-frame chunks). Two real AVI
+    * codec variants:
+    *  - `encodeDib`: uncompressed 24-bit DIB frames ('00db' chunks, the
+    *    'DIB ' handler) — bottom-up BGR rows padded to 4 bytes, exactly a
+    *    headerless [[Bmp]] raster per frame. Byte-for-byte reproducible —
+    *    the fixture generator for the analytic video oracle.
+    *  - `encodeMjpeg`: JPEG-compressed frames ('00dc' chunks, the 'MJPG'
+    *    handler), each frame a full `javax.imageio`-written JPEG — the
+    *    real-world compressed path (lossy, so exercised by unit tests
+    *    with tolerance, not by the exact oracle). */
+  object Avi {
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def header(buf: java.nio.ByteBuffer, w: Int, h: Int,
+        microSecPerFrame: Long, nFrames: Int, handler: String,
+        compression: Array[Byte], maxFrameBytes: Int): Unit = {
+      buf.put(fourcc("LIST")).putInt(4 + 8 + 56 + 12 + 8 + 56 + 8 + 40)
+        .put(fourcc("hdrl"))
+      buf.put(fourcc("avih")).putInt(56)
+        .putInt(microSecPerFrame.toInt).putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(maxFrameBytes)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.put(fourcc("LIST")).putInt(4 + 8 + 56 + 8 + 40).put(fourcc("strl"))
+      buf.put(fourcc("strh")).putInt(56)
+        .put(fourcc("vids")).put(fourcc(handler))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(microSecPerFrame.toInt) // dwScale
+        .putInt(1000000)                // dwRate → rate/scale = fps
+        .putInt(0).putInt(nFrames).putInt(maxFrameBytes).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      buf.put(fourcc("strf")).putInt(40)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put(compression, 0, 4).putInt(maxFrameBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+    }
+
+    /** Uncompressed-DIB AVI: header size is a closed form the oracle can
+      * replay — 12 (RIFF) + 8+4 (hdrl LIST) + 64 (avih) + 12 (strl LIST)
+      * + 64 (strh) + 48 (strf) + 12 (movi LIST) + n·(8 + frameBytes),
+      * frameBytes = (3w rounded up to 4)·h. */
+    def encodeDib(w: Int, h: Int, microSecPerFrame: Long,
+        frames: IndexedSeq[(Int, Int) => Int]): Array[Byte] = {
+      require(w > 0 && h > 0 && frames.nonEmpty, "empty video")
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val moviSize = 4 + frames.size * (8 + frameBytes)
+      val total = 12 + (8 + 4 + 64 + 12 + 64 + 48) + 8 + moviSize
+      val buf = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(fourcc("RIFF")).putInt(total - 8).put(fourcc("AVI "))
+      header(buf, w, h, microSecPerFrame, frames.size, "DIB ",
+        Array[Byte](0, 0, 0, 0), frameBytes)
+      buf.put(fourcc("LIST")).putInt(moviSize).put(fourcc("movi"))
+      frames.foreach { lum =>
+        buf.put(fourcc("00db")).putInt(frameBytes)
+        var y = h - 1
+        while (y >= 0) { // bottom-up rows, BGR
+          var x = 0
+          while (x < w) {
+            val v = (lum(x, y) & 0xff).toByte
+            buf.put(v).put(v).put(v)
+            x += 1
+          }
+          var p = w * 3
+          while (p < stride) { buf.put(0.toByte); p += 1 }
+          y -= 1
+        }
+      }
+      buf.array()
+    }
+
+    /** MJPEG AVI: frames are complete JPEGs (chunks padded to even size
+      * per RIFF). */
+    def encodeMjpeg(w: Int, h: Int, microSecPerFrame: Long,
+        frames: IndexedSeq[(Int, Int) => Int]): Array[Byte] = {
+      require(w > 0 && h > 0 && frames.nonEmpty, "empty video")
+      val jpegs = frames.map { lum =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = lum(x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val padded = jpegs.map(j => j.length + (j.length & 1))
+      val moviSize = 4 + padded.map(8 + _).sum
+      val total = 12 + (8 + 4 + 64 + 12 + 64 + 48) + 8 + moviSize
+      val buf = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(fourcc("RIFF")).putInt(total - 8).put(fourcc("AVI "))
+      header(buf, w, h, microSecPerFrame, frames.size, "MJPG",
+        fourcc("MJPG"), padded.max)
+      buf.put(fourcc("LIST")).putInt(moviSize).put(fourcc("movi"))
+      jpegs.foreach { j =>
+        buf.put(fourcc("00dc")).putInt(j.length).put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+  }
+
+  /** Real AVI video decode: walks the RIFF chunk tree (hdrl for
+    * dimensions and frame timing, movi for frame chunks), decodes
+    * '00db' uncompressed-DIB frames with the raster layout from strf
+    * (bottom-up padded BGR — exact) and '00dc' compressed frames
+    * through `javax.imageio` (MJPEG = per-frame JPEG, a JDK-builtin
+    * reader). Anything malformed decodes to None, never a task-killing
+    * exception. */
+  object RiffVideoCodec extends MediaCodec {
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decodeVideo(payload) match {
+        case None => StubCodec.features(payload, dim)
+        case Some(dv) =>
+          // per-band mean luminance over `dim` time bands of the clip —
+          // the temporal analogue of ImageIoCodec's horizontal bands
+          val out = new Array[Float](dim)
+          val counts = new Array[Int](dim)
+          val n = dv.frames.size
+          var f = 0
+          while (f < n) {
+            val band = math.min(dim - 1, f * dim / math.max(1, n))
+            val g = dv.frames(f)
+            var s = 0L
+            var i = 0
+            while (i < g.length) { s += g(i); i += 1 }
+            out(band) += (s.toDouble / math.max(1, g.length) / 255.0).toFloat
+            counts(band) += 1
+            f += 1
+          }
+          var j = 0
+          while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+          out
+      }
+
+    override def decodeVideo(payload: Array[Byte]): Option[DecodedVideo] = {
+      if (payload == null || payload.length < 24) return None
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, "US-ASCII")
+      try {
+        if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+        var width = 0; var height = 0; var uspf = 0L; var bitCount = 0
+        var compression = "    "
+        val frames = IndexedSeq.newBuilder[Array[Int]]
+        // walk chunks; LIST bodies recurse (4-byte list type then chunks)
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = tag(off)
+            val size = buf.getInt(off + 4)
+            if (size < 0 || off + 8 + size > end) throw new java.io.EOFException
+            if (id == "LIST") {
+              walk(off + 12, off + 8 + size)
+            } else if (id == "avih") {
+              uspf = buf.getInt(off + 8).toLong & 0xffffffffL
+            } else if (id == "strf" && size >= 40) {
+              width = buf.getInt(off + 8 + 4)
+              height = buf.getInt(off + 8 + 8)
+              bitCount = buf.getShort(off + 8 + 14).toInt
+              compression = tag(off + 8 + 16)
+            } else if (id.endsWith("db") && width > 0 && height > 0) {
+              decodeDibFrame(payload, off + 8, size, width, height, bitCount)
+                .foreach(frames += _)
+            } else if (id.endsWith("dc")) {
+              val slice = java.util.Arrays.copyOfRange(
+                payload, off + 8, off + 8 + size)
+              ImageIoCodec.decodeImage(slice).foreach { di =>
+                if (width == 0) { width = di.width; height = di.height }
+                if (di.width == width && di.height == height)
+                  frames += di.gray
+              }
+            }
+            off += 8 + size + (size & 1) // chunks pad to even
+          }
+        }
+        walk(12, payload.length)
+        val fs = frames.result()
+        if (width <= 0 || height <= 0 || fs.isEmpty) None
+        else Some(DecodedVideo(width, math.abs(height), uspf, fs))
+      } catch {
+        case _: IndexOutOfBoundsException | _: java.io.EOFException |
+            _: StringIndexOutOfBoundsException => None
+      }
+    }
+
+    /** One uncompressed 24-bit DIB frame: bottom-up (positive height)
+      * BGR rows padded to 4 bytes; r==g==b reads exact, else BT.601. */
+    private def decodeDibFrame(payload: Array[Byte], off: Int, size: Int,
+        w: Int, h: Int, bitCount: Int): Option[Array[Int]] = {
+      if (bitCount != 24) return None
+      val stride = (w * 3 + 3) / 4 * 4
+      val hh = math.abs(h)
+      if (size < stride * hh) return None
+      val gray = new Array[Int](w * hh)
+      var y = 0
+      while (y < hh) {
+        val srcRow = if (h > 0) hh - 1 - y else y // positive h = bottom-up
+        var x = 0
+        while (x < w) {
+          val p = off + srcRow * stride + x * 3
+          val b = payload(p) & 0xff
+          val g = payload(p + 1) & 0xff
+          val r = payload(p + 2) & 0xff
+          gray(y * w + x) =
+            if (r == g && g == b) r else (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some(gray)
     }
   }
 
@@ -312,6 +541,116 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic per-frame fixture pixel:
+    * (id·31 + f·41 + x·7 + y·13) mod 256 — pure integer arithmetic an
+    * oracle can replay analytically; frame f shifts the pattern so
+    * frame-sampling results are frame-distinct. */
+  def fixtureVideoPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+
+  /** Real-video media table: one genuine AVI (uncompressed-DIB frames)
+    * per input id — dimensions 8+id%13 × 8+(id·3)%11, 3+id%4 frames at
+    * 10+(id%3)·5 fps, pixels from [[fixtureVideoPixel]]. The payloads
+    * are decodable RIFF/AVI containers, so the container-parse →
+    * frame-decode → stats path downstream is the real one end-to-end
+    * (the video analogue of [[syntheticImageTable]]). */
+  def syntheticVideoTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 13).toInt
+          val h = 8 + ((id * 3) % 11).toInt
+          val n = 3 + (id % 4).toInt
+          val fps = 10 + (id % 3).toInt * 5
+          val uspf = 1000000L / fps
+          val payload = Avi.encodeDib(w, h, uspf,
+            IndexedSeq.tabulate(n)(f =>
+              (x: Int, y: Int) => fixtureVideoPixel(id, f, x, y)))
+          Row(id, payload, Row("avi", w, h, n * uspf / 1000L))
+        }
+      }(enc)
+  }
+
+  /** Decode each payload and derive per-clip video statistics:
+    * (media_id, width, height, n_frames, duration_ms, mean_lum,
+    * n_bytes) — undecodable payloads keep their byte count with null
+    * video columns. Batched per partition; payload bytes never shuffle —
+    * only scalars flow downstream. */
+  def decodeVideos(media: DataFrame,
+      codec: MediaCodec = RiffVideoCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("mean_lum", DoubleType),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          codec.decodeVideo(payload) match {
+            case Some(dv) if dv.frames.nonEmpty =>
+              var s = 0L
+              var px = 0L
+              dv.frames.foreach { g =>
+                var i = 0
+                while (i < g.length) { s += g(i); i += 1 }
+                px += g.length
+              }
+              Row(id, dv.width, dv.height, dv.frames.size,
+                dv.frames.size * dv.microSecPerFrame / 1000L,
+                s.toDouble / px, nBytes)
+            case _ => Row(id, null, null, null, null, null, nBytes)
+          }
+        }
+      }(enc)
+  }
+
+  /** Video frame sampling over REAL decoded frames: every `everyN`-th
+    * frame (capped), each with its container timestamp and decoded mean
+    * luminance. Payload bytes never fan out — only
+    * (id, frame_idx, frame_ts_ms, frame_mean_lum) rows flow on; the
+    * metadata-only [[sampleFrames]] remains the cheap no-decode twin. */
+  def sampleVideoFrames(media: DataFrame, everyN: Int, maxFrames: Int = 32,
+      codec: MediaCodec = RiffVideoCodec): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ts_ms", LongType, nullable = false),
+      StructField("frame_mean_lum", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeVideo(payload) match {
+            case None => Iterator.empty
+            case Some(dv) =>
+              val n = dv.frames.size
+              Iterator.tabulate(
+                  math.min(maxFrames, (n + everyN - 1) / everyN)) { idx =>
+                val f = idx * everyN
+                val g = dv.frames(f)
+                var s = 0L
+                var i = 0
+                while (i < g.length) { s += g(i); i += 1 }
+                Row(id, idx, f * dv.microSecPerFrame / 1000L,
+                  s.toDouble / g.length)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Decode each payload and derive per-clip audio statistics:
     * (media_id, sample_rate, n_samples, duration_ms, sum_sq, rms,
     * n_bytes) — undecodable payloads keep their byte count with null
@@ -462,6 +801,8 @@ object Multimodal {
       .when(substring(payload, 1, 8) === lit(pngMagic), "png")
       .when(substring(payload, 1, 4) === lit(riffMagic) &&
         substring(payload, 9, 4) === lit(waveTag), "wav")
+      .when(substring(payload, 1, 4) === lit(riffMagic) &&
+        substring(payload, 9, 4) === lit("AVI ".getBytes("US-ASCII")), "avi")
       .otherwise("unknown")
 
   /** Shannon entropy (bits/byte, 0-8) of the payload's byte histogram —

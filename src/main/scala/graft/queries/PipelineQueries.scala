@@ -834,6 +834,40 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  // m5: REAL video decode end-to-end — genuine RIFF/AVI containers with
+  // uncompressed-DIB frames (written by the deterministic fixture
+  // encoder) parsed back through the chunk walker to per-frame rasters,
+  // with dimensions, frame count, container timing, and mean luminance
+  // derived from the decoded frames. The oracle replays the per-frame
+  // pixel function and the closed-form container size — a wrong chunk
+  // layout, stride, row order, or frame timing diverges. (The MJPEG
+  // codec variant is exercised in MultimodalSpec with decode tolerance;
+  // JPEG is lossy so it cannot carry an exact-hash oracle.)
+  def m5_video_decode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticVideoTable(
+      docs(s, dir).where(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeVideos(media)
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"), col("duration_ms"),
+        round(col("mean_lum"), 4).as("mean_lum"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  // m6: video frame sampling over REAL decoded frames — every 2nd frame
+  // (capped at 4) with its container timestamp and decoded mean
+  // luminance. Oracle = the same rows from the analytic per-frame pixel
+  // function and integer frame timing.
+  def m6_video_frames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticVideoTable(
+      docs(s, dir).where(col("doc_id") < 100), "doc_id")
+    Multimodal.sampleVideoFrames(media, everyN = 2, maxFrames = 4)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_ts_ms"),
+        round(col("frame_mean_lum"), 4).as("frame_mean_lum"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
@@ -882,7 +916,9 @@ object PipelineQueries {
     "m1_multimodal_features" -> m1_multimodal_features _,
     "m2_frame_sample" -> m2_frame_sample _,
     "m3_format_detect" -> m3_format_detect _,
-    "m4_audio_decode" -> m4_audio_decode _
+    "m4_audio_decode" -> m4_audio_decode _,
+    "m5_video_decode" -> m5_video_decode _,
+    "m6_video_frames" -> m6_video_frames _
   )
 
   private val t7OracleSql: String = {
@@ -1557,6 +1593,52 @@ object PipelineQueries {
         |  sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms,
         |  44 + 2 * n_samples AS n_bytes
         |FROM s ORDER BY media_id""".stripMargin,
+    // replay of the AVI-DIB container: per-frame pixel function, closed
+    // form header size (224 fixed + per-frame chunk with 4-byte-padded
+    // stride), and integer frame timing (uspf = 1000000 // fps)
+    "m5_video_decode" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |clips AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 13 AS w,
+        |    8 + (doc_id * 3) % 11 AS h, 3 + doc_id % 4 AS n,
+        |    1000000 // (10 + (doc_id % 3) * 5) AS uspf
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT c.id, c.w, c.h, c.n, c.uspf,
+        |    sum((c.id * 31 + gf.v * 41 + gx.v * 7 + gy.v * 13) % 256) AS s
+        |  FROM clips c
+        |  JOIN g gf ON gf.v < c.n
+        |  JOIN g gx ON gx.v < c.w
+        |  JOIN g gy ON gy.v < c.h
+        |  GROUP BY c.id, c.w, c.h, c.n, c.uspf)
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(n AS BIGINT) AS n_frames,
+        |  n * uspf // 1000 AS duration_ms,
+        |  round(CAST(s AS DOUBLE) / (n * w * h), 4) AS mean_lum,
+        |  CAST(224 + n * (8 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT)
+        |    AS n_bytes
+        |FROM px ORDER BY media_id""".stripMargin,
+    "m6_video_frames" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |clips AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 13 AS w,
+        |    8 + (doc_id * 3) % 11 AS h, 3 + doc_id % 4 AS n,
+        |    1000000 // (10 + (doc_id % 3) * 5) AS uspf
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (
+        |  SELECT c.id, f.v AS frame_idx, f.v * 2 AS f, c.w, c.h, c.uspf
+        |  FROM clips c JOIN g f ON f.v < 4 AND f.v * 2 < c.n),
+        |px AS (
+        |  SELECT fr.id, fr.frame_idx, any_value(fr.f) AS f,
+        |    any_value(fr.w) AS w, any_value(fr.h) AS h,
+        |    any_value(fr.uspf) AS uspf,
+        |    sum((fr.id * 31 + fr.f * 41 + gx.v * 7 + gy.v * 13) % 256) AS s
+        |  FROM fr JOIN g gx ON gx.v < fr.w JOIN g gy ON gy.v < fr.h
+        |  GROUP BY fr.id, fr.frame_idx)
+        |SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  f * uspf // 1000 AS frame_ts_ms,
+        |  round(CAST(s AS DOUBLE) / (w * h), 4) AS frame_mean_lum
+        |FROM px ORDER BY media_id, frame_idx""".stripMargin,
     // mirrors TextAnalysis.languageId / subwordCountEstimate / qualityScore
     // expression-for-expression so the double arithmetic matches bit-wise
     "t2_profile" ->

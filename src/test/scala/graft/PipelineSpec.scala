@@ -590,6 +590,87 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI-DIB encode → RIFF walk → frame decode round-trips every pixel") {
+    import graft.operators.Multimodal
+    // non-multiple-of-4 widths exercise frame stride padding
+    for ((w, h, n) <- Seq((9, 5, 3), (16, 8, 1), (13, 11, 6))) {
+      val uspf = 1000000L / 15
+      val bytes = Multimodal.Avi.encodeDib(w, h, uspf,
+        IndexedSeq.tabulate(n)(f =>
+          (x: Int, y: Int) => Multimodal.fixtureVideoPixel(5L, f, x, y)))
+      // closed-form container size the oracle relies on
+      val stride = (w * 3 + 3) / 4 * 4
+      assert(bytes.length == 224 + n * (8 + stride * h), "canonical size")
+      val dv = Multimodal.RiffVideoCodec.decodeVideo(bytes)
+        .getOrElse(fail(s"could not decode ${w}x$h x$n AVI"))
+      assert(dv.width == w && dv.height == h && dv.frames.size == n)
+      assert(dv.microSecPerFrame == uspf)
+      for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+        assert(dv.frames(f)(y * w + x) ==
+          Multimodal.fixtureVideoPixel(5L, f, x, y),
+          s"pixel ($x,$y) of frame $f in ${w}x$h")
+    }
+    // malformed payloads decode to None, never a task-killing exception
+    assert(Multimodal.RiffVideoCodec.decodeVideo("not a video".getBytes).isEmpty)
+    assert(Multimodal.RiffVideoCodec
+      .decodeVideo("RIFF    AVI junk".getBytes).isEmpty)
+  }
+
+  test("AVI-MJPEG frames decode through imageio within JPEG tolerance") {
+    import graft.operators.Multimodal
+    // flat-luminance frames: JPEG is lossy but near-exact on constants
+    val levels = IndexedSeq(40, 128, 220)
+    val bytes = Multimodal.Avi.encodeMjpeg(16, 16, 1000000L / 10,
+      levels.map(l => (_: Int, _: Int) => l))
+    val dv = Multimodal.RiffVideoCodec.decodeVideo(bytes)
+      .getOrElse(fail("could not decode MJPEG AVI"))
+    assert(dv.width == 16 && dv.height == 16 && dv.frames.size == 3)
+    for ((l, f) <- levels.zipWithIndex) {
+      val mean = dv.frames(f).map(_.toLong).sum.toDouble / dv.frames(f).length
+      assert(math.abs(mean - l) <= 4.0,
+        s"frame $f mean $mean vs source level $l")
+    }
+  }
+
+  test("decodeVideos and sampleVideoFrames derive stats from decoded frames") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticVideoTable(
+      spark.range(5).select(col("id").as("doc_id")), "doc_id")
+    val stats = Multimodal.decodeVideos(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 5L) {
+      val w = 8 + (id % 13).toInt; val h = 8 + ((id * 3) % 11).toInt
+      val n = 3 + (id % 4).toInt
+      val uspf = 1000000L / (10 + (id % 3).toInt * 5)
+      val r = stats(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == n)
+      assert(r.getLong(4) == n * uspf / 1000L)
+      val want = (for (f <- 0 until n; y <- 0 until h; x <- 0 until w)
+        yield Multimodal.fixtureVideoPixel(id, f, x, y).toLong).sum
+          .toDouble / (n.toLong * w * h)
+      assert(r.getDouble(5) == want, s"mean luminance of id=$id")
+    }
+    val frames = Multimodal.sampleVideoFrames(media, everyN = 2, maxFrames = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val id = r.getLong(0); val idx = r.getInt(1)
+      val w = 8 + (id % 13).toInt; val h = 8 + ((id * 3) % 11).toInt
+      val uspf = 1000000L / (10 + (id % 3).toInt * 5)
+      val f = idx * 2
+      assert(r.getLong(2) == f * uspf / 1000L)
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.fixtureVideoPixel(id, f, x, y).toLong).sum
+          .toDouble / (w.toLong * h)
+      assert(r.getDouble(3) == want, s"frame $f mean of id=$id")
+    }
+    // undecodable payloads keep their byte count with null video columns
+    import spark.implicits._
+    val bad = Seq((99L, "noise".getBytes)).toDF("media_id", "payload")
+    val br = Multimodal.decodeVideos(bad).collect()(0)
+    assert(br.isNullAt(1) && br.isNullAt(5) && br.getLong(6) == 5L)
+  }
+
   test("lmScore: reference-like text scores below out-of-distribution text") {
     import spark.implicits._
     val ref = Seq(
