@@ -527,11 +527,11 @@ object QueryEngine {
       // relabel ONLY the genuinely ungrouped series — plan-time facts: a
       // runtime GROUP_KEY === "" test would also catch a grouped series
       // whose single tag is null, masquerading it as the overall series.
-      // "Ungrouped" is either no grouping at all, or a chart that carries
-      // none of its grouping columns (raw-path ces-over-tuples — the
-      // schema-metadata flag from seriesDf), whose key is constant "".
+      // "Ungrouped" = no grouping at all, or every operand chart carries
+      // none of its grouping columns (raw-path ces-over-tuples), so the
+      // key is the constant ""/":" on every row.
       val labelCol =
-        if (grouping.isEmpty || effectivelyUngrouped(df))
+        if (grouping.isEmpty || effectivelyUngroupedNode(tables, node, grouping))
           lit(seriesLabel(labelStr, node))
         else col(GROUP_KEY)
       df.withColumn(LABEL, labelCol)
@@ -618,18 +618,9 @@ object QueryEngine {
     val slots: List[SharedSlot] = slotKeys.zipWithIndex.map {
       case ((id, grouping), idx) =>
         val e = exprById(id)
-        val chartOpts = e.chart.getOrElse(ChartOptions())
-        val own = chartOpts.groupBys.toSet
-        // raw-path ces with groupBys drops them from the chart (the tags
-        // feed the distinct KEY, not the grouping — chart():cesOverTuples)
-        // so its group key is the constant ""/":" and its label falls
-        // back to the series label: model that as zero live keys
-        val cesOverTuples = chartOpts.aggregation == "ces" &&
-          chartOpts.groupBys.exists(cols.contains)
-        val live =
-          if (cesOverTuples) Set.empty[String]
-          else grouping.filter(k => own.contains(k) && cols.contains(k)).toSet
-        SharedSlot(idx, e, grouping, live)
+        // zero live keys also covers raw-path ces-over-tuples, whose
+        // chart drops its grouping columns — see [[liveKeysOf]]
+        SharedSlot(idx, e, grouping, liveKeysOf(e, grouping, cols))
     }
     val slotIdx: Map[(String, List[String]), Int] =
       slotKeys.zipWithIndex.toMap
@@ -838,12 +829,6 @@ object QueryEngine {
         }
       }
 
-    def leftmostBase(n: AstNode): Option[BaseExpr] = n match {
-      case b: BaseExpr => Some(b)
-      case Formula(e1, e2, _) => leftmostBase(e1).orElse(leftmostBase(e2))
-      case _ => None
-    }
-
     val outStructs: Seq[Column] = outputs.map { case (labelStr, node) =>
       val grouping = AstOps.finalGrouping(node).toList.sorted
       val (v, p) = nodeCols(node, grouping)
@@ -854,9 +839,9 @@ object QueryEngine {
             slice(col("_kt"), 1, grouping.size),
             x => coalesce(x, lit(""))), ":")
       // same ungrouped-ness rule as the per-node path: no grouping, or
-      // the (leftmost) chart carries none of its grouping columns
+      // EVERY operand chart carries none of its grouping columns
       val ungrouped = grouping.isEmpty ||
-        leftmostBase(node).forall(b =>
+        AstOps.baseExprsIn(node).forall(b =>
           slots(slotIdx((b.id, grouping))).liveKeys.isEmpty)
       val labelCol =
         if (ungrouped) lit(seriesLabel(labelStr, node)) else keyCol
@@ -902,19 +887,39 @@ object QueryEngine {
     case _ => id
   }
 
-  /** Column metadata key marking a series whose chart carries NONE of its
-    * grouping columns (raw-path ces-over-tuples drops them: the tags feed
-    * the distinct KEY, not the grouping) — its group key is the constant
-    * ""/":" and labeling must fall back to the series label. A plan-time
-    * fact carried on the schema, so [[evaluate]] never needs a runtime
+  /** The grouping keys of `e` that actually reach its chart output under
+    * a consuming output's `grouping` context. Zero live keys means the
+    * series' group key is the constant ""/":" on every row — either the
+    * tags are absent from the table, or the chart drops them by design
+    * (raw-path ces-over-tuples: the tags feed the distinct KEY, not the
+    * grouping; the metrics sketch_hll ces path KEEPS per-tag grouping).
+    * A plan-time fact, so labeling never needs a runtime
     * `group_key === ""` test (which would also catch a grouped series
-    * whose single tag is null). */
-  private val UngroupedMetaKey = "graft.effectively_ungrouped"
-
-  private[engine] def effectivelyUngrouped(df: DataFrame): Boolean = {
-    val m = df.schema(GROUP_KEY).metadata
-    m.contains(UngroupedMetaKey) && m.getBoolean(UngroupedMetaKey)
+    * whose single tag is null, masquerading it as the overall series). */
+  private def liveKeysOf(e: BaseExpr, grouping: List[String],
+      cols: Set[String]): Set[String] = {
+    val chartOpts = e.chart.getOrElse(ChartOptions())
+    val own = chartOpts.groupBys.toSet
+    val present = (k: String) => cols.contains(k) || e.syntheticFields.contains(k)
+    val cesOverTuples = chartOpts.aggregation == "ces" &&
+      chartOpts.groupBys.exists(present) &&
+      !(e.dataset == "metrics" && cols.contains("sketch_hll"))
+    if (cesOverTuples) Set.empty
+    else grouping.filter(k => own.contains(k) && present(k)).toSet
   }
+
+  /** An output series is effectively ungrouped when EVERY base operand
+    * contributes zero live keys — then every joined/pivoted key is the
+    * constant "" and the label must fall back to the series label. One
+    * grouped operand anywhere makes the key space real (formula joins
+    * against "" keys are part of J1's alignment semantics). */
+  private def effectivelyUngroupedNode(tables: String => Telemetry,
+      node: AstNode, grouping: List[String]): Boolean =
+    AstOps.baseExprsIn(node) match {
+      case Nil => false
+      case bs => bs.forall(b =>
+        liveKeysOf(b, grouping, tables(b.dataset).df.columns.toSet).isEmpty)
+    }
 
   /** One series: (step_ts, group_key, value) with the group key built over
     * the formula's final grouping (absent tags → ""). */
@@ -933,10 +938,7 @@ object QueryEngine {
       else lit("")
     }
     val key = if (keyParts.isEmpty) lit("") else concat_ws(":", keyParts: _*)
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putBoolean(UngroupedMetaKey,
-        finalGrouping.nonEmpty && liveKeys.isEmpty).build()
-    c.select(col(STEP_TS), key.as(GROUP_KEY, meta), col(VALUE))
+    c.select(col(STEP_TS), key.as(GROUP_KEY), col(VALUE))
   }
 
   private def evalNode(tables: String => Telemetry, node: AstNode,
