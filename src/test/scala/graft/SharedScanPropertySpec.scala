@@ -111,4 +111,84 @@ class SharedScanPropertySpec extends AnyFunSuite {
     }
     assert(checked == 60)
   }
+
+  // ---- metrics rollup path: random rollup/aggregation combinations ----
+
+  private lazy val mdf = Seq(
+    (1000L, "m1", "svc1", 10.0, 2.0, 1.0, 9.0),
+    (2000L, "m2", "svc1", 6.0, 3.0, 1.0, 3.0),
+    (3000L, "m1", "svc2", 7.5, 1.0, 7.5, 7.5),
+    (4000L, null.asInstanceOf[String], "svc2", 4.0, 2.0, 0.0, 4.0),
+    (11000L, "m1", "svc1", 8.0, 4.0, 0.5, 4.0),
+    (12000L, "m2", null.asInstanceOf[String], 0.0, 2.0, 0.0, 0.0)
+  ).toDF("ts", "name", "service", "rollup_sum", "rollup_count",
+    "rollup_min", "rollup_max")
+
+  private lazy val telM =
+    Telemetry.millis(mdf, "ts", col("rollup_sum"))
+
+  private val genMetricsExpr: Gen[BaseExpr] = for {
+    f <- Gen.oneOf(Seq[QueryClause](
+      Filter("name", List("m1"), Ops.EQ),
+      Filter("name", Nil, Ops.EXISTS),
+      Filter("rollup_count", List("1"), Ops.GT, dataType = DataTypes.NUMBER),
+      NotClause(Filter("service", List("svc2"), Ops.EQ))))
+    agg <- Gen.oneOf(aggs :+ "p75")
+    rollup <- Gen.oneOf(None, None, Some("sum"), Some("count"), Some("min"),
+      Some("max"), Some("p90"))
+    gbs <- Gen.someOf(Seq("name", "service"))
+    chartType <- Gen.oneOf("count", "rate")
+    metricType <- Gen.oneOf("gauge", "rate")
+    ret <- Gen.oneOf(true, true, false)
+  } yield BaseExpr(id = "x", dataset = "metrics", filter = f,
+    chart = Some(ChartOptions(aggregation = agg, groupBys = gbs.toList,
+      rollup = rollup, chartType = chartType)),
+    metricType = metricType, returnResults = ret)
+
+  private val genMetricsAst: Gen[ASTInput] = for {
+    n <- Gen.chooseNum(2, 3)
+    exprs <- Gen.listOfN(n, genMetricsExpr)
+    ids = exprs.zipWithIndex.map { case (e, i) =>
+      val id = ('a' + i).toChar.toString
+      id -> e.copy(id = id)
+    }
+    formulaOp <- Gen.oneOf("+", "-", "*", "/")
+    useFormula <- Gen.oneOf(true, true, false)
+    lhs <- Gen.oneOf(ids.map(_._1))
+    rhs <- Gen.oneOf(ids.map(_._1))
+  } yield {
+    val base0 = ids.toMap
+    val base =
+      if (useFormula) base0
+      else base0.updated(ids.head._1,
+        ids.head._2.copy(returnResults = true))
+    ASTInput(base,
+      formulae = if (useFormula) List(s"$lhs $formulaOp $rhs") else Nil)
+  }
+
+  test("random metrics rollup ASTs: shared scan ≡ per-node plans") {
+    var checked = 0
+    for (i <- 0 until 40) {
+      val ast = genMetricsAst(Gen.Parameters.default, Seed(1000L + i)).get
+      def go(noShared: Boolean) = {
+        def body = QueryEngine.evaluate(_ => telM, ast, 0L, 100000L, 10000L)
+          .collect().map { r =>
+            val v = r.getDouble(2)
+            (r.getLong(0), r.getString(1),
+              if (v.isNaN || v.isInfinite) Double.MaxValue
+              else math.rint(v * 1e9) / 1e9,
+              r.getString(3))
+          }.sorted.toSeq
+        if (noShared) QueryEngine.withoutSharedScan(body) else body
+      }
+      val shared = go(noShared = false)
+      val perNode = go(noShared = true)
+      assert(shared == perNode,
+        s"seed ${1000 + i} diverged for AST $ast\n" +
+          s"shared:\n${shared.mkString("\n")}\n" +
+          s"per-node:\n${perNode.mkString("\n")}")
+      checked += 1
+    }
+    assert(checked == 40)
+  }
 }
