@@ -301,5 +301,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"formula alignment should be presence algebra, not a join:\n$p")
+    // the OR of all slot filters reaches the scan as a pushed filter —
+    // at 100 TB that disjunction is what keeps the single shared scan
+    // from reading rows no expression wants
+    // (the plan string truncates long filter lists, so match the Or(
+    // inside PushedFilters rather than its full operand text)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Or\\(.*"),
+      s"slot-filter disjunction not pushed to the scan:\n$p")
   }
 }
