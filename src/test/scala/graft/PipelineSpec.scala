@@ -616,6 +616,16 @@ class PipelineSpec extends AnyFunSuite {
       .decodeVideo("RIFF    AVI junk".getBytes).isEmpty)
   }
 
+  test("detectFormat recognizes AVI containers from magic bytes") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticVideoTable(
+      spark.range(3).select(col("id").as("doc_id")), "doc_id")
+    val fmts = media
+      .select(Multimodal.detectFormat(col("payload")).as("f"))
+      .collect().map(_.getString(0)).toSet
+    assert(fmts == Set("avi"), s"detected $fmts")
+  }
+
   test("AVI-MJPEG frames decode through imageio within JPEG tolerance") {
     import graft.operators.Multimodal
     // flat-luminance frames: JPEG is lossy but near-exact on constants
