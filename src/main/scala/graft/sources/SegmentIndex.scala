@@ -220,18 +220,32 @@ object SegmentIndex {
       val atoms = scala.collection.mutable.ArrayBuffer[Either[Seq[String], TriReq]]()
       var i = start
 
-      /** [c1c2…] with only plain positive members → their expansion;
-        * anything else (negation, ranges, nesting, &&, escapes) → None. */
+      /** [c1c2…] with only plain positive members or small ranges
+        * (span ≤ 4, e.g. [a-d], [0-3]) → their expansion; anything else
+        * (negation, open-ended ranges, nesting, &&, escapes) → None. */
       def simpleClass(open: Int): Option[(Seq[String], Int)] = {
         var j = open + 1
         val members = Seq.newBuilder[String]
         var count = 0
+        def add(c: Char): Option[Unit] = {
+          members += c.toString; count += 1
+          if (count > 4) None else Some(())
+        }
         while (j < n && regex.charAt(j) != ']') {
           val c = regex.charAt(j)
-          if ("^-&[\\".indexOf(c) >= 0) return None
-          members += c.toString; count += 1
-          if (count > 4) return None
-          j += 1
+          if ("^&[\\".indexOf(c) >= 0) return None
+          if (c == '-') return None // leading/trailing dash: keep it simple
+          if (j + 2 < n && regex.charAt(j + 1) == '-' &&
+              regex.charAt(j + 2) != ']') {
+            val hi = regex.charAt(j + 2)
+            if ("^&[\\-".indexOf(hi) >= 0 || hi < c || hi - c > 3) return None
+            var r = c
+            while (r <= hi) { if (add(r).isEmpty) return None; r = (r + 1).toChar }
+            j += 3
+          } else {
+            if (add(c).isEmpty) return None
+            j += 1
+          }
         }
         if (j >= n || count == 0) None else Some((members.result().distinct, j + 1))
       }

@@ -35,6 +35,10 @@ class TrigramPropertySpec extends AnyFunSuite {
 
   private val classAtom: Gen[Pat] = Gen.oneOf(
     Pat("[xyz]", Gen.oneOf("x", "y", "z")),
+    // small range (expands to a literal family in the compiler)
+    Pat("[a-c]", Gen.oneOf("a", "b", "c")),
+    // wide range (stays Free)
+    Pat("[a-h]", Gen.oneOf("a", "c", "e", "h")),
     // nested class union (Java semantics: {a} ∪ {b,c} ∪ {d})
     Pat("[a[bc]d]", Gen.oneOf("a", "b", "c", "d")),
     // intersection with negation: [a-h] ∩ ¬{b,c}
@@ -142,6 +146,13 @@ class TrigramPropertySpec extends AnyFunSuite {
         Lit("xaay"), Lit("xaby"), Lit("xbay"), Lit("xbby"))
       case _ => false
     })
+    // small ranges expand ([a-c] ≤ 4 chars); wide/open ranges stay Free
+    assert(SegmentIndex.requiredTrigrams("er[a-c]or") match {
+      case AnyOf(xs) =>
+        xs.toSet == Set(Lit("eraor"), Lit("erbor"), Lit("ercor"))
+      case _ => false
+    })
+    assert(SegmentIndex.requiredTrigrams("x[a-z]y") == Free)
     // one short/empty alternative makes the family vacuous, never wrong:
     // (ab)?cd requires nothing (cd alone is < 3 chars)
     assert(SegmentIndex.requiredTrigrams("[xy]") == Free)
