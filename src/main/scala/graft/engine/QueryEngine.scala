@@ -679,8 +679,11 @@ object QueryEngine {
       def cesArm(fallback: Column): SlotArm = {
         val keyCols = chartOpts.groupBys.filter(cols.contains)
           .map(FilterCompiler.fieldCol)
-        val key =
-          if (keyCols.nonEmpty) tupleKey(keyCols) else fallback.cast("string")
+        // tupleKey in BOTH branches: the per-node cesAgg wraps the
+        // no-groupBys fallback in tupleKey too, whose coalesce makes a
+        // null value count as one distinct "" key — a bare cast would
+        // silently drop it from the HLL and undercount by one
+        val key = tupleKey(if (keyCols.nonEmpty) keyCols else List(fallback))
         SlotArm(nullD, nullD, key,
           (_, _, sv) => approx_count_distinct(sv).cast("double"))
       }

@@ -291,25 +291,35 @@ object Multimodal {
       try {
         if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
         var width = 0; var height = 0; var uspf = 0L; var bitCount = 0
-        var compression = "    "
+        var inVideoStream = false
         val frames = IndexedSeq.newBuilder[Array[Int]]
-        // walk chunks; LIST bodies recurse (4-byte list type then chunks)
-        def walk(start: Int, end: Int): Unit = {
+        // walk chunks; LIST bodies recurse (4-byte list type then
+        // chunks). Offset bounds are checked in LONG arithmetic: a
+        // crafted chunk size near Int.MaxValue must fail the check, not
+        // wrap negative past it into a ~2 GB copyOfRange. Recursion
+        // depth is capped so nested LISTs cannot stack-overflow a task.
+        def walk(start: Int, end: Int, depth: Int): Unit = {
+          if (depth > 32) throw new java.io.EOFException("list nesting")
           var off = start
           while (off + 8 <= end) {
             val id = tag(off)
             val size = buf.getInt(off + 4)
-            if (size < 0 || off + 8 + size > end) throw new java.io.EOFException
+            if (size < 0 || off + 8L + size > end)
+              throw new java.io.EOFException("chunk bounds")
             if (id == "LIST") {
-              walk(off + 12, off + 8 + size)
+              walk(off + 12, off + 8 + size, depth + 1)
             } else if (id == "avih") {
               uspf = buf.getInt(off + 8).toLong & 0xffffffffL
-            } else if (id == "strf" && size >= 40) {
+            } else if (id == "strh" && size >= 8) {
+              // only the 'vids' stream's strf carries raster dimensions;
+              // an audio stream's strf (WAVEFORMAT, can be >= 40 bytes)
+              // must not clobber them with format-tag/byte-rate garbage
+              inVideoStream = tag(off + 8) == "vids"
+            } else if (id == "strf" && size >= 40 && inVideoStream) {
               width = buf.getInt(off + 8 + 4)
               height = buf.getInt(off + 8 + 8)
               bitCount = buf.getShort(off + 8 + 14).toInt
-              compression = tag(off + 8 + 16)
-            } else if (id.endsWith("db") && width > 0 && height > 0) {
+            } else if (id.endsWith("db") && width > 0 && height != 0) {
               decodeDibFrame(payload, off + 8, size, width, height, bitCount)
                 .foreach(frames += _)
             } else if (id.endsWith("dc")) {
@@ -324,13 +334,14 @@ object Multimodal {
             off += 8 + size + (size & 1) // chunks pad to even
           }
         }
-        walk(12, payload.length)
+        walk(12, payload.length, 0)
         val fs = frames.result()
-        if (width <= 0 || height <= 0 || fs.isEmpty) None
+        if (width <= 0 || height == 0 || fs.isEmpty) None
         else Some(DecodedVideo(width, math.abs(height), uspf, fs))
       } catch {
         case _: IndexOutOfBoundsException | _: java.io.EOFException |
-            _: StringIndexOutOfBoundsException => None
+            _: StringIndexOutOfBoundsException |
+            _: NegativeArraySizeException => None
       }
     }
 
@@ -339,16 +350,23 @@ object Multimodal {
     private def decodeDibFrame(payload: Array[Byte], off: Int, size: Int,
         w: Int, h: Int, bitCount: Int): Option[Array[Int]] = {
       if (bitCount != 24) return None
-      val stride = (w * 3 + 3) / 4 * 4
       val hh = math.abs(h)
-      if (size < stride * hh) return None
+      // LONG arithmetic throughout: crafted strf dims like 65536×32769
+      // overflow both stride·hh and w·hh in Int (the size guard would
+      // pass and the allocation would throw NegativeArraySizeException);
+      // the pixel-count cap also bounds the allocation a hostile header
+      // can demand from a tiny payload
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      if (w <= 0 || hh <= 0 || w.toLong * hh > (1L << 26) ||
+          size.toLong < stride * hh) return None
+      val strideI = stride.toInt // ≤ size after the guard above
       val gray = new Array[Int](w * hh)
       var y = 0
       while (y < hh) {
         val srcRow = if (h > 0) hh - 1 - y else y // positive h = bottom-up
         var x = 0
         while (x < w) {
-          val p = off + srcRow * stride + x * 3
+          val p = off + srcRow * strideI + x * 3
           val b = payload(p) & 0xff
           val g = payload(p + 1) & 0xff
           val r = payload(p + 2) & 0xff
@@ -396,9 +414,13 @@ object Multimodal {
         ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         val fmt = ais.getFormat
+        // sampleRate > 0: javax.sound accepts a fmt chunk declaring
+        // rate 0, which would divide-by-zero in duration/RMS math —
+        // corrupt header ⇒ None, per the codec contract
         val ok = fmt.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getSampleRate > 0
         if (!ok) None
         else {
           val bytes = ais.readAllBytes()

@@ -65,6 +65,14 @@ object PipelineQueries {
   // pair determinism stays asserted in DedupSpec.
   def d3_simhash(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // the planted-family scheme (i, i+1e5, i+2e5) and the mod-100000
+    // congruence filter both assume organic ids stay below the offset;
+    // a larger corpus must fail LOUDLY, not silently emit duplicate ids
+    // and admit organic pairs into the 75-row oracle
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 100000L,
+      s"d3_simhash planted-family offsets assume doc_id < 100000; " +
+        s"corpus max is $maxId — raise the offsets for this scale")
     val base = d.where(col("doc_id") < 25)
     val fam1 = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val fam2 = base.select((col("doc_id") + 200000L).as("doc_id"),

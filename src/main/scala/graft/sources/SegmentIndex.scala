@@ -258,14 +258,21 @@ object SegmentIndex {
           case '\\' if i + 1 < n && regex.charAt(i + 1) == 'Q' =>
             // \Q…\E quotes everything in between literally (Java: a
             // missing \E quotes to the end of the pattern). A quantifier
-            // after \E applies to the LAST quoted char only; requiring
-            // the whole quoted run is still ≤ what every match contains
-            // for ? and + (weaker/equal), and * is handled as optional.
+            // after \E applies to the LAST quoted char ONLY (\Qab\E?
+            // matches "a"), so when one follows a multi-char quote the
+            // prefix is emitted as its own required run and only the
+            // final char enters the generic quantifier handling below —
+            // treating the whole quote as the quantified atom would
+            // demand literals ("ab") that a real match ("a") lacks.
             val close = regex.indexOf("\\E", i + 2)
             val content =
               if (close < 0) { val c = regex.substring(i + 2); i = n; c }
               else { val c = regex.substring(i + 2, close); i = close + 2; c }
-            Left(Seq(content))
+            if (content.length >= 2 && i < n &&
+                "?*+{".indexOf(regex.charAt(i)) >= 0) {
+              atoms += Left(Seq(content.init))
+              Left(Seq(content.last.toString))
+            } else Left(Seq(content))
           case '\\' =>
             if (i + 1 >= n) throw Bail
             val c = regex.charAt(i + 1)

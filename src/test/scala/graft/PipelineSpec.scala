@@ -616,6 +616,35 @@ class PipelineSpec extends AnyFunSuite {
       .decodeVideo("RIFF    AVI junk".getBytes).isEmpty)
   }
 
+  test("corrupt media headers decode to None, never task-killing exceptions") {
+    import graft.operators.Multimodal
+    // WAV declaring sampleRate=0 passes javax.sound's reader but would
+    // divide-by-zero in duration/RMS math — must be rejected up front
+    val wav = Multimodal.Wav.encodePcm16(8000, Array[Short](1, 2, 3))
+    val rate0 = wav.clone()
+    java.nio.ByteBuffer.wrap(rate0).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(24, 0) // fmt chunk sample-rate field
+    assert(Multimodal.JavaSoundCodec.decodeAudio(rate0).isEmpty)
+    // AVI whose strf declares 65536x32769: stride*h and w*h overflow Int
+    // (the old guards passed and the allocation threw); must be None
+    val avi = Multimodal.Avi.encodeDib(8, 8, 100000L,
+      IndexedSeq((_: Int, _: Int) => 7))
+    val bigDims = avi.clone()
+    java.nio.ByteBuffer.wrap(bigDims).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(176, 65536).putInt(180, 32769) // strf biWidth / biHeight
+    assert(Multimodal.RiffVideoCodec.decodeVideo(bigDims).isEmpty)
+    // chunk size near Int.MaxValue must fail bounds, not wrap negative
+    // into a ~2 GB copyOfRange
+    val hugeChunk = avi.clone()
+    java.nio.ByteBuffer.wrap(hugeChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(228, 0x7FFFFFF0) // movi frame chunk size field
+    assert(Multimodal.RiffVideoCodec.decodeVideo(hugeChunk).isEmpty)
+    // an audio stream's strf after the video one must not clobber dims:
+    // decode still succeeds with the video raster geometry
+    val dv = Multimodal.RiffVideoCodec.decodeVideo(avi).get
+    assert(dv.width == 8 && dv.height == 8 && dv.frames.size == 1)
+  }
+
   test("detectFormat recognizes AVI containers from magic bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.syntheticVideoTable(

@@ -22,16 +22,18 @@ class SharedScanPropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // fixture with nulls, duplicate keys, non-numeric strings, and a
-  // zero value (exercises div-by-zero drops and ces key coalescing)
+  // fixture with nulls (tags AND the value column — a null value must
+  // count as one distinct "" ces key, not vanish), duplicate keys,
+  // non-numeric strings, and a zero value (div-by-zero drops)
   private lazy val df = Seq(
-    (1000L, "a", "svc1", "10", 2.0),
-    (2000L, "b", "svc1", "x", 3.0),
-    (3000L, "a", "svc2", "30", 4.0),
-    (4000L, null.asInstanceOf[String], "svc2", "7", 5.0),
-    (11000L, "a", "svc1", "40", 0.0),
-    (12000L, "b", null.asInstanceOf[String], "12", 6.0),
-    (21000L, "c", "svc3", "1", 1.5)
+    (1000L, "a", "svc1", "10", Some(2.0)),
+    (2000L, "b", "svc1", "x", Some(3.0)),
+    (3000L, "a", "svc2", "30", Some(4.0)),
+    (4000L, null.asInstanceOf[String], "svc2", "7", Some(5.0)),
+    (11000L, "a", "svc1", "40", Some(0.0)),
+    (12000L, "b", null.asInstanceOf[String], "12", Some(6.0)),
+    (13000L, "a", "svc1", "9", None),
+    (21000L, "c", "svc3", "1", Some(1.5))
   ).toDF("ts", "level", "service", "dur", "value")
 
   private lazy val tel =
@@ -115,12 +117,13 @@ class SharedScanPropertySpec extends AnyFunSuite {
   // ---- metrics rollup path: random rollup/aggregation combinations ----
 
   private lazy val mdf = Seq(
-    (1000L, "m1", "svc1", 10.0, 2.0, 1.0, 9.0),
-    (2000L, "m2", "svc1", 6.0, 3.0, 1.0, 3.0),
-    (3000L, "m1", "svc2", 7.5, 1.0, 7.5, 7.5),
-    (4000L, null.asInstanceOf[String], "svc2", 4.0, 2.0, 0.0, 4.0),
-    (11000L, "m1", "svc1", 8.0, 4.0, 0.5, 4.0),
-    (12000L, "m2", null.asInstanceOf[String], 0.0, 2.0, 0.0, 0.0)
+    (1000L, "m1", "svc1", Some(10.0), 2.0, 1.0, 9.0),
+    (2000L, "m2", "svc1", Some(6.0), 3.0, 1.0, 3.0),
+    (3000L, "m1", "svc2", Some(7.5), 1.0, 7.5, 7.5),
+    (4000L, null.asInstanceOf[String], "svc2", Some(4.0), 2.0, 0.0, 4.0),
+    (5000L, "m1", "svc2", None, 1.0, 0.0, 0.0), // null rollup_sum
+    (11000L, "m1", "svc1", Some(8.0), 4.0, 0.5, 4.0),
+    (12000L, "m2", null.asInstanceOf[String], Some(0.0), 2.0, 0.0, 0.0)
   ).toDF("ts", "name", "service", "rollup_sum", "rollup_count",
     "rollup_min", "rollup_max")
 

@@ -140,6 +140,17 @@ class TrigramPropertySpec extends AnyFunSuite {
       AnyOf(Seq(Lit("color"), Lit("colour"))))
     // \Q…\E quotes metachars into a literal requirement
     assert(SegmentIndex.requiredTrigrams("\\Qa.b+c\\E") == Lit("a.b+c"))
+    // a quantifier after \E binds to the LAST quoted char only (Java:
+    // xx\Qab\E?yy matches "xxayy") — the requirement must not demand
+    // the whole quoted run
+    assert(satisfies("xxayy", SegmentIndex.requiredTrigrams("xx\\Qab\\E?yy")))
+    assert(SegmentIndex.requiredTrigrams("xx\\Qab\\E?yy") match {
+      case AnyOf(xs) => xs.toSet == Set(Lit("xxayy"), Lit("xxabyy"))
+      case _ => false
+    })
+    // \Qab\E{2} matches "abb", never "abab"
+    assert(satisfies("abb", SegmentIndex.requiredTrigrams("\\Qab\\E{2}")))
+    assert(satisfies("xaz", SegmentIndex.requiredTrigrams("x\\Qab\\E*z")))
     // class repetition stays bounded and exact: [ab]{2} → 4 alternatives
     assert(SegmentIndex.requiredTrigrams("x[ab]{2}y") match {
       case AnyOf(xs) => xs.toSet == Set(
