@@ -188,6 +188,8 @@ object Multimodal {
     def encodeDib(w: Int, h: Int, microSecPerFrame: Long,
         frames: IndexedSeq[(Int, Int) => Int]): Array[Byte] = {
       require(w > 0 && h > 0 && frames.nonEmpty, "empty video")
+      // strh rcFrame stores dims as signed shorts
+      require(w <= 32767 && h <= 32767, s"frame $w x $h exceeds AVI rcFrame")
       val stride = (w * 3 + 3) / 4 * 4
       val frameBytes = stride * h
       val moviSize = 4 + frames.size * (8 + frameBytes)
@@ -221,6 +223,7 @@ object Multimodal {
     def encodeMjpeg(w: Int, h: Int, microSecPerFrame: Long,
         frames: IndexedSeq[(Int, Int) => Int]): Array[Byte] = {
       require(w > 0 && h > 0 && frames.nonEmpty, "empty video")
+      require(w <= 32767 && h <= 32767, s"frame $w x $h exceeds AVI rcFrame")
       val jpegs = frames.map { lum =>
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

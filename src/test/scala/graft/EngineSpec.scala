@@ -333,6 +333,35 @@ class EngineSpec extends AnyFunSuite {
       s"shared:\n${shared.mkString("\n")}\nper-node:\n${perNode.mkString("\n")}")
   }
 
+  test("a 10-expression dashboard still compiles to one scan and matches per-node") {
+    // wide ASTs stress the slot machinery: 10 filters x varied aggs in
+    // one explode array, 20 conditional aggregate columns in one pass
+    val exprs = (0 until 10).map { k =>
+      val id = ('a' + k).toChar.toString
+      val agg = Seq("sum", "count", "min", "max", "avg")(k % 5)
+      s""""$id": {"dataset": "logs",
+         |  "filter": {"k": "value", "v": ["${k % 3}"], "op": "gt",
+         |             "dataType": "number"},
+         |  "chart": {"aggregation": "$agg",
+         |            "groupBys": ${if (k % 2 == 0) """["level"]""" else "[]"}}}"""
+        .stripMargin
+    }.mkString(",\n")
+    val ast = AstJson.parseAstInput(
+      s"""{"baseExpressions": {$exprs}, "formulae": ["a + c", "b / d"]}""")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9, r.getString(3))).sorted.toSeq
+    val sharedDf = QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L)
+    val shared = run(sharedDf)
+    val perNode = QueryEngine.withoutSharedScan {
+      run(QueryEngine.evaluate(_ => tel, ast, 0L, 100000L, 10000L))
+    }
+    assert(shared == perNode)
+    assert(shared.nonEmpty)
+    val plan = sharedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "wide AST must stay join-free")
+  }
+
   test("null tags make distinct key parts, not conflated tuples") {
     import spark.implicits._
     val t = Telemetry.millis(Seq(

@@ -51,7 +51,12 @@ class TrigramPropertySpec extends AnyFunSuite {
     // read the operand digits as literal requirements
     Pat("\\x61", Gen.const("a")),
     Pat("\\0141", Gen.const("a")),
-    Pat("\\p{Lower}", Gen.oneOf("a", "b", "c")))
+    Pat("\\p{Lower}", Gen.oneOf("a", "b", "c")),
+    // quoted literals, bare and with a tail-binding quantifier (the
+    // quantifier applies to the last quoted char only)
+    Pat("\\Qa.c\\E", Gen.const("a.c")),
+    Pat("\\Qab\\E?", Gen.oneOf("a", "ab")),
+    Pat("\\Qab\\E{1,2}", Gen.oneOf("ab", "abb")))
 
   private def quantified(inner: Pat): Gen[Pat] = Gen.oneOf(
     // ? : zero or one
