@@ -285,4 +285,46 @@ object TextAnalysis {
           .cast("double") / count(lit(1))).as("avg_nll"))
       .select(col("_id").as("id"), col("n_tok"), col("avg_nll"))
   }
+
+  // --------------------------------------------------------------- TF-IDF
+
+  /** Per-document TF-IDF mass: score(d) = Σ_t (c_td / |d|) · ln(N / df_t)
+    * over the document's own terms — the relevance/distinctiveness score
+    * a curation pipeline uses for keyword weighting, near-boilerplate
+    * down-ranking, and per-source vocabulary drift tracking.
+    *
+    * Dataflow at 100 TB: explode → groupBy(doc, token) — partial
+    * aggregation collapses repeated terms map-side, so the shuffle
+    * carries (doc_id, token, count), never document text. The
+    * document-frequency table is a second groupBy over those counts
+    * keyed by token alone; it joins back by token, where AQE broadcasts
+    * it while it fits and hash-partitions both sides on token otherwise.
+    * The corpus size N is a 1-row aggregate broadcast as a scalar.
+    *
+    * Determinism (the t13 contract): each per-term product is rounded to
+    * 9 places and accumulated in DECIMAL(27,9), so the per-doc sum is
+    * identical under any row order or partitioning and replayable by an
+    * external engine.
+    *
+    * Output: (id, n_tokens, tfidf) per document. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_id"), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val lens = tf.groupBy(col("_id")).agg(sum(col("_c")).as("_len"))
+    val dfT = tf.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).cast("double").as("_n"))
+    tf.join(dfT, Seq("_w"))
+      .join(lens, Seq("_id"))
+      .crossJoin(broadcast(n))
+      .select(col("_id"), col("_len"),
+        round((col("_c").cast("double") / col("_len"))
+          * log(col("_n") / col("_df")), 9).as("_s"))
+      .groupBy(col("_id"))
+      .agg(min(col("_len")).as("n_tokens"),
+        round(sum(col("_s").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .cast("double"), 6).as("tfidf"))
+      .select(col("_id").as("id"), col("n_tokens"), col("tfidf"))
+  }
 }

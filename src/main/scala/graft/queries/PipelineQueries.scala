@@ -774,6 +774,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // t14: per-document TF-IDF mass — explode → (doc, token) counts →
+  // document-frequency join (AQE-broadcast while the vocab fits) →
+  // round-9 DECIMAL-accumulated per-doc sum (the t13 determinism
+  // contract). The oracle replays counts, idf = ln(N/df), and the
+  // decimal accumulation term-for-term.
+  def t14_tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("tfidf"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------- multimodal
 
   // m1: REAL image decode end-to-end — genuine BMP containers (written
@@ -900,6 +910,7 @@ object PipelineQueries {
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
+    "t14_tfidf" -> t14_tfidf _,
     "d10_chain_clusters" -> d10_chain_clusters _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
@@ -1208,6 +1219,22 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_tok,
         |  round(CAST(sum(CAST(nll AS DECIMAL(27, 9))) AS DOUBLE) / count(*),
         |    4) AS avg_nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t14_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |lens AS (SELECT doc_id, sum(c) AS len FROM tf GROUP BY doc_id),
+        |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |terms AS (
+        |  SELECT tf.doc_id, lens.len,
+        |    round((CAST(tf.c AS DOUBLE) / lens.len) * ln(n.n / dfr.df), 9)
+        |      AS s
+        |  FROM tf JOIN dfr USING (w) JOIN lens USING (doc_id), n)
+        |SELECT doc_id, CAST(min(len) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(s AS DECIMAL(27, 9))) AS DOUBLE), 6) AS tfidf
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t9_vocab_df" ->
       """SELECT token, count(*) AS df FROM (

@@ -763,4 +763,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.head.getString(2) === "a b c")
     assert(out.head.getLong(3) === 3L)
   }
+
+  test("tfidf: hand-computed scores on a 3-doc corpus") {
+    import spark.implicits._
+    // N=3; df: a->2, b->2, c->1, d->1; idf(a)=idf(b)=ln 1.5, idf(c)=idf(d)=ln 3
+    //   doc 0 "a a b":   (2/3)ln1.5 + (1/3)ln1.5 = ln 1.5      = 0.405465
+    //   doc 1 "a c":     (1/2)ln1.5 + (1/2)ln3                 = 0.752039
+    //   doc 2 "b b b d": (3/4)ln1.5 + (1/4)ln3                 = 0.578752
+    val out = TextAnalysis.tfidf(
+        Seq((0L, "a a b"), (1L, "a c"), (2L, "b b b d"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 2L, 4L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.405465, 0.752039, 0.578752))
+  }
 }
