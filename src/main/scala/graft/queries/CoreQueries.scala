@@ -373,6 +373,60 @@ object CoreQueries {
         col("n_click_only"))
   }
 
+  // K4 (beyond the reference's sketches): Count-Min FREQUENCY sketch —
+  // the fixed-memory token-frequency path for corpora whose vocabulary
+  // outgrows an exact groupBy(token) count table. Two-level build proves
+  // the additive-merge contract (per-source sketches → element-wise-sum
+  // union for the ALL row), k1-style; the probe set is the top-10
+  // document-frequency tokens (deterministic, oracle-expressible). The
+  // gate keeps a row only while the estimate honors BOTH sides of the CM
+  // contract — est >= exact (CM can never undercount) and
+  // est − exact <= ceil(e/width · N) (the ε·N accuracy promise) — and
+  // the output is the exact occurrence counts DuckDB recomputes
+  // natively. Deterministic: counter addition commutes, so the sketch is
+  // a pure function of the input multiset under any partitioning.
+  def k4_countmin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CmFunctions => CM}
+    import graft.operators.TextAnalysis
+    val width = 8192
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(CM.cmSketch(col("w"), depth = 4, width = width).as("sk"),
+        count(lit(1)).as("n_tok"))
+    val all = perSource
+      .agg(CM.cmMerge(col("sk")).as("sk"), sum(col("n_tok")).as("n_tok"))
+      .select(lit("ALL").as("source"), col("sk"), col("n_tok"))
+    val probes = d
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token")).limit(10)
+      .select(col("token"))
+    val est = perSource.select(col("source"), col("sk"), col("n_tok"))
+      .union(all)
+      .crossJoin(broadcast(probes))
+      .select(col("source"), col("token"), col("n_tok"),
+        CM.cmEstimateOf(col("sk"), col("token")).as("est"))
+    val exactSrc = toks
+      .join(broadcast(probes), col("w") === col("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+    val exact = exactSrc.union(
+      exactSrc.groupBy(col("token")).agg(sum(col("n_occ")).as("n_occ"))
+        .select(lit("ALL").as("source"), col("token"), col("n_occ")))
+    est.join(exact, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occurrences"),
+        col("est"), col("n_tok"))
+      .where(col("est") >= col("n_occurrences") &&
+        col("est") - col("n_occurrences") <=
+          ceil(col("n_tok") * (math.E / width)).cast("long"))
+      .select(col("source"), col("token"), col("n_occurrences"))
+      .orderBy("source", "token")
+  }
+
   // A15 (beyond the reference's sketch percentiles): EXACT per-group
   // quantiles by distributed selection — range-partitioned narrow
   // projection + driver rank offsets + targeted pick; no task ever sorts
@@ -694,6 +748,7 @@ object CoreQueries {
     "a16_salted_agg" -> a16_salted_agg _,
     "a17_ema" -> a17_ema _,
     "k3_theta_setops" -> k3_theta_setops _,
+    "k4_countmin" -> k4_countmin _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
@@ -834,6 +889,34 @@ object CoreQueries {
         |    AS n_both,
         |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
         |    AS n_click_only""".stripMargin,
+    "k4_countmin" ->
+      """WITH probe AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS df FROM (
+        |      SELECT doc_id, unnest(list_distinct(
+        |        regexp_split_to_array(trim(text), '\s+'))) AS token
+        |      FROM documents)
+        |    GROUP BY token)
+        |  ORDER BY df DESC, token LIMIT 10),
+        |tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |srcs AS (
+        |  SELECT DISTINCT source FROM documents UNION ALL SELECT 'ALL'),
+        |cnt AS (
+        |  SELECT source, token, count(*) AS c
+        |  FROM tok JOIN probe USING (token) GROUP BY source, token),
+        |u AS (
+        |  SELECT * FROM cnt
+        |  UNION ALL
+        |  SELECT 'ALL' AS source, token, CAST(sum(c) AS BIGINT) AS c
+        |  FROM cnt GROUP BY token)
+        |SELECT s.source, p.token,
+        |  CAST(coalesce(u.c, 0) AS BIGINT) AS n_occurrences
+        |FROM srcs s CROSS JOIN probe p
+        |LEFT JOIN u ON u.source = s.source AND u.token = p.token
+        |ORDER BY s.source, p.token""".stripMargin,
     "j4_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
