@@ -700,6 +700,31 @@ object CoreQueries {
       .orderBy("r_name", "p_type")
   }
 
+  // J8 (beyond the reference): Bloom runtime-filter join — a selective
+  // dimension predicate (one nation's customers, ~1/25 of the table)
+  // gates the fact scan MAP-SIDE through a Bloom over the filtered dim
+  // keys, so rows that cannot join are dropped inside the scan stage and
+  // never reach the join's exchange; the exact join then discards the
+  // fpp sliver. Result is provably the plain join (no false negatives),
+  // which is the oracle. At 100 TB this is the difference between
+  // shuffling the whole fact table and shuffling ~4% of it.
+  def j8_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .where(col("c_nationkey") === 7)
+      .select(col("c_custkey"))
+    val fact = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        dec(col("o_totalprice")).as("v"))
+    graft.operators.RuntimeFilter.bloomJoin(
+        fact, "o_custkey", dim, "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("v")).cast("double").as("total_price"))
+      .select(col("o_orderpriority").as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("priority")
+  }
+
   // J5 (beyond the reference): salted equi-join for a skewed fact key
   // against a dimension too big to broadcast — the dimension replicates
   // n× with a salt column and the join key becomes (key, salt), so a hot
@@ -749,6 +774,7 @@ object CoreQueries {
     "a17_ema" -> a17_ema _,
     "k3_theta_setops" -> k3_theta_setops _,
     "k4_countmin" -> k4_countmin _,
+    "j8_bloom_join" -> j8_bloom_join _,
     "a10_tag_values" -> a10_tag_values _,
     "a12_rate" -> a12_rate _,
     "o1_topk" -> o1_topk _,
@@ -889,6 +915,13 @@ object CoreQueries {
         |    AS n_both,
         |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
         |    AS n_click_only""".stripMargin,
+    "j8_bloom_join" ->
+      """SELECT o.o_orderpriority AS priority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "k4_countmin" ->
       """WITH probe AS (
         |  SELECT token FROM (

@@ -213,6 +213,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partition pruning read $dirsRead of $totalDirs dirs")
   }
 
+  test("j8: bloom probe gates the fact scan below the join exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    val df = CoreQueries.queries("j8_bloom_join")(spark, dir)
+    val sp = df.queryExecution.sparkPlan
+    val probeFilters = sp.collect {
+      case f: FilterExec
+        if f.condition.toString.contains("graft_bloom_might_contain") => f
+    }
+    assert(probeFilters.nonEmpty, s"no bloom probe filter in plan:\n$sp")
+    // the probe's subtree must be pure scan — no exchange, no join below
+    // it, so non-joining fact rows die inside the scan stage
+    val below = probeFilters.head.collect { case n => n.nodeName }
+    assert(!below.exists(n => n.contains("Exchange") || n.contains("Join")),
+      s"bloom probe is not map-side: $below")
+    val gatedScan = probeFilters.head.collect { case f: FileSourceScanExec => f }
+    assert(gatedScan.exists(_.output.exists(_.name == "o_custkey")),
+      s"probe must gate the orders (fact) scan:\n${probeFilters.head}")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // Complement to the MANUAL salting in a16/j5: when the skew is in the
     // FACT side of a shuffle join, AQE's skew-join handles it at runtime
