@@ -503,6 +503,47 @@ object StreamingQueries {
     s.table("st8_stream_static_join").orderBy("c_mktsegment")
   }
 
+  /** Stream-STREAM interval join (T-semantics the stream-static st8
+    * cannot express): clicks and purchases arrive as two independent
+    * streams; a purchase joins every click by the same user in the
+    * preceding day. Spark keeps both sides in keyed state and emits a
+    * pair the moment its partner arrives — the append-mode output over
+    * AvailableNow converges to the batch interval join, which is the
+    * oracle. Watermarks here are wider than the fixture's span so no
+    * state is evicted and the result is COMPLETE (provable equality);
+    * production tightens them to the real out-of-orderness bound, which
+    * caps state at (watermark window × arrival rate) — that trade, not
+    * the join semantics, is the only thing that changes at 100 TB. */
+  def st12_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, idAs: String, tAs: String) = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+      .where(col("event_type") === tpe)
+      .select(col("event_id").as(idAs), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as(tAs))
+      .withWatermark(tAs, "60 days")
+    val clicks = side("click", "click_id", "c_t")
+    val purchases = side("purchase", "purchase_id", "p_t")
+      .withColumnRenamed("user_id", "p_user_id")
+    val plan = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_t") >= col("c_t") &&
+        col("p_t") <= col("c_t") + expr("INTERVAL 1 DAY"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st12_stream_stream_join")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st12_stream_stream_join")
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** The documents table re-written once as a 4-file directory so the
     * batch side of st9 arrives in multiple micro-batches. */
   private val docStreamDirs =
@@ -589,6 +630,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> st1_stream_window _,
     "st9_stream_neardup" -> st9_stream_neardup _,
+    "st12_stream_stream_join" -> st12_stream_stream_join _,
     "st7_stream_dedup" -> st7_stream_dedup _,
     "st8_stream_static_join" -> st8_stream_static_join _,
     "st2_running_stats" -> st2_running_stats _,
@@ -601,6 +643,15 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the stream-stream interval join must converge to the batch join
+    "st12_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.user_id = p.user_id
+        |  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+        |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 86400000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // same oracle as the batch twin d9 — the stream must converge to it
     "st9_stream_neardup" ->
       """WITH t AS (

@@ -92,4 +92,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed == Map(0L -> 3.0)) // closed without the late 100.0;
     // bucket [100,110) still open (watermark 80 s) → not emitted in append
   }
+
+  test("stream-stream interval join emits pairs incrementally, both arrival orders") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // NOT near epoch 0: the initial global watermark clamps at 0, and the
+    // interval join's derived state bound (watermark − delay, also
+    // clamped) treats epoch-adjacent rows as already-expired — a real
+    // 1970-timestamp corpus would silently join to nothing
+    def ts(sec: Long) = new java.sql.Timestamp((1700000000L + sec) * 1000)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val c = clicks.toDF().toDF("click_id", "user_id", "c_t")
+      .withWatermark("c_t", "1 hour")
+    val p = purchases.toDF().toDF("purchase_id", "p_user_id", "p_t")
+      .withWatermark("p_t", "1 hour")
+    val joined = c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_t") >= col("c_t") &&
+        col("p_t") <= col("c_t") + org.apache.spark.sql.functions
+          .expr("INTERVAL 100 SECONDS"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("ss_join_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // click first, matching purchase later (same user, inside the window)
+    clicks.addData((1L, 10L, ts(0)))
+    q.processAllAvailable()
+    assert(rows() === Set.empty)
+    purchases.addData((100L, 10L, ts(50)))
+    q.processAllAvailable()
+    assert(rows() === Set((1L, 100L)), "purchase-after-click pair")
+    // purchase first, click arrives later: state holds BOTH sides
+    purchases.addData((101L, 20L, ts(60)))
+    q.processAllAvailable()
+    clicks.addData((2L, 20L, ts(30)))
+    q.processAllAvailable()
+    assert(rows() === Set((1L, 100L), (2L, 101L)), "click-after-purchase pair")
+    // same user but outside the interval → no pair; wrong user → no pair
+    purchases.addData((102L, 10L, ts(200)), (103L, 99L, ts(55)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() === Set((1L, 100L), (2L, 101L)))
+  }
 }
