@@ -65,6 +65,10 @@ object SketchExpressions {
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     GraftColumnBridge.column(
       LshBandKeys(GraftColumnBridge.expression(sig), bands, rowsPerBand))
+
+  def sqDistMicro(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SqDistMicro(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** Input validation for expressions over a single array<string> child. */
@@ -438,6 +442,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+
+/** Squared Euclidean distance in exact integer MICRO-UNITS: each
+  * per-dimension term (a−b)² is quantized to 1e-12 units with the
+  * explicit `floor(x·1e12 + 0.5)` formula and summed as a long — an
+  * EXACT, order-independent value any engine replays bit-for-bit (the
+  * k-means assignment/convergence contract; double accumulation would
+  * make argmin ties partitioning-dependent). Range: |terms| ≤ 4e12 per
+  * dim — safe for ~2M dims before overflow. Extra elements on the
+  * longer side are ignored. */
+case class SqDistMicro(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def compute(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = elem(a, i, leftIsFloat) - elem(b, i, rightIsFloat)
+      acc += math.floor(d * d * 1e12 + 0.5).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistMicro =
+    copy(left = newLeft, right = newRight)
+}
 
 /** Jaccard similarity |A ∩ B| / |A ∪ B| of two SORTED distinct long
   * arrays (WordShingleHashes / CharNgramHashes output) via a linear merge

@@ -417,6 +417,25 @@ object PipelineQueries {
       .orderBy("source", "dim")
   }
 
+  // s18: distributed Lloyd k-means over the embedding corpus — per
+  // iteration a map-only assignment under plan-constant centroids plus
+  // ONE (cluster, dim) aggregation whose shuffle carries k·dim partial
+  // sums, never vectors. Exactly replayable (and replayed by the
+  // oracle, iteration for iteration): distances and centroid sums are
+  // integer micro-units (floor(x·1e12 + 0.5) longs), argmin tie-breaks
+  // on cluster id, updates divide as sum/(1e12·n) — no float race
+  // anywhere, so the cluster sizes and mean distortion are exact facts.
+  def s18_kmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.kmeansAssignments(
+        embs(s, dir), "vec_id", "embedding", k = 10, iters = 2)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("dist_units")).cast("double") /
+          (lit(1e12) * count(lit(1))), 6).as("avg_sqdist"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_vectors"), col("avg_sqdist"))
+      .orderBy("cluster")
+
   // --------------------------------------------------------- sampling
 
   // p1: deterministic Bernoulli sample — membership depends only on the
@@ -917,6 +936,7 @@ object PipelineQueries {
     "s12_semantic_dedup" -> s12_semantic_dedup _,
     "s13_dim_stats" -> s13_dim_stats _,
     "s14_group_centroids" -> s14_group_centroids _,
+    "s18_kmeans" -> s18_kmeans _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s16_knn_graph_lsh" -> s16_knn_graph_lsh _,
     "s9_sql_cosine" -> s9_sql_cosine _,
@@ -939,6 +959,61 @@ object PipelineQueries {
     "m5_video_decode" -> m5_video_decode _,
     "m6_video_frames" -> m6_video_frames _
   )
+
+  /** s18 oracle: replays the Lloyd iterations CTE-for-iteration with the
+    * SAME integer micro-unit discipline as [[graft.operators.Clustering]]
+    * (floor(x·1e12 + 0.5) longs; argmin ORDER BY dist, cl; update
+    * sum/(1e12·n) with empty clusters keeping the previous centroid). */
+  private val s18OracleSql: String = {
+    def dist(c: String, d: String) =
+      s"""$d AS (
+         |  SELECT ev.vec_id, c.cl,
+         |    sum(CAST(floor((ev.x - c.y) * (ev.x - c.y) * 1e12 + 0.5)
+         |        AS BIGINT)) AS dist
+         |  FROM ev JOIN $c c ON ev.i = c.i
+         |  GROUP BY ev.vec_id, c.cl)"""
+    def argmin(d: String, a: String) =
+      s"""$a AS (
+         |  SELECT vec_id, cl, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cl) AS rn FROM $d) WHERE rn = 1)"""
+    def update(a: String, cPrev: String, cNext: String) =
+      s"""${cNext}_u AS (
+         |  SELECT a.cl, e.i,
+         |    sum(CAST(floor(e.x * 1e12 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM $a a JOIN ev e USING (vec_id)
+         |  GROUP BY a.cl, e.i),
+         |$cNext AS (
+         |  SELECT p.cl, p.i,
+         |    coalesce(CAST(u.s AS DOUBLE) / (1e12 * u.n), p.y) AS y
+         |  FROM $cPrev p LEFT JOIN ${cNext}_u u
+         |    ON p.cl = u.cl AND p.i = u.i)"""
+    s"""WITH ev AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cl, embedding
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)),
+       |c0 AS (
+       |  SELECT cl, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS y
+       |  FROM seed),
+       |${dist("c0", "d1")},
+       |${argmin("d1", "a1")},
+       |${update("a1", "c0", "c1")},
+       |${dist("c1", "d2")},
+       |${argmin("d2", "a2")},
+       |${update("a2", "c1", "c2")},
+       |${dist("c2", "d3")},
+       |${argmin("d3", "a3")}
+       |SELECT cl AS cluster, count(*) AS n_vectors,
+       |  round(CAST(sum(dist) AS DOUBLE) / (1e12 * count(*)), 6)
+       |    AS avg_sqdist
+       |FROM a3 GROUP BY cl ORDER BY cluster""".stripMargin
+  }
 
   private val t7OracleSql: String = {
     val ps = TextAnalysis.piiPatterns
@@ -1202,6 +1277,7 @@ object PipelineQueries {
     // add-one unigram NLL vs the doc_id<250 reference corpus; per-token
     // terms rounded to 9 places and summed in DECIMAL so the per-doc
     // mean is order-independent on both engines
+    "s18_kmeans" -> s18OracleSql,
     "t13_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
