@@ -39,9 +39,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footers once so per-query numbers measure the
-    // query, not first-touch class loading.
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    SparkEntry.prepare(spark, sfDir) // ingest-time artifacts, built once
+    // query, not first-touch class loading. Warm-up and prepare() run
+    // OUTSIDE the per-query error capture, so a failure here must not
+    // abort the whole record (round 5 lost its entire bench to one
+    // analysis error in prepare when the testdata encoding changed):
+    // log and continue — affected queries then fail individually into
+    // the `errors` field while everything else still gets measured.
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
+    }
+    try SparkEntry.prepare(spark, sfDir) // ingest-time artifacts, built once
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything.

@@ -35,14 +35,96 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 has no
-      // timestamp type for — read it as epoch-nanos LongType. Comparisons/
-      // bucketing on the raw long keep predicate pushdown intact.
+      // The engine's canonical event-time representation is epoch-nanos
+      // LongType (the reference's telemetry timestamps are nanos —
+      // reference core Commons.scala TIMESTAMP handling). The
+      // driver-generated `events.ts` has shipped as both parquet
+      // TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds, so the
+      // loader adapts whatever encoding it finds to the canonical column:
+      //  - TIMESTAMP(NANOS): Spark 4 has no nanos timestamp type;
+      //    nanosAsLong reads the raw int64 directly (scale 1).
+      //  - TIMESTAMP(MICROS) / NTZ: re-read with a user schema typing
+      //    `ts` as LongType — the vectorized reader hands back the raw
+      //    int64 micros AND still pushes long comparisons into the scan
+      //    (the parquet filter API compares physical int64) — scale 1000.
+      //  - plain INT64: unit inferred from the first file's footer
+      //    statistics (one footer read, O(1) at any data scale — no scan).
+      // Non-unit scales project `ts_raw * scale`; UnwrapScaledComparison
+      // (installed alongside) rewrites `ts_raw * c cmp lit` back to a
+      // plain attribute predicate so time-range filters keep reaching
+      // PushedFilters.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.option("mergeSchema", "true").parquet(path)
+      val raw = s.read.option("mergeSchema", "true").parquet(path)
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions.{col, lit}
+      def scaled(df: DataFrame, scale: Long): DataFrame =
+        if (scale == 1L) df
+        else {
+          graft.plans.UnwrapScaledComparison.install(s)
+          df.withColumn("ts", col("ts") * lit(scale))
+        }
+      raw.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(TimestampType) | Some(TimestampNTZType) =>
+          val patched = StructType(raw.schema.map(f =>
+            if (f.name == "ts") f.copy(dataType = LongType) else f))
+          scaled(s.read.schema(patched).parquet(path), 1000L)
+        case Some(LongType) =>
+          scaled(raw, TsEncoding.footerTsMin(s, path)
+            .map(TsEncoding.nanosScale).getOrElse(1L))
+        case _ => raw
+      }
     })
 
   /** Register every table as a temp view named after itself; idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}
+
+/** Event-time storage-unit detection for int64-encoded `ts` columns.
+  * Plan-time only: reads ONE parquet footer (no data scan), so the cost is
+  * constant whether the table is 17 MB or 100 TB.
+  */
+private[graft] object TsEncoding {
+
+  /** Min `ts` statistic from the first parquet file under `path`
+    * (file or directory). None when stats are absent. */
+  def footerTsMin(s: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) Some(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).headOption.map(_.getPath)
+    file.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val mins = reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == "ts")
+            .flatMap(c => Option(c.getStatistics))
+            .filter(st => !st.isEmpty && st.hasNonNullValue)
+            .flatMap(_.genericGetMin match {
+              case l: java.lang.Long => Some(l.longValue())
+              case _ => None
+            })
+        }
+        if (mins.isEmpty) None else Some(mins.min)
+      } finally reader.close()
+    }
+  }
+
+  /** Multiplier to epoch-NANOS, inferred from a sample epoch value's
+    * magnitude. Unambiguous for any plausible event time (1973–2100):
+    * nanos ≥ 9.5e16, micros 9.5e13..4.2e15, millis 9.5e10..4.2e12,
+    * seconds ≤ 4.2e9 — each band separated by >10× from the thresholds. */
+  def nanosScale(sample: Long): Long =
+    if (sample > 100000000000000000L) 1L // already nanos
+    else if (sample > 100000000000000L) 1000L // micros
+    else if (sample > 100000000000L) 1000000L // millis
+    else 1000000000L // seconds
 }

@@ -20,10 +20,12 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => UnwrapScaledComparison)
     GraftExtensions.functions.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+  }
 }
 
 object GraftExtensions {
@@ -31,10 +33,12 @@ object GraftExtensions {
   /** Register every graft function into an already-running session
     * (extensions only bind at session build; this covers getOrCreate
     * reuse, REPLs, and shared test sessions). Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    UnwrapScaledComparison.install(spark)
     functions.foreach { case (name, (i, b)) =>
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, i, b)
     }
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,

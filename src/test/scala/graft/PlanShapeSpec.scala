@@ -29,6 +29,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"filter not pushed:\n$p")
   }
 
+  test("f10: ts range filter is pushed through the storage-unit adapter") {
+    // Tables.load may project `ts_raw * scale` to normalize a
+    // micros/millis-encoded file to canonical nanos; the range predicate
+    // must STILL reach the scan as a plain attribute comparison
+    // (UnwrapScaledComparison) — at 100 TB this is the difference between
+    // row-group pruning and a full scan of the fact table.
+    val p = plan(CoreQueries.queries("f10_time_range")(spark, dir))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,.*"),
+      s"ts lower bound not pushed:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(ts,.*"),
+      s"ts upper bound not pushed:\n$p")
+  }
+
   test("f1_eq: scan reads only the projected columns") {
     val p = plan(CoreQueries.queries("f1_eq")(spark, dir))
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
