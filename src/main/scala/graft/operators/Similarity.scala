@@ -41,6 +41,43 @@ object Similarity {
       .orderBy(desc("score"), col("id"))
       .limit(k)
 
+  /** Max-inner-product top-k (MIPS) via the norm-augmentation reduction
+    * (Bachrach et al., 2014, RecSys, "Speeding up the Xbox recommender
+    * system…"): append sqrt(M² − ‖x‖²) to each corpus vector (M = the max
+    * corpus norm) and 0 to the query — every augmented corpus vector then
+    * has norm exactly M, so cosine against the augmented query equals
+    * dot(x,q)/(M·‖q‖): a constant positive rescaling of the inner
+    * product. Ranking by augmented cosine IS ranking by dot product,
+    * which means the entire cosine ANN stack (hyperplane LSH buckets,
+    * IVF cells, int8 re-rank) applies unchanged to dot-product retrieval
+    * — the objective dual-encoder/recommender models actually ship,
+    * where vector norm carries popularity/confidence signal that cosine
+    * retrieval would erase.
+    *
+    * Dataflow at 100 TB: M² is ONE scalar aggregate broadcast back as a
+    * 1-row crossJoin (the engine's applyConst shape — no shuffle of the
+    * vectors), then a single scan scores and TakeOrderedAndProject
+    * returns k rows per partition → k global; the corpus is never
+    * shuffled or collected.
+    *
+    * Output: (id, score=dot, aug_cos), dot descending; `aug_cos` is the
+    * augmented-space cosine the ANN stack would index — emitting both
+    * makes the rank equivalence externally checkable. */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    require(qNorm > 0, "MIPS query vector must be non-zero")
+    val m2 = df.agg(max(dot(col(vecCol), col(vecCol))).as("_m2"))
+    df.crossJoin(broadcast(m2))
+      .select(col(idCol).as("id"),
+        dot(col(vecCol), litVec(query)).as("score"),
+        col("_m2"))
+      .select(col("id"), col("score"),
+        (col("score") / (sqrt(col("_m2")) * lit(qNorm))).as("aug_cos"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------ hyperplane LSH
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64 → uniform in

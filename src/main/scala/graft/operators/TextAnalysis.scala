@@ -327,4 +327,73 @@ object TextAnalysis {
           .cast("double"), 6).as("tfidf"))
       .select(col("_id").as("id"), col("n_tokens"), col("tfidf"))
   }
+
+  // ------------------------------------------- linear classifier scoring
+
+  /** fastText-style linear text classifier applied at corpus scale
+    * (Joulin et al., 2017, arXiv:1607.01759: a quality/domain classifier
+    * is a weight per vocabulary term + a bias; score = σ(b + Σ w_t·tf_t)).
+    * The classic curation gate — CCNet/Llama-style "does this look like a
+    * reference page" filtering — is exactly this shape.
+    *
+    * Dataflow at 100 TB — the point of the operator: the vocabulary is
+    * BOUNDED (fastText prunes to a fixed table; `vocabSize` here), so the
+    * weights collapse to a plan-constant literal map and scoring is
+    * MAP-ONLY — no explode, no join, no shuffle of any kind on the scored
+    * corpus. One `functions.aggregate` walks each document's token array
+    * inside whole-stage codegen; a 100 TB corpus scores in a single scan.
+    * Compare `lmScore`/`tfidf`, which must shuffle (their vocabulary is
+    * unbounded). Building the vocab costs one small groupBy over the
+    * REFERENCE corpus only (typically ~1000× smaller than the scored
+    * corpus), with the same bounded-driver-collect contract as the BPE
+    * vocab (`Bpe.scala`): `vocabSize` rows, plan-time.
+    *
+    * In-container stand-in for trained weights (deterministic, externally
+    * replayable): vocabulary = top-`vocabSize` reference tokens by
+    * document frequency (ties broken lexicographically), weight_t =
+    * ln(N_ref/df_t) rounded to 6 places, signed + for tokens < "m" and −
+    * otherwise. Swapping in real trained weights changes none of the
+    * dataflow. Per-token terms are rounded to 9 places and accumulated in
+    * DECIMAL(27,9) — the t13 determinism contract — so the score is
+    * identical under any partitioning and replayable by an external
+    * engine.
+    *
+    * Output: (id, n_tok, score, keep) — keep = score ≥ 0.5. */
+  def linearClassifierScore(scored: DataFrame, idCol: String,
+      textCol: String, reference: DataFrame, refTextCol: String,
+      vocabSize: Int = 32, bias: Double = -0.25): DataFrame = {
+    require(vocabSize > 0 && vocabSize <= 65536,
+      s"vocabSize $vocabSize outside (0, 65536] — the weight table is a " +
+        "plan-constant literal and must stay broadcast-sized")
+    val nRef = reference.count().toDouble
+    val weights: Map[String, Double] = reference
+      .select(explode(array_distinct(tokens(col(refTextCol)))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+      .orderBy(col("_df").desc, col("_w").asc)
+      .limit(vocabSize) // TakeOrdered — deterministic under ties
+      .collect() // bounded: vocabSize rows, plan-time (the Bpe contract)
+      .map { r =>
+        val w = r.getString(0)
+        val wt = math.rint(math.log(nRef / r.getLong(1)) * 1e6) / 1e6
+        w -> (if (w < "m") wt else -wt)
+      }.toMap
+    val wmap = typedLit(weights)
+    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+    val toks = tokens(col(textCol))
+    scored
+      .select(col(idCol).as("id"), toks.as("_toks"),
+        size(toks).cast("long").as("n_tok"))
+      .select(col("id"), col("n_tok"),
+        aggregate(col("_toks"), lit(0).cast(dec),
+          // re-cast the running sum: decimal addition widens (27,9)+(27,9)
+          // to (28,9), which would no longer match the accumulator slot
+          (acc, t) => (acc + round(
+            coalesce(element_at(wmap, t), lit(0.0))
+              / col("n_tok").cast("double"), 9).cast(dec)).cast(dec))
+          .as("_raw"))
+      .select(col("id"), col("n_tok"),
+        round(lit(1.0) / (lit(1.0)
+          + exp(-(lit(bias) + col("_raw").cast("double")))), 4).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
 }

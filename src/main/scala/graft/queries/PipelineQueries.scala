@@ -296,6 +296,19 @@ object PipelineQueries {
       .select(col("id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), col("id"))
 
+  // s19: max-inner-product top-k via norm augmentation (Bachrach 2014) —
+  // dot-product retrieval through the cosine machinery: M² is one scalar
+  // aggregate broadcast in-plan, scoring is a single scan + distributed
+  // top-k. The oracle ranks by list_dot_product AND recomputes the
+  // augmented cosine from its own max-norm — a broken reduction (wrong M,
+  // wrong augmentation algebra) diverges in either column.
+  def s19_mips(s: SparkSession, dir: String): DataFrame =
+    Similarity.mipsTopK(embs(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20)
+      .select(col("id"), round(col("score"), 6).as("score"),
+        round(col("aug_cos"), 6).as("aug_cos"))
+      .orderBy(desc("score"), col("id"))
+
   // s11: int8-quantized ANN, self-gated k1/k2-style — candidates come
   // from the 1-byte-per-dim quantized-cosine scan (the 4×-smaller index
   // a 100 TB deployment holds in memory), full-precision re-rank restores
@@ -803,6 +816,39 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("tfidf"))
       .orderBy("doc_id")
 
+  // t15: fastText-style linear classifier scoring — bounded vocabulary
+  // (top-32 reference-half DF tokens, deterministic analytic weights) as
+  // a plan-constant map, then MAP-ONLY scoring: no explode, no join, no
+  // shuffle over the scored corpus (PlanShapeSpec pins zero exchanges).
+  // The oracle rebuilds vocab, weights, per-term rounding, and the
+  // decimal accumulation term-for-term.
+  def t15_classifier_score(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.linearClassifierScore(d, "doc_id", "text",
+        d.where(col("doc_id") < 250), "text")
+      .select(col("id").as("doc_id"), col("n_tok"), col("score"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
+  // p10: sequence-length histogram in power-of-2 bins — the length
+  // distribution that sizes p5's packing window and flags truncation
+  // loss. Exact integer binning via the binary-representation length
+  // (floor(log2) without floating-point: `length(bin(n)) - 1`, identical
+  // in Spark and DuckDB — a float log2 diverges at exact powers of two).
+  // One partial/final aggregation; the shuffle carries ~20 bin rows.
+  def p10_length_histogram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .select((length(bin(col("n_tok"))) - 1).cast("long").as("len_bin"),
+        col("n_tok"))
+      .groupBy("len_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy("len_bin")
+
   // ------------------------------------------------------- multimodal
 
   // m1: REAL image decode end-to-end — genuine BMP containers (written
@@ -930,6 +976,8 @@ object PipelineQueries {
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
     "t14_tfidf" -> t14_tfidf _,
+    "t15_classifier_score" -> t15_classifier_score _,
+    "p10_length_histogram" -> p10_length_histogram _,
     "d10_chain_clusters" -> d10_chain_clusters _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
@@ -937,6 +985,7 @@ object PipelineQueries {
     "s13_dim_stats" -> s13_dim_stats _,
     "s14_group_centroids" -> s14_group_centroids _,
     "s18_kmeans" -> s18_kmeans _,
+    "s19_mips" -> s19_mips _,
     "s8_knn_graph" -> s8_knn_graph _,
     "s16_knn_graph_lsh" -> s16_knn_graph_lsh _,
     "s9_sql_cosine" -> s9_sql_cosine _,
@@ -1296,6 +1345,43 @@ object PipelineQueries {
         |  round(CAST(sum(CAST(nll AS DECIMAL(27, 9))) AS DOUBLE) / count(*),
         |    4) AS avg_nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t15_classifier_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |refdf AS (
+        |  SELECT w, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE doc_id < 250 GROUP BY w),
+        |nref AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        |  WHERE doc_id < 250),
+        |vocab AS (
+        |  SELECT w, round(ln(n / df), 6)
+        |      * (CASE WHEN w < 'm' THEN 1 ELSE -1 END) AS wt
+        |  FROM refdf, nref ORDER BY df DESC, w LIMIT 32),
+        |lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        |terms AS (
+        |  SELECT t.doc_id,
+        |    round(coalesce(v.wt, 0) / lens.len, 9) AS term
+        |  FROM tok t LEFT JOIN vocab v USING (w)
+        |  JOIN lens USING (doc_id)),
+        |raw AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(sum(CAST(term AS DECIMAL(27, 9))) AS DOUBLE) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  round(1.0 / (1.0 + exp(-(-0.25 + s))), 4) AS score,
+        |  round(1.0 / (1.0 + exp(-(-0.25 + s))), 4) >= 0.5 AS keep
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "p10_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "t14_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -1518,6 +1604,21 @@ object PipelineQueries {
         |    list_cosine_similarity(embedding::DOUBLE[], qe) AS raw
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
+        |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    "s19_mips" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |m AS (
+        |  SELECT sqrt(max(list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[]))) AS mx
+        |  FROM embeddings),
+        |qn AS (SELECT sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
+        |scored AS (
+        |  SELECT vec_id AS id,
+        |    list_dot_product(embedding::DOUBLE[], qe) AS raw
+        |  FROM embeddings, q)
+        |SELECT id, round(raw, 6) AS score,
+        |  round(raw / (m.mx * qn.qnorm), 6) AS aug_cos
+        |FROM scored, m, qn
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
     "s11_quantized_ann" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

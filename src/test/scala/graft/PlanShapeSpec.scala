@@ -136,6 +136,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"expected <=3 hash exchanges, found $exchanges:\n$p")
   }
 
+  test("t15: classifier scoring is map-only over the scored corpus") {
+    // The weight table is a plan-constant literal map (bounded vocab) and
+    // scoring is functions.aggregate over the token array — the SCORED
+    // side must see no explode, no join, and no exchange besides the
+    // final presentation sort. At 100 TB that is one scan, full stop.
+    // (The vocab build runs at plan time over the small reference half;
+    // it is not part of this plan.)
+    val p = plan(PipelineQueries.queries("t15_classifier_score")(spark, dir))
+    assert(!p.contains("Generate"), s"scored side explodes tokens:\n$p")
+    assert(!p.contains("Join"), s"scored side joins:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the orderBy exchange, got:\n$p")
+  }
+
   test("p6_global_shuffle: one exchange on the shard key, no global sort") {
     val p = plan(PipelineQueries.queries("p6_global_shuffle")(spark, dir))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
