@@ -544,6 +544,110 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Sentinel-augmented stream directory for watermark-gated OUTER
+    * semantics: the same 4-file events layout as [[streamDir]], plus one
+    * far-future row (`event_type = "_wm"`, ts = max_ts + 70 days) in a
+    * separate part file whose mtime is bumped so the file stream source
+    * processes it LAST. The sentinel flows through the watermark node
+    * (filters come after `withWatermark` in consumers) but never joins;
+    * its only effect is to advance the final watermark past every join
+    * window, so state that outer joins are holding for
+    * "might-still-match" rows seals and emits in the trailing no-data
+    * micro-batch. This is the bounded-replay analogue of the reference's
+    * ingest heartbeat that seals idle segments
+    * (collector PushDownAggregatorStage flush-on-idle). */
+  private val sentinelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def sentinelStreamDir(s: SparkSession, sfDir: String): String =
+    sentinelDirs.computeIfAbsent(sfDir, { dir =>
+      val out = Tables.tmpDirFor("graft_stream_wm", dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val ev = Tables.load(s, dir, "events")
+      ev.repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(out)
+      val mainFiles = listParquet(new java.io.File(out))
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+      // TWO sentinel files, processed as two separate trailing
+      // micro-batches: the watermark computed from batch N's data only
+      // takes effect in batch N+1, so a single sentinel would advance the
+      // watermark with no batch left to act on it (observed: zero outer
+      // rows emitted). Sentinel #1 lifts the watermark; sentinel #2's
+      // batch runs under it and flushes the sealed outer-join state.
+      var prev = mainFiles
+      (1 to 2).foreach { i =>
+        val sentinelTs = maxTs + (70L + i) * 86400000L * 1000000L // nanos
+        ev.limit(1).select(
+            lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+            lit(-1L).as("user_id"), lit("_wm").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+          .coalesce(1).write.mode("append").parquet(out)
+        val all = listParquet(new java.io.File(out))
+        // the source orders files by modification time: main < s1 < s2
+        val now = System.currentTimeMillis()
+        all.diff(prev).foreach(f =>
+          new java.io.File(f).setLastModified(now + i * 60000L))
+        prev = all
+      }
+      val now = System.currentTimeMillis()
+      mainFiles.foreach(f => new java.io.File(f).setLastModified(now - 120000))
+      out
+    })
+
+  /** T-outer: watermarked stream-stream LEFT OUTER interval join — the
+    * st12 click→purchase attribution with the complement emitted: a click
+    * with no purchase within 1 day appears exactly once with a null
+    * (surfaced as -1) purchase once the watermark proves no match can
+    * still arrive. Inner matches emit eagerly per micro-batch; unmatched
+    * state seals against the watermark — the same sealed/unsealed
+    * completeness contract as st10, applied to join state. Converges to
+    * the batch LEFT JOIN the oracle runs. */
+  def st13_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, idAs: String, tAs: String) = s.readStream
+      .schema(eventsSchema)
+      // 1 file per trigger: the two watermark sentinels MUST land in
+      // separate micro-batches (see sentinelStreamDir) — at 2 they could
+      // share one batch and the advanced watermark would again have no
+      // batch left to flush under
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sentinelStreamDir(s, dir))
+      .select(col("event_id").as(idAs), col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as(tAs))
+      .withWatermark(tAs, "60 days") // nothing in the real span is late
+      // the sentinel must pass this filter: Catalyst pushes a
+      // non-watermark-column predicate BELOW the EventTimeWatermark node,
+      // and a filter that drops the sentinel there would drop its
+      // watermark advance with it (observed: zero outer rows). Passing it
+      // through is harmless — user_id -1 matches nothing, and its own
+      // window (max_ts + 71 days) never seals inside the replay.
+      .where(col("event_type").isin(tpe, "_wm"))
+      .drop("event_type")
+    val clicks = side("click", "click_id", "c_t")
+    val purchases = side("purchase", "purchase_id", "p_t")
+      .withColumnRenamed("user_id", "p_user_id")
+    val plan = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("p_t") >= col("c_t") &&
+        col("p_t") <= col("c_t") + expr("INTERVAL 1 DAY"),
+      "leftOuter")
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st13_stream_outer_join")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st13_stream_outer_join")
+      .where(col("click_id") =!= -1L) // belt: no sentinel in the output
+      // -1 instead of null: Spark and DuckDB disagree on null sort
+      // placement, and the hash compare is order-sensitive
+      .select(col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** The documents table re-written once as a 4-file directory so the
     * batch side of st9 arrives in multiple micro-batches. */
   private val docStreamDirs =
@@ -624,6 +728,7 @@ object StreamingQueries {
   private[graft] def prepare(s: SparkSession, dir: String): Unit = {
     streamDir(s, dir)
     docStreamDir(s, dir)
+    sentinelStreamDir(s, dir)
     rollupSegmentsBase(s, dir)
   }
 
@@ -631,6 +736,7 @@ object StreamingQueries {
     "st1_stream_window" -> st1_stream_window _,
     "st9_stream_neardup" -> st9_stream_neardup _,
     "st12_stream_stream_join" -> st12_stream_stream_join _,
+    "st13_stream_outer_join" -> st13_stream_outer_join _,
     "st7_stream_dedup" -> st7_stream_dedup _,
     "st8_stream_static_join" -> st8_stream_static_join _,
     "st2_running_stats" -> st2_running_stats _,
@@ -649,6 +755,16 @@ object StreamingQueries {
         |FROM events c JOIN events p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND c.user_id = p.user_id
+        |  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+        |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 86400000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // the watermark-sealed outer join must converge to the batch LEFT JOIN
+    "st13_stream_outer_join" ->
+      """SELECT c.event_id AS click_id,
+        |  coalesce(p.event_id, -1) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
         |  AND epoch_ms(p.ts) >= epoch_ms(c.ts)
         |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 86400000
         |ORDER BY click_id, purchase_id""".stripMargin,
