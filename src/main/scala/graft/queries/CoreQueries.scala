@@ -153,6 +153,22 @@ object CoreQueries {
         locate("A", col("l_returnflag")).cast("long").as("strpos_a"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  // E-json: native JSON attribute extraction — schema-on-read with
+  // from_json (the reference reads log attributes through DuckDB's json
+  // extension the same way; E1's regex path is the schemaless fallback).
+  // Typed extraction + integer-decile rollup per event type; `div` and
+  // DuckDB `//` agree on floor semantics for the non-negative key.
+  def e12_json_fields(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("props").isNotNull)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type", "k_decile")
+
   // ------------------------------------------------------------------ A*
   // A1+A3: step-bucketed group aggregation (the chart path)
   def a1_step_agg(s: SparkSession, dir: String): DataFrame =
@@ -760,6 +776,7 @@ object CoreQueries {
     "f10_time_range" -> f10_time_range _,
     "e1_extract" -> e1_extract _,
     "e2_compute" -> e2_compute _,
+    "e12_json_fields" -> e12_json_fields _,
     "a1_step_agg" -> a1_step_agg _,
     "a3_pricing_agg" -> a3_pricing_agg _,
     "a5_percentile" -> a5_percentile _,
@@ -843,6 +860,15 @@ object CoreQueries {
         |  strpos(l_returnflag, 'A') AS strpos_a
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e12_json_fields" ->
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_type, k // 10 AS k_decile,
+        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM j WHERE k IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a1_step_agg" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts, event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value,

@@ -473,6 +473,44 @@ object StreamingQueries {
     s.table("st7_stream_dedup").orderBy("event_type")
   }
 
+  /** st7's production-correct sibling: exact dedup with BOUNDED state.
+    * `dropDuplicatesWithinWatermark` evicts a key once the watermark
+    * passes its event time + delay, so state size tracks the watermark
+    * window instead of growing with every key ever seen — on an
+    * unbounded stream st7's plain `dropDuplicates` is a slow memory
+    * leak; this is the version a collector actually ships. First-seen
+    * rows emit eagerly in append mode (eviction bounds future duplicate
+    * DETECTION, not emission), so no watermark sentinel is needed; with
+    * the 60-day delay covering the whole replay span nothing evicts
+    * mid-replay and the result converges to the exact batch distinct —
+    * the same oracle as st7. The distinct count itself runs as a batch
+    * aggregation over the emitted first-seen rows (st9's two-stage
+    * shape). */
+  def st14_dedup_bounded_state(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+      .select(col("event_type"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("t"))
+      .withWatermark("t", "60 days")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+      .drop("t")
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st14_dedup_bounded_state")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st14_dedup_bounded_state")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .orderBy("event_type")
+  }
+
   /** Stream-static join: the micro-batch stream enriched against a
     * static dimension table on every batch — Spark broadcasts the
     * static side into each micro-batch with no state. The synthetic
@@ -568,14 +606,16 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(out)
       val mainFiles = listParquet(new java.io.File(out))
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
-      // TWO sentinel files, processed as two separate trailing
-      // micro-batches: the watermark computed from batch N's data only
-      // takes effect in batch N+1, so a single sentinel would advance the
-      // watermark with no batch left to act on it (observed: zero outer
-      // rows emitted). Sentinel #1 lifts the watermark; sentinel #2's
-      // batch runs under it and flushes the sealed outer-join state.
+      // THREE sentinel files: the watermark computed from batch N's data
+      // only takes effect in batch N+1, so a single sentinel would
+      // advance the watermark with no batch left to act on it (observed:
+      // zero outer rows emitted). With maxFilesPerTrigger = 2 the first
+      // two sentinels may share a batch (lifting the watermark); #3 is
+      // then guaranteed a LATER batch that runs under the lifted
+      // watermark and flushes the sealed outer-join state. Generally:
+      // maxFilesPerTrigger + 1 sentinels.
       var prev = mainFiles
-      (1 to 2).foreach { i =>
+      (1 to 3).foreach { i =>
         val sentinelTs = maxTs + (70L + i) * 86400000L * 1000000L // nanos
         ev.limit(1).select(
             lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
@@ -583,7 +623,7 @@ object StreamingQueries {
             lit(0.0).as("value"), lit(null).cast("string").as("props"))
           .coalesce(1).write.mode("append").parquet(out)
         val all = listParquet(new java.io.File(out))
-        // the source orders files by modification time: main < s1 < s2
+        // the source orders files by modification time: main < s1 < s2 < s3
         val now = System.currentTimeMillis()
         all.diff(prev).foreach(f =>
           new java.io.File(f).setLastModified(now + i * 60000L))
@@ -606,11 +646,10 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tpe: String, idAs: String, tAs: String) = s.readStream
       .schema(eventsSchema)
-      // 1 file per trigger: the two watermark sentinels MUST land in
-      // separate micro-batches (see sentinelStreamDir) — at 2 they could
-      // share one batch and the advanced watermark would again have no
-      // batch left to flush under
-      .option("maxFilesPerTrigger", "1")
+      // 2 files per trigger with THREE sentinels (see sentinelStreamDir):
+      // the last sentinel is guaranteed a batch after the watermark lift,
+      // and the replay costs 4 micro-batches per side instead of 6
+      .option("maxFilesPerTrigger", "2")
       .parquet(sentinelStreamDir(s, dir))
       .select(col("event_id").as(idAs), col("user_id"), col("event_type"),
         timestamp_micros(expr("ts div 1000")).as(tAs))
@@ -737,6 +776,7 @@ object StreamingQueries {
     "st9_stream_neardup" -> st9_stream_neardup _,
     "st12_stream_stream_join" -> st12_stream_stream_join _,
     "st13_stream_outer_join" -> st13_stream_outer_join _,
+    "st14_dedup_bounded_state" -> st14_dedup_bounded_state _,
     "st7_stream_dedup" -> st7_stream_dedup _,
     "st8_stream_static_join" -> st8_stream_static_join _,
     "st2_running_stats" -> st2_running_stats _,
@@ -786,6 +826,10 @@ object StreamingQueries {
         |    / len(list_distinct(list_concat(n.sh, h.sh))) >= 0.8
         |ORDER BY id_new, id_hist""".stripMargin,
     "st7_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // bounded-state dedup converges to the same exact distinct as st7
+    "st14_dedup_bounded_state" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "st8_stream_static_join" ->
