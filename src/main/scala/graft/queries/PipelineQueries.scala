@@ -99,6 +99,17 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  // d11: directional containment pairs — the asymmetric near-dup
+  // relation (short doc quoted inside a long one) that Jaccard cannot
+  // see; prefix-filtered contained side ⋈ full inverted index, exact
+  // verify. Oracle replays distinct char-4-grams and |∩|/|A| directly.
+  def d11_containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(docs(s, dir), "doc_id", "text",
+        n = 4, threshold = 0.9)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("contained_id", "container_id")
+
   // embedding cosine near-dup pairs, exact all-pairs (the synthetic
   // embeddings are near-orthogonal — 0.4 marks the "most similar" tail)
   def d5_embedding_neardup(s: SparkSession, dir: String): DataFrame =
@@ -957,6 +968,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> d2_minhash_lsh _,
     "d3_simhash" -> d3_simhash _,
     "d4_ngram_jaccard" -> d4_ngram_jaccard _,
+    "d11_containment" -> d11_containment _,
     "d5_embedding_neardup" -> d5_embedding_neardup _,
     "d5_embedding_lsh" -> d5_embedding_lsh _,
     "d6_dup_clusters" -> d6_dup_clusters _,
@@ -1286,6 +1298,19 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d11_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([substr(text, i, 4)
+        |      for i in range(1, greatest(length(text), 4) - 2)]) AS grams
+        |  FROM documents)
+        |SELECT a.id AS contained_id, b.id AS container_id,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(a.grams), 6) AS containment
+        |FROM g a JOIN g b ON a.id <> b.id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(a.grams) >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
     "t6_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
