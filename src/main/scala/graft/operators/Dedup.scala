@@ -152,6 +152,79 @@ object Dedup {
           " ").as("text_kept"))
   }
 
+  /** Cross-document duplicated-SUBSTRING spans — the character-level
+    * exact-substring dedup of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr pass), which the
+    * paper implements with a corpus suffix array. The Spark-first
+    * equivalent: hash every `windowChars`-character window at stride 1,
+    * mark windows whose content occurs in >= 2 DISTINCT documents, and
+    * merge each document's marked window starts into maximal duplicated
+    * intervals (overlapping or touching seeds coalesce). Any shared
+    * substring of length >= windowChars is covered by at least one shared
+    * window, so the merged intervals cover exactly the characters inside
+    * some cross-document repetition of length >= windowChars.
+    *
+    * Output, one row per input document (short documents included):
+    * (id, doc_len, n_dup_spans, dup_chars) — all integers, so an oracle
+    * replays the computation exactly.
+    *
+    * Scale shape: a suffix array over 100 TB does not distribute, but
+    * this does — the decision stream shuffles (window_hash, id, pos)
+    * triples (~20 bytes/row), never text; the groupBy(hash) dup test and
+    * the per-document interval merge are both ordinary hash-partitioned
+    * aggregations/windows. Stride-1 windows emit ~len rows per document —
+    * the same asymptotics as the suffix array's leaf count. Window
+    * identity is the 64-bit xxhash64 of the window text (same collision
+    * posture as [[exact]]); within-document repetitions alone do NOT
+    * mark a window (the count is over distinct ids) — this is the
+    * cross-document variant, the one that removes inter-document
+    * boilerplate without touching a document's own refrains. */
+  def duplicatedSubstringSpans(df: DataFrame, idCol: String,
+      textCol: String, windowChars: Int = 30): DataFrame = {
+    require(windowChars > 0, s"windowChars $windowChars must be positive")
+    val txt = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("id"),
+      length(txt).cast("long").as("doc_len"), txt.as("_t"))
+    val wins = base.where(col("doc_len") >= windowChars)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0L), col("doc_len") - windowChars),
+          p => xxhash64(col("_t").substr(
+            (p + 1).cast("int"), lit(windowChars)))))
+          .as(Seq("pos", "h")))
+    // windows shared by >= 2 distinct documents; both sides of the join
+    // are narrow (h, id, pos) / (h) rows co-partitioned on h
+    val dupH = wins.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("h"))
+    val seeds = wins.join(dupH, "h").select(col("id"), col("pos"))
+    // merge seed intervals [pos, pos+W) per document: a seed starts a
+    // new span iff it begins strictly after every earlier seed ends
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val spans = seeds
+      .withColumn("_prev_end",
+        max(col("pos") + windowChars).over(
+          byId.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_prev_end").isNull ||
+          col("pos") > col("_prev_end"), 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new")).over(byId))
+      .groupBy(col("id"), col("_span"))
+      .agg(min(col("pos")).as("_start"),
+        max(col("pos") + windowChars).as("_end"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("_end") - col("_start")).as("dup_chars"))
+    base.select(col("id"), col("doc_len"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("doc_len"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Whitespace tokens. */

@@ -223,6 +223,20 @@ object PipelineQueries {
         col("text_kept"))
       .orderBy("doc_id")
 
+  // d12: character-level cross-document duplicated-substring spans (the
+  // ExactSubstr pass of Lee et al. 2021, suffix array re-expressed as a
+  // distributed stride-1 window hash + interval merge). Integer output
+  // (doc_len, span count, covered chars) → the oracle replays the same
+  // windowing, >=2-distinct-docs test, and interval merge on window TEXT
+  // (Spark groups the xxhash64 of the window — same answer absent a
+  // 64-bit collision, the documented posture of every dedup entry).
+  def d12_substring_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSubstringSpans(docs(s, dir), "doc_id", "text",
+        windowChars = 30)
+      .select(col("id").as("doc_id"), col("doc_len"), col("n_dup_spans"),
+        col("dup_chars"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------- similarity
 
   /** Query vector: embedding of vec_id = 0 (a query parameter, fetched
@@ -974,6 +988,7 @@ object PipelineQueries {
     "d6_dup_clusters" -> d6_dup_clusters _,
     "d7_incremental_dedup" -> d7_incremental_dedup _,
     "d8_span_dedup" -> d8_span_dedup _,
+    "d12_substring_dedup" -> d12_substring_dedup _,
     "d9_incremental_neardup" -> d9_incremental_neardup _,
     "p1_hash_sample" -> p1_hash_sample _,
     "p2_stratified_sample" -> p2_stratified_sample _,
@@ -1285,6 +1300,43 @@ object PipelineQueries {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
         |    ORDER BY idx), '') AS text_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d12: replay windows on TEXT (engine groups xxhash64 of the window
+    // — same grouping absent a 64-bit collision); merge rule replayed
+    // verbatim: new span iff pos > every earlier seed's end
+    "d12_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS doc_len
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(p.v AS INT) AS pos,
+        |    substring(t, CAST(p.v AS INT) + 1, 30) AS s
+        |  FROM d, LATERAL (SELECT unnest(range(0, doc_len - 29)) AS v) p
+        |  WHERE doc_len >= 30),
+        |dup AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |seeds AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (s)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM seeds),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc_id, span_id, min(pos) AS st, max(pos + 30) AS en
+        |  FROM g GROUP BY doc_id, span_id),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(en - st) AS BIGINT) AS dup_chars
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id, d.doc_len,
+        |  CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(per.dup_chars, 0) AS BIGINT) AS dup_chars
+        |FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id AS id,

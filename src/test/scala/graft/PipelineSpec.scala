@@ -777,4 +777,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq === Seq(3L, 2L, 4L))
     assert(out.map(_.getDouble(2)).toSeq === Seq(0.405465, 0.752039, 0.578752))
   }
+
+  test("duplicatedSubstringSpans: planted cross-doc run, interval merge, " +
+      "short docs, within-doc repeats excluded") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val u = "qwertyuiopasdfghjklzxcvbnm1234" // 30 chars, doc-14-only
+    val d = Seq(
+      (10L, "XX" + shared + "YY"), // shared run at [2, 42)
+      (11L, shared + " tail words all distinct here padding"),
+      (12L, "totally distinct content with no common windows anywhere!!"),
+      (13L, "short doc"), // < 30 chars
+      (14L, u + "-" + u) // repeats only WITHIN itself → not a dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSubstringSpans(d, "doc_id", "text", 30)
+      .orderBy("id").collect()
+    // (id, doc_len, n_dup_spans, dup_chars)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq(
+      (10L, 44L, 1L, 40L), // seeds 2..12 merge to [2, 42): 40 chars
+      (11L, 77L, 1L, 40L), // seeds 0..10 merge to [0, 40)
+      (12L, 58L, 0L, 0L),
+      (13L, 9L, 0L, 0L),
+      (14L, 61L, 0L, 0L)))
+  }
 }
