@@ -226,6 +226,59 @@ object Sampling {
     spark.createDataFrame(out, schema)
   }
 
+  /** Systematic (fixed-interval) weighted sampling: lay ticks at every
+    * `step` weight units along the corpus ordered by `priority`, and
+    * select each row whose weight interval (cum, cum + w] contains a
+    * tick. Inclusion probability is proportional to weight — the classic
+    * probability-proportional-to-size systematic design — with a
+    * deterministic permutation (make `priority` a hash of the id) in
+    * place of the textbook's random start, so re-runs and other engines
+    * replay the same selection. Rows heavier than `step` are selected
+    * exactly once (no with-replacement multiplicity). Zero-weight rows
+    * are never selected.
+    *
+    * Scale shape: inherits [[packByBudget]]'s two-pass prefix sum over a
+    * narrow (id, weight, priority) projection — range-partitioned, both
+    * passes off one shuffle dependency, no global sort, no driver-side
+    * row data (one long per partition). The selection itself is a
+    * map-side filter on the packed coordinates. */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      step: Long, priority: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(step > 0, s"step $step must be positive")
+    packByBudget(df, idCol, weightCol, binSize = step, priority,
+        numPartitions)
+      .where(col("tok_offset") + col(weightCol) >= step)
+      .select(col(idCol), col(weightCol))
+  }
+
+  /** Temperature-flattened stratum mixing at T = 2: keep the largest
+    * subcorpus whose stratum proportions follow sqrt(n_s) renormalized —
+    * the multilingual-rebalancing rule (p_s ∝ n_s^(1/T), XLM-R style)
+    * that upweights tail strata without letting the head dominate. The
+    * smallest stratum is kept whole; every stratum s keeps rate
+    * min_t(sqrt(n_t)) / sqrt(n_s), derived IN-PLAN from the stratum
+    * counts (tiny aggregate, broadcast back), membership by the
+    * deterministic hash gate — no shuffle of the corpus itself.
+    *
+    * T = 2 specifically because IEEE-754 sqrt is correctly rounded in
+    * every engine, so the float rates — and therefore the exact row set —
+    * replay bit-for-bit cross-engine; a general pow(n, 1/T) carries no
+    * such guarantee. */
+  def temperatureMixT2(df: DataFrame, strataCol: String, score: Column,
+      modulus: Long = 4294967296L): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val minS = counts.agg(min(sqrt(col("_n"))).as("_ms"))
+    val rates = counts.crossJoin(broadcast(minS))
+      .select(col(strataCol),
+        floor(col("_ms") / sqrt(col("_n")) * lit(modulus.toDouble))
+          .as("_cut"))
+    df.join(broadcast(rates), strataCol)
+      .where(score < col("_cut"))
+      .drop("_cut")
+  }
+
   /** Deterministic corpus mixing to target stratum weights — the "40%
     * web, 30% books, …" data-mixture step. Given target proportions
     * `weights` (relative; strata absent from the map are dropped), keeps

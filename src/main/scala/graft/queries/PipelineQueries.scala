@@ -506,6 +506,31 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // p11: systematic weighted sampling — ticks every 600 tokens along the
+  // mix32-permuted corpus; a doc is selected iff its token interval
+  // contains a tick (inclusion probability ∝ token count, PPS design).
+  // Integer tick arithmetic on packByBudget's prefix-sum coordinates →
+  // the oracle replays the permutation, prefix sum, and tick test.
+  def p11_systematic_sample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.systematicSample(d, "doc_id", "n_tokens", step = 600L,
+        priority = Seq(Sampling.mix32(col("doc_id")), col("doc_id")))
+      .orderBy("doc_id")
+  }
+
+  // p12: temperature-flattened language mixing (T = 2) — stratum
+  // proportions ∝ sqrt(count), smallest language kept whole; rates are
+  // derived in-plan and membership is the cross-engine mix32 gate. sqrt
+  // is IEEE-correctly-rounded, so DuckDB replays the identical row set.
+  // (Stratifies on lang — the skewed column; source is uniform in the
+  // fixture, which would make flattening a no-op.)
+  def p12_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixT2(docs(s, dir), "lang",
+        Sampling.mix32(col("doc_id")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   // p6: deterministic global shuffle — every doc gets a (shard, pos)
   // training-order coordinate from pure key arithmetic (8 shards, mix32
   // order within shard); the oracle replays the identical permutation
@@ -999,6 +1024,8 @@ object PipelineQueries {
     "p7_upsample" -> p7_upsample _,
     "p8_pack_offsets" -> p8_pack_offsets _,
     "p9_sharded_export" -> p9_sharded_export _,
+    "p11_systematic_sample" -> p11_systematic_sample _,
+    "p12_temperature_mix" -> p12_temperature_mix _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
@@ -1498,6 +1525,40 @@ object PipelineQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // p11: replay the mix32 permutation, exclusive prefix sum, and the
+    // 600-token tick test ((pre mod 600) + w >= 600 ⟺ the row's weight
+    // interval contains a multiple of 600)
+    "p11_systematic_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS pri
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t)
+        |SELECT doc_id, n_tokens FROM c
+        |WHERE (pre % 600) + n_tokens >= 600
+        |ORDER BY doc_id""".stripMargin,
+    // p12: rates replayed with the same float evaluation order
+    // floor((min_sqrt / sqrt(n)) * 2^32); sqrt is correctly rounded in
+    // IEEE-754, so both engines compute identical cut thresholds
+    "p12_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+        |  FROM documents GROUP BY lang),
+        |m AS (SELECT min(sqrt(n_s)) AS ms FROM n),
+        |r AS (
+        |  SELECT n.lang,
+        |    CAST(floor(ms / sqrt(n_s) * 4294967296.0) AS BIGINT) AS cut
+        |  FROM n, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < r.cut
+        |ORDER BY d.doc_id""".stripMargin,
     "p8_pack_offsets" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -187,6 +187,47 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("systematicSample selects exactly the rows whose weight interval " +
+      "contains a tick") {
+    // ids 0..99, weights 1..8 cycling; step 20 → ticks at 20, 40, …
+    val d = spark.range(100).select(col("id"), (col("id") % 8 + 1).as("w"))
+    val got = Sampling.systematicSample(d, "id", "w", step = 20L,
+        priority = Seq(col("id"))) // identity order: easy reference
+      .select("id").as[Long].collect().toSet
+    // single-node reference replay
+    val ws = (0L until 100L).map(i => (i, i % 8 + 1))
+    var cum = 0L
+    val want = ws.filter { case (_, w) =>
+      val pre = cum; cum += w
+      (pre % 20) + w >= 20
+    }.map(_._1).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 100)
+    // zero-weight rows are never selected
+    val z = Sampling.systematicSample(
+        spark.range(10).select(col("id"), lit(0L).as("w")),
+        "id", "w", step = 5L, priority = Seq(col("id")))
+      .collect()
+    assert(z.isEmpty)
+  }
+
+  test("temperatureMixT2 keeps the smallest stratum whole and flattens " +
+      "the rest at sqrt proportions") {
+    // strata a:16, b:64, c:256 → rates 1, 1/2, 1/4 exactly (powers of 4)
+    val d = spark.range(16 + 64 + 256).select(col("id"),
+      when(col("id") < 16, "a").when(col("id") < 80, "b").otherwise("c")
+        .as("s"))
+    val kept = Sampling.temperatureMixT2(d, "s", Sampling.mix32(col("id")))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(kept("a") === 16L, "smallest stratum kept whole")
+    // dyadic rates make the cut an exact power of two; replay the gate
+    def mix32(k: Long) = ((k % 2147483648L) * 2654435761L) % 4294967296L
+    val wantB = (16L until 80L).count(i => mix32(i) < (1L << 31))
+    val wantC = (80L until 336L).count(i => mix32(i) < (1L << 30))
+    assert(kept("b") === wantB.toLong)
+    assert(kept("c") === wantC.toLong)
+  }
+
   test("packByBudget with a single partition equals many partitions") {
     val many = Sampling.packByBudget(rows, "id", "w", 250L,
       Seq(Sampling.mix32(col("id")), col("id")), numPartitions = 16)
