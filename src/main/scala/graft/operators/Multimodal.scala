@@ -540,6 +540,105 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic NEAR-DUPLICATE fixture pixel for perceptual-hash
+    * tests: ids come in groups of three (g = id/3) that share one block
+    * pattern — 8×8 blocks of a 32×32 image, block b high (220) iff bit
+    * (b mod 6) of g+1 is set, low (30) otherwise — plus a per-ID noise
+    * term (id·31 + x·7 + y·13) mod 3. Distinct groups with g+1 < 64
+    * have distinct 6-bit values, hence distinct block patterns (the
+    * pattern tiles those 6 bits), and g+1 ∈ [1, 63) is never all-zeros
+    * or all-ones, so every image has ≥ 10 high and ≥ 10 low blocks.
+    * The three variants of a group differ in real pixel values
+    * (different noise) but never in any block-vs-global mean
+    * comparison: per 4×4 block the base-term margin is ≥ 16·1900 while
+    * the noise can move a comparison by at most 2048 — so aHash is
+    * identical within a group and distinct across groups by
+    * construction, and the oracle replays the grouping analytically. */
+  def fixtureNearDupPixel(id: Long, x: Int, y: Int): Int = {
+    val g = id / 3
+    val b = (y / 4) * 8 + (x / 4)
+    val base = if ((((g + 1) >> (b % 6)) & 1L) == 1L) 220 else 30
+    base + ((id * 31 + x * 7 + y * 13) % 3).toInt
+  }
+
+  /** Real-image near-dup media table: one genuine 32×32 BMP per input
+    * id, pixels from [[fixtureNearDupPixel]] — consecutive id triples
+    * are perceptual near-duplicates of each other. */
+  def syntheticNearDupImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            Bmp.encodeGray(32, 32, (x, y) => fixtureNearDupPixel(id, x, y))
+          Row(id, payload, Row("bmp", 32, 32, null))
+        }
+      }(enc)
+  }
+
+  /** Perceptual average-hash (aHash) of each decoded image: divide the
+    * raster into `blocks`×`blocks` cells and emit one bit per cell —
+    * 1 iff the cell's mean luminance exceeds the image's global mean.
+    * The comparison is pure integer cross-multiplication
+    * (cell_sum · total_px > total_sum · cell_px), so identical pixels
+    * give identical hashes in any engine and small pixel noise (the
+    * regime aHash exists for: re-encodes, minor edits) leaves the hash
+    * unchanged. Output: (media_id, ahash) with the hash as the
+    * `blocks`²-char bit string — the grouping key for perceptual dedup.
+    * (Production would pack the 64 bits into a long; the bit-string
+    * form is byte-for-byte replayable by a SQL oracle and costs 64
+    * bytes/row in the shuffle — not the scale bottleneck, the decode
+    * is.) Undecodable payloads are dropped. Cells are the integer
+    * lattice x ∈ [bx·w/blocks, (bx+1)·w/blocks) — exact for any
+    * dimensions, uniform when blocks divides w and h. */
+  def imageAHash(media: DataFrame, codec: MediaCodec = ImageIoCodec,
+      blocks: Int = 8): DataFrame = {
+    require(blocks > 0, s"blocks $blocks must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeImage(payload).map { di =>
+            val nb = blocks
+            val sums = new Array[Long](nb * nb)
+            val cnts = new Array[Long](nb * nb)
+            var y = 0
+            while (y < di.height) {
+              val by = y * nb / di.height
+              var x = 0
+              while (x < di.width) {
+                val cell = by * nb + x * nb / di.width
+                sums(cell) += di.gray(y * di.width + x)
+                cnts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var total = 0L
+            var i = 0
+            while (i < sums.length) { total += sums(i); i += 1 }
+            val totalPx = di.width.toLong * di.height
+            val sb = new java.lang.StringBuilder(nb * nb)
+            i = 0
+            while (i < sums.length) {
+              // cell mean > global mean, integer-exact (empty cells —
+              // only when blocks > dimension — compare as 0 > 0: false)
+              sb.append(
+                if (sums(i) * totalPx > total * cnts(i)) '1' else '0')
+              i += 1
+            }
+            Row(id, sb.toString)
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic PCM fixture sample: ((id·31 + i·17) mod 4096) − 2048
     * — pure integer arithmetic an oracle can replay analytically; values
     * sit inside the 16-bit range so encode→decode is lossless. */

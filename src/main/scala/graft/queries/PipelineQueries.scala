@@ -967,6 +967,24 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  // m7: perceptual-hash (aHash) image dedup over REAL decoded pixels —
+  // genuine 32×32 BMPs whose consecutive id-triples share a block
+  // pattern but differ in per-pixel noise; the 8×8 block-mean-vs-global-
+  // mean bit string groups exactly the planted triples (distinct across
+  // groups and noise-proof within them by fixture construction). The
+  // oracle replays pixels → block sums → bits → grouping analytically.
+  def m7_image_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticNearDupImageTable(
+      docs(s, dir).where(col("doc_id") < 150), "doc_id")
+    val hashed = Multimodal.imageAHash(media)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ahash"))
+    hashed.select(col("media_id"),
+        min(col("media_id")).over(byHash).as("dup_group"),
+        count(lit(1)).over(byHash).as("group_size"))
+      .orderBy("media_id")
+  }
+
   // m5: REAL video decode end-to-end — genuine RIFF/AVI containers with
   // uncompressed-DIB frames (written by the deterministic fixture
   // encoder) parsed back through the chunk walker to per-frame rasters,
@@ -1060,7 +1078,8 @@ object PipelineQueries {
     "m3_format_detect" -> m3_format_detect _,
     "m4_audio_decode" -> m4_audio_decode _,
     "m5_video_decode" -> m5_video_decode _,
-    "m6_video_frames" -> m6_video_frames _
+    "m6_video_frames" -> m6_video_frames _,
+    "m7_image_phash_dedup" -> m7_image_phash_dedup _
   )
 
   /** s18 oracle: replays the Lloyd iterations CTE-for-iteration with the
@@ -1868,6 +1887,34 @@ object PipelineQueries {
         |  round(CAST(s AS DOUBLE) / (w * h), 4) AS mean_lum,
         |  CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes
         |FROM px ORDER BY media_id""".stripMargin,
+    // m7: replay the 32×32 near-dup fixture (group g = id//3, block b
+    // high iff bit (b%6) of g+1 is set, noise (id·31+x·7+y·13)%3), the
+    // 8×8 block sums, the integer bit test (cell_sum·1024 > total·16 ⟺
+    // cell_sum·64 > total for uniform 4×4 cells), and the hash grouping
+    "m7_image_phash_dedup" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |ids AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS grp
+        |  FROM documents WHERE doc_id < 150),
+        |px AS (
+        |  SELECT i.id,
+        |    (gy.v // 4) * 8 + (gx.v // 4) AS b,
+        |    (CASE WHEN ((i.grp + 1) >>
+        |        (((gy.v // 4) * 8 + (gx.v // 4)) % 6)) & 1 = 1
+        |      THEN 220 ELSE 30 END)
+        |      + (i.id * 31 + gx.v * 7 + gy.v * 13) % 3 AS p
+        |  FROM ids i, g gx, g gy),
+        |bs AS (SELECT id, b, sum(p) AS s FROM px GROUP BY id, b),
+        |ts AS (SELECT id, sum(s) AS t FROM bs GROUP BY id),
+        |bits AS (
+        |  SELECT bs.id,
+        |    string_agg(CASE WHEN bs.s * 64 > ts.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY bs.b) AS h
+        |  FROM bs JOIN ts USING (id) GROUP BY bs.id)
+        |SELECT id AS media_id,
+        |  min(id) OVER (PARTITION BY h) AS dup_group,
+        |  count(*) OVER (PARTITION BY h) AS group_size
+        |FROM bits ORDER BY media_id""".stripMargin,
     "m2_frame_sample" ->
       """WITH g AS (SELECT unnest(range(0, 32)) AS v),
         |dims AS (

@@ -778,6 +778,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).toSeq === Seq(0.405465, 0.752039, 0.578752))
   }
 
+  test("imageAHash: known bit pattern, noise invariance, distinct groups") {
+    import spark.implicits._
+    // left half dark (10), right half bright (240): bits = 4 zeros then
+    // 4 ones per block row
+    val half = Multimodal.Bmp.encodeGray(32, 32,
+      (x, _) => if (x < 16) 10 else 240)
+    val hh = Multimodal.imageAHash(
+        Seq((1L, half)).toDF("media_id", "payload"))
+      .collect()(0).getString(1)
+    assert(hh === "00001111" * 8)
+    // the near-dup fixture: variants of a group hash identically,
+    // different groups differently
+    val media = Multimodal.syntheticNearDupImageTable(
+      spark.range(12).toDF("doc_id"), "doc_id")
+    val hs = Multimodal.imageAHash(media)
+      .orderBy("media_id").collect().map(_.getString(1))
+    assert(hs.grouped(3).forall(g => g.distinct.length == 1),
+      "triples share a hash")
+    assert(hs.grouped(3).map(_.head).toSeq.distinct.length == 4,
+      "distinct groups differ")
+  }
+
   test("duplicatedSubstringSpans: planted cross-doc run, interval merge, " +
       "short docs, within-doc repeats excluded") {
     import spark.implicits._
