@@ -899,6 +899,64 @@ object PipelineQueries {
         max(col("n_tok")).as("max_tok"))
       .orderBy("len_bin")
 
+  // s20: inverted-index build + conjunctive retrieval — the posting-list
+  // structure every corpus-scale term query stands on. The index (term →
+  // sorted doc postings + df) is materialized ONCE per dataset as a
+  // parquet artifact (like p9's shard export); the conjunctive query
+  // then reads ONLY the queried terms' rows (term filter pushed to the
+  // index scan — O(df) retrieval, never a corpus scan) and intersects
+  // postings by explode + count. The hash match proves the round-tripped
+  // index contains exactly the corpus's postings.
+  private val invIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def invertedIndexDir(s: SparkSession, dir: String): String =
+    invIndexDirs.computeIfAbsent(dir, { d =>
+      val out = graft.Tables.tmpDirFor("graft_invidx", d)
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(Dedup.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy(col("term"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+          count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def s20_inverted_index(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("query", "vector")
+    s.read.parquet(invertedIndexDir(s, dir))
+      .where(col("term").isin(terms: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"))
+      .where(col("n_terms") === terms.size)
+      .orderBy("doc_id")
+  }
+
+  // p13: curriculum binning — quartile buckets of document length (the
+  // shortest-first ordering curricula schedule over). Thresholds are
+  // EXACT corpus order statistics from the distributed-selection helper
+  // (no global sort, no low-cardinality window trap), broadcast back as
+  // a 1-row frame; binning is a map-side comparison. Ties sit in the
+  // lower bin (value > threshold moves up) — deterministic, and the
+  // oracle replays the same rank convention floor(q·(N−1))+1.
+  def p13_curriculum_bins(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val th = graft.operators.Quantiles.exactByGroup(
+        d.withColumn("_all", lit("all")), "_all", col("n_tokens"),
+        Seq(("t25", 0.25), ("t50", 0.5), ("t75", 0.75)))
+      .select(col("t25"), col("t50"), col("t75"))
+    d.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") > col("t25")).cast("long") +
+          (col("n_tokens") > col("t50")).cast("long") +
+          (col("n_tokens") > col("t75")).cast("long")).as("bin"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- multimodal
 
   // m1: REAL image decode end-to-end — genuine BMP containers (written
@@ -1044,6 +1102,8 @@ object PipelineQueries {
     "p9_sharded_export" -> p9_sharded_export _,
     "p11_systematic_sample" -> p11_systematic_sample _,
     "p12_temperature_mix" -> p12_temperature_mix _,
+    "p13_curriculum_bins" -> p13_curriculum_bins _,
+    "s20_inverted_index" -> s20_inverted_index _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
@@ -1544,6 +1604,44 @@ object PipelineQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s20: the conjunctive query over the materialized index equals the
+    // direct corpus predicate — distinct (doc, term) pairs, keep docs
+    // carrying both query terms
+    "s20_inverted_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, t.term
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(regexp_split_to_array(trim(text),
+        |      '\s+')) AS term) t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms
+        |FROM t WHERE term IN ('query', 'vector')
+        |GROUP BY doc_id HAVING count(*) = 2
+        |ORDER BY doc_id""".stripMargin,
+    // p13: thresholds replayed with the engine's rank convention
+    // floor(q·(N−1))+1 as pure integer ranks (q ∈ {1/4, 1/2, 3/4} are
+    // dyadic — float and integer floor agree)
+    "p13_curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM t),
+        |th AS (
+        |  SELECT
+        |    max(CASE WHEN rn = (cnt - 1) // 4 + 1 THEN n_tokens END) AS t25,
+        |    max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n_tokens END) AS t50,
+        |    max(CASE WHEN rn = 3 * (cnt - 1) // 4 + 1 THEN n_tokens END) AS t75
+        |  FROM o)
+        |SELECT t.doc_id, t.n_tokens,
+        |  CAST((CASE WHEN t.n_tokens > th.t25 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t.n_tokens > th.t50 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t.n_tokens > th.t75 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bin
+        |FROM t, th ORDER BY t.doc_id""".stripMargin,
     // p11: replay the mix32 permutation, exclusive prefix sum, and the
     // 600-token tick test ((pre mod 600) + w >= 600 ⟺ the row's weight
     // interval contains a multiple of 600)

@@ -157,6 +157,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"per-shard rank must be a window:\n$p")
   }
 
+  test("d12: substring-dedup decision stream shuffles hashes and offsets, " +
+      "never text") {
+    val p = plan(PipelineQueries.queries("d12_substring_dedup")(spark, dir))
+    // every hash exchange carries (h…) or (id…) — the window text column
+    // (_t) must not appear in any Exchange's partitioning expressions
+    val exchangeKeys = "Exchange hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty)
+    assert(exchangeKeys.forall(k => k.startsWith("h") || k.startsWith("id")
+        || k.startsWith("doc_id")),
+      s"unexpected shuffle keys $exchangeKeys:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("s20: conjunctive retrieval pushes the term filter into the index " +
+      "scan — O(df) read, not a corpus scan") {
+    val p = plan(PipelineQueries.queries("s20_inverted_index")(spark, dir))
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(p).isDefined,
+      s"term IN filter must reach the index scan:\n$p")
+  }
+
+  test("p13: curriculum binning is a broadcast of 1-row thresholds, " +
+      "corpus never shuffles") {
+    val p = plan(PipelineQueries.queries("p13_curriculum_bins")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the threshold join:\n$p")
+  }
+
+  test("p12: temperature-mix corpus side is one broadcast join + filter") {
+    val p = plan(PipelineQueries.queries("p12_temperature_mix")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the rate join:\n$p")
+  }
+
   test("j6_multiway_join: filters pushed, dimensions broadcast, top-k not a global sort") {
     val p = plan(CoreQueries.queries("j6_multiway_join")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
