@@ -62,6 +62,11 @@ object SketchExpressions {
     GraftColumnBridge.column(
       JaccardSorted(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  def intersectCountSorted(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      IntersectCountSorted(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     GraftColumnBridge.column(
       LshBandKeys(GraftColumnBridge.expression(sig), bands, rowsPerBand))
@@ -511,6 +516,47 @@ case class JaccardSorted(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+
+/** |A ∩ B| of two SORTED long arrays by one merge pass — the count-only
+  * sibling of [[JaccardSorted]] for asymmetric measures (containment
+  * |∩|/|A|). Counting without materializing the intersection array is
+  * what makes verifying millions of candidate pairs cheap: built-in
+  * array_intersect allocates a hash set and an output array per row. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ComputeBinaryCodegen {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override def compute(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectCountSorted =
     copy(left = newLeft, right = newRight)
 }
 

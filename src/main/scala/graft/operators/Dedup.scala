@@ -583,23 +583,97 @@ object Dedup {
       .withColumn("sz", size(col("grams")))
     val exploded = sets.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    // one rank pass serves both sides: the a-side prefix cut AND the
+    // b-side positional bound below
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("gram"))
-    val prefix = exploded.join(freq, "gram")
+    val ranked = exploded.join(freq, "gram")
       .withColumn("_r", row_number().over(w))
+    val prefix = ranked
       .where(col("_r") <= col("sz") - ceil(col("sz") * threshold) + 1)
-    val a = prefix.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = exploded.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val a = prefix.select(col("gram"), col("id").as("id_a"),
+      col("sz").as("sz_a"), col("_r").as("r_a"))
+    val b = ranked.select(col("gram"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("_r").as("r_b"))
+    // positional filter (the PPJoin suffix bound, containment form): at
+    // the pair's globally-smallest shared gram every shared gram ranks
+    // >= r_a in A and >= r_b in B, so the overlap is at most
+    // min(sz_a − r_a, sz_b − r_b) + 1; C >= t needs overlap >= t·sz_a.
+    // The smallest-shared-gram match always satisfies the bound when
+    // C >= t, so recall stays exact while matches on common grams —
+    // which rank LATE in both documents — never become candidates. On a
+    // dense-vocabulary corpus this is the difference between verifying
+    // every co-occurring pair and verifying plausible containments only.
+    val ubound = least(col("sz_a") - col("r_a"), col("sz_b") - col("r_b")) + 1
     val cands = a.join(b, Seq("gram"))
       .where(col("id_a") =!= col("id_b") &&
-        col("sz_b") >= col("sz_a") * threshold - 1e-9)
+        col("sz_b") >= col("sz_a") * threshold - 1e-9 &&
+        ubound >= col("sz_a") * threshold - 1e-9)
       .select("id_a", "id_b").distinct()
     cands
       .join(sets.select(col("id").as("id_a"), col("grams").as("g_a"),
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
       .withColumn("containment",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+        graft.functions.SketchExpressions
+          .intersectCountSorted(col("g_a"), col("g_b")).cast("double")
+          / col("sz_a").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("containment"))
+  }
+
+  /** Directional containment of a (small) batch against a (large)
+    * corpus: C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| >= threshold
+    * for A from `containedDf`, B from `containerDf` — full recall. The
+    * production shape of containment search: "does today's batch quote
+    * the corpus?" runs the batch's prefixes against the corpus posting
+    * lists, so the candidate volume scales with |batch| · df, not
+    * |corpus|². ([[containmentJoin]] is the symmetric self-join twin;
+    * on a corpus whose gram space is saturated — every pair sharing
+    * rare grams — the self-join's candidate set is inherently ~n² and
+    * no index can shrink it. This operator is the scale path.)
+    *
+    * The prefix bound needs only SOME fixed total gram order; ranks use
+    * (corpus df, gram) with batch-only grams ranked first (they cannot
+    * produce matches). A pair with ids equal on both sides is excluded,
+    * so passing overlapping frames (batch ⊂ corpus) is safe. */
+  def crossContainmentJoin(containedDf: DataFrame, containerDf: DataFrame,
+      idCol: String, textCol: String, n: Int = 4,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
+    def gramSets(df: DataFrame) = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.charNgramHashes(col(textCol), n)
+        .as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val aSets = gramSets(containedDf)
+    val bSets = gramSets(containerDf)
+    val bExploded = bSets.select(col("id"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val freq = bExploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    val aExploded = aSets.select(col("id"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(coalesce(col("df"), lit(0L)), col("gram"))
+    val prefix = aExploded.join(freq, Seq("gram"), "left")
+      .withColumn("_r", row_number().over(wA))
+      .where(col("_r") <= col("sz") - ceil(col("sz") * threshold) + 1)
+    val a = prefix.select(col("gram"), col("id").as("id_a"),
+      col("sz").as("sz_a"))
+    val b = bExploded.select(col("gram"), col("id").as("id_b"),
+      col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("gram"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold - 1e-9)
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(aSets.select(col("id").as("id_a"), col("grams").as("g_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(bSets.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("containment",
+        graft.functions.SketchExpressions
+          .intersectCountSorted(col("g_a"), col("g_b")).cast("double")
           / col("sz_a").cast("double"))
       .where(col("containment") >= threshold)
       .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),

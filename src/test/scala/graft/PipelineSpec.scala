@@ -778,6 +778,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).toSeq === Seq(0.405465, 0.752039, 0.578752))
   }
 
+  test("containmentJoin and crossContainmentJoin find the embedded quote " +
+      "with full recall; intersectCountSorted matches array_intersect") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog by the river"
+    val d = Seq(
+      (0L, quote), // fully contained in 1
+      (1L, quote + " and then continues with much longer original prose " +
+        "about training data pipelines at corpus scale with many words"),
+      (2L, "completely unrelated document concerning database internals")
+    ).toDF("doc_id", "text")
+    val self = Dedup.containmentJoin(d, "doc_id", "text", n = 4,
+        threshold = 0.9)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+    assert(self.contains((0L, 1L)), s"quote not found: $self")
+    assert(!self.contains((2L, 0L)) && !self.contains((2L, 1L)))
+    // directional: batch = doc 0 only, corpus = all; same pair, one side
+    val cross = Dedup.crossContainmentJoin(
+        d.where(col("doc_id") === 0), d, "doc_id", "text",
+        n = 4, threshold = 0.9)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+    assert(cross === Set((0L, 1L)))
+    // the codegen count-merge equals array_intersect size on sorted input
+    import graft.functions.SketchExpressions
+    val eq = Seq((0L, 1L)).toDF("x", "y")
+      .select(
+        SketchExpressions.charNgramHashes(lit(quote), 4).as("a"),
+        SketchExpressions.charNgramHashes(lit(quote + " more"), 4).as("b"))
+      .select(
+        SketchExpressions.intersectCountSorted(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()(0)
+    assert(eq.getLong(0) === eq.getLong(1))
+  }
+
   test("imageAHash: known bit pattern, noise invariance, distinct groups") {
     import spark.implicits._
     // left half dark (10), right half bright (240): bits = 4 zeros then
