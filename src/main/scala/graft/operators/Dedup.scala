@@ -192,11 +192,14 @@ object Dedup {
           p => xxhash64(col("_t").substr(
             (p + 1).cast("int"), lit(windowChars)))))
           .as(Seq("pos", "h")))
-    // windows shared by >= 2 distinct documents; both sides of the join
-    // are narrow (h, id, pos) / (h) rows co-partitioned on h
+    // windows shared by >= 2 distinct documents (min id ≠ max id ⟺ two
+    // distinct ids — min/max partial-aggregate map-side, where a
+    // count_distinct would carry a per-window id set through the
+    // shuffle); both sides of the join are narrow (h, id, pos) / (h)
+    // rows co-partitioned on h
     val dupH = wins.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("_nd"))
-      .where(col("_nd") >= 2)
+      .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+      .where(col("_lo") =!= col("_hi"))
       .select(col("h"))
     val seeds = wins.join(dupH, "h").select(col("id"), col("pos"))
     // merge seed intervals [pos, pos+W) per document: a seed starts a
