@@ -639,6 +639,97 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic NEAR-DUPLICATE fixture PCM sample for audio
+    * fingerprint tests: ids come in groups of three (g = id/3) sharing
+    * one 8-frame energy profile — frame f (256 samples) is loud
+    * (amplitude 1000) iff bit (f mod 6) of g+1 is set, quiet
+    * (amplitude 200) otherwise; the sample alternates sign and carries
+    * per-ID noise (id·31 + i·17) mod 3 − 1. Frame energies differ
+    * between loud and quiet by ≥ 1.8·10⁸ per frame-vs-mean comparison
+    * while noise moves one by ≤ ~5·10⁵, so the energy-profile
+    * fingerprint is identical within a group and (for g+1 ∈ [1, 63))
+    * distinct across groups — replayable analytically. */
+  def fixtureNearDupSample(id: Long, i: Int): Int = {
+    val g = id / 3
+    val f = i / 256
+    val amp = if ((((g + 1) >> (f % 6)) & 1L) == 1L) 1000 else 200
+    val sign = 1 - 2 * (i % 2)
+    amp * sign + ((id * 31 + i.toLong * 17) % 3).toInt - 1
+  }
+
+  /** Real-audio near-dup media table: one genuine 8 kHz mono PCM16 WAV
+    * of 2048 samples per input id, samples from [[fixtureNearDupSample]]
+    * — consecutive id triples share an energy profile. */
+  def syntheticNearDupAudioTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate(2048)(i =>
+            fixtureNearDupSample(id, i).toShort)
+          Row(id, Wav.encodePcm16(8000, samples),
+            Row("wav", null, null, 2048L * 1000L / 8000L))
+        }
+      }(enc)
+  }
+
+  /** Energy-profile audio fingerprint of each decoded clip: split the
+    * samples into fixed `frameSamples`-sample frames and emit one bit
+    * per frame — 1 iff the frame's energy (sum of squared samples)
+    * exceeds the clip's mean frame energy. The comparison is integer
+    * cross-multiplication (frame_energy · n_frames > total_energy), so
+    * identical samples give identical fingerprints in any engine, and
+    * small sample noise (re-encodes, dither) leaves the fingerprint
+    * unchanged — the audio analogue of [[imageAHash]], a deliberately
+    * simple stand-in for spectral fingerprints (those need FFT; the
+    * grouping/shuffle shape downstream is identical). A trailing
+    * partial frame is dropped. Output: (media_id, afp) bit string;
+    * undecodable payloads are dropped. */
+  def audioFingerprint(media: DataFrame,
+      codec: MediaCodec = JavaSoundCodec,
+      frameSamples: Int = 256): DataFrame = {
+    require(frameSamples > 0, s"frameSamples $frameSamples must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeAudio(payload).map { da =>
+            val nf = da.samples.length / frameSamples
+            val e = new Array[Long](nf)
+            var f = 0
+            while (f < nf) {
+              var s = 0L
+              var i = f * frameSamples
+              val end = i + frameSamples
+              while (i < end) {
+                val v = da.samples(i).toLong
+                s += v * v
+                i += 1
+              }
+              e(f) = s
+              f += 1
+            }
+            var total = 0L
+            f = 0
+            while (f < nf) { total += e(f); f += 1 }
+            val sb = new java.lang.StringBuilder(nf)
+            f = 0
+            while (f < nf) {
+              sb.append(if (e(f) * nf > total) '1' else '0')
+              f += 1
+            }
+            Row(id, sb.toString)
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic PCM fixture sample: ((id·31 + i·17) mod 4096) − 2048
     * — pure integer arithmetic an oracle can replay analytically; values
     * sit inside the 16-bit range so encode→decode is lossless. */

@@ -1049,6 +1049,23 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  // m8: audio fingerprint dedup over REAL decoded PCM — genuine WAV
+  // clips whose consecutive id-triples share an 8-frame energy profile
+  // under per-id sample noise; the frame-energy-vs-clip-mean bit string
+  // (integer cross-multiplication) groups exactly the planted triples.
+  // The oracle replays samples → frame energies → bits → grouping.
+  def m8_audio_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticNearDupAudioTable(
+      docs(s, dir).where(col("doc_id") < 120), "doc_id")
+    val fp = Multimodal.audioFingerprint(media)
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("afp"))
+    fp.select(col("media_id"),
+        min(col("media_id")).over(byFp).as("dup_group"),
+        count(lit(1)).over(byFp).as("group_size"))
+      .orderBy("media_id")
+  }
+
   // m5: REAL video decode end-to-end — genuine RIFF/AVI containers with
   // uncompressed-DIB frames (written by the deterministic fixture
   // encoder) parsed back through the chunk walker to per-frame rasters,
@@ -1145,7 +1162,8 @@ object PipelineQueries {
     "m4_audio_decode" -> m4_audio_decode _,
     "m5_video_decode" -> m5_video_decode _,
     "m6_video_frames" -> m6_video_frames _,
-    "m7_image_phash_dedup" -> m7_image_phash_dedup _
+    "m7_image_phash_dedup" -> m7_image_phash_dedup _,
+    "m8_audio_fingerprint" -> m8_audio_fingerprint _
   )
 
   /** s18 oracle: replays the Lloyd iterations CTE-for-iteration with the
@@ -2016,6 +2034,31 @@ object PipelineQueries {
         |    string_agg(CASE WHEN bs.s * 64 > ts.t THEN '1' ELSE '0' END,
         |      '' ORDER BY bs.b) AS h
         |  FROM bs JOIN ts USING (id) GROUP BY bs.id)
+        |SELECT id AS media_id,
+        |  min(id) OVER (PARTITION BY h) AS dup_group,
+        |  count(*) OVER (PARTITION BY h) AS group_size
+        |FROM bits ORDER BY media_id""".stripMargin,
+    // m8: replay the PCM near-dup fixture (group g = id//3, frame f of
+    // 256 samples loud iff bit (f%6) of g+1 set, alternating sign,
+    // noise (id·31+i·17)%3−1), the frame energies, the integer bit test
+    // (e_f·8 > total), and the fingerprint grouping
+    "m8_audio_fingerprint" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS grp
+        |  FROM documents WHERE doc_id < 120),
+        |s AS (
+        |  SELECT i.id, CAST(p.v // 256 AS INT) AS f,
+        |    (CASE WHEN ((i.grp + 1) >> (CAST(p.v // 256 AS INT) % 6)) & 1 = 1
+        |       THEN 1000 ELSE 200 END) * (1 - 2 * (p.v % 2))
+        |      + (i.id * 31 + p.v * 17) % 3 - 1 AS v
+        |  FROM ids i, LATERAL (SELECT unnest(range(0, 2048)) AS v) p),
+        |e AS (SELECT id, f, sum(v * v) AS ef FROM s GROUP BY id, f),
+        |t AS (SELECT id, sum(ef) AS tot FROM e GROUP BY id),
+        |bits AS (
+        |  SELECT e.id,
+        |    string_agg(CASE WHEN e.ef * 8 > t.tot THEN '1' ELSE '0' END,
+        |      '' ORDER BY e.f) AS h
+        |  FROM e JOIN t USING (id) GROUP BY e.id)
         |SELECT id AS media_id,
         |  min(id) OVER (PARTITION BY h) AS dup_group,
         |  count(*) OVER (PARTITION BY h) AS group_size

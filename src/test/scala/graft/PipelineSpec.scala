@@ -814,6 +814,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(eq.getLong(0) === eq.getLong(1))
   }
 
+  test("audioFingerprint: known energy profile, noise invariance, " +
+      "distinct groups") {
+    import spark.implicits._
+    // 4 frames: quiet, loud, quiet, loud at amplitudes 100/1000
+    val samples = Array.tabulate(1024) { i =>
+      val amp = if ((i / 256) % 2 == 1) 1000 else 100
+      (amp * (1 - 2 * (i % 2))).toShort
+    }
+    val wav = Multimodal.Wav.encodePcm16(8000, samples)
+    val fp = Multimodal.audioFingerprint(
+        Seq((1L, wav)).toDF("media_id", "payload"))
+      .collect()(0).getString(1)
+    assert(fp === "0101")
+    // near-dup fixture: triples share a fingerprint, groups differ
+    val media = Multimodal.syntheticNearDupAudioTable(
+      spark.range(12).toDF("doc_id"), "doc_id")
+    val fps = Multimodal.audioFingerprint(media)
+      .orderBy("media_id").collect().map(_.getString(1))
+    assert(fps.forall(_.length == 8))
+    assert(fps.grouped(3).forall(g => g.distinct.length == 1),
+      "triples share a fingerprint")
+    assert(fps.grouped(3).map(_.head).toSeq.distinct.length == 4,
+      "distinct groups differ")
+  }
+
   test("imageAHash: known bit pattern, noise invariance, distinct groups") {
     import spark.implicits._
     // left half dark (10), right half bright (240): bits = 4 zeros then
