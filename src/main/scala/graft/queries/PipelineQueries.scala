@@ -905,6 +905,33 @@ object PipelineQueries {
         max(col("n_tok")).as("max_tok"))
       .orderBy("len_bin")
 
+  // s21: Johnson–Lindenstrauss random projection 64 → 8 dims — the
+  // map-only dimensionality-reduction step ahead of ANN/clustering at
+  // corpus scale (no shuffle, no state; the ±1 projection matrix is
+  // pure integer arithmetic regenerated per element, never stored).
+  // Per-term round-9 + DECIMAL(27,9) accumulation (the t14 contract)
+  // makes each projected coordinate order-independent and replayable.
+  def s21_random_projection(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val projCols = (0 until k).map { j =>
+      round(
+        aggregate(
+          zip_with(
+            col("emb"),
+            transform(sequence(lit(0), size(col("emb")) - 1),
+              i => (pmod(lit(j) * 31 + i * 17, lit(97)) % 2 * 2 - 1)
+                .cast("double")),
+            (v, sgn) => v * sgn),
+          lit(0).cast(dec),
+          (acc, x) => (acc + round(x, 9).cast(dec)).cast(dec)).cast("double"),
+        6).as(s"p$j")
+    }
+    e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
   // s20: inverted-index build + conjunctive retrieval — the posting-list
   // structure every corpus-scale term query stands on. The index (term →
   // sorted doc postings + df) is materialized ONCE per dataset as a
@@ -1127,6 +1154,7 @@ object PipelineQueries {
     "p12_temperature_mix" -> p12_temperature_mix _,
     "p13_curriculum_bins" -> p13_curriculum_bins _,
     "s20_inverted_index" -> s20_inverted_index _,
+    "s21_random_projection" -> s21_random_projection _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
@@ -1629,6 +1657,21 @@ object PipelineQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s21: replay each projected coordinate with the same ±1 sign
+    // arithmetic, per-term round-9, and exact DECIMAL accumulation
+    "s21_random_projection" -> {
+      val cols = (0 until 8).map { j =>
+        s"""  round(CAST(list_sum(list_transform(range(0, len(v)),
+           |    i -> CAST(round(v[i + 1] * ((($j * 31 + i * 17) % 97) % 2
+           |      * 2 - 1), 9) AS DECIMAL(27, 9)))) AS DOUBLE), 6) AS p$j"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |$cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
     // s20: the conjunctive query over the materialized index equals the
     // direct corpus predicate — distinct (doc, term) pairs, keep docs
     // carrying both query terms

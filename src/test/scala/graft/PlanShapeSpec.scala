@@ -187,6 +187,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle for the threshold join:\n$p")
   }
 
+  test("s21: random projection is map-only — no exchange except the " +
+      "result sort") {
+    val p = plan(PipelineQueries.queries("s21_random_projection")(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"projection must not join:\n$p")
+  }
+
   test("p12: temperature-mix corpus side is one broadcast join + filter") {
     val p = plan(PipelineQueries.queries("p12_temperature_mix")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
