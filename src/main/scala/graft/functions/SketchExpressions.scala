@@ -94,6 +94,8 @@ private[functions] object ComputeCodegen {
     case LongType => s"((java.lang.Long) $call).longValue()"
     case BooleanType => s"((java.lang.Boolean) $call).booleanValue()"
     case BinaryType => s"((byte[]) $call)"
+    case StringType =>
+      s"((org.apache.spark.unsafe.types.UTF8String) $call)"
     case _: ArrayType =>
       s"((org.apache.spark.sql.catalyst.util.ArrayData) $call)"
     case _: StructType =>

@@ -323,8 +323,12 @@ object TextAnalysis {
           * log(col("_n") / col("_df")), 9).as("_s"))
       .groupBy(col("_id"))
       .agg(min(col("_len")).as("n_tokens"),
-        round(sum(col("_s").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
-          .cast("double"), 6).as("tfidf"))
+        // round the exact DECIMAL, then cast: rounding after the
+        // decimal→double conversion is engine-dependent when the exact
+        // sum ends in ...5 at the 7th decimal (a real t14 corpus case:
+        // 0.2525975 → 0.252598 here, 0.252597 in DuckDB)
+        round(sum(col("_s").cast(org.apache.spark.sql.types.DecimalType(27, 9))),
+          6).cast("double").as("tfidf"))
       .select(col("_id").as("id"), col("n_tokens"), col("tfidf"))
   }
 

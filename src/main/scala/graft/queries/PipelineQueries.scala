@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.functions.{HeavyHitters, TextNormalize}
+import graft.operators.{Dedup, Graphs, Multimodal, Retrieval, Sampling, Similarity, Splits, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) exposed over the `documents` and `embeddings` tables.
@@ -917,6 +918,8 @@ object PipelineQueries {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val projCols = (0 until k).map { j =>
+      // round the exact DECIMAL before the double cast (the t14
+      // tie-at-7th-decimal lesson — see TextAnalysis.tfidf)
       round(
         aggregate(
           zip_with(
@@ -926,8 +929,8 @@ object PipelineQueries {
                 .cast("double")),
             (v, sgn) => v * sgn),
           lit(0).cast(dec),
-          (acc, x) => (acc + round(x, 9).cast(dec)).cast(dec)).cast("double"),
-        6).as(s"p$j")
+          (acc, x) => (acc + round(x, 9).cast(dec)).cast(dec)),
+        6).cast("double").as(s"p$j")
     }
     e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
@@ -1127,7 +1130,123 @@ object PipelineQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // ------------------------------------------------------- round 6 ops
+
+  // t16: Unicode canonicalization — NFC-compose, strip diacritics, lower
+  // — via the custom codegen expressions (Spark ships no normalization
+  // function). The fixture corpus is ASCII, where canonicalization is the
+  // identity, so a planted non-ASCII family (the d3/m1 pattern) carries
+  // the signal: composed é, DECOMPOSED e+U+0301 (NFC must fold these to
+  // one form), accents and uppercase across scripts. Map-only, no
+  // shuffle; the oracle replays with DuckDB's own
+  // lower(strip_accents(nfc_normalize(...))) — an independent
+  // implementation of the same Unicode algorithms, so agreement is a
+  // real cross-engine check, not a tautology.
+  def t16_normalize(s: SparkSession, dir: String): DataFrame = {
+    val prefixes = array(
+      lit("Café"), lit("Café"), lit("naïve RÉSUMÉ"),
+      lit("Ångström"), lit("ñ São Ü"), lit("ASCII only"))
+    docs(s, dir).where(col("doc_id") < 60)
+      .select(col("doc_id"),
+        concat(element_at(prefixes, (col("doc_id") % 6 + 1).cast("int")),
+          lit(" "), col("text")).as("text"))
+      .select(col("doc_id"),
+        TextNormalize.canonical(col("text")).as("canon"))
+      .select(col("doc_id"),
+        substring(col("canon"), 1, 48).as("head"),
+        length(col("canon")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // k5: heavy hitters via a Misra–Gries summary UDAF — the frequent-items
+  // path whose state is CAPPED at 256 (token, count) pairs per partial
+  // no matter the vocabulary size (an exact groupBy count table grows
+  // with the vocab — unbounded on web corpora). The fixture vocab is only
+  // 31 tokens, so a planted long tail (40 distinct singleton tokens per
+  // document, ~12800/128000 distinct at sf0.01/0.1) forces real
+  // evictions. The MG guarantee — every token with true count >
+  // N/(capacity+1) survives any merge tree — makes the summary a
+  // candidate set; recounting the ≤256 candidates exactly (a narrow
+  // filtered aggregation) and thresholding at T = N div 257 + 1 > N/257
+  // yields the exact deterministic set {token: count ≥ T}: recall by the
+  // theorem, precision by the recount. The oracle computes that set
+  // directly.
+  def k5_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val real = d.select(explode(Dedup.tokens(col("text"))).as("token"))
+    val tail = d.select(explode(transform(sequence(lit(0L), lit(39L)),
+      j => concat(lit("syn"), (col("doc_id") * 40 + j).cast("string"))))
+      .as("token"))
+    val tok = real.unionByName(tail)
+    val m = 256
+    val mg = tok.agg(HeavyHitters.mgSummary(col("token"), m).as("mg"))
+      .head().getStruct(0)
+    val n = mg.getLong(0)
+    val cands = mg.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    require(cands.size <= m,
+      s"MG summary overflowed its capacity: ${cands.size} > $m")
+    val t = n / (m + 1) + 1
+    tok.where(col("token").isin(cands: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= t)
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  // s22: BM25 relevance scoring (the ranking layer over s20's posting
+  // machinery, index-free one-pass form). The corpus-side shuffle
+  // carries only (doc, query_term) hit rows — the explode is filtered to
+  // the query terms BEFORE any exchange; df/N/avgdl are tiny broadcast
+  // aggregates. Per-term round-9 + DECIMAL accumulation (the t13/t14
+  // contract) keeps scores bit-stable under repartitioning; the oracle
+  // replays idf/tf-saturation/length-norm term by term.
+  def s22_bm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("join", "filter", "scan"), k = 25)
+      .withColumnRenamed("id", "doc_id")
+
+  // p14: leakage-free train/val/test split — whole SOURCES (domains) are
+  // assigned to splits by a replayable integer hash of the group key
+  // (fold h·31+ascii mod 2³¹, Knuth-mixed, thousandths bucket), so
+  // near-duplicate documents from one site can never straddle the
+  // train/eval boundary. Only the 20-row distinct-source frame is
+  // hashed; the corpus passes one broadcast map-side join. 700/150
+  // permille splits the fixture's 20 sources 15/3/2 — all three splits
+  // non-empty at every SF.
+  def p14_group_split(s: SparkSession, dir: String): DataFrame =
+    Splits.groupSplit(docs(s, dir), "source",
+        trainPermille = 700, valPermille = 150)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source")
+
+  // g1: fixed-iteration PageRank over a deterministic planted link graph
+  // (doc i → (2i+1) mod N and (3i+2) mod N; N is even so in-degree is 3
+  // for odd ids and 1 for even — genuinely non-uniform ranks). Five
+  // rounds of join-aggregate dataflow in FIXED-POINT 1e-9 units — pure
+  // 64-bit integer arithmetic end to end, so the result is bit-identical
+  // under any partitioning and the oracle replays the iteration exactly
+  // (a double pipeline was measured drifting 3e-9 across engines'
+  // round conventions — see Graphs scaladoc).
+  def g1_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    // plan-time scalar: the modulus of the planted edge generator
+    val n = nodes.count()
+    val edges = nodes.select(col("id").as("src"),
+        ((col("id") * 2 + 1) % n).as("dst"))
+      .unionByName(nodes.select(col("id").as("src"),
+        ((col("id") * 3 + 2) % n).as("dst")))
+    Graphs.pageRank(nodes, edges, iterations = 5)
+      .select(col("id").as("doc_id"), col("rank_units"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_normalize" -> t16_normalize _,
+    "k5_heavy_hitters" -> k5_heavy_hitters _,
+    "s22_bm25" -> s22_bm25 _,
+    "p14_group_split" -> p14_group_split _,
+    "g1_pagerank" -> g1_pagerank _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -1301,7 +1420,122 @@ object PipelineQueries {
       |SELECT id, round(raw, 6) AS score FROM scored
       |ORDER BY raw DESC, id LIMIT 26""".stripMargin
 
+  /** g1: 5 unrolled fixed-point iterations — every step integer-exact
+    * (`//` floor division, BIGINT sums), replaying Graphs.pageRank's
+    * arithmetic bit for bit. */
+  private val g1OracleSql: String = {
+    var inner =
+      "SELECT id, 1000000000 // nn.cnt AS rank_units FROM nodes, n nn"
+    for (_ <- 1 to 5) {
+      inner = s"""
+        |  SELECT nd.id,
+        |    ((1000000000 // nn.cnt) * 150) // 1000 +
+        |      (850 * CAST(coalesce(c.m, 0) AS BIGINT)) // 1000 AS rank_units
+        |  FROM nodes nd CROSS JOIN n nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS id,
+        |      CAST(sum(r.rank_units // d.deg) AS BIGINT) AS m
+        |    FROM edges e
+        |    JOIN ($inner) r ON r.id = e.src
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON c.id = nd.id""".stripMargin
+    }
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+       |edges AS (
+       |  SELECT id AS src, (2 * id + 1) % nn.cnt AS dst FROM nodes, n nn
+       |  UNION ALL
+       |  SELECT id, (3 * id + 2) % nn.cnt FROM nodes, n nn),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+       |SELECT id AS doc_id, rank_units FROM ($inner) ORDER BY doc_id"""
+      .stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // t16: DuckDB's independent Unicode implementation of the same
+    // canonicalization; the decomposed prefix (Cafe + U+0301) is the
+    // case NFC must fold
+    "t16_normalize" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id,
+         |    (['Café', 'Café', 'naïve RÉSUMÉ', 'Ångström',
+         |      'ñ São Ü', 'ASCII only'])[CAST(doc_id % 6 AS INT) + 1]
+         |      || ' ' || text AS text
+         |  FROM documents WHERE doc_id < 60),
+         |c AS (SELECT doc_id,
+         |    lower(strip_accents(nfc_normalize(text))) AS canon FROM pre)
+         |SELECT doc_id, substr(canon, 1, 48) AS head,
+         |  CAST(length(canon) AS BIGINT) AS n_chars
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // k5: the exact heavy-hitter set the MG candidate gate must produce
+    "k5_heavy_hitters" ->
+      """WITH real AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tail AS (
+        |  SELECT 'syn' || (doc_id * 40 + j) AS token
+        |  FROM documents, (SELECT unnest(range(40)) AS j)),
+        |tok AS (SELECT token FROM real UNION ALL SELECT token FROM tail),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt FROM tok, tot GROUP BY token, tot.n
+        |HAVING count(*) >= tot.n // 257 + 1
+        |ORDER BY cnt DESC, token""".stripMargin,
+    // s22: BM25 replayed term by term (Lucene idf, k1=1.2, b=0.75),
+    // per-term round-9, DECIMAL accumulation, top-25 by (score, id)
+    "s22_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS len
+        |  FROM documents),
+        |consts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM base),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |  WHERE t IN ('join', 'filter', 'scan') GROUP BY doc_id, t),
+        |dfr AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+        |terms AS (
+        |  SELECT tf.doc_id, b.len,
+        |    round(ln(CAST(1.0 AS DOUBLE) + (c.n - dfr.df + CAST(0.5 AS DOUBLE))
+        |        / (dfr.df + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * CAST(b.len AS DOUBLE) / c.avgdl)),
+        |      9) AS s
+        |  FROM tf JOIN dfr USING (t) JOIN base b ON b.doc_id = tf.doc_id,
+        |    consts c)
+        |SELECT doc_id, min(len) AS n_tok, count(*) AS n_hit,
+        |  CAST(round(sum(CAST(s AS DECIMAL(27, 9))), 6) AS DOUBLE) AS score
+        |FROM terms GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // p14: the split hash replayed as pure integer arithmetic over the
+    // distinct sources
+    "p14_group_split" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(source) + 1),
+        |          i -> ascii(source[i]))),
+        |      (h, c) -> (h * 31 + c) % 2147483648) * 2654435761)
+        |      % 4294967296) % 1000 AS bucket
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |a AS (
+        |  SELECT source,
+        |    CASE WHEN bucket < 700 THEN 'train'
+        |         WHEN bucket < 850 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT d.source, a.split, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+')))
+        |    AS BIGINT) AS n_tokens
+        |FROM documents d JOIN a USING (source)
+        |GROUP BY d.source, a.split ORDER BY source""".stripMargin,
+    "g1_pagerank" -> g1OracleSql,
     "t7_pii_redact" -> t7OracleSql,
     // d3: planted families only — see d3_simhash for the hamming-0 proof.
     // 25 families x 3 pairs, all analytic; organic ids never satisfy the
@@ -1632,7 +1866,7 @@ object PipelineQueries {
         |      AS s
         |  FROM tf JOIN dfr USING (w) JOIN lens USING (doc_id), n)
         |SELECT doc_id, CAST(min(len) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(CAST(s AS DECIMAL(27, 9))) AS DOUBLE), 6) AS tfidf
+        |  CAST(round(sum(CAST(s AS DECIMAL(27, 9))), 6) AS DOUBLE) AS tfidf
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t9_vocab_df" ->
       """SELECT token, count(*) AS df FROM (
@@ -1661,9 +1895,9 @@ object PipelineQueries {
     // arithmetic, per-term round-9, and exact DECIMAL accumulation
     "s21_random_projection" -> {
       val cols = (0 until 8).map { j =>
-        s"""  round(CAST(list_sum(list_transform(range(0, len(v)),
+        s"""  CAST(round(list_sum(list_transform(range(0, len(v)),
            |    i -> CAST(round(v[i + 1] * ((($j * 31 + i * 17) % 97) % 2
-           |      * 2 - 1), 9) AS DECIMAL(27, 9)))) AS DOUBLE), 6) AS p$j"""
+           |      * 2 - 1), 9) AS DECIMAL(27, 9)))), 6) AS DOUBLE) AS p$j"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH e AS (

@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Graphs, Retrieval, Splits}
+
+class GraphsRetrievalSplitsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ pagerank
+
+  test("pageRank on a 2-cycle keeps exactly uniform ranks") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val r = Graphs.pageRank(nodes, edges, iterations = 5)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    // symmetric graph, and the fixed-point arithmetic is exact here:
+    // 500000000 units -> teleport 75e6 + 850*5e8 div 1000 = 5e8 again
+    assert(r.toSeq == Seq((0L, 500000000L, 0.5), (1L, 500000000L, 0.5)))
+  }
+
+  test("pageRank matches a single-node fixed-point reference iteration") {
+    // 0->1, 0->2, 1->2, 2->0, 3->2 (3 has no in-links)
+    val nodes = (0L to 3L).toDF("id")
+    val edgeList = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val edges = edgeList.toDF("src", "dst")
+    val got = Graphs.pageRank(nodes, edges, iterations = 4)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._2).toMap
+
+    // replay the documented fixed-point convention exactly
+    val n = 4L
+    val init = Graphs.Scale / n
+    val teleport = init * 150L / 1000L
+    val outDeg = edgeList.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = (0L to 3L).map(_ -> init).toMap
+    for (_ <- 1 to 4) {
+      val in = edgeList.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => rank(e._1) / outDeg(e._1)).sum
+      }
+      rank = rank.keys.map { id =>
+        id -> (teleport + 850L * in.getOrElse(id, 0L) / 1000L)
+      }.toMap
+    }
+    assert(got == rank)
+    // sanity: the sink-heavy node 2 outranks the unlinked node 3
+    assert(got(2L) > got(3L))
+  }
+
+  test("pageRank honors parallel edges and guards bad args") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    // double edge 0->1 vs single: both of 0's contributions flow to 1
+    val e = Seq((0L, 1L), (0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val r = Graphs.pageRank(nodes, e, iterations = 1)
+      .orderBy("id").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._2).toMap
+    // node1 in-mass = 2 * (5e8 div 2) = 5e8 -> same as one full edge
+    assert(r(1L) == 75000000L + 850L * 500000000L / 1000L)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(nodes, e, iterations = 0)
+    }
+  }
+
+  // ------------------------------------------------------------ bm25
+
+  test("bm25 ranks the term-dense short document first") {
+    val docs = Seq(
+      (1L, "spark query engine query"),
+      (2L, "spark " + ("filler " * 50).trim),
+      (3L, "unrelated words only here"),
+      (4L, "query")).toDF("doc_id", "text")
+    val r = Retrieval.bm25(docs, "doc_id", "text", Seq("query", "spark"), k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    // doc3 has no query term -> absent
+    assert(!r.map(_._1).contains(3L))
+    // doc1 (both terms, short) beats doc2 (one term, long) and doc4
+    assert(r.head._1 == 1L)
+    assert(r.map(_._1).toSet == Set(1L, 2L, 4L))
+    val d1 = r.find(_._1 == 1L).get
+    assert(d1._2 == 4L && d1._3 == 2L) // n_tok, n_hit
+  }
+
+  test("bm25 is deterministic under repartitioning") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("w"), (col("id") % 17).cast("string"),
+        lit(" common common w"), (col("id") % 5).cast("string")).as("text"))
+    val a = Retrieval.bm25(docs, "doc_id", "text", Seq("common", "w3"), k = 15)
+      .collect().toSeq
+    val b = Retrieval.bm25(docs.repartition(13), "doc_id", "text",
+      Seq("common", "w3"), k = 15).collect().toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------------ splits
+
+  test("groupSplit assigns whole groups and is engine-replayable") {
+    val df = spark.range(300).select(col("id"),
+      concat(lit("dom"), (col("id") % 23).cast("string")).as("site"))
+    val out = Splits.groupSplit(df, "site", trainPermille = 700,
+      valPermille = 150)
+    // every site maps to exactly one split (leakage-free)
+    val perSite = out.groupBy("site")
+      .agg(countDistinct(col("split")).as("k"))
+      .select("k").as[Long].collect()
+    assert(perSite.forall(_ == 1L))
+    assert(out.count() == 300)
+    // replay one hash by hand: fold(h*31+ascii) mod 2^31, knuth-mixed
+    val h = "dom7".foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483648L)
+    val bucket = (h * 2654435761L) % 4294967296L % 1000L
+    val expected = if (bucket < 700) "train"
+      else if (bucket < 850) "val" else "test"
+    val got = out.where(col("site") === "dom7")
+      .select("split").distinct().as[String].head()
+    assert(got == expected)
+    intercept[IllegalArgumentException] {
+      Splits.groupSplit(df, "site", trainPermille = 990, valPermille = 20)
+    }
+  }
+}
