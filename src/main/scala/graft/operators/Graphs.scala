@@ -67,25 +67,37 @@ object Graphs {
     var ranks = nodes.select(col("id"), lit(init).as("rank_units"))
     var i = 0
     while (i < iterations) {
-      // `div`, not `/`: Spark's `/` is DOUBLE division even on longs, and
-      // a double quotient can round up across an integer boundary before
-      // the cast truncates — `div` is exact 64-bit floor division
-      val contribs = withDeg
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"),
-          expr("rank_units div _deg").as("_c"))
-        .groupBy(col("id"))
-        .agg(sum(col("_c")).as("_in"))
-      ranks = nodes.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(teleport) +
-            expr(s"(${dampingPermille.toLong} * coalesce(_in, 0L)) div 1000")
-          ).as("rank_units"))
+      ranks = round(nodes, withDeg, ranks, teleport, dampingPermille)
         .localCheckpoint(eager = false)
       i += 1
     }
     ranks.select(col("id"), col("rank_units"),
       (col("rank_units").cast("double") / Scale.toDouble).as("rank"))
+  }
+
+  /** One PageRank round, un-checkpointed — also the plan-shape test
+    * surface (the loop's localCheckpoint hides the round plan behind an
+    * RDD scan). */
+  private[graft] def round(
+      nodes: DataFrame,
+      withDeg: DataFrame,
+      ranks: DataFrame,
+      teleport: Long,
+      dampingPermille: Int): DataFrame = {
+    // `div`, not `/`: Spark's `/` is DOUBLE division even on longs, and
+    // a double quotient can round up across an integer boundary before
+    // the cast truncates — `div` is exact 64-bit floor division
+    val contribs = withDeg
+      .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"),
+        expr("rank_units div _deg").as("_c"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("_in"))
+    nodes.select(col("id"))
+      .join(contribs, Seq("id"), "left")
+      .select(col("id"),
+        (lit(teleport) +
+          expr(s"(${dampingPermille.toLong} * coalesce(_in, 0L)) div 1000")
+        ).as("rank_units"))
   }
 }

@@ -221,6 +221,64 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must never shuffle for the rate join:\n$p")
   }
 
+  test("s22: BM25 filters the explode to query terms below the aggregation " +
+      "exchange; df/consts broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan(PipelineQueries.queries("s22_bm25")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/consts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join in BM25:\n$p")
+    // the term filter must sit under the (doc,term) aggregation: the
+    // filtered explode appears as a Filter on the generated column
+    // before any Exchange — equivalently, no plan path shuffles the
+    // full token stream (Generate → Filter → partial agg → Exchange)
+    val gen = p.indexOf("Generate explode")
+    val filt = p.indexOf("_t#", gen)
+    assert(gen >= 0 && filt >= 0, s"exploded term filter missing:\n$p")
+  }
+
+  test("p14: split assignment broadcasts the hashed group frame; the " +
+      "corpus never shuffles for the join") {
+    val p = plan(PipelineQueries.queries("p14_group_split")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"assignment must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle:\n$p")
+  }
+
+  test("k5: the MG summary aggregate runs as ObjectHashAggregate with a " +
+      "partial/final split (bounded per-partition state)") {
+    // build the aggregation half only — the entry's driver gate would
+    // execute the query; the plan property is in the sketch aggregate
+    import org.apache.spark.sql.functions._
+    val tok = graft.Tables.load(spark, dir, "documents")
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    val agg = tok.agg(graft.functions.HeavyHitters.mgSummary(col("token"), 64))
+    val p = plan(agg)
+    assert(p.contains("ObjectHashAggregate"), s"MG must be object-hash:\n$p")
+    assert(p.contains("partial_mg_summary") || p.contains("partial mg_summary")
+      || "(?s).*ObjectHashAggregate.*ObjectHashAggregate.*".r
+        .findFirstIn(p).isDefined,
+      s"MG must partial-aggregate map-side:\n$p")
+  }
+
+  test("g1: one pageRank round is edges-join-ranks then a partial/final " +
+      "aggregate — the rank frame joins, the node list left-joins back") {
+    import org.apache.spark.sql.functions._
+    val nodes = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+    val edges = nodes.select(col("id").as("src"),
+      ((col("id") * 2 + 1) % 500).as("dst"))
+    val withDeg = edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("_deg")), Seq("src"))
+    val ranks = nodes.select(col("id"), lit(2000000L).as("rank_units"))
+    val p = plan(graft.operators.Graphs.round(nodes, withDeg, ranks,
+      teleport = 300000L, dampingPermille = 850))
+    // the per-round aggregate must partial-aggregate map-side: two
+    // HashAggregates around the exchange
+    assert("(?s).*HashAggregate.*Exchange.*HashAggregate.*".r
+      .findFirstIn(p).isDefined, s"no partial/final agg split:\n$p")
+  }
+
   test("st10: one batch plan unions the parquet scan with the state source") {
     import graft.queries.StreamingQueries
     StreamingQueries.rollupSegmentsBase(spark, dir)
