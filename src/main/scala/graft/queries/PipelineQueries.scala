@@ -1241,7 +1241,59 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // t17: robust outlier flagging on document length — median/MAD, the
+  // quality-control filter that survives the heavy-tailed length
+  // distributions where mean/stddev break (one 10M-token page drags the
+  // mean past half the corpus). Thresholds are EXACT order statistics
+  // from the distributed-selection helper (two passes, no global sort),
+  // broadcast back as 1-row frames; flagging is a map-side comparison
+  // of integer-valued doubles — exact in any engine. The oracle replays
+  // the floor(q·(N−1))+1 rank convention as pure integer ranks.
+  def t17_outlier_filter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val med = graft.operators.Quantiles.exactByGroup(
+        d.withColumn("_all", lit("all")), "_all", col("n_tokens"),
+        Seq(("med", 0.5))).select(col("med"))
+    val dev = d.crossJoin(broadcast(med))
+      .select(col("doc_id"), col("n_tokens"),
+        abs(col("n_tokens") - col("med")).as("dev"))
+    val mad = graft.operators.Quantiles.exactByGroup(
+        dev.withColumn("_all", lit("all")), "_all", col("dev"),
+        Seq(("mad", 0.5))).select(col("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("n_tokens"),
+        col("dev").cast("long").as("dev"),
+        (col("dev") > lit(3.0) * col("mad")).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  // m9: scene-change detection over REAL decoded video frames —
+  // consecutive-frame luminance deltas (the shot-boundary primitive
+  // video curation cuts and samples by). Rides m5/m6's real RIFF/AVI
+  // decode: payload bytes never shuffle, only (id, frame_idx, mean_lum)
+  // scalars reach the lag window, which partitions per clip. The cut
+  // predicate compares UNROUNDED doubles that both engines derive from
+  // the same integer pixel sums — exact replay; only the reported delta
+  // is display-rounded.
+  def m9_scene_change(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticVideoTable(
+      docs(s, dir).where(col("doc_id") < 100), "doc_id")
+    val frames = Multimodal.sampleVideoFrames(media, everyN = 1, maxFrames = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("frame_mean_lum"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        round(col("frame_mean_lum") - col("prev"), 4).as("delta"),
+        (abs(col("frame_mean_lum") - col("prev")) > 4.0).as("is_cut"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_outlier_filter" -> t17_outlier_filter _,
+    "m9_scene_change" -> m9_scene_change _,
     "t16_normalize" -> t16_normalize _,
     "k5_heavy_hitters" -> k5_heavy_hitters _,
     "s22_bm25" -> s22_bm25 _,
@@ -1536,6 +1588,52 @@ object PipelineQueries {
         |FROM documents d JOIN a USING (source)
         |GROUP BY d.source, a.split ORDER BY source""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
+    // t17: median and MAD replayed as integer nearest-rank statistics
+    "t17_outlier_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o1 AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) rn,
+        |    count(*) OVER () cnt FROM t),
+        |med AS (SELECT n_tokens AS med FROM o1 WHERE rn = (cnt - 1) // 2 + 1),
+        |d AS (SELECT doc_id, n_tokens, abs(n_tokens - med.med) AS dev
+        |  FROM t, med),
+        |o2 AS (SELECT dev, row_number() OVER (ORDER BY dev) rn,
+        |    count(*) OVER () cnt FROM d),
+        |mad AS (SELECT dev AS mad FROM o2 WHERE rn = (cnt - 1) // 2 + 1)
+        |SELECT doc_id, n_tokens, CAST(d.dev AS BIGINT) AS dev,
+        |  d.dev > 3 * mad.mad AS is_outlier
+        |FROM d, mad ORDER BY doc_id""".stripMargin,
+    // m9: consecutive-frame luminance deltas from the analytic pixel
+    // function (the m6 oracle's frame model at everyN=1, maxFrames=8)
+    "m9_scene_change" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |clips AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 13 AS w,
+        |    8 + (doc_id * 3) % 11 AS h, 3 + doc_id % 4 AS n
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (
+        |  SELECT c.id, f.v AS frame_idx, c.w, c.h
+        |  FROM clips c JOIN g f ON f.v < 8 AND f.v < c.n),
+        |px AS (
+        |  SELECT fr.id, fr.frame_idx, any_value(fr.w) AS w,
+        |    any_value(fr.h) AS h,
+        |    sum((fr.id * 31 + fr.frame_idx * 41 + gx.v * 7 + gy.v * 13)
+        |      % 256) AS s
+        |  FROM fr JOIN g gx ON gx.v < fr.w JOIN g gy ON gy.v < fr.h
+        |  GROUP BY fr.id, fr.frame_idx),
+        |lum AS (
+        |  SELECT id, frame_idx, CAST(s AS DOUBLE) / (w * h) AS ml FROM px),
+        |pairs AS (
+        |  SELECT id, frame_idx, ml,
+        |    lag(ml) OVER (PARTITION BY id ORDER BY frame_idx) AS prev
+        |  FROM lum)
+        |SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  round(ml - prev, 4) AS delta, abs(ml - prev) > 4.0 AS is_cut
+        |FROM pairs WHERE prev IS NOT NULL
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "t7_pii_redact" -> t7OracleSql,
     // d3: planted families only — see d3_simhash for the hamming-0 proof.
     // 25 families x 3 pairs, all analytic; organic ids never satisfy the

@@ -771,7 +771,71 @@ object StreamingQueries {
     rollupSegmentsBase(s, dir)
   }
 
+  /** st15: streaming heavy hitters — the Misra–Gries summary UDAF (k5's
+    * engine) running as a STREAMING aggregate: per event_type, the state
+    * store holds one capacity-64 MG buffer + an exact count, merged
+    * across micro-batches by the same pointwise-sum-and-trim that merges
+    * shuffle partials. This is the bounded-state alternative to st7's
+    * grow-forever distinct: state is O(groups × capacity) no matter how
+    * many distinct users the stream ever sees. The planted zipf mapping
+    * (even user_ids collapse onto 3 hot keys, odd ids explode into
+    * per-event singletons keyed by event_id) forces real evictions while
+    * keeping the hot keys above threshold. The streamed summary is a
+    * candidate set (MG recall guarantee survives any merge tree); a
+    * batch recount of the ≤64×5 candidates with per-group threshold
+    * T_g = N_g div 65 + 1 yields the exact deterministic heavy-hitter
+    * set, which the oracle computes directly. */
+  def st15_stream_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val m = 64
+    val bucket = when(pmod(col("user_id"), lit(2)) === 0,
+        concat(lit("hot"), pmod(col("user_id"), lit(3)).cast("string")))
+      .otherwise(concat(lit("cold"), col("event_id").cast("string")))
+    val plan = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+      .select(col("event_type"), bucket.as("bucket"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHitters.mgSummary(col("bucket"), m).as("mg"),
+        count(lit(1)).as("n"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st15_stream_heavy_hitters")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    // candidate extraction: bounded driver read (≤ 5 groups × 64 keys)
+    val summaries = s.table("st15_stream_heavy_hitters").collect()
+    val cands = summaries.flatMap { r =>
+      val et = r.getString(0)
+      val items = r.getStruct(1).getSeq[org.apache.spark.sql.Row](1)
+      require(items.size <= m,
+        s"MG summary for $et overflowed: ${items.size} > $m")
+      items.map(it => (et, it.getString(0)))
+    }
+    val thresholds = summaries.map { r =>
+      (r.getString(0), r.getLong(2) / (m + 1) + 1)
+    }
+    import s.implicits._
+    val candDf = cands.toSeq.toDF("event_type", "bucket")
+    val thDf = thresholds.toSeq.toDF("event_type", "t")
+    // exact recount over the batch table, filtered to the candidates
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), bucket.as("bucket"))
+      .join(broadcast(candDf), Seq("event_type", "bucket"), "left_semi")
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(thDf), Seq("event_type"))
+      .where(col("cnt") >= col("t"))
+      .select(col("event_type"), col("bucket"), col("cnt"))
+      .orderBy(col("event_type"), desc("cnt"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_heavy_hitters" -> st15_stream_heavy_hitters _,
     "st1_stream_window" -> st1_stream_window _,
     "st9_stream_neardup" -> st9_stream_neardup _,
     "st12_stream_stream_join" -> st12_stream_stream_join _,
@@ -789,6 +853,20 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st15: the exact per-group heavy-hitter set the streamed MG
+    // candidate gate must produce (threshold N_g div 65 + 1)
+    "st15_stream_heavy_hitters" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'hot' || (user_id % 3)
+        |         ELSE 'cold' || event_id END AS bucket
+        |  FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM b GROUP BY event_type)
+        |SELECT b.event_type, b.bucket, count(*) AS cnt
+        |FROM b JOIN tot USING (event_type)
+        |GROUP BY b.event_type, b.bucket, tot.n
+        |HAVING count(*) >= tot.n // 65 + 1
+        |ORDER BY event_type, cnt DESC, bucket""".stripMargin,
     // the stream-stream interval join must converge to the batch join
     "st12_stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
