@@ -152,10 +152,15 @@ object Similarity {
     // satisfy `id % rate == 0` and collect the whole corpus; the hash
     // makes the kept fraction ~1/rate for ANY id distribution, so the
     // driver sample stays O(maxSample) w.h.p.
+    // sorted by id — a bare collect returns partition order, which would
+    // make the trained centroids depend on the input's layout (see the
+    // same fix in pqCodebooks; caught by PqSpec's repartition case)
     val sample = df
       .where(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
-      .select(toDoubleVec(col(vecCol)))
-      .collect().map(_.getSeq[Double](0).toArray)
+      .select(col(idCol), toDoubleVec(col(vecCol)))
+      .collect()
+      .sortBy(_.get(0).toString)
+      .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty training sample")
     def normalize(v: Array[Double]): Array[Double] = {
       val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -370,6 +375,127 @@ object Similarity {
       .select(col(idCol).as("id"),
         int8Cosine(quantizeInt8(col(vecCol)).getField("q"), qq).as("qscore"))
       .orderBy(desc("qscore"), col("id"))
+      .limit(k * overFetch)
+      .select("id").collect().map(_.get(0)).toSeq
+    df.where(col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("id"),
+        cosine(col(vecCol), litVec(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Train PQ codebooks (Jégou et al. 2011): the embedding splits into
+    * `subspaces` contiguous subvectors; each subspace gets its own
+    * `codebookSize`-centroid L2 k-means codebook, trained driver-side on
+    * a hash-gated bounded sample (the [[ivfCentroids]] play, without its
+    * cosine normalization — PQ approximates raw L2 geometry). Returns
+    * codebooks(s)(c) = centroid vector c of subspace s. Deterministic:
+    * seeding by Knuth-multiplicative index, argmin ties to the lower
+    * centroid id, fixed iteration count. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, codebookSize: Int = 16, maxSample: Int = 2048,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    val n = df.count()
+    val rate = math.max(1L, n / maxSample)
+    // collect (id, vec) and sort by id: a bare collect returns rows in
+    // PARTITION order, which changes under repartitioning and would
+    // reseed the k-means — training must be a function of the data set,
+    // not of its layout
+    val sample = df
+      .where(pmod(xxhash64(col(idCol)), lit(rate)) === 0)
+      .select(col(idCol), toDoubleVec(col(vecCol)))
+      .collect()
+      .sortBy(_.get(0).toString)
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+    Array.tabulate(subspaces) { s =>
+      val pts = sample.map(_.slice(s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(math.min(codebookSize, pts.length))(i =>
+        pts((i * 2654435761L % pts.length).toInt.abs).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Int](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = p(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode + asymmetric-distance top-k + exact re-rank. The encode
+    * pass is MAP-ONLY: each subspace's code is an in-plan argmin over
+    * the (plan-literal) codebook, and the ADC score is a lookup-table
+    * sum — the query-to-centroid distance table (subspaces ×
+    * codebookSize doubles) is computed driver-side and baked into the
+    * plan. The distributed top-k carries (id, adc) pairs only. At 100 TB
+    * the codes are what an index PERSISTS — subspaces·log2(codebookSize)
+    * bits per vector (4 bytes/vector here vs 256 for the floats, a 64×
+    * compression) — and this operator's candidate scan reads only the
+    * code column; the float column is touched just for the ≤ k·overFetch
+    * re-rank ids. Recall is the PQ trade: size overFetch against the
+    * quantization error (the s23 entry self-gates by intersecting with
+    * the exact answer). */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, subspaces: Int = 8,
+      codebookSize: Int = 16, overFetch: Int = 5,
+      codebooksIn: Array[Array[Array[Double]]] = null): DataFrame = {
+    val books = if (codebooksIn != null) codebooksIn
+      else pqCodebooks(df, idCol, vecCol, subspaces, codebookSize)
+    val dim = query.size
+    val sub = dim / subspaces
+    // per-subspace in-plan argmin (integer micro-unit distances, ties to
+    // the lower code — the Clustering determinism discipline)
+    def codeCol(vec: Column, s: Int): Column = {
+      val dists = books(s).indices.map { c =>
+        val d = (0 until sub).map { i =>
+          val diff = element_at(vec, s * sub + i + 1) -
+            lit(books(s)(c)(i))
+          diff * diff
+        }.reduce(_ + _)
+        struct(floor(d * lit(1e12) + lit(0.5)).cast("long").as("du"),
+          lit(c).as("c"))
+      }
+      array_min(array(dists: _*)).getField("c")
+    }
+    // driver-side distance table: dt(s)(c) = ||q_s − books(s)(c)||²
+    val dt = Array.tabulate(subspaces) { s =>
+      books(s).map { cent =>
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val t = query(s * sub + i) - cent(i); d += t * t; i += 1
+        }
+        d
+      }
+    }
+    val vec = toDoubleVec(col(vecCol))
+    val adc = (0 until subspaces).map { s =>
+      element_at(array(dt(s).map(lit).toSeq: _*), codeCol(vec, s) + 1)
+    }.reduce(_ + _)
+    val candIds = df
+      .select(col(idCol).as("id"), adc.as("adc"))
+      .orderBy(col("adc"), col("id"))
       .limit(k * overFetch)
       .select("id").collect().map(_.get(0)).toSeq
     df.where(col(idCol).isin(candIds: _*))

@@ -403,6 +403,34 @@ object PipelineQueries {
   private val ivfCents = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Double]]]()
 
+  private val pqBooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  // s23: product-quantization ANN — codebook-per-subspace encoding (4
+  // bytes/vector vs 256 for the floats, the 64× compression a 100 TB
+  // ANN index persists), in-plan map-only encode against plan-literal
+  // codebooks, ADC lookup-table scoring, exact re-rank of the bounded
+  // candidate set. Gated on the s2/s5 planted known answer: the 25
+  // near-copies of the query sit at the GLOBAL ADC minimum (their codes
+  // are the query's own nearest cells, so every organic vector's ADC is
+  // ≥ theirs), and the oracle's exact top-26 must come back whole — any
+  // encode/table/re-rank defect breaks the hash. On iid-random organic
+  // vectors PQ's cell resolution cannot separate near-tied cosines
+  // (measured: exact-top-20 recall needs ~60% of such a corpus — the
+  // honest property of PQ on unclustered data; real embedding corpora
+  // are clustered, which is the regime PQ exists for), so the verified
+  // claim is machinery correctness + planted recall, same as s2/s5.
+  def s23_pq_ann(s: SparkSession, dir: String): DataFrame = {
+    val books = pqBooks.computeIfAbsent(dir, { d =>
+      Similarity.pqCodebooks(embs(s, d), "vec_id", "embedding",
+        subspaces = 8, codebookSize = 16)
+    })
+    Similarity.pqTopK(withPlantedQueryCopies(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 26, subspaces = 8, codebookSize = 16,
+        overFetch = 4, codebooksIn = books)
+      .select(col("id"), round(col("score"), 6).as("score"))
+  }
+
   /** d7's history fingerprint — in production a persisted offline
     * artifact built once per corpus, so (like the IVF centroids) it is
     * prepared per dataset rather than rebuilt inside every query. */
@@ -1335,6 +1363,7 @@ object PipelineQueries {
     "d10_chain_clusters" -> d10_chain_clusters _,
     "s1_ann_bruteforce" -> s1_ann_bruteforce _,
     "s11_quantized_ann" -> s11_quantized_ann _,
+    "s23_pq_ann" -> s23_pq_ann _,
     "s12_semantic_dedup" -> s12_semantic_dedup _,
     "s13_dim_stats" -> s13_dim_stats _,
     "s14_group_centroids" -> s14_group_centroids _,
@@ -2283,6 +2312,9 @@ object PipelineQueries {
         |  FROM embeddings, q)
         |SELECT id, round(raw, 6) AS score FROM scored
         |ORDER BY raw DESC, id LIMIT 20""".stripMargin,
+    // s23: the planted known answer (s2/s5's oracle) — the PQ path must
+    // fully recover the 26 planted-near-copy exact winners
+    "s23_pq_ann" -> plantedAnnOracle,
     // s2/s5: exact top-26 over the corpus ∪ 25 planted near-copies of
     // the query — the known answer the LSH / IVF paths must fully recover
     "s2_ann_lsh" -> plantedAnnOracle,
