@@ -906,6 +906,63 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decode + nearest-neighbor resize to a fixed `outW`×`outH` thumbnail
+    * — the normalization step every vision-training pipeline runs before
+    * batching (a model wants one tensor shape; storage has every shape).
+    * Source pixel for thumb (x,y) is (x·w div outW, y·h div outH): pure
+    * integer index arithmetic over the REAL decoded raster, so the
+    * resample is exactly replayable by the analytic oracle (bilinear
+    * would be the quality upgrade; NN is the deterministic baseline and
+    * the plumbing — decode, resample loop, per-image output shape — is
+    * identical). Emits the thumbnail bytes plus integer pin-down
+    * aggregates: `thumb_sum` and a position-weighted `thumb_chk`
+    * (Σ v(x,y)·(y·outW+x+1)) that a wrong sampling index, row order, or
+    * channel read cannot preserve. Payload bytes never shuffle; the
+    * thumbnail is outW·outH bytes/row — the column a 100 TB pipeline
+    * would persist. Undecodable payloads yield null thumbnails. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    require(outW >= 1 && outH >= 1 && outW * outH <= (1 << 20),
+      s"bad thumbnail shape ${outW}x$outH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("src_w", IntegerType),
+      StructField("src_h", IntegerType),
+      StructField("thumb", BinaryType),
+      StructField("thumb_sum", LongType),
+      StructField("thumb_chk", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeImage(payload) match {
+            case Some(di) =>
+              val t = new Array[Byte](outW * outH)
+              var sum = 0L
+              var chk = 0L
+              var y = 0
+              while (y < outH) {
+                val sy = y * di.height / outH
+                var x = 0
+                while (x < outW) {
+                  val sx = x * di.width / outW
+                  val v = di.gray(sy * di.width + sx)
+                  t(y * outW + x) = v.toByte
+                  sum += v
+                  chk += v.toLong * (y * outW + x + 1)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, di.width, di.height, t, sum, chk)
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Decode each payload and derive per-image raster statistics:
     * (media_id, width, height, mean_lum, n_bytes) — undecodable
     * payloads keep their byte count with null raster columns. Batched

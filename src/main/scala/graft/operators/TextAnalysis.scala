@@ -286,6 +286,71 @@ object TextAnalysis {
       .select(col("_id").as("id"), col("n_tok"), col("avg_nll"))
   }
 
+  /** Interpolated bigram LM scoring — the n-gram upgrade of [[lmScore]]
+    * (real perplexity filters are n-gram models, not unigram bags):
+    * per adjacent token pair,
+    *   nll = −ln( λ·(c(w1,w2)+1)/(c(w1)+V) + (1−λ)·(c(w2)+1)/(N+V) )
+    * with add-1 smoothing in both components, counts from a reference
+    * corpus. Degenerate documents (< 2 tokens) drop out — they have no
+    * bigram evidence, and a curation pipeline gates those on length
+    * (t17/p10), not perplexity.
+    *
+    * 100 TB shape: bigrams are extracted MAP-SIDE by zipping the token
+    * array with its own tail (no posexplode self-join); the shuffle
+    * carries (doc, w1, w2) hit rows, and the reference tables join by
+    * their keys (AQE broadcasts while they fit). Determinism: per-pair
+    * round-9 + DECIMAL accumulation (the t13 contract).
+    *
+    * Output: (id, n_pairs, avg_nll). */
+  def bigramLmScore(scored: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+    def bigrams(textCol: Column): Column = {
+      val t = tokens(textCol)
+      arrays_zip(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))))
+    }
+    val refBi = reference
+      .select(explode(bigrams(col(refTextCol))).as("_p"))
+      .select(col("_p").getField("0").as("_w1"),
+        col("_p").getField("1").as("_w2"))
+      .groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_cb"))
+    val refUni = reference
+      .select(explode(tokens(col(refTextCol))).as("_w"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("_cu"))
+    val totals = refUni.agg(
+      sum(col("_cu")).cast("double").as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    val pairs = scored
+      .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("_p"))
+      .select(col("_id"), col("_p").getField("0").as("_w1"),
+        col("_p").getField("1").as("_w2"))
+    val nll = pairs
+      .join(refBi, Seq("_w1", "_w2"), "left")
+      .join(refUni.withColumnRenamed("_w", "_w1")
+        .withColumnRenamed("_cu", "_c1"), Seq("_w1"), "left")
+      .join(refUni.withColumnRenamed("_w", "_w2")
+        .withColumnRenamed("_cu", "_c2"), Seq("_w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("_id"),
+        round(-log(
+          lit(lambda) *
+            ((coalesce(col("_cb"), lit(0L)) + lit(1)).cast("double")
+              / (coalesce(col("_c1"), lit(0L)).cast("double") + col("_v")))
+          + lit(1.0 - lambda) *
+            ((coalesce(col("_c2"), lit(0L)) + lit(1)).cast("double")
+              / (col("_n") + col("_v")))), 9).as("_nll"))
+    nll.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(sum(col("_nll").cast(dec)), 6).cast("double")
+          / count(lit(1))).as("avg_nll"))
+      .select(col("_id").as("id"), col("n_pairs"), col("avg_nll"))
+  }
+
   // --------------------------------------------------------------- TF-IDF
 
   /** Per-document TF-IDF mass: score(d) = Σ_t (c_td / |d|) · ln(N / df_t)

@@ -1319,7 +1319,39 @@ object PipelineQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // m10: decode + nearest-neighbor resize to an 8×8 thumbnail over the
+  // REAL decoded raster — integer source-index arithmetic, so the oracle
+  // replays every sampled pixel analytically; thumb_chk position-weights
+  // each pixel so a wrong index, row order, or transpose diverges.
+  def m10_image_resize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticImageTable(
+      docs(s, dir).where(col("doc_id") < 200), "doc_id")
+    Multimodal.resizeImages(media, outW = 8, outH = 8)
+      .select(col("media_id"), col("src_w").cast("long").as("src_w"),
+        col("src_h").cast("long").as("src_h"),
+        col("thumb_sum"), col("thumb_chk"),
+        round(col("thumb_sum").cast("double") / 64, 4).as("mean_lum"))
+      .orderBy("media_id")
+  }
+
+  // t18: interpolated bigram LM scoring — the n-gram upgrade of t13's
+  // unigram NLL (real perplexity filters are n-gram models). Bigrams
+  // zip map-side (no posexplode self-join); the shuffle carries
+  // (doc, w1, w2) rows; reference tables broadcast under AQE. Oracle
+  // replays counts, smoothing, interpolation, and the round-9 decimal
+  // accumulation pair-for-pair.
+  def t18_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.bigramLmScore(d, "doc_id", "text",
+        d.where(col("doc_id") < 250), "text")
+      .select(col("id").as("doc_id"), col("n_pairs"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_bigram_lm" -> t18_bigram_lm _,
+    "m10_image_resize" -> m10_image_resize _,
     "t17_outlier_filter" -> t17_outlier_filter _,
     "m9_scene_change" -> m9_scene_change _,
     "t16_normalize" -> t16_normalize _,
@@ -1617,6 +1649,63 @@ object PipelineQueries {
         |FROM documents d JOIN a USING (source)
         |GROUP BY d.source, a.split ORDER BY source""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
+    // m10: every thumbnail pixel replayed via the analytic fixture pixel
+    // at the integer NN source index (x·w div 8, y·h div 8)
+    "m10_image_resize" ->
+      """WITH g AS (SELECT unnest(range(0, 8)) AS v),
+        |dims AS (
+        |  SELECT doc_id AS id, CAST(16 + doc_id % 17 AS INT) AS w,
+        |    CAST(16 + (doc_id * 7) % 13 AS INT) AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (
+        |  SELECT d.id, d.w, d.h,
+        |    sum((d.id * 31 + (gx.v * d.w // 8) * 7
+        |      + (gy.v * d.h // 8) * 13) % 256) AS s,
+        |    sum(((d.id * 31 + (gx.v * d.w // 8) * 7
+        |      + (gy.v * d.h // 8) * 13) % 256)
+        |      * (gy.v * 8 + gx.v + 1)) AS chk
+        |  FROM dims d JOIN g gx ON true JOIN g gy ON true
+        |  GROUP BY d.id, d.w, d.h)
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS src_w,
+        |  CAST(h AS BIGINT) AS src_h, CAST(s AS BIGINT) AS thumb_sum,
+        |  CAST(chk AS BIGINT) AS thumb_chk,
+        |  round(CAST(s AS DOUBLE) / 64, 4) AS mean_lum
+        |FROM px ORDER BY media_id""".stripMargin,
+    // t18: the interpolated bigram NLL replayed pair-for-pair
+    "t18_bigram_lm" ->
+      """WITH dl AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |    i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+        |  FROM dl),
+        |rb AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb
+        |  FROM bg WHERE doc_id < 250
+        |  GROUP BY 1, 2),
+        |ru AS (
+        |  SELECT w, count(*) AS cu FROM (
+        |    SELECT unnest(l) AS w FROM dl WHERE doc_id < 250)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n,
+        |  CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |pairs AS (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |nll AS (
+        |  SELECT p.doc_id,
+        |    round(-ln(CAST(0.5 AS DOUBLE)
+        |        * ((coalesce(rb.cb, 0) + 1) / (coalesce(r1.cu, 0) + tot.v))
+        |      + CAST(0.5 AS DOUBLE)
+        |        * ((coalesce(r2.cu, 0) + 1) / (tot.n + tot.v))), 9) AS s
+        |  FROM pairs p
+        |  LEFT JOIN rb ON rb.w1 = p.w1 AND rb.w2 = p.w2
+        |  LEFT JOIN ru r1 ON r1.w = p.w1
+        |  LEFT JOIN ru r2 ON r2.w = p.w2, tot)
+        |SELECT doc_id, count(*) AS n_pairs,
+        |  round(CAST(round(sum(CAST(s AS DECIMAL(27, 9))), 6) AS DOUBLE)
+        |    / count(*), 4) AS avg_nll
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t17: median and MAD replayed as integer nearest-rank statistics
     "t17_outlier_filter" ->
       """WITH t AS (
