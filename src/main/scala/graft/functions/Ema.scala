@@ -35,8 +35,13 @@ object Ema {
     * term is rounded to 9 places and accumulated in DECIMAL, so the sum
     * is independent of row order and partitioning — replayable exactly
     * by an external engine. */
+  /** `outScale >= 0` rounds the exact DECIMAL accumulator to that many
+    * places BEFORE the double cast — rounding after the conversion is
+    * engine-dependent when the exact sum ends in 5 one place past the
+    * target (the t14 tie case); callers that hash-compare against
+    * another engine should round here, not on the returned double. */
   def finalEma(df: DataFrame, groupCols: Seq[String], orderCol: Column,
-      valueCol: Column, alpha: Double): DataFrame = {
+      valueCol: Column, alpha: Double, outScale: Int = -1): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     // internal working columns; a group column with one of these names
     // would make the window/agg expressions ambiguous or silently wrong
@@ -54,12 +59,14 @@ object Ema {
       .withColumn("_n", count(lit(1)).over(wAll))
       .groupBy(grp: _*)
       .agg(
-        max(col("_n")).as("n_points"),
-        sum(round(
-            when(col("_k") === 1, pow(decay, col("_n") - 1))
-              .otherwise(lit(alpha) * pow(decay, col("_n") - col("_k")))
-              * col("_x"), 9)
-          .cast(org.apache.spark.sql.types.DecimalType(27, 9)))
-          .cast("double").as("ema"))
+        max(col("_n")).as("n_points"), {
+          val acc = sum(round(
+              when(col("_k") === 1, pow(decay, col("_n") - 1))
+                .otherwise(lit(alpha) * pow(decay, col("_n") - col("_k")))
+                * col("_x"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          (if (outScale >= 0) round(acc, outScale) else acc)
+            .cast("double").as("ema")
+        })
   }
 }

@@ -483,9 +483,8 @@ object CoreQueries {
         .as("day"), col("event_type"))
       .agg(dsum(col("value")).as("v"))
     graft.functions.Ema.finalEma(daily, Seq("event_type"), col("day"),
-        col("v"), alpha = 0.3)
-      .select(col("event_type"), col("n_points"),
-        round(col("ema"), 6).as("ema"))
+        col("v"), alpha = 0.3, outScale = 6) // decimal-rounded pre-cast
+      .select(col("event_type"), col("n_points"), col("ema"))
       .orderBy("event_type")
   }
 
@@ -1030,9 +1029,9 @@ object CoreQueries {
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM daily)
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
-        |  round(CAST(sum(CAST(round(CASE WHEN k = 1 THEN pow(0.7, n - 1)
-        |      ELSE 0.3 * pow(0.7, n - k) END * v, 9) AS DECIMAL(27, 9)))
-        |    AS DOUBLE), 6) AS ema
+        |  CAST(round(sum(CAST(round(CASE WHEN k = 1 THEN pow(0.7, n - 1)
+        |      ELSE 0.3 * pow(0.7, n - k) END * v, 9) AS DECIMAL(27, 9))),
+        |    6) AS DOUBLE) AS ema
         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a16_salted_agg" ->
       """SELECT event_type,
