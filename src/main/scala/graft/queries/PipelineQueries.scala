@@ -1349,7 +1349,28 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // a18: exact WEIGHTED quantiles per language — token-weighted length
+  // quantiles ("the document length below which a quarter / half / 90%
+  // of the TOKENS live"), the curation statistic an unweighted median
+  // misstates whenever long documents carry the mass. Spark has no
+  // weighted percentile at all; this is the distributed-selection
+  // helper extended to weight ranks (floor(q·(W−1))+1 over the
+  // weight-expanded multiset). The oracle replays cumulative weights
+  // over distinct values.
+  def a18_weighted_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Quantiles.exactWeightedByGroup(
+        d, "lang", col("n_tokens"), col("n_tokens"),
+        Seq(("w25", 0.25), ("w50", 0.5), ("w90", 0.9)))
+      .select(col("lang"), col("w25").cast("long").as("w25"),
+        col("w50").cast("long").as("w50"),
+        col("w90").cast("long").as("w90"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_weighted_quantiles" -> a18_weighted_quantiles _,
     "t18_bigram_lm" -> t18_bigram_lm _,
     "m10_image_resize" -> m10_image_resize _,
     "t17_outlier_filter" -> t17_outlier_filter _,
@@ -1671,6 +1692,28 @@ object PipelineQueries {
         |  CAST(chk AS BIGINT) AS thumb_chk,
         |  round(CAST(s AS DOUBLE) / 64, 4) AS mean_lum
         |FROM px ORDER BY media_id""".stripMargin,
+    // a18: weighted ranks replayed as cumulative weights over distinct
+    // values; rank = floor(q·(W−1))+1 in the same IEEE arithmetic
+    "a18_weighted_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS v
+        |  FROM documents),
+        |w AS (SELECT lang, v, sum(v) AS gw FROM t GROUP BY lang, v),
+        |c AS (SELECT lang, v,
+        |    sum(gw) OVER (PARTITION BY lang ORDER BY v) AS cum FROM w),
+        |tot AS (SELECT lang, sum(v) AS tw FROM t GROUP BY lang),
+        |r AS (SELECT lang,
+        |    CAST(floor(CAST(0.25 AS DOUBLE) * (tw - 1)) AS BIGINT) + 1 AS r25,
+        |    CAST(floor(CAST(0.5 AS DOUBLE) * (tw - 1)) AS BIGINT) + 1 AS r50,
+        |    CAST(floor(CAST(0.9 AS DOUBLE) * (tw - 1)) AS BIGINT) + 1 AS r90
+        |  FROM tot)
+        |SELECT c.lang,
+        |  CAST(min(CASE WHEN cum >= r25 THEN v END) AS BIGINT) AS w25,
+        |  CAST(min(CASE WHEN cum >= r50 THEN v END) AS BIGINT) AS w50,
+        |  CAST(min(CASE WHEN cum >= r90 THEN v END) AS BIGINT) AS w90
+        |FROM c JOIN r USING (lang) GROUP BY c.lang ORDER BY lang""".stripMargin,
     // t18: the interpolated bigram NLL replayed pair-for-pair
     "t18_bigram_lm" ->
       """WITH dl AS (

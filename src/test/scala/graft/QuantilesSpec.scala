@@ -58,4 +58,53 @@ class QuantilesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === Map("a" -> 2.0))
   }
+
+  private def weightedOracle(rows: Seq[(Double, Long)], q: Double): Double = {
+    // nearest-rank over the weight-expanded multiset
+    val sorted = rows.sortBy(_._1)
+    val w = rows.map(_._2).sum
+    val rank = math.floor(q * (w - 1)).toLong + 1
+    var cum = 0L
+    sorted.find { case (_, rw) => cum += rw; cum >= rank }.get._1
+  }
+
+  test("exactWeightedByGroup equals the weight-expanded order statistic") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 3000).map { i =>
+      (s"g${i % 3}", rng.nextInt(500).toDouble, rng.nextInt(9).toLong + 1L)
+    }
+    val df = rows.toDF("g", "v", "w").repartition(13)
+    val got = graft.operators.Quantiles
+      .exactWeightedByGroup(df, "g", col("v"), col("w"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byG = rows.groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(t => (t._2, t._3)) }
+    assert(got.keySet === byG.keySet)
+    byG.foreach { case (g, vs) =>
+      val (p25, p50, p90) = got(g)
+      assert(p25 === weightedOracle(vs, 0.25), s"p25 of $g")
+      assert(p50 === weightedOracle(vs, 0.5), s"p50 of $g")
+      assert(p90 === weightedOracle(vs, 0.9), s"p90 of $g")
+    }
+    // partitioning must not change the answer
+    val again = graft.operators.Quantiles
+      .exactWeightedByGroup(rows.toDF("g", "v", "w").repartition(3),
+        "g", col("v"), col("w"), Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    byG.keys.foreach(g => assert(again(g) === got(g)._2))
+  }
+
+  test("exactWeightedByGroup rejects non-positive weights") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 0L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      graft.operators.Quantiles.exactWeightedByGroup(df, "g", col("v"),
+        col("w"), Seq("p50" -> 0.5)).collect()
+    }
+    assert(e.getMessage.contains("positive weights") ||
+      e.getCause != null)
+  }
 }
