@@ -75,6 +75,65 @@ object Graphs {
       (col("rank_units").cast("double") / Scale.toDouble).as("rank"))
   }
 
+  /** Exact per-node triangle counts via degree-ordered edge orientation
+    * (Schank–Wagner 2005; the distributed shape is Suri–Vassilvitskii
+    * 2011's "curse of the last reducer" fix). Triangles measure local
+    * clustering — a corpus-curation signal for link farms (dense cliques)
+    * vs organic link neighborhoods.
+    *
+    * 100 TB shape: orienting every undirected edge from its lower
+    * (degree, id) endpoint to the higher one makes each node enumerate
+    * wedges only among its HIGHER-ordered neighbors, bounding the wedge
+    * count by O(|E|^1.5) instead of Σ deg² — the power-law hub that
+    * breaks naive per-node enumeration emits no wedges at all (every
+    * incident edge points INTO it). Three key-partitioned shuffles:
+    * degree aggregation, the wedge self-join on the oriented source,
+    * and the closing-edge equi-join on (v, w). No cartesian anywhere;
+    * the wedge frame carries only (a, b, c) id triples.
+    *
+    * `edges(src, dst)` is treated as undirected; self-loops and
+    * duplicate/reverse edges are canonicalized away. Returns every node
+    * of `nodes(id)` with its BIGINT triangle count (0 for none).
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg_a, a) < (deg_b, b): a total order, so every
+    // triangle has exactly one apex with two outgoing wedge edges
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("_db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("_da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val x = oriented.as("x")
+    val y = oriented.as("y")
+    val wedges = x.join(y,
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("tb"), col("v").as("tc")), Seq("tb", "tc"))
+    val perNode = tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col("id")).join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** One PageRank round, un-checkpointed — also the plan-shape test
     * surface (the loop's localCheckpoint hides the round plan behind an
     * RDD scan). */

@@ -938,27 +938,35 @@ object PipelineQueries {
   // map-only dimensionality-reduction step ahead of ANN/clustering at
   // corpus scale (no shuffle, no state; the ±1 projection matrix is
   // pure integer arithmetic regenerated per element, never stored).
-  // Per-term round-9 + DECIMAL(27,9) accumulation (the t14 contract)
-  // makes each projected coordinate order-independent and replayable.
+  // Replayability contract (t14's): each element is rounded to 9
+  // decimals, so sums are order-independent. The rounded terms are
+  // carried as SCALED LONGS (nano-units) rather than DECIMAL(27,9):
+  // round(v·sgn, 9) = sgn·round(v, 9) (HALF_UP is sign-symmetric), so
+  // the per-element round happens ONCE (k-independent) and the 8
+  // projections are pure long multiply-adds — the decimal version paid
+  // 8 BigDecimal casts+adds per element inside an interpreted lambda.
+  // The final round(S, 6) is integer half-away-from-zero on nanos;
+  // micro/1e6 and CAST(round(DECIMAL, 6) AS DOUBLE) agree exactly
+  // (both are the double nearest the same 6-dp decimal), so the DuckDB
+  // oracle's decimal formulation is unchanged.
   def s21_random_projection(s: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
     val e = embs(s, dir).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
+      transform(col("embedding").cast("array<double>"),
+        v => round(round(v, 9) * lit(1e9), 0).cast("long")).as("nanos"))
     val projCols = (0 until k).map { j =>
-      // round the exact DECIMAL before the double cast (the t14
-      // tie-at-7th-decimal lesson — see TextAnalysis.tfidf)
-      round(
-        aggregate(
-          zip_with(
-            col("emb"),
-            transform(sequence(lit(0), size(col("emb")) - 1),
-              i => (pmod(lit(j) * 31 + i * 17, lit(97)) % 2 * 2 - 1)
-                .cast("double")),
-            (v, sgn) => v * sgn),
-          lit(0).cast(dec),
-          (acc, x) => (acc + round(x, 9).cast(dec)).cast(dec)),
-        6).cast("double").as(s"p$j")
+      val nanoSum = aggregate(
+        zip_with(
+          col("nanos"),
+          transform(sequence(lit(0), size(col("nanos")) - 1),
+            i => (pmod(lit(j) * 31 + i * 17, lit(97)) % 2 * 2 - 1)
+              .cast("long")),
+          (v, sgn) => v * sgn),
+        lit(0L),
+        (acc, x) => acc + x)
+      val micro = when(nanoSum >= 0, floor((nanoSum + lit(500L)) / lit(1000.0)))
+        .otherwise(-floor((-nanoSum + lit(500L)) / lit(1000.0)))
+      (micro / lit(1e6)).as(s"p$j")
     }
     e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
@@ -1369,7 +1377,162 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  // t19: Gopher-style quality rules (Rae et al. 2021, Appendix A) — the
+  // published rule set most large-scale text pipelines start from: word
+  // count bounds, mean word length, symbol-to-word ratio (#/ellipsis),
+  // bullet-started and ellipsis-ended line fractions, alphabetic-word
+  // ratio, and the ≥2-stopword test. Map-only over the corpus; every
+  // ratio threshold is a CROSS-MULTIPLIED integer comparison (3·n ≤
+  // chars, 5·alpha ≥ 4·words, …) so no float division exists to diverge
+  // between engines. The alphabetic test is translate()-based — no
+  // regex dialect in the contract.
+  def t19_gopher_rules(s: SparkSession, dir: String): DataFrame = {
+    val alphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val toks = Dedup.tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x).as("char_sum"),
+      size(filter(toks,
+        w => length(translate(w, alphabet, "")) < length(w)))
+        .cast("long").as("n_alpha"),
+      size(filter(toks, w => w.isin(gopherStops: _*)))
+        .cast("long").as("n_stop"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("•")))
+        .cast("long").as("n_bullet"),
+      size(filter(lines, l => l.endsWith("...")))
+        .cast("long").as("n_ell_end"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long")
+        .as("n_hash"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+        .cast("long").as("n_ell"))
+    base.select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("words_ok"),
+        (lit(3L) * col("n_words") <= col("char_sum") &&
+          col("char_sum") <= lit(10L) * col("n_words")).as("mwl_ok"),
+        (lit(10L) * (col("n_hash") + col("n_ell")) <= col("n_words"))
+          .as("sym_ok"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+          .as("bullet_ok"),
+        (lit(10L) * col("n_ell_end") <= lit(3L) * col("n_lines"))
+          .as("ellipsis_ok"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+          .as("alpha_ok"),
+        (col("n_stop") >= 2L).as("stop_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("mwl_ok") && col("sym_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
+  // p16: DSIR-style importance selection (Xie et al. 2023) — score each
+  // raw document by how target-like its unigram distribution is
+  // (log p_target(w)/p_raw(w), add-1 smoothed; target = the English
+  // slice) and keep the top 50. 100 TB shape: the two count tables are
+  // FEATURE-space-sized (hashed n-gram buckets in production, raw
+  // vocabulary here), so they broadcast; the corpus token stream takes
+  // two map-side hash joins and one aggregation shuffle keyed by
+  // doc_id; selection is TakeOrderedAndProject. Determinism: each
+  // token's log-ratio is one ln() of a ratio of exact integer products
+  // (< 2^53), rounded to 9 decimals and carried as nano-unit LONGS —
+  // the t13/t14 contract — so the output column is integer-exact.
+  def p16_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+      explode(Dedup.tokens(col("text"))).as("_t"))
+    val rawC = toks.groupBy(col("_t")).agg(count(lit(1)).as("_rc"))
+    val tgtC = toks.where(col("lang") === "en")
+      .groupBy(col("_t")).agg(count(lit(1)).as("_tc"))
+    val consts = rawC.agg(sum(col("_rc")).as("_rtot"),
+        count(lit(1)).as("_vsz"))
+      .crossJoin(toks.where(col("lang") === "en")
+        .agg(count(lit(1)).as("_ttot")))
+    val ratio =
+      ((coalesce(col("_tc"), lit(0L)) + 1L).cast("double") *
+        (col("_rtot") + col("_vsz")).cast("double")) /
+      ((col("_rc") + 1L).cast("double") *
+        (col("_ttot") + col("_vsz")).cast("double"))
+    val nanos = round(round(log(ratio), 9) * lit(1e9), 0).cast("long")
+    toks.join(broadcast(rawC), Seq("_t"))
+      .join(broadcast(tgtC), Seq("_t"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"),
+        count(lit(1)).as("n_tok"),
+        sum(nanos).as("score_nanos"))
+      .orderBy(desc("score_nanos"), col("doc_id"))
+      .limit(50)
+  }
+
+  // s24: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+  // 2009) — the standard way RAG/curation stacks combine a lexical
+  // (BM25) and a dense (embedding cosine) ranker without score
+  // calibration. Both legs are top-20 plans that already exist (s22's
+  // BM25, s1's brute-force cosine over the doc-aligned vectors); fusion
+  // touches 2×20 rows: a full-outer join on doc id, RRF mass
+  // 1e9/(60+rank) rounded to integer nanos (exact in any engine), and
+  // a 10-row TakeOrderedAndProject. Ranks use each leg's ROUNDED score
+  // with id tie-break — the replayable order both engines agree on.
+  def s24_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("join", "filter", "scan")
+    val lex = Retrieval.bm25(docs(s, dir), "doc_id", "text", terms, k = 20)
+      .select(col("id"),
+        row_number().over(Window.orderBy(desc("score"), col("id")))
+          .as("r_lex"))
+    val dense = Similarity.bruteForceTopK(
+        embs(s, dir).where(col("vec_id") < 500), "vec_id", "embedding",
+        queryVec(s, dir), k = 20)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .select(col("id"),
+        row_number().over(Window.orderBy(desc("score"), col("id")))
+          .as("r_dense"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+        coalesce(col("r_dense"), lit(0)).cast("long").as("r_dense"),
+        (coalesce(round(lit(1e9) / (lit(60) + col("r_lex")), 0), lit(0.0)) +
+          coalesce(round(lit(1e9) / (lit(60) + col("r_dense")), 0),
+            lit(0.0))).cast("long").as("rrf_nanos"))
+      .orderBy(desc("rrf_nanos"), col("doc_id"))
+      .limit(10)
+  }
+
+  // g2: per-document triangle counts over a planted in-block graph
+  // (chain edges i→i+1 plus skip edges i→i+2 inside blocks of 50 —
+  // every in-block consecutive triple closes a triangle). Runs the
+  // degree-oriented wedge algorithm whose work is bounded by higher-
+  // ordered neighborhoods (Graphs.triangleCounts); the oracle counts
+  // the same triangles by naive triple self-join, which is feasible
+  // exactly because it is DuckDB running on the fixture, not the
+  // 100 TB path.
+  def g2_triangle_count(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val e1 = d.where(pmod(col("doc_id"), lit(50)) =!= 49)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    val e2 = d.where(pmod(col("doc_id"), lit(50)) <= 47)
+      .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+    val edges = e1.unionByName(e2)
+      .join(d.select(col("doc_id").as("dst")), Seq("dst")) // extant only
+    Graphs.triangleCounts(d.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_gopher_rules" -> t19_gopher_rules _,
+    "p16_dsir_select" -> p16_dsir_select _,
+    "s24_rrf_fusion" -> s24_rrf_fusion _,
+    "g2_triangle_count" -> g2_triangle_count _,
     "a18_weighted_quantiles" -> a18_weighted_quantiles _,
     "t18_bigram_lm" -> t18_bigram_lm _,
     "m10_image_resize" -> m10_image_resize _,
@@ -1586,6 +1749,160 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // t19: the same integer cross-multiplied rule thresholds over
+    // DuckDB's independent list/string primitives (translate-based
+    // alphabetic test — no regex dialect in the contract)
+    "t19_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      w -> length(w))), 0) AS BIGINT) AS char_sum,
+        |    CAST(len(list_filter(toks, w -> length(translate(w,
+        |      'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |      '')) < length(w))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '-')
+        |      OR starts_with(l, '•'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+        |      AS BIGINT) AS n_ell_end,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ell
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS words_ok,
+        |  (3 * n_words <= char_sum AND char_sum <= 10 * n_words)
+        |    AS mwl_ok,
+        |  10 * (n_hash + n_ell) <= n_words AS sym_ok,
+        |  10 * n_bullet <= 9 * n_lines AS bullet_ok,
+        |  10 * n_ell_end <= 3 * n_lines AS ellipsis_ok,
+        |  5 * n_alpha >= 4 * n_words AS alpha_ok,
+        |  n_stop >= 2 AS stop_ok,
+        |  (words_ok AND mwl_ok AND sym_ok AND bullet_ok
+        |    AND ellipsis_ok AND alpha_ok AND stop_ok) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // p16: same smoothed log-ratio per token occurrence, round-9 nano
+    // longs (ln over a ratio of exact integer products)
+    "p16_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |r AS (SELECT t, count(*) AS rc FROM tok GROUP BY t),
+        |tg AS (SELECT t, count(*) AS tc FROM tok WHERE lang = 'en'
+        |  GROUP BY t),
+        |c AS (SELECT
+        |  (SELECT CAST(sum(rc) AS BIGINT) FROM r) AS rr,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM r) AS vv,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE lang = 'en')
+        |    AS tt),
+        |sc AS (
+        |  SELECT doc_id, max(lang) AS lang, count(*) AS n_tok,
+        |    CAST(sum(CAST(round(round(ln(
+        |      (CAST(coalesce(tg.tc, 0) + 1 AS DOUBLE)
+        |        * CAST(c.rr + c.vv AS DOUBLE)) /
+        |      (CAST(r.rc + 1 AS DOUBLE)
+        |        * CAST(c.tt + c.vv AS DOUBLE))), 9) * 1e9, 0)
+        |      AS BIGINT)) AS BIGINT) AS score_nanos
+        |  FROM tok JOIN r USING (t) LEFT JOIN tg USING (t) CROSS JOIN c
+        |  GROUP BY doc_id)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok, score_nanos
+        |FROM sc ORDER BY score_nanos DESC, doc_id LIMIT 50""".stripMargin,
+    // s24: both legs replayed (s22's BM25 SQL at k=20; s1's cosine SQL
+    // over the doc-aligned vectors), ranks over each leg's ROUNDED
+    // score with id tie-break, RRF mass as integer nanos
+    "s24_rrf_fusion" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS len
+        |  FROM documents),
+        |consts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM base),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        |  WHERE t IN ('join', 'filter', 'scan') GROUP BY doc_id, t),
+        |dfr AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+        |terms AS (
+        |  SELECT tf.doc_id, b.len,
+        |    round(ln(CAST(1.0 AS DOUBLE) + (c.n - dfr.df + CAST(0.5 AS DOUBLE))
+        |        / (dfr.df + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * CAST(b.len AS DOUBLE) / c.avgdl)),
+        |      9) AS s
+        |  FROM tf JOIN dfr USING (t) JOIN base b ON b.doc_id = tf.doc_id,
+        |    consts c),
+        |lexs AS (
+        |  SELECT doc_id,
+        |    CAST(round(sum(CAST(s AS DECIMAL(27, 9))), 6) AS DOUBLE)
+        |      AS score
+        |  FROM terms GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM lexs),
+        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |dsr AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(embedding::DOUBLE[], qe) AS raw
+        |  FROM embeddings, q WHERE vec_id < 500
+        |  ORDER BY raw DESC, doc_id LIMIT 20),
+        |den AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY round(raw, 6) DESC, doc_id) AS r_dense
+        |  FROM dsr),
+        |fu AS (
+        |  SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+        |    coalesce(lex.r_lex, 0) AS r_lex,
+        |    coalesce(den.r_dense, 0) AS r_dense,
+        |    CAST(coalesce(round(1e9 / (60 + lex.r_lex), 0), 0)
+        |      + coalesce(round(1e9 / (60 + den.r_dense), 0), 0)
+        |      AS BIGINT) AS rrf_nanos
+        |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+        |SELECT doc_id, r_lex, r_dense, rrf_nanos FROM fu
+        |ORDER BY rrf_nanos DESC, doc_id LIMIT 10""".stripMargin,
+    // g2: the naive triple self-join counts the same planted triangles
+    // (feasible because it is DuckDB on the fixture, not the 100 TB
+    // path the oriented-wedge plan exists for)
+    "g2_triangle_count" ->
+      """WITH n AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT a.id AS s, b.id AS t FROM n a JOIN n b
+        |    ON b.id = a.id + 1 WHERE a.id % 50 <> 49
+        |  UNION ALL
+        |  SELECT a.id, b.id FROM n a JOIN n b
+        |    ON b.id = a.id + 2 WHERE a.id % 50 <= 47),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
+        |  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |pn AS (
+        |  SELECT id, count(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY id)
+        |SELECT n.id AS doc_id,
+        |  CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM n LEFT JOIN pn ON pn.id = n.id ORDER BY doc_id""".stripMargin,
     // t16: DuckDB's independent Unicode implementation of the same
     // canonicalization; the decomposed prefix (Cafe + U+0301) is the
     // case NFC must fold

@@ -8,6 +8,42 @@ class GraphsRetrievalSplitsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // ----------------------------------------------------------- triangles
+
+  test("triangleCounts: K5 has C(5,3)=10 triangles, 6 per node") {
+    val nodes = (0L to 4L).toDF("id")
+    val edges = (for (a <- 0L to 4L; b <- 0L to 4L if a < b)
+      yield (a, b)).toDF("src", "dst")
+    val r = Graphs.triangleCounts(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == (0L to 4L).map(_ -> 6L).toMap)
+  }
+
+  test("triangleCounts: canonicalizes duplicates/reverses/self-loops; " +
+    "isolated nodes report 0") {
+    val nodes = (0L to 4L).toDF("id")
+    // one triangle {0,1,2} given with duplicate, reversed and self edges
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (0L, 2L), (2L, 0L),
+      (3L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graphs.triangleCounts(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangleCounts is invariant under repartitioning") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap { i =>
+      Seq((i, (i + 1) % 60), (i, (i + 7) % 60), (i, (i + 8) % 60))
+    }.toDF("src", "dst")
+    val a = Graphs.triangleCounts(nodes, edges)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val b = Graphs.triangleCounts(nodes.repartition(7), edges.repartition(13))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(a.sameElements(b))
+    // (i, i+1, i+8) and (i, i+7, i+8) close for every i → 120 triangles
+    assert(a.map(_._2).sum == 3 * 120L)
+  }
+
   // ------------------------------------------------------------ pagerank
 
   test("pageRank on a 2-cycle keeps exactly uniform ranks") {

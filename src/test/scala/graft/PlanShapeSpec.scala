@@ -459,4 +459,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Or\\(.*"),
       s"slot-filter disjunction not pushed to the scan:\n$p")
   }
+
+  test("t19_gopher_rules: rule evaluation is map-only (no shuffle, no join)") {
+    val p = plan(PipelineQueries.queries("t19_gopher_rules")(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quality rules must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"quality rules must not join:\n$p")
+  }
+
+  test("p16_dsir_select: count tables broadcast; selection is top-k") {
+    val p = plan(PipelineQueries.queries("p16_dsir_select")(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"feature-count tables must broadcast, not sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be TakeOrderedAndProject, not global sort:\n$p")
+  }
+
+  test("s24_rrf_fusion: fusion is top-k over two top-k legs, no cartesian") {
+    val p = plan(PipelineQueries.queries("s24_rrf_fusion")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fusion must end in TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
+  }
+
+  test("g2_triangle_count: wedge join is key-partitioned, never cartesian") {
+    val p = plan(PipelineQueries.queries("g2_triangle_count")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must join on keys:\n$p")
+  }
+
+  test("s21_random_projection: projection is map-only long arithmetic") {
+    val p = plan(PipelineQueries.queries("s21_random_projection")(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"JL projection must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("decimal("),
+      s"nano-unit longs must carry the sums — no decimal ops:\n$p")
+  }
 }
