@@ -353,6 +353,37 @@ object CoreQueries {
   // only while every estimate lands within 5% of the exact answer, and
   // the output is the exact set-op counts DuckDB recomputes natively.
   // Deterministic: the library's fixed default seed.
+  // Sketch interop, KLL side: the uniform-RANK-error quantile sketch
+  // (Karnin–Lang–Liberty) complementing a5/k2's relative-VALUE-error
+  // DDSketch — per-(priority, segment) sketches in the DataSketches
+  // portable byte image, re-merged at query time from the BYTES (the
+  // cross-system path: anything running datasketches-java heapifies
+  // them). Gate: KLL(k=200) guarantees ±1.65% rank error, so the merged
+  // sketch's median must land between the exact p45 and p55 order
+  // statistics — a broken codec, merge, or query drops rows. Output is
+  // the exact median, which the oracle replays as a pure order stat.
+  def k6_kll_interop(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KllFunctions => K}
+    val o = t(s, dir, "orders")
+    val segments = o
+      .groupBy(col("o_orderpriority"), (col("o_orderkey") % 8).as("segment"))
+      .agg(K.kllSketch(col("o_totalprice")).as("sketch"))
+    val est = segments
+      .groupBy(col("o_orderpriority"))
+      .agg(K.kllMerge(col("sketch")).as("m"))
+      .select(col("o_orderpriority"), K.kllQuantileOf(col("m"), 0.5).as("est"))
+    val exact = graft.operators.Quantiles.exactByGroup(
+      o.select(col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", col("o_totalprice"),
+      Seq(("p45", 0.45), ("p50", 0.5), ("p55", 0.55)))
+    val n = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    est.join(exact, "o_orderpriority").join(n, "o_orderpriority")
+      .where(col("est") >= col("p45") && col("est") <= col("p55"))
+      .select(col("o_orderpriority").as("priority"), col("n_orders"),
+        round(col("p50"), 2).as("exact_p50"))
+      .orderBy("priority")
+  }
+
   def k3_theta_setops(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{ThetaFunctions => TF}
     val ev = t(s, dir, "events")
@@ -784,6 +815,7 @@ object CoreQueries {
     "a6_distinct_approx" -> a6_distinct_approx _,
     "a6_hll" -> a6_hll _,
     "k1_hll_interop" -> k1_hll_interop _,
+    "k6_kll_interop" -> k6_kll_interop _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -911,6 +943,22 @@ object CoreQueries {
       """SELECT o_orderpriority AS priority,
         |  count(DISTINCT o_custkey) AS exact_users
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // k6: the sketch's median is gated against exact p45/p55 order
+    // statistics in-plan (KLL rank error ≤1.65% at k=200), so the
+    // oracle replays only the exact median — floor(q·(N−1))+1 rank
+    "k6_kll_interop" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority AS priority,
+        |  CAST(max(cnt) AS BIGINT) AS n_orders,
+        |  round(max(CASE WHEN rn =
+        |    CAST(floor(0.5 * (cnt - 1)) AS BIGINT) + 1
+        |    THEN o_totalprice END), 2) AS exact_p50
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "k2_dd_proto_interop" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -1528,7 +1528,70 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // d13: canonicalization dedup — exact dedup modulo case, punctuation
+  // and whitespace (the "same page, different boilerplate" class that
+  // byte-exact d1 misses and fuzzy d2 overkills). 50 planted variants
+  // (uppercased, doubled spaces, trailing bangs, re-keyed +30000) must
+  // collapse onto their sources. The shuffle key is md5(canon) — 32
+  // bytes regardless of document length, and DuckDB replays md5
+  // bit-for-bit (unlike xxhash64), so the exchange never carries text
+  // and the oracle still hash-matches.
+  def d13_canonical_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val variants = d.where(col("doc_id") < 50)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(upper(col("text")), lit("  !!!")).as("text"))
+    val all = d.select(col("doc_id"), col("text")).unionByName(variants)
+    val canon = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""), " +", " ")))
+    all.select(col("doc_id"), md5(canon).as("ck"))
+      .groupBy(col("ck"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("survivor_id"), col("n_copies"))
+      .orderBy("survivor_id")
+  }
+
+  // j9: bucketed co-located join — corpus and batch both written
+  // bucketBy(8, doc_id).sortBy(doc_id) as ingest-time artifacts
+  // (saveAsTable with explicit path, memoized per session+dataset like
+  // s20's index); the verification join then runs with ZERO hash
+  // exchanges — bucket files align 1:1 and the sort-merge join reads
+  // them pre-partitioned. At 100 TB this converts every repeated
+  // corpus equi-join (dedup verification, enrichment, incremental
+  // batches) from a full corpus shuffle into a local per-bucket merge —
+  // the single biggest lever the README's cluster posture names.
+  private val j9Built = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+
+  private def j9TablesFor(s: SparkSession, dir: String): (String, String) =
+    j9Built.computeIfAbsent((s, dir), { case (ss, d) =>
+      val sfx = Integer.toHexString(d.hashCode)
+      val corpusT = s"graft_j9_corpus_$sfx"
+      val batchT = s"graft_j9_batch_$sfx"
+      val base = docs(ss, d).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      def write(df: DataFrame, name: String, path: String): Unit = {
+        ss.sql(s"DROP TABLE IF EXISTS $name")
+        df.write.mode("overwrite").format("parquet").option("path", path)
+          .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(name)
+      }
+      write(base, corpusT, graft.Tables.tmpDirFor("graft_j9c", d))
+      write(base.where(col("doc_id") % 5 === 0).select(col("doc_id")),
+        batchT, graft.Tables.tmpDirFor("graft_j9b", d))
+      (corpusT, batchT)
+    })
+
+  def j9_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    val (cT, bT) = j9TablesFor(s, dir)
+    s.table(cT).join(s.table(bT).hint("merge"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_canonical_dedup" -> d13_canonical_dedup _,
+    "j9_bucketed_join" -> j9_bucketed_join _,
     "t19_gopher_rules" -> t19_gopher_rules _,
     "p16_dsir_select" -> p16_dsir_select _,
     "s24_rrf_fusion" -> s24_rrf_fusion _,
@@ -1749,6 +1812,30 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // d13: same canonicalization chain (punct strip → space collapse →
+    // trim → lower → md5); DuckDB regexp_replace needs the 'g' flag for
+    // the global semantics Spark applies by default
+    "d13_canonical_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, upper(text) || '  !!!'
+        |  FROM documents WHERE doc_id < 50),
+        |c AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(regexp_replace(
+        |    text, '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS ck
+        |  FROM a)
+        |SELECT min(doc_id) AS survivor_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM c GROUP BY ck ORDER BY survivor_id""".stripMargin,
+    // j9: the bucketed layout is a physical property — the logical
+    // result is the plain equi-join
+    "j9_bucketed_join" ->
+      """SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
     // t19: the same integer cross-multiplied rule thresholds over
     // DuckDB's independent list/string primitives (translate-based
     // alphabetic test — no regex dialect in the contract)

@@ -490,6 +490,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"triangle counting must join on keys:\n$p")
   }
 
+  test("j9_bucketed_join: co-located bucketed join has NO hash exchange") {
+    val p = plan(PipelineQueries.queries("j9_bucketed_join")(spark, dir))
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan is not bucket-aware:\n$p")
+  }
+
+  test("d13_canonical_dedup: shuffle key is the 32-byte md5, never text") {
+    val df = PipelineQueries.queries("d13_canonical_dedup")(spark, dir)
+    val p = plan(df)
+    assert(!p.matches("(?s).*Exchange hashpartitioning\\([^)]*text.*"),
+      s"document text must not be a shuffle key:\n$p")
+  }
+
+  test("k6_kll_interop: sketches aggregate as ObjectHashAggregate " +
+    "with partial/final split") {
+    val p = plan(CoreQueries.queries("k6_kll_interop")(spark, dir))
+    assert(p.contains("ObjectHashAggregate"),
+      s"KLL UDAF should run as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_kll_sketch") || p.contains("kll_sketch"),
+      s"kll_sketch aggregate missing:\n$p")
+  }
+
   test("s21_random_projection: projection is map-only long arithmetic") {
     val p = plan(PipelineQueries.queries("s21_random_projection")(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
