@@ -473,6 +473,49 @@ object StreamingQueries {
     s.table("st7_stream_dedup").orderBy("event_type")
   }
 
+  /** st7 on the RocksDB state store with changelog checkpointing — the
+    * state BACKEND for 100 TB streams: HDFS-backed stores keep every
+    * key on the executor heap (st7's grow-forever maps become OOM, GC
+    * pauses, and full-snapshot checkpoint stalls), RocksDB spills state
+    * to local SSD with bounded block-cache memory and checkpoints the
+    * per-batch CHANGELOG instead of a full snapshot. Same plan, same
+    * answer (the oracle is st7's) — the point is that the swap is pure
+    * configuration, which is exactly the property that lets a cluster
+    * operator turn it on under load. Provider conf is session-wide, so
+    * it is set/restored around the one start() that must bind it. */
+  def st16_rocksdb_state(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val chg = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    s.conf.set(chg, "true")
+    try {
+      val plan = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(streamDir(s, dir))
+        .select(col("event_type"), col("user_id"))
+        .dropDuplicates("event_type", "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("distinct_users"))
+      val q = withStatePartitions(s, 8) {
+        plan.writeStream
+          .format("memory").queryName("st16_rocksdb_state")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table("st16_rocksdb_state").orderBy("event_type")
+  }
+
   /** st7's production-correct sibling: exact dedup with BOUNDED state.
     * `dropDuplicatesWithinWatermark` evicts a key once the watermark
     * passes its event time + delay, so state size tracks the watermark
@@ -842,6 +885,7 @@ object StreamingQueries {
     "st13_stream_outer_join" -> st13_stream_outer_join _,
     "st14_dedup_bounded_state" -> st14_dedup_bounded_state _,
     "st7_stream_dedup" -> st7_stream_dedup _,
+    "st16_rocksdb_state" -> st16_rocksdb_state _,
     "st8_stream_static_join" -> st8_stream_static_join _,
     "st2_running_stats" -> st2_running_stats _,
     "st3_rollup_ingest" -> st3_rollup_ingest _,
@@ -904,6 +948,10 @@ object StreamingQueries {
         |    / len(list_distinct(list_concat(n.sh, h.sh))) >= 0.8
         |ORDER BY id_new, id_hist""".stripMargin,
     "st7_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // st16 = st7 on the RocksDB backend: same answer by construction
+    "st16_rocksdb_state" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // bounded-state dedup converges to the same exact distinct as st7
