@@ -384,6 +384,63 @@ object CoreQueries {
       .orderBy("priority")
   }
 
+  // a21: batch sessionization — gap-based session assignment (30 min),
+  // the canonical event-analytics transform (st5 is the STREAMING
+  // sibling via session_window). One hash exchange by user_id; the lag
+  // and running-sum windows and the per-session re-aggregation all ride
+  // that single partitioning. Tie-safe: rows sharing a timestamp always
+  // land in the same session whichever engine-internal tie order the
+  // window picks, and min/max/count are tie-order-invariant.
+  def a21_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapMs = 1800000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val prev = lag(col("ts_ms"), 1).over(w)
+    val marked = t(s, dir, "events")
+      .select(col("user_id"), tsMs)
+      .withColumn("new_s",
+        when(prev.isNull || col("ts_ms") - prev > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // a22: ordered funnel — users progressing signup → view → click →
+  // purchase, each stage's timestamp strictly after the previous
+  // stage's. Four per-user min-aggregations chained by broadcast-sized
+  // joins (the user dimension is tiny next to the event stream at any
+  // scale — the event scan is the cost, and it is read once per stage
+  // with the stage filter pushed down).
+  def a22_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), tsMs)
+    def stage(typ: String, prev: Option[DataFrame]): DataFrame = {
+      val base = e.where(col("event_type") === typ)
+      val gated = prev match {
+        case Some(p) => base.join(broadcast(p), Seq("user_id"))
+          .where(col("ts_ms") > col("t"))
+        case None => base
+      }
+      gated.groupBy(col("user_id")).agg(min(col("ts_ms")).as("_t"))
+        .select(col("user_id"), col("_t").as("t"))
+    }
+    val s1 = stage("signup", None)
+    val s2 = stage("view", Some(s1))
+    val s3 = stage("click", Some(s2))
+    val s4 = stage("purchase", Some(s3))
+    val stages = Seq(("signup", 1, s1), ("view", 2, s2),
+      ("click", 3, s3), ("purchase", 4, s4))
+    stages.map { case (name, idx, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), lit(idx).cast("long").as("stage_idx"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy("stage_idx")
+  }
+
   def k3_theta_setops(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{ThetaFunctions => TF}
     val ev = t(s, dir, "events")
@@ -816,6 +873,8 @@ object CoreQueries {
     "a6_hll" -> a6_hll _,
     "k1_hll_interop" -> k1_hll_interop _,
     "k6_kll_interop" -> k6_kll_interop _,
+    "a21_sessionize" -> a21_sessionize _,
+    "a22_funnel" -> a22_funnel _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -943,6 +1002,43 @@ object CoreQueries {
       """SELECT o_orderpriority AS priority,
         |  count(DISTINCT o_custkey) AS exact_users
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a21: identical gap/running-sum convention; sessions are tie-safe
+    "a21_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w > 1800000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |x AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(ts_ms) AS start_ms,
+        |  max(ts_ms) AS end_ms, max(ts_ms) - min(ts_ms) AS duration_ms
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // a22: the same strictly-ordered stage chain
+    "a22_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND ms > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN s3 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 'view', 2, count(*) FROM s2
+        |  UNION ALL SELECT 'click', 3, count(*) FROM s3
+        |  UNION ALL SELECT 'purchase', 4, count(*) FROM s4)
+        |ORDER BY stage_idx""".stripMargin,
     // k6: the sketch's median is gated against exact p45/p55 order
     // statistics in-plan (KLL rank error ≤1.65% at k=200), so the
     // oracle replays only the exact median — floor(q·(N−1))+1 rank
