@@ -441,6 +441,42 @@ object CoreQueries {
     }.reduce(_.unionByName(_)).orderBy("stage_idx")
   }
 
+  // a23: pivoted day × event-type activity matrix — the wide dashboard
+  // shape. An EXPLICIT value list keeps the pivot single-pass (Spark
+  // otherwise runs a distinct-values job first) and the output schema
+  // deterministic; the pivot compiles to ONE partial/final aggregate
+  // (conditional counts), not per-type scans.
+  def a23_pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .select(expr("(ts div 1000000) div 86400000").as("day"),
+        col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .count()
+      .select(col("day") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      .orderBy("day")
+  }
+
+  // a24: weekly cohort retention — users bucketed by first-activity
+  // week, counted distinct in each later week (the product-analytics
+  // matrix every event store gets asked for). The first-seen frame is
+  // user-dimension-sized → broadcast; one aggregation exchange on
+  // (cohort_week, weeks_since) with map-side partial distinct.
+  def a24_retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = 604800000L
+    val e = t(s, dir, "events").select(col("user_id"),
+      expr(s"(ts div 1000000) div $wk").as("week"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    e.join(broadcast(first), Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   def k3_theta_setops(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{ThetaFunctions => TF}
     val ev = t(s, dir, "events")
@@ -875,6 +911,8 @@ object CoreQueries {
     "k6_kll_interop" -> k6_kll_interop _,
     "a21_sessionize" -> a21_sessionize _,
     "a22_funnel" -> a22_funnel _,
+    "a23_pivot" -> a23_pivot _,
+    "a24_retention" -> a24_retention _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1039,6 +1077,29 @@ object CoreQueries {
         |  UNION ALL SELECT 'click', 3, count(*) FROM s3
         |  UNION ALL SELECT 'purchase', 4, count(*) FROM s4)
         |ORDER BY stage_idx""".stripMargin,
+    // a23: conditional counts replay the explicit-value pivot
+    "a23_pivot" ->
+      """SELECT (epoch_ms(ts) // 86400000) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a24: same week bucketing and first-week cohort assignment
+    "a24_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT f.cohort_week, e.week - f.cohort_week AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // k6: the sketch's median is gated against exact p45/p55 order
     // statistics in-plan (KLL rank error ≤1.65% at k=200), so the
     // oracle replays only the exact median — floor(q·(N−1))+1 rank
