@@ -137,6 +137,45 @@ object Graphs {
   /** One PageRank round, un-checkpointed — also the plan-shape test
     * surface (the loop's localCheckpoint hides the round plan behind an
     * RDD scan). */
+  /** Multi-source BFS hop distances over `edges(src, dst)` (directed):
+    * min number of edges from ANY node in `sources(id)`. Returns
+    * (id, dist) for every REACHED node; unreached nodes are absent (the
+    * caller left-joins if it wants nulls). `maxHops` bounds the rounds —
+    * a fixed hyperparameter like the pageRank iteration count, NOT a
+    * convergence probe (no per-round count() action on the driver).
+    *
+    * 100 TB shape: per round one `frontier ⋈ edges` shuffle on src plus
+    * one `groupBy(id).min` — O(|E|) a round, the textbook Pregel BFS as
+    * pure dataflow. The frontier is the DELTA (nodes first reached last
+    * round), not the full visited set, so late rounds on a high-diameter
+    * graph touch only the expanding rim; `localCheckpoint` caps lineage
+    * growth exactly as the CC/PageRank loops do. Distances are integers
+    * — bit-exact under any partitioning or merge order.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 100,
+      s"maxHops $maxHops out of range [1, 100]")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var visited = sources.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+    var frontier = visited
+    var i = 0
+    while (i < maxHops) {
+      val next = frontier.withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        // keep only NEWLY reached nodes: dist already found is ≤ current
+        .join(visited.select(col("id").as("_seen")),
+          col("id") === col("_seen"), "left_anti")
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(next).localCheckpoint(eager = false)
+      frontier = next
+      i += 1
+    }
+    visited
+  }
+
   private[graft] def round(
       nodes: DataFrame,
       withDeg: DataFrame,

@@ -477,6 +477,116 @@ object CoreQueries {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  // a25: unpivot/melt — the wide→long reshape (inverse of a23's pivot),
+  // Spark's Dataset.unpivot compiles to a single Expand node: each input
+  // row fans out to one row per measure with NO shuffle and no join, so
+  // at 100 TB the cost is the upstream aggregate alone. The oracle
+  // replays it as a 3-way UNION ALL (ANSI portable).
+  def a25_unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount")).as("disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "amount")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  // a26: rolling-baseline anomaly detection on the step-bucketed series —
+  // the observability query behind "alert when today's volume deviates
+  // from the trailing week" (the reference's chart path feeds exactly
+  // such detectors downstream). RANGE frame (7 preceding .. 1 preceding)
+  // over the *day key*, not row count, so missing days shrink the
+  // baseline instead of silently reaching further back. All frame sums
+  // run on exact integer cents (the daily decimal sum × 100), and mean /
+  // variance / z are derived from those integers with an explicit
+  // double-cast expression tree mirrored verbatim in the oracle — IEEE
+  // ops over identical inputs are bit-identical across engines. Scale:
+  // one shuffle on event_type for the window; days-per-series is tiny,
+  // so a 1000-executor run is bound by the daily pre-aggregation, which
+  // is partial/final hash agg over the scan.
+  def a26_rolling_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000L
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"(ts div 1000000) div $day").as("d"))
+      .agg((sum(dec(col("value"))) * lit(100)).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .where(col("n") >= 4)
+      .select(col("event_type"), col("d"),
+        (col("cents").cast("double") / 100.0).as("x"),
+        expr("""(CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE))""").as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy("event_type", "d")
+  }
+
+  // j10: SCD-2 dimension build — collapse an event stream into
+  // [valid_from, valid_to) state intervals per key (the warehouse
+  // "slowly changing dimension" every lakehouse MERGE pipeline
+  // maintains). Two windows over the SAME (user_id → ts, event_id)
+  // partitioning: Catalyst plans one Exchange + one Sort and runs both
+  // Window nodes pipelined on it, so at 100 TB this is a single shuffle
+  // of the change rows. The far-future close (9999-12-31) keeps
+  // valid_to non-null for the hash compare.
+  def j10_scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val e = t(s, dir, "events")
+      .where(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("event_type"))
+    e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"),
+        col("ts_ms").as("valid_from"),
+        coalesce(lead(col("ts_ms"), 1).over(w), lit(253402300800000L))
+          .as("valid_to"),
+        lead(col("ts_ms"), 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // f11 (Spark 4 collations): case-insensitive predicate via a UTF8_LCASE
+  // collated comparison — the collation rides the *type*, so the filter
+  // stays a plain codegen'd predicate (no lower() wrapper materializing a
+  // new string per row) and still reaches the scan as a pushed filter.
+  // Oracle replays with lower() equality, which is semantically identical
+  // for ASCII-range data.
+  def f11_collation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(collate(col("lang"), "UTF8_LCASE") === lit("EN"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source")
+
+  // e13 (Spark 4 VARIANT): parse_json → an open-schema VARIANT column,
+  // fields extracted with variant_get at query time. Unlike e12's
+  // from_json (fixed struct schema declared up front), VARIANT is the
+  // semi-structured path for telemetry whose attribute set drifts —
+  // exactly the reference's `_json` overflow column (SURVEY §1.2) —
+  // while the binary encoding keeps extraction O(field), not O(parse).
+  def e13_variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("props").isNotNull)
+      .select(col("event_type"),
+        variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   def k3_theta_setops(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{ThetaFunctions => TF}
     val ev = t(s, dir, "events")
@@ -913,6 +1023,11 @@ object CoreQueries {
     "a22_funnel" -> a22_funnel _,
     "a23_pivot" -> a23_pivot _,
     "a24_retention" -> a24_retention _,
+    "a25_unpivot" -> a25_unpivot _,
+    "a26_rolling_anomaly" -> a26_rolling_anomaly _,
+    "j10_scd2" -> j10_scd2 _,
+    "f11_collation" -> f11_collation _,
+    "e13_variant" -> e13_variant _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1334,6 +1449,70 @@ object CoreQueries {
         |  SELECT user_id, event_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events
-        |) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+        |) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "a25_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS amount FROM w
+        |UNION ALL SELECT l_returnflag, 'price' AS measure, price AS amount FROM w
+        |UNION ALL SELECT l_returnflag, 'disc' AS measure, disc AS amount FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "a26_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, d, cents,
+        |    count(*) OVER w AS n,
+        |    sum(cents) OVER w AS s1,
+        |    sum(cents * cents) OVER w AS ss
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, d, CAST(cents AS DOUBLE) / 100.0 AS x,
+        |  (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / sqrt((CAST(ss AS DOUBLE)
+        |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)) AS z,
+        |  abs((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / sqrt((CAST(ss AS DOUBLE)
+        |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE))) > 2.0 AS is_anomaly
+        |FROM r WHERE n >= 4 ORDER BY event_type, d""".stripMargin,
+    "j10_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        |  FROM events WHERE user_id < 8),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_ms, event_type FROM (
+        |    SELECT user_id, event_id, ts_ms, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |        AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id, event_id, event_type AS state, ts_ms AS valid_from,
+        |  COALESCE(lead(ts_ms) OVER w, 253402300800000) AS valid_to,
+        |  lead(ts_ms) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "f11_collation" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE lower(lang) = lower('EN')
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "e13_variant" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

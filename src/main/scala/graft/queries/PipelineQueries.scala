@@ -1528,6 +1528,112 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // g3: multi-source BFS hop distance — "how many clicks from a seed
+  // page", the crawl-frontier depth signal quality pipelines bucket by
+  // (seed-distance correlates with page quality in web corpora). The
+  // planted graph is the d10 chain family plus +10 "express" edges, so
+  // min-hop = greedy decomposition r = 10a + b → a + b hops, a closed
+  // form the oracle computes arithmetically while the Spark side runs
+  // the real 13-round frontier iteration (delta frontier, one O(|E|)
+  // shuffle per round — see Graphs.bfsHops).
+  def g3_bfs_hops(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val step1 = d.where(pmod(col("doc_id"), lit(50)) =!= 49)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    val step10 = d.where(pmod(col("doc_id"), lit(50)) <= 39)
+      .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
+    val edges = step1.unionByName(step10)
+      .join(d.select(col("doc_id").as("dst")), Seq("dst")) // extant nodes only
+    val sources = d.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("id"))
+    Graphs.bfsHops(edges, sources, maxHops = 13)
+      .select(col("id").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
+  // p17: compaction planning — bin-pack small segment files into
+  // ~target-byte compaction groups (the small-file problem: a streaming
+  // ingest lands thousands of KB-scale rollup segments per hour — the
+  // reference's collector emits one per closed block — and scan
+  // efficiency needs them re-packed toward the parquet row-group
+  // sweet spot). Greedy first-fit in file order = assign each file the
+  // bin its cumulative START offset falls in: one window cumsum per
+  // source partition, exact integer arithmetic end-to-end. At 100 TB
+  // the frame is manifest-sized (one row per FILE, not per data row),
+  // so even a million-file table plans in one executor wave.
+  def p17_compaction_plan(s: SparkSession, dir: String): DataFrame = {
+    val target = 25000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("start_off", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_off div $target"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy("source", "bin")
+  }
+
+  // d14: fuzzy (edit-distance) dedup pairs — catches the OCR-noise /
+  // minor-edit duplicate class where token-set measures (d2/d4) stay
+  // high but byte-exact d1 misses. Quadratic lev(a, b) can never run
+  // all-pairs at corpus scale, so candidates are BLOCKED on
+  // (lang, length-bucket) with the standard two-shifted-grids trick:
+  // buckets floor(n/50) and floor((n+25)/50) jointly cover every pair
+  // with |Δn| ≤ 24 exactly once or twice (an interval of length ≤ 24
+  // cannot cross a boundary of BOTH 25-shifted 50-grids), and the
+  // distance runs on fixed 80-char prefixes so per-pair cost is O(80²)
+  // regardless of document length. distinct() collapses the ≤ 2 grid
+  // hits per pair. The oracle brute-forces the same predicate over the
+  // lang-blocked cross product — feasible at sf0.01, which is the point
+  // of blocking.
+  def d14_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      col("n_chars"), substring(col("text"), 1, 80).as("prefix"))
+    val withBuckets = base.withColumn("bucket",
+        array(expr("n_chars div 50"), expr("(n_chars + 25) div 50")))
+      .withColumn("bucket", explode(col("bucket")))
+    val a = withBuckets.select(col("lang"), col("bucket"),
+      col("doc_id").as("id_a"), col("n_chars").as("n_a"),
+      col("prefix").as("pfx_a"))
+    val b = withBuckets.select(col("lang"), col("bucket"),
+      col("doc_id").as("id_b"), col("n_chars").as("n_b"),
+      col("prefix").as("pfx_b"))
+    a.join(b, Seq("lang", "bucket"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("n_a") - col("n_b")) <= 24)
+      .withColumn("dist",
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+      .where(col("dist") <= 20)
+      .select(col("id_a"), col("id_b"), col("dist")).distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  // t20: URL parsing + domain blocklist — the UT1-blocklist-style
+  // source filter every crawl pipeline runs before anything else.
+  // Spark's parse_url (codegen'd) extracts HOST/PATH; the blocklist is
+  // a broadcast LEFT ANTI join, so at 100 TB the filter is map-side
+  // with zero shuffle. URLs are synthesized deterministically from the
+  // documents table (the container data has no URL column); the oracle
+  // reconstructs host/path with independent string algebra, so the
+  // parse itself is what gets cross-checked.
+  def t20_url_filter(s: SparkSession, dir: String): DataFrame = {
+    val urls = docs(s, dir).select(col("doc_id"), col("lang"),
+      concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id")).as("url"))
+    val parsed = urls.select(col("doc_id"),
+      parse_url(col("url"), lit("HOST")).as("host"),
+      parse_url(col("url"), lit("PATH")).as("path"))
+    val blocked = s.createDataFrame(
+      Seq("src3", "src7", "src11").map(Tuple1.apply))
+      .toDF("b").select(concat(col("b"), lit(".example.com")).as("host"))
+    parsed.join(broadcast(blocked), Seq("host"), "left_anti")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n"), min(col("path")).as("first_path"))
+      .orderBy("host")
+  }
+
   // d13: canonicalization dedup — exact dedup modulo case, punctuation
   // and whitespace (the "same page, different boilerplate" class that
   // byte-exact d1 misses and fuzzy d2 overkills). 50 planted variants
@@ -1606,6 +1712,10 @@ object PipelineQueries {
     "s22_bm25" -> s22_bm25 _,
     "p14_group_split" -> p14_group_split _,
     "g1_pagerank" -> g1_pagerank _,
+    "g3_bfs_hops" -> g3_bfs_hops _,
+    "p17_compaction_plan" -> p17_compaction_plan _,
+    "d14_fuzzy_join" -> d14_fuzzy_join _,
+    "t20_url_filter" -> t20_url_filter _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2074,6 +2184,35 @@ object PipelineQueries {
         |FROM documents d JOIN a USING (source)
         |GROUP BY d.source, a.split ORDER BY source""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
+    "g3_bfs_hops" ->
+      """SELECT doc_id,
+        |  (doc_id % 50) // 10 + (doc_id % 50) % 10 AS dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p17_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM documents)
+        |SELECT source, CAST(start_off // 25000 AS BIGINT) AS bin,
+        |  count(*) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "d14_fuzzy_join" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 24
+        |WHERE levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t20_url_filter" ->
+      """SELECT source || '.example.com' AS host, count(*) AS n,
+        |  min('/' || lang || '/doc-' || doc_id) AS first_path
+        |FROM documents
+        |WHERE source NOT IN ('src3', 'src7', 'src11')
+        |GROUP BY 1 ORDER BY host""".stripMargin,
     // m10: every thumbnail pixel replayed via the analytic fixture pixel
     // at the integer NN source index (x·w div 8, y·h div 8)
     "m10_image_resize" ->

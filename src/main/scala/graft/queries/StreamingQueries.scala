@@ -877,7 +877,64 @@ object StreamingQueries {
       .orderBy(col("event_type"), desc("cnt"), col("bucket"))
   }
 
+  /** st17: the arbitrary-state operator on Spark 4's transformWithState
+    * API — the successor to flatMapGroupsWithState and the general
+    * escape hatch for reference-style custom aggregation state
+    * (per-key sketch buffers, open rollup blocks) that windowed aggs
+    * can't express. A ValueState[(count, cents)] per user is read,
+    * folded over the batch's rows, written back, and the updated total
+    * is emitted each micro-batch; the cents are per-row exact decimal
+    * ×100 integers, so the fold is 64-bit integer arithmetic and the
+    * converged answer hash-matches the batch GROUP BY regardless of
+    * batch boundaries. transformWithState requires the RocksDB state
+    * store (set/restored around the one start() that binds it) — state
+    * lives on executor SSD with bounded block-cache memory, which is
+    * what makes per-key state viable when "users" is 10⁹ at 100 TB.
+    * The memory sink accumulates one emission per (user, batch); the
+    * final batch-side `max(struct(n, cents))` keeps each user's last
+    * (count is strictly increasing), a driver-free reduction.
+    */
+  def st17_transform_with_state(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val plan = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(streamDir(s, dir))
+        .select(col("user_id"), (dec(col("value")) * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningCentsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+      val q = withStatePartitions(s, 8) {
+        plan.writeStream
+          .format("memory").queryName("st17_transform_with_state")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table("st17_transform_with_state")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("cents"))).as("m"))
+      .select(col("user_id"), col("m.n").as("n"),
+        col("m.cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_transform_with_state" -> st17_transform_with_state _,
     "st15_stream_heavy_hitters" -> st15_stream_heavy_hitters _,
     "st1_stream_window" -> st1_stream_window _,
     "st9_stream_neardup" -> st9_stream_neardup _,
@@ -897,6 +954,12 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st17 converges to the batch per-user rollup (integer cents)
+    "st17_transform_with_state" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // st15: the exact per-group heavy-hitter set the streamed MG
     // candidate gate must produce (threshold N_g div 65 + 1)
     "st15_stream_heavy_hitters" ->
@@ -1039,4 +1102,37 @@ object StreamingQueries {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
   )
+}
+
+/** st17's emitted row: the running (count, cents) after each batch. */
+private[queries] case class StUserAgg(user_id: Long, n: Long, cents: Long)
+
+/** st17's StatefulProcessor: ValueState[(count, cents)] per user key,
+  * folded with 64-bit integer arithmetic (exact under any batch split).
+  * State access is get → fold → update once per (key, batch) — the
+  * access pattern RocksDB changelog checkpointing amortizes best. */
+private[queries] class RunningCentsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), StUserAgg] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+    TimerValues, ValueState}
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[StUserAgg] = {
+    var n = 0L
+    var c = 0L
+    if (state.exists()) {
+      val (pn, pc) = state.get()
+      n = pn; c = pc
+    }
+    rows.foreach { r => n += 1; c += r._2 }
+    state.update((n, c))
+    Iterator.single(StUserAgg(key, n, c))
+  }
 }

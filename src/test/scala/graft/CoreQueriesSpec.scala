@@ -70,4 +70,43 @@ class CoreQueriesSpec extends AnyFunSuite {
     val n = CoreQueries.j1_formula_add(spark, dir).count()
     assert(n > 0)
   }
+
+  test("j10_scd2 intervals tile each user's timeline without overlap") {
+    val rows = CoreQueries.j10_scd2(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"), r.getAs[Boolean]("is_current")))
+      .groupBy(_._1)
+    rows.foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(x => (x._2, x._3))
+      // each interval's valid_to is the next interval's valid_from
+      // (equal-ms change pairs collapse the interval to zero length but
+      // never overlap), and exactly the last one is open/current
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2); case _ =>
+      }
+      assert(sorted.count(_._4) == 1 && sorted.last._4)
+      assert(sorted.last._3 == 253402300800000L)
+    }
+  }
+
+  test("a25_unpivot is the exact long-form of the wide aggregate") {
+    val long = CoreQueries.a25_unpivot(spark, dir).collect()
+    val flags = long.map(_.getAs[String]("l_returnflag")).distinct
+    // 3 measures per flag, no nulls, measure names fixed
+    assert(long.length == flags.length * 3)
+    assert(long.map(_.getAs[String]("measure")).toSet ==
+      Set("qty", "price", "disc"))
+    assert(long.forall(!_.isNullAt(2)))
+  }
+
+  test("a26 z-scores: flagged rows all exceed the 2-sigma threshold") {
+    val rows = CoreQueries.a26_rolling_anomaly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(!z.isNaN && !z.isInfinite)
+      assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
+    }
+  }
 }

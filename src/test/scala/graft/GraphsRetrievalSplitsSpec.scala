@@ -153,4 +153,33 @@ class GraphsRetrievalSplitsSpec extends AnyFunSuite {
       Splits.groupSplit(df, "site", trainPermille = 990, valPermille = 20)
     }
   }
+
+  // ------------------------------------------------------------ BFS
+
+  test("bfsHops: path graph distances from one source") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val src = Seq(0L).toDF("id")
+    val r = Graphs.bfsHops(edges, src, maxHops = 9)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == (0L to 9L).map(i => i -> i).toMap)
+  }
+
+  test("bfsHops: multi-source takes the min; maxHops truncates the rim") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val src = Seq(0L, 6L).toDF("id")
+    val r = Graphs.bfsHops(edges, src, maxHops = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // nodes 7..9 are closer to source 6; node 4+ beyond maxHops from 0
+    assert(r == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      6L -> 0L, 7L -> 1L, 8L -> 2L, 9L -> 3L))
+  }
+
+  test("bfsHops: shortcut edges beat the long way (min over paths)") {
+    // 0→1→2→…→20 plus express 0→10; dist(12) = 3 via express
+    val edges = ((0L until 20L).map(i => (i, i + 1)) :+ (0L, 10L))
+      .toDF("src", "dst")
+    val r = Graphs.bfsHops(edges, Seq(0L).toDF("id"), maxHops = 20)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) == 1L && r(12L) == 3L && r(9L) == 9L && r(20L) == 11L)
+  }
 }

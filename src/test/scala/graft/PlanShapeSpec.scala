@@ -522,4 +522,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("decimal("),
       s"nano-unit longs must carry the sums — no decimal ops:\n$p")
   }
+
+  test("a25_unpivot: melt is an Expand over the aggregate — no join, " +
+    "no extra shuffle") {
+    val p = plan(CoreQueries.queries("a25_unpivot")(spark, dir))
+    assert(p.contains("Expand"), s"unpivot should compile to Expand:\n$p")
+    assert(!p.contains("Join"), s"melt must not join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"only the aggregate's exchange expected, found $exchanges:\n$p")
+  }
+
+  test("j10_scd2: both windows share ONE exchange + sort on (user, ts)") {
+    val p = plan(CoreQueries.queries("j10_scd2")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"lag and lead must reuse one shuffle, found $exchanges:\n$p")
+  }
+
+  test("t20_url_filter: blocklist is a broadcast LEFT ANTI join") {
+    val p = plan(PipelineQueries.queries("t20_url_filter")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist filter must broadcast, never shuffle the corpus:\n$p")
+  }
+
+  test("d14_fuzzy_join: candidates join on (lang, bucket) equi-keys — " +
+    "never a cartesian/BNL product") {
+    val p = plan(PipelineQueries.queries("d14_fuzzy_join")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must stay blocked (equi-join):\n$p")
+  }
+
+  test("p17_compaction_plan: manifest-sized window then re-agg — " +
+    "no more than 2 exchanges") {
+    val p = plan(PipelineQueries.queries("p17_compaction_plan")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"window + group-by should bound exchanges at 2, found $exchanges:\n$p")
+  }
 }
