@@ -570,6 +570,23 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("source")
 
+  // w2: per-event trailing-hour count via a time-RANGE window frame —
+  // "how many errors in the hour before this one", the point-in-time
+  // context column behind burst detection and rate-limit audits. RANGE
+  // on the epoch-ms key (not ROWS) makes the frame a time predicate:
+  // ties share a frame and sparse periods shrink it, so the semantics
+  // survive any event density. One shuffle on event_type; the frame
+  // scan is the sliding-window pass within each sorted partition.
+  def w2_sliding_range(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 1000000").as("ts_ms"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .orderBy("event_id")
+  }
+
   // e13 (Spark 4 VARIANT): parse_json → an open-schema VARIANT column,
   // fields extracted with variant_get at query time. Unlike e12's
   // from_json (fixed struct schema declared up front), VARIANT is the
@@ -1028,6 +1045,7 @@ object CoreQueries {
     "j10_scd2" -> j10_scd2 _,
     "f11_collation" -> f11_collation _,
     "e13_variant" -> e13_variant _,
+    "w2_sliding_range" -> w2_sliding_range _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1505,6 +1523,11 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "w2_sliding_range" ->
+      """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "e13_variant" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k

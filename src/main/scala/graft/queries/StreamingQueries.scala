@@ -933,7 +933,103 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** st18: HOPPING (sliding) windows on the stream — 10-minute windows
+    * every 5 minutes, the overlap shape dashboards use for smooth rate
+    * curves (st1 covers the tumbling special case). Each event lands in
+    * exactly length/slide = 2 windows; Spark expands the assignment
+    * map-side before the stateful aggregation, so state size scales
+    * with open windows × groups, not events. Complete-mode memory sink
+    * for the oracle compare, which replays the 2-window expansion as a
+    * UNION ALL of the two shifted 5-minute grids.
+    */
+  def st18_sliding_window(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(streamDir(s, dir))
+    val plan = src
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        window(col("ts_t"), "600 seconds", "300 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("dtotal"))
+    val q = withStatePartitions(s, 8) {
+      plan.writeStream
+        .format("memory").queryName("st18_sliding_window")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.table("st18_sliding_window")
+      .select(
+        expr("unix_millis(window.start)").as("step_ts"),
+        col("event_type"), col("n"),
+        col("dtotal").cast("double").as("total"))
+      .orderBy("step_ts", "event_type")
+  }
+
+  /** st19: timer-driven streaming sessionization on transformWithState —
+    * the full arbitrary-state lifecycle (value state + event-time TIMERS)
+    * that st17's fold never exercises. Per user, a (start, end, n) open
+    * session lives in state; a gap > 30 min inside or across batches
+    * emits the closed session inline, and the FINAL open session is
+    * flushed by an event-time timer at end + gap once the watermark
+    * passes it — the sentinel stream's far-future rows lift the
+    * watermark at replay end exactly as they seal st13's outer join.
+    * Stale timers are deleted on every re-registration, and the expiry
+    * handler double-checks expiry == end + gap, so a session is emitted
+    * exactly once. Converges to the batch a21 sessionization (same gap,
+    * same oracle shape) because file delivery is event-time-ordered
+    * (event_id range partitioning over a ts-monotone table). State is
+    * one tuple per ACTIVE user — the 100 TB win over a21's global
+    * window sort when sessions are queried continuously.
+    */
+  def st19_timer_sessions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val plan = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(sentinelStreamDir(s, dir))
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts_t"))
+        .withWatermark("ts_t", "60 days")
+        .select(col("user_id"), expr("unix_millis(ts_t)").as("ts_ms"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionProcessor(1800000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+      val q = withStatePartitions(s, 8) {
+        plan.writeStream
+          .format("memory").queryName("st19_timer_sessions")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table("st19_timer_sessions")
+      .where(col("user_id") >= 0) // drop the watermark sentinel's key
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "start_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_timer_sessions" -> st19_timer_sessions _,
+    "st18_sliding_window" -> st18_sliding_window _,
     "st17_transform_with_state" -> st17_transform_with_state _,
     "st15_stream_heavy_hitters" -> st15_stream_heavy_hitters _,
     "st1_stream_window" -> st1_stream_window _,
@@ -954,6 +1050,36 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st19: timer-flushed streaming sessions converge to the batch
+    // 30-min-gap sessionization (a21's CTE without the session index)
+    "st19_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
+    // st18: every event belongs to the two 5-min-shifted 10-min windows
+    "st18_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |w AS (
+        |  SELECT (ms // 300000) * 300000 AS step_ts, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (ms // 300000 - 1) * 300000 AS step_ts, event_type, value
+        |  FROM e)
+        |SELECT step_ts, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY step_ts, event_type""".stripMargin,
     // st17 converges to the batch per-user rollup (integer cents)
     "st17_transform_with_state" ->
       """SELECT user_id, count(*) AS n,
@@ -1106,6 +1232,81 @@ object StreamingQueries {
 
 /** st17's emitted row: the running (count, cents) after each batch. */
 private[queries] case class StUserAgg(user_id: Long, n: Long, cents: Long)
+
+/** st19's emitted row: one closed session per user. */
+private[queries] case class StSession(
+    user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+/** st19's StatefulProcessor: watermark-correct 30-min-gap sessionization.
+  * Event timestamps BUFFER in ListState and sessions are only finalized
+  * in the timer handler once the watermark passes end + gap — the
+  * semantics every correct out-of-order sessionizer needs: a session is
+  * not closed until no in-watermark event can still extend it. (A first
+  * cut folded sessions incrementally in handleInputRows assuming
+  * batches arrive in event-time order; the file source's batch order is
+  * NOT contractual — modification-time ties reorder the initial listing
+  * — and the fold mis-merged across batches, flakily. Buffering makes
+  * arrival order irrelevant by construction.) State per key is the
+  * events inside the watermark horizon — the same bound the built-in
+  * session_window operator pays; one timer per key tracks max-ts + gap,
+  * and on expiry every session sealed by the current watermark is
+  * emitted in order, exactly once. */
+private[queries] class SessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), StSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+    OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var buf: ListState[Long] = _
+  @transient private var maxTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[Long]("buf",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    maxTs = getHandle.getValueState[Long]("maxTs",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[StSession] = {
+    val ts = rows.map(_._2).toArray
+    buf.appendList(ts)
+    val newMax = math.max(ts.max, if (maxTs.exists()) maxTs.get() else Long.MinValue)
+    if (maxTs.exists() && maxTs.get() != newMax)
+      getHandle.deleteTimer(maxTs.get() + gapMs)
+    if (!maxTs.exists() || maxTs.get() != newMax) {
+      maxTs.update(newMax)
+      getHandle.registerTimer(newMax + gapMs)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[StSession] = {
+    if (!buf.exists()) return Iterator.empty
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val ts = buf.get().toArray.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[StSession]
+    val retained = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < ts.length) {
+      var j = i // [i, j] = one maximal gap-free run
+      while (j + 1 < ts.length && ts(j + 1) - ts(j) <= gapMs) j += 1
+      if (ts(j) + gapMs <= wm && retained.isEmpty)
+        out += StSession(key, ts(i), ts(j), j - i + 1L)
+      else // unsealed (or after an unsealed one): keep buffered
+        retained ++= ts.slice(i, j + 1)
+      i = j + 1
+    }
+    buf.clear(); maxTs.clear()
+    if (retained.nonEmpty) {
+      buf.appendList(retained.toArray)
+      maxTs.update(retained.last)
+      getHandle.registerTimer(retained.last + gapMs)
+    }
+    out.iterator
+  }
+}
 
 /** st17's StatefulProcessor: ValueState[(count, cents)] per user key,
   * folded with 64-bit integer arithmetic (exact under any batch split).
