@@ -557,6 +557,36 @@ object CoreQueries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // j11: MERGE/upsert as dataflow — the lakehouse write path (apply a
+  // changeset of update/delete/insert actions onto a base table)
+  // expressed as ONE full-outer join on the key plus a CASE projection,
+  // which is exactly what engine MERGE implementations lower to. The
+  // changeset here is derived deterministically from the base (keys
+  // ≡0 mod 7 update, mod 11 delete, mod 13 insert re-keyed out of
+  // range) so the oracle replays it verbatim. At 100 TB the join
+  // shuffles both sides on the key once — or zero times on a bucketed
+  // layout (j9) — and the changeset side is typically small enough to
+  // broadcast; AQE picks that at runtime from its actual size.
+  def j11_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val upd = base.where(pmod(col("k"), lit(7)) === 0)
+      .select(col("k"), (col("v") * 0.5).as("nv"), lit("update").as("action"))
+    val del = base.where(pmod(col("k"), lit(11)) === 0 &&
+        pmod(col("k"), lit(7)) =!= 0)
+      .select(col("k"), lit(0.0).as("nv"), lit("delete").as("action"))
+    val ins = base.where(pmod(col("k"), lit(13)) === 0)
+      .select((col("k") + 10000000L).as("k"), lit(1.0).as("nv"),
+        lit("insert").as("action"))
+    base.join(upd.unionByName(del).unionByName(ins), Seq("k"), "full_outer")
+      .where(coalesce(col("action"), lit("")) =!= "delete")
+      .select(col("k"),
+        when(col("action").isin("update", "insert"), col("nv"))
+          .otherwise(col("v")).as("v"),
+        coalesce(col("action"), lit("keep")).as("action"))
+      .orderBy("k")
+  }
+
   // f11 (Spark 4 collations): case-insensitive predicate via a UTF8_LCASE
   // collated comparison — the collation rides the *type*, so the filter
   // stays a plain codegen'd predicate (no lower() wrapper materializing a
@@ -1046,6 +1076,7 @@ object CoreQueries {
     "f11_collation" -> f11_collation _,
     "e13_variant" -> e13_variant _,
     "w2_sliding_range" -> w2_sliding_range _,
+    "j11_merge_upsert" -> j11_merge_upsert _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1523,6 +1554,22 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "j11_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |chg AS (
+        |  SELECT k, v * 0.5 AS nv, 'update' AS action FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 0.0 AS nv, 'delete' AS action FROM base
+        |  WHERE k % 11 = 0 AND k % 7 != 0
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, 1.0 AS nv, 'insert' AS action FROM base
+        |  WHERE k % 13 = 0)
+        |SELECT COALESCE(b.k, c.k) AS k,
+        |  CASE WHEN c.action IN ('update', 'insert') THEN c.nv ELSE b.v END AS v,
+        |  COALESCE(c.action, 'keep') AS action
+        |FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+        |WHERE COALESCE(c.action, '') != 'delete'
+        |ORDER BY k""".stripMargin,
     "w2_sliding_range" ->
       """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
         |  count(*) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)

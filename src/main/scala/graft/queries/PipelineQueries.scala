@@ -1613,6 +1613,40 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // s25: late-interaction (MaxSim) retrieval — ColBERT-style scoring
+  // where query and document are each a BAG of vectors and
+  // score = Σ_q max_d ⟨q, d⟩, the retrieval shape that beats
+  // single-vector cosine on long documents. Multi-vector docs are
+  // synthesized as groups of 4 consecutive embedding rows; the 4-vector
+  // query side broadcasts, the dot products run as codegen'd
+  // zip_with + aggregate higher-order expressions (no UDF), and the
+  // two-level max-then-sum is two hash aggregations. Per-query maxes
+  // pass through DECIMAL before the final sum so the 4-way addition is
+  // order-independent — the oracle replays it with list_dot_product.
+  // At 100 TB: cost is one scan of the vector table × |Q| broadcast
+  // rows; the (m_id, q_idx) aggregate is map-side partial because the
+  // grouping key extends the scan's natural grain.
+  def s25_maxsim(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val d = e.select(expr("vec_id div 4").as("m_id"), col("embedding"))
+    val q = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("q_idx"), col("embedding").as("qe"))
+    d.join(broadcast(q))
+      .select(col("m_id"), col("q_idx"),
+        expr("""aggregate(
+                 zip_with(embedding, qe,
+                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("dot"))
+      .groupBy(col("m_id"), col("q_idx"))
+      .agg(max(col("dot")).as("mx"))
+      .groupBy(col("m_id"))
+      .agg(sum(col("mx").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double").as("score"))
+      .orderBy(desc("score"), col("m_id"))
+      .limit(10)
+      .select(col("m_id"), round(col("score"), 6).as("score"))
+  }
+
   // t20: URL parsing + domain blocklist — the UT1-blocklist-style
   // source filter every crawl pipeline runs before anything else.
   // Spark's parse_url (codegen'd) extracts HOST/PATH; the blocklist is
@@ -1719,6 +1753,7 @@ object PipelineQueries {
     "p17_compaction_plan" -> p17_compaction_plan _,
     "d14_fuzzy_join" -> d14_fuzzy_join _,
     "t20_url_filter" -> t20_url_filter _,
+    "s25_maxsim" -> s25_maxsim _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2210,6 +2245,22 @@ object PipelineQueries {
         | AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    "s25_maxsim" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_idx, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 4),
+        |d AS (
+        |  SELECT vec_id // 4 AS m_id, embedding::DOUBLE[] AS de
+        |  FROM embeddings),
+        |mx AS (
+        |  SELECT m_id, q_idx, max(list_dot_product(de, qe)) AS mx
+        |  FROM d, q GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT m_id,
+        |    CAST(sum(CAST(mx AS DECIMAL(28,10))) AS DOUBLE) AS score
+        |  FROM mx GROUP BY 1)
+        |SELECT m_id, round(score, 6) AS score FROM sc
+        |ORDER BY sc.score DESC, m_id LIMIT 10""".stripMargin,
     "t20_url_filter" ->
       """SELECT source || '.example.com' AS host, count(*) AS n,
         |  min('/' || lang || '/doc-' || doc_id) AS first_path
