@@ -1027,7 +1027,58 @@ object StreamingQueries {
       .orderBy("user_id", "start_ms")
   }
 
+  /** st20: per-group cardinality on transformWithState MAP state — the
+    * third state primitive (st17 value, st19 list). MapState[user → n]
+    * keyed by event_type gives per-key point lookups and incremental
+    * updates WITHOUT rewriting the whole value each batch — the access
+    * pattern that matters when one group's sub-state is large (RocksDB
+    * stores each map entry as its own key). Emits the running
+    * (distinct_users, n_events) per batch; both are monotone, so the
+    * converged answer is the per-type max, hash-checked against the
+    * batch GROUP BY. This is st7's distinct-count expressed as explicit
+    * state — exact, with state O(distinct users) per group, the
+    * operator you reach for when approximate (a6 HLL) isn't allowed.
+    */
+  def st20_map_state(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val plan = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(streamDir(s, dir))
+        .select(col("event_type"), col("user_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeCardProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+      val q = withStatePartitions(s, 8) {
+        plan.writeStream
+          .format("memory").queryName("st20_map_state")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table("st20_map_state")
+      .groupBy(col("event_type"))
+      .agg(max(col("distinct_users")).as("distinct_users"),
+        max(col("n_events")).as("n_events"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_map_state" -> st20_map_state _,
     "st19_timer_sessions" -> st19_timer_sessions _,
     "st18_sliding_window" -> st18_sliding_window _,
     "st17_transform_with_state" -> st17_transform_with_state _,
@@ -1050,6 +1101,11 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st20: map-state distinct converges to the exact batch GROUP BY
+    "st20_map_state" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // st19: timer-flushed streaming sessions converge to the batch
     // 30-min-gap sessionization (a21's CTE without the session index)
     "st19_timer_sessions" ->
@@ -1232,6 +1288,48 @@ object StreamingQueries {
 
 /** st17's emitted row: the running (count, cents) after each batch. */
 private[queries] case class StUserAgg(user_id: Long, n: Long, cents: Long)
+
+/** st20's emitted row: running per-type cardinality after each batch. */
+private[queries] case class StTypeCard(
+    event_type: String, distinct_users: Long, n_events: Long)
+
+/** st20's StatefulProcessor: MapState[user_id → count] per event_type;
+  * per-entry point updates (no full-value rewrite), emitting the
+  * running (distinct, total) each batch. Distinct = map size, tracked
+  * incrementally in a ValueState so emission never scans the map. */
+private[queries] class TypeCardProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), StTypeCard] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+    TimerValues, MapState, ValueState}
+
+  @transient private var perUser: MapState[Long, Long] = _
+  @transient private var totals: ValueState[(Long, Long)] = _ // (distinct, n)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    perUser = getHandle.getMapState[Long, Long]("perUser",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[StTypeCard] = {
+    var (distinct, n) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, user) =>
+      if (perUser.containsKey(user)) {
+        perUser.updateValue(user, perUser.getValue(user) + 1L)
+      } else {
+        perUser.updateValue(user, 1L)
+        distinct += 1L
+      }
+      n += 1L
+    }
+    totals.update((distinct, n))
+    Iterator.single(StTypeCard(key, distinct, n))
+  }
+}
 
 /** st19's emitted row: one closed session per user. */
 private[queries] case class StSession(
