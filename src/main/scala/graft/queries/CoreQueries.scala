@@ -557,6 +557,36 @@ object CoreQueries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // u5 (Spark 4 recursive CTE): single-source reachability with hop
+  // distances in PURE SQL — WITH RECURSIVE lowers to Catalyst's
+  // UnionLoop, the declarative sibling of g3's hand-rolled dataflow
+  // BFS. The recursion guard (dist < 13) bounds the loop below the
+  // engine's cteRecursionLevelLimit; UNION ALL recursion re-visits
+  // nodes at multiple depths, so min(dist) aggregates the closure —
+  // at scale the per-level work is the same frontier ⋈ edges shuffle
+  // g3 pays, chosen by the engine instead of the author. DuckDB
+  // replays the identical recursion as the oracle.
+  def u5_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """WITH RECURSIVE reach(id, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + 1 FROM reach r
+        |  JOIN (
+        |    SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+        |    FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |    WHERE d.doc_id % 50 != 49
+        |    UNION ALL
+        |    SELECT d.doc_id, d.doc_id + 10
+        |    FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 10
+        |    WHERE d.doc_id % 50 <= 39
+        |  ) e ON e.src = r.id
+        |  WHERE r.dist < 13)
+        |SELECT id, min(dist) AS dist FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin)
+  }
+
   // j11: MERGE/upsert as dataflow — the lakehouse write path (apply a
   // changeset of update/delete/insert actions onto a base table)
   // expressed as ONE full-outer join on the key plus a CASE projection,
@@ -615,6 +645,33 @@ object CoreQueries {
         expr("ts div 1000000").as("ts_ms"))
       .withColumn("n_last_hour", count(lit(1)).over(w))
       .orderBy("event_id")
+  }
+
+  // e14 (Spark 4 SQL scripting): a two-phase adaptive report — a scalar
+  // derived FROM the data (half the max) becomes the filter threshold
+  // of the main query, expressed as a BEGIN…END script with a declared
+  // variable. Procedural control flow runs on the driver; each
+  // statement is a full Catalyst-planned query, so the data path stays
+  // distributed. The oracle replays it as a scalar subquery — the
+  // equivalence IS the point (scripting adds sequencing, not a new
+  // execution engine).
+  def e14_sql_script(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    try s.sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE;
+        |  SET thr = (SELECT max(value) * 0.5 FROM events);
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events WHERE value > thr
+        |  GROUP BY event_type ORDER BY event_type;
+        |END""".stripMargin)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None => s.conf.unset("spark.sql.scripting.enabled")
+    }
   }
 
   // e13 (Spark 4 VARIANT): parse_json → an open-schema VARIANT column,
@@ -1077,6 +1134,8 @@ object CoreQueries {
     "e13_variant" -> e13_variant _,
     "w2_sliding_range" -> w2_sliding_range _,
     "j11_merge_upsert" -> j11_merge_upsert _,
+    "u5_recursive_cte" -> u5_recursive_cte _,
+    "e14_sql_script" -> e14_sql_script _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1554,6 +1613,29 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "u5_recursive_cte" ->
+      """WITH RECURSIVE reach(id, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + 1 FROM reach r
+        |  JOIN (
+        |    SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+        |    FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |    WHERE d.doc_id % 50 != 49
+        |    UNION ALL
+        |    SELECT d.doc_id, d.doc_id + 10
+        |    FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 10
+        |    WHERE d.doc_id % 50 <= 39
+        |  ) e ON e.src = r.id
+        |  WHERE r.dist < 13)
+        |SELECT id, min(dist) AS dist FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin,
+    "e14_sql_script" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE value > (SELECT max(value) * 0.5 FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j11_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
         |chg AS (

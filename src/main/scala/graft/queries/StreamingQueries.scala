@@ -1077,7 +1077,67 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** st21: exactly-once recovery across a RESTART — the operational
+    * property every 100 TB streaming deployment actually banks on.
+    * Phase A streams half the segment files into an hourly windowed
+    * aggregation with an explicit checkpointLocation, then STOPS
+    * (AvailableNow drains and terminates). Phase B starts a NEW query
+    * from the SAME checkpoint with the remaining files landed: the
+    * source offset log skips everything phase A committed, the state
+    * store restores the open windows, and only the new files are read —
+    * yet the final complete-mode table equals the batch answer over ALL
+    * files (st1's oracle). A double-count (offset log ignored) or a
+    * zero-count (state lost) both hash-mismatch, so the checkpoint
+    * contract is what this entry verifies. The staging dir is rebuilt
+    * per invocation so every run exercises a fresh recovery.
+    */
+  def st21_checkpoint_restart(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = new java.io.File(Tables.tmpDirFor("graft_restart", dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val dataDir = new java.io.File(base, "data"); dataDir.mkdirs()
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val srcFiles = listParquet(new java.io.File(streamDir(s, dir)))
+      .map(new java.io.File(_)).sortBy(_.getName)
+    require(srcFiles.size >= 2, s"need >=2 stream files, got ${srcFiles.size}")
+    val (phaseA, phaseB) = srcFiles.splitAt(srcFiles.size / 2)
+    def land(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dataDir, f.getName).toPath)
+    }
+    def run(queryName: String): Unit = {
+      val plan = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dataDir.getAbsolutePath)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_t"), s"$STEP_MS milliseconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("dtotal"))
+      val q = withStatePartitions(s, 8) {
+        plan.writeStream
+          .format("memory").queryName(queryName)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    }
+    land(phaseA)
+    run("st21_phase_a") // drains phase A, commits offsets + state, stops
+    land(phaseB)
+    run("st21_checkpoint_restart") // recovers, reads ONLY the new files
+    s.table("st21_checkpoint_restart")
+      .select(
+        expr("unix_millis(window.start)").as("step_ts"),
+        col("event_type"), col("n"),
+        col("dtotal").cast("double").as("total"))
+      .orderBy("step_ts", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_checkpoint_restart" -> st21_checkpoint_restart _,
     "st20_map_state" -> st20_map_state _,
     "st19_timer_sessions" -> st19_timer_sessions _,
     "st18_sliding_window" -> st18_sliding_window _,
@@ -1101,6 +1161,13 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st21: recovery across restart must equal the batch answer over
+    // ALL files (double-count and state-loss both hash-mismatch)
+    "st21_checkpoint_restart" ->
+      """SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS step_ts,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY step_ts, event_type""".stripMargin,
     // st20: map-state distinct converges to the exact batch GROUP BY
     "st20_map_state" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
