@@ -557,6 +557,76 @@ object CoreQueries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // j12: null-aware anti join — NOT IN under three-valued logic, the
+  // classic correctness corner (a NULL probe value compares UNKNOWN to
+  // every list element, so the row is excluded — NOT "kept because it
+  // matched nothing"). Spark plans the null-aware single-column case
+  // as a broadcast null-aware anti join; a naive LeftAnti on equality
+  // would wrongly keep the NULL rows, and the DuckDB oracle's own 3VL
+  // NOT IN catches exactly that divergence.
+  def j12_null_aware_anti(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) % 7 = 0
+        |         THEN NULL
+        |         ELSE CAST(get_json_object(props, '$.k') AS BIGINT) END AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |WHERE k NOT IN (SELECT * FROM VALUES (5), (11), (23), (42) AS t(v))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  // w3: last-observation-carried-forward (LOCF) gap filling — sparse
+  // telemetry carries the last reported value forward until the next
+  // report, via last_value(..., ignoreNulls = true) over an unbounded
+  // preceding frame (the IGNORE NULLS window corner both engines must
+  // agree on). Values are nulled deterministically (k ≡ 0 mod 5) so
+  // the fill has real gaps to bridge; one exchange on user_id.
+  def w3_locf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .where(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"),
+        when(expr("CAST(get_json_object(props, '$.k') AS BIGINT) % 5 = 0"),
+          lit(null).cast("double")).otherwise(col("value")).as("v"))
+      .withColumn("v_filled", // leading rows before any report → -1.0
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0)))
+      .withColumn("was_gap", col("v").isNull)
+      .drop("v")
+      .orderBy("user_id", "event_id")
+  }
+
+  // a28: dense-series gap fill — charts need every step bucket present,
+  // so missing (day, type) cells are generated with sequence() +
+  // explode over the PER-TYPE day span and zero-filled by a left join
+  // (the reference's chart path zero-fills exactly like this before
+  // formula alignment — j1). The generated spine is |types| × |days|
+  // rows — trivial next to the fact scan at any scale — and the join
+  // broadcasts the daily aggregate when small or shuffles on the
+  // composite key when not; either way the scan happens once.
+  def a28_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000L
+    val daily = t(s, dir, "events")
+      .where(col("value") > 190.0) // sparse: most (day, type) cells empty
+      .groupBy(col("event_type"),
+        expr(s"(ts div 1000000) div $day").as("d"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    val span = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr(s"min((ts div 1000000) div $day)").as("d0"),
+        expr(s"max((ts div 1000000) div $day)").as("d1"))
+    val spine = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1)")).as("d"))
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy("event_type", "d")
+  }
+
   // u5 (Spark 4 recursive CTE): single-source reachability with hop
   // distances in PURE SQL — WITH RECURSIVE lowers to Catalyst's
   // UnionLoop, the declarative sibling of g3's hand-rolled dataflow
@@ -1136,6 +1206,9 @@ object CoreQueries {
     "j11_merge_upsert" -> j11_merge_upsert _,
     "u5_recursive_cte" -> u5_recursive_cte _,
     "e14_sql_script" -> e14_sql_script _,
+    "j12_null_aware_anti" -> j12_null_aware_anti _,
+    "w3_locf" -> w3_locf _,
+    "a28_gap_fill" -> a28_gap_fill _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1613,6 +1686,46 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "j12_null_aware_anti" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |         THEN NULL
+        |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |WHERE k NOT IN (5, 11, 23, 42)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w3_locf" ->
+      """SELECT user_id, event_id,
+        |  COALESCE(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+        |    AS v_filled,
+        |  v IS NULL AS was_gap
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
+        |         THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 8)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "a28_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events WHERE value > 190.0 GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, min(epoch_ms(ts) // 86400000) AS d0,
+        |    max(epoch_ms(ts) // 86400000) AS d1
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM span)
+        |SELECT s.event_type, s.d,
+        |  COALESCE(n, 0) AS n, COALESCE(total, 0.0) AS total
+        |FROM spine s LEFT JOIN daily dl
+        |  ON s.event_type = dl.event_type AND s.d = dl.d
+        |ORDER BY s.event_type, s.d""".stripMargin,
     "u5_recursive_cte" ->
       """WITH RECURSIVE reach(id, dist) AS (
         |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
