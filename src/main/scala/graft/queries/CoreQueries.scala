@@ -557,6 +557,49 @@ object CoreQueries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // a29: modern aggregate surface — argmax without a self-join via the
+  // max(struct) / max_by pair (both resolve the "row with the highest
+  // value" ask that otherwise costs a window), plus count_if /
+  // bool_or. Ties on value are broken INSIDE the ordering key
+  // (value·1e9 + id — exact integers under 2^53, so the composite is a
+  // total order both engines compute identically); a bare max_by on a
+  // tied key would be engine-arbitrary and can never hash-match.
+  def a29_agg_surface(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        (col("value") * 1000000000L + col("event_id")).as("ord"))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), col("ord")).as("top_event_id"),
+        max(col("value")).as("max_value"),
+        count_if(col("value") > 100.0).as("n_over_100"),
+        bool_or(col("value") > 190.0).as("any_over_190"))
+      .orderBy("event_type")
+
+  // u6: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+  // duplicates carry multiplicity (min / difference of counts), the
+  // variant u3's distinct set ops can't express; Spark lowers them to
+  // count-annotated joins (no exponential expansion).
+  def u6_bag_setops(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(floor(value) AS INT) div 10").as("decile"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("decile"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("decile"))
+    clicks.intersectAll(views)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_common"))
+      .join(
+        clicks.exceptAll(views)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_only")),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_only"), lit(0L)).as("n_only"))
+      .orderBy("user_id")
+  }
+
   // j12: null-aware anti join — NOT IN under three-valued logic, the
   // classic correctness corner (a NULL probe value compares UNKNOWN to
   // every list element, so the row is excluded — NOT "kept because it
@@ -1209,6 +1252,8 @@ object CoreQueries {
     "j12_null_aware_anti" -> j12_null_aware_anti _,
     "w3_locf" -> w3_locf _,
     "a28_gap_fill" -> a28_gap_fill _,
+    "a29_agg_surface" -> a29_agg_surface _,
+    "u6_bag_setops" -> u6_bag_setops _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1686,6 +1731,32 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "a29_agg_surface" ->
+      """SELECT event_type,
+        |  max_by(event_id, value * 1000000000 + event_id) AS top_event_id,
+        |  max(value) AS max_value,
+        |  CAST(count_if(value > 100.0) AS BIGINT) AS n_over_100,
+        |  bool_or(value > 190.0) AS any_over_190
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u6_bag_setops" ->
+      """WITH c AS (SELECT user_id, CAST(floor(value) AS INT) // 10 AS decile
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, CAST(floor(value) AS INT) // 10 AS decile
+        |  FROM events WHERE event_type = 'view'),
+        |common AS (
+        |  SELECT user_id, count(*) AS n_common FROM (
+        |    SELECT * FROM c INTERSECT ALL SELECT * FROM v)
+        |  GROUP BY user_id),
+        |only_c AS (
+        |  SELECT user_id, count(*) AS n_only FROM (
+        |    SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+        |  GROUP BY user_id)
+        |SELECT COALESCE(common.user_id, only_c.user_id) AS user_id,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  COALESCE(n_only, 0) AS n_only
+        |FROM common FULL OUTER JOIN only_c
+        |  ON common.user_id = only_c.user_id
+        |ORDER BY user_id""".stripMargin,
     "j12_null_aware_anti" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (
