@@ -557,6 +557,82 @@ object CoreQueries {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // a30: linear-interpolation gap fill — the third fill policy beside
+  // w3's LOCF and a28's zero-fill: a missing sample takes the value
+  // linearly interpolated between its nearest reports on either side
+  // (chart rendering's default). Four IGNORE-NULLS window passes (prev/
+  // next value and timestamp) share ONE (user, event_id) sort — the
+  // forward frame is the same sorted partition walked from the other
+  // end, no second exchange. The interpolation expression is plain
+  // double arithmetic mirrored verbatim in the oracle; edges fall back
+  // to the one-sided neighbor.
+  def a30_interp_fill(s: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val prec = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val foll = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val vOrNull = when(
+      expr("CAST(get_json_object(props, '$.k') AS BIGINT) % 5 = 0"),
+      lit(null).cast("double")).otherwise(col("value"))
+    val tOfV = when(col("v").isNotNull, col("ts_ms"))
+    t(s, dir, "events")
+      .where(col("user_id") < 8)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), vOrNull.as("v"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(prec))
+      .withColumn("pt", last(tOfV, ignoreNulls = true).over(prec))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(foll))
+      .withColumn("nt", first(tOfV, ignoreNulls = true).over(foll))
+      .select(col("user_id"), col("event_id"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, coalesce(col("nv"), lit(-1.0)))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("ts_ms") - col("pt")) / (col("nt") - col("pt")))
+          .as("v_filled"),
+        col("v").isNull.as("was_gap"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // w4: rank-function surface — rank / ntile / percent_rank / cume_dist
+  // over a unique order key (event_id), so every output is a total-order
+  // fact both engines must agree on bit-for-bit (percent_rank and
+  // cume_dist are (r-1)/(n-1) and r/n in IEEE doubles — identical
+  // expression, identical inputs).
+  def w4_rank_functions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .where(col("user_id") < 3)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("event_type", "event_id")
+  }
+
+  // j13: point-in-time (temporal) dimension lookup — each event joined
+  // to the SCD-2 state interval (j10) covering its timestamp, the
+  // "what was the customer's tier when the order landed" join every
+  // warehouse needs. The interval frame is change-row-sized (small
+  // next to the event scan), so the range predicate join broadcasts
+  // it; each event lands in exactly one [valid_from, valid_to)
+  // interval by construction.
+  def j13_scd2_lookup(s: SparkSession, dir: String): DataFrame = {
+    val intervals = j10_scd2(s, dir)
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"))
+    val ev = t(s, dir, "events")
+      .where(col("user_id") < 8)
+      .select(col("user_id"), expr("ts div 1000000").as("ts_ms"))
+    ev.join(broadcast(intervals), Seq("user_id"))
+      .where(col("ts_ms") >= col("valid_from") &&
+        col("ts_ms") < col("valid_to"))
+      .groupBy(col("user_id"), col("state"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "state")
+  }
+
   // a29: modern aggregate surface — argmax without a self-join via the
   // max(struct) / max_by pair (both resolve the "row with the highest
   // value" ask that otherwise costs a window), plus count_if /
@@ -1254,6 +1330,9 @@ object CoreQueries {
     "a28_gap_fill" -> a28_gap_fill _,
     "a29_agg_surface" -> a29_agg_surface _,
     "u6_bag_setops" -> u6_bag_setops _,
+    "a30_interp_fill" -> a30_interp_fill _,
+    "w4_rank_functions" -> w4_rank_functions _,
+    "j13_scd2_lookup" -> j13_scd2_lookup _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
     "a15_exact_quantiles" -> a15_exact_quantiles _,
     "a16_salted_agg" -> a16_salted_agg _,
@@ -1731,6 +1810,60 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "a30_interp_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
+        |         THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 8),
+        |x AS (
+        |  SELECT user_id, event_id, ts_ms, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+        |      OVER wf AS nt
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN COALESCE(nv, -1.0)
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN nt = pt THEN pv
+        |       ELSE pv + (nv - pv) * (ts_ms - pt) / (nt - pt) END AS v_filled,
+        |  v IS NULL AS was_gap
+        |FROM x ORDER BY user_id, event_id""".stripMargin,
+    "w4_rank_functions" ->
+      """SELECT event_type, event_id,
+        |  rank() OVER w AS rk, ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume
+        |FROM events WHERE user_id < 3
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "j13_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        |  FROM events WHERE user_id < 8),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_ms, event_type FROM (
+        |    SELECT user_id, event_id, ts_ms, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |        AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS NULL OR prev_type != event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS state, ts_ms AS valid_from,
+        |    COALESCE(lead(ts_ms) OVER w, 253402300800000) AS valid_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT e.user_id, iv.state, count(*) AS n_events
+        |FROM e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.ts_ms >= iv.valid_from AND e.ts_ms < iv.valid_to
+        |GROUP BY 1, 2 ORDER BY e.user_id, iv.state""".stripMargin,
     "a29_agg_surface" ->
       """SELECT event_type,
         |  max_by(event_id, value * 1000000000 + event_id) AS top_event_id,
