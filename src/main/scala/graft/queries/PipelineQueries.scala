@@ -1647,6 +1647,44 @@ object PipelineQueries {
       .select(col("m_id"), round(col("score"), 6).as("score"))
   }
 
+  // s26: distributed covariance matrix of the embedding space — the
+  // one-pass statistic PCA / whitening / Mahalanobis outlier scoring
+  // all start from. Shape at 100 TB: explode to (vec, dim, x), self-join
+  // per vector (each vector contributes its d(d+1)/2 upper-triangle
+  // products locally), and aggregate to d² cells with map-side partial
+  // combine — the shuffle carries AT MOST d(d+1)/2 partial sums per
+  // partition regardless of row count. Products accumulate in exact
+  // DECIMAL(38,12); cov = E[xy] − E[x]E[y] derives in a verbatim-
+  // mirrored double expression, so the full matrix hash-matches.
+  def s26_covariance(s: SparkSession, dir: String): DataFrame = {
+    val n = embs(s, dir).count() // plan-time scalar, one metadata-cheap pass
+    // 1e-6 input quantization → every accumulation is exact int64 (a
+    // double→decimal cast ties differently across engines; integers
+    // never do). Statistically invisible at covariance scale.
+    val el = embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+        expr("CAST(floor(CAST(xf AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("xq"))
+    val sums = el.groupBy(col("i")).agg(sum(col("xq")).as("sx"))
+    val prods = el.as("a")
+      .join(el.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xq") * col("b.xq")).as("xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xy")).as("sxy"))
+    prods
+      .join(broadcast(sums.select(col("i"), col("sx").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        expr(s"""CAST(sxy AS DOUBLE) / $n / 1000000000000.0
+                - (CAST(si AS DOUBLE) / $n / 1000000.0)
+                  * (CAST(sj AS DOUBLE) / $n / 1000000.0)""").as("cov"))
+      .orderBy("i", "j")
+  }
+
   // t20: URL parsing + domain blocklist — the UT1-blocklist-style
   // source filter every crawl pipeline runs before anything else.
   // Spark's parse_url (codegen'd) extracts HOST/PATH; the blocklist is
@@ -1754,6 +1792,7 @@ object PipelineQueries {
     "d14_fuzzy_join" -> d14_fuzzy_join _,
     "t20_url_filter" -> t20_url_filter _,
     "s25_maxsim" -> s25_maxsim _,
+    "s26_covariance" -> s26_covariance _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2245,6 +2284,29 @@ object PipelineQueries {
         | AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    "s26_covariance" ->
+      """WITH el AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      AS xq
+        |  FROM embeddings, generate_series(1, 64) AS t(i)),
+        |sums AS (
+        |  SELECT i, CAST(sum(xq) AS BIGINT) AS sx FROM el GROUP BY i),
+        |prods AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.xq * b.xq) AS BIGINT) AS sxy
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT p.i, p.j,
+        |  CAST(sxy AS DOUBLE) / n.n / 1000000000000.0
+        |    - (CAST(si.sx AS DOUBLE) / n.n / 1000000.0)
+        |      * (CAST(sj.sx AS DOUBLE) / n.n / 1000000.0)
+        |    AS cov
+        |FROM prods p
+        |JOIN sums si ON si.i = p.i
+        |JOIN sums sj ON sj.i = p.j
+        |CROSS JOIN n
+        |ORDER BY p.i, p.j""".stripMargin,
     "s25_maxsim" ->
       """WITH q AS (
         |  SELECT vec_id AS q_idx, embedding::DOUBLE[] AS qe
