@@ -1685,6 +1685,45 @@ object PipelineQueries {
       .orderBy("i", "j")
   }
 
+  // s27: embedding outlier scoring — diagonal Mahalanobis (per-dim
+  // z² sum), the cheap first-line filter for corrupted/off-manifold
+  // vectors before they poison ANN indexes or clustering. Entirely
+  // integer arithmetic on the 1e-6-quantized grid (s26's discipline):
+  // per-dim mean/variance come from exact int64 sums with floor
+  // division, and each vector's score is a sum of integer terms —
+  // order-free, so the distributed aggregation can never drift a bit.
+  // Shape at 100 TB: the 64-row stats frame broadcasts; scoring is
+  // map-side; the only shuffle is the final top-k
+  // (TakeOrderedAndProject).
+  def s27_embedding_outliers(s: SparkSession, dir: String): DataFrame = {
+    val n = embs(s, dir).count()
+    val el = embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+        expr("CAST(floor(CAST(xf AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("xq"))
+    // mq/vq via floor(double/n): si ≤ ~6e9 and ssi ≤ ~2e15 are exact in
+    // double (< 2^53), and floor of the identical quotient is the same
+    // in both engines — unlike bare integer division, which truncates
+    // toward zero in Spark but floors in DuckDB (sign-divergent).
+    val stats = el.groupBy(col("i"))
+      .agg(sum(col("xq")).as("si"), sum(col("xq") * col("xq")).as("ssi"))
+      .select(col("i"),
+        expr(s"CAST(floor(CAST(si AS DOUBLE) / $n) AS BIGINT)").as("mq"),
+        expr(s"""greatest(
+                  CAST(floor(CAST(ssi AS DOUBLE) / $n) AS BIGINT)
+                  - CAST(floor(CAST(si AS DOUBLE) / $n) AS BIGINT)
+                    * CAST(floor(CAST(si AS DOUBLE) / $n) AS BIGINT),
+                  1L)""").as("vq"))
+    el.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"),
+        expr("((xq - mq) * (xq - mq) * 1000) div vq").as("term"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("term")).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
   // t20: URL parsing + domain blocklist — the UT1-blocklist-style
   // source filter every crawl pipeline runs before anything else.
   // Spark's parse_url (codegen'd) extracts HOST/PATH; the blocklist is
@@ -1793,6 +1832,7 @@ object PipelineQueries {
     "t20_url_filter" -> t20_url_filter _,
     "s25_maxsim" -> s25_maxsim _,
     "s26_covariance" -> s26_covariance _,
+    "s27_embedding_outliers" -> s27_embedding_outliers _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2284,6 +2324,28 @@ object PipelineQueries {
         | AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    "s27_embedding_outliers" ->
+      """WITH el AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      AS xq
+        |  FROM embeddings, generate_series(1, 64) AS t(i)),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |stats AS (
+        |  SELECT i,
+        |    CAST(floor(CAST(sum(xq) AS DOUBLE) / n.n) AS BIGINT) AS mq,
+        |    greatest(
+        |      CAST(floor(CAST(sum(xq * xq) AS DOUBLE) / n.n) AS BIGINT)
+        |      - CAST(floor(CAST(sum(xq) AS DOUBLE) / n.n) AS BIGINT)
+        |        * CAST(floor(CAST(sum(xq) AS DOUBLE) / n.n) AS BIGINT),
+        |      1) AS vq
+        |  FROM el CROSS JOIN n GROUP BY i, n.n)
+        |SELECT vec_id, CAST(sum(term) AS BIGINT) AS score FROM (
+        |  SELECT el.vec_id,
+        |    ((el.xq - st.mq) * (el.xq - st.mq) * 1000) // st.vq AS term
+        |  FROM el JOIN stats st ON el.i = st.i)
+        |GROUP BY vec_id
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "s26_covariance" ->
       """WITH el AS (
         |  SELECT vec_id, i,
