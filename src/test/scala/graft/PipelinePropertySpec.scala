@@ -168,4 +168,30 @@ class PipelinePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d14's two-shifted-grid length blocking covers every |Δn| <= 24 " +
+    "pair and no |Δn| >= 50 pair") {
+    def buckets(n: Int): Set[Long] = Set(n / 50L, (n + 25) / 50L)
+    for (n1 <- 0 to 700; d <- 0 to 24)
+      assert(buckets(n1).intersect(buckets(n1 + d)).nonEmpty,
+        s"pair ($n1, ${n1 + d}) missed by the grids")
+    // sanity: the grids don't degenerate into matching everything —
+    // a base-grid bucket of one doc can coincide with the shifted-grid
+    // bucket of a doc up to 74 chars away (the |Δn| <= 24 join filter
+    // discards those), but beyond bucketWidth + shift no pair collides
+    for (n1 <- 0 to 700; d <- 75 to 90)
+      assert(buckets(n1).intersect(buckets(n1 + d)).isEmpty,
+        s"pair ($n1, ${n1 + d}) spuriously blocked together")
+  }
+
+  test("bfsHops is invariant under input repartitioning") {
+    val edges = (0L until 40L).flatMap { i =>
+      Seq((i, (i + 1) % 40), (i, (i + 7) % 40))
+    }.toDF("src", "dst")
+    val src = Seq(0L).toDF("id")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Graphs.bfsHops(e, src, maxHops = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(run(edges).sameElements(run(edges.repartition(13))))
+  }
 }
