@@ -746,6 +746,37 @@ object CoreQueries {
       .orderBy("event_type", "d")
   }
 
+  // e15: XML field extraction via the xpath_* family — the third
+  // semi-structured dialect beside JSON (e12/e13) and regex (e1).
+  // Payloads are synthesized from props (the container data ships no
+  // XML), so the oracle reconstructs the attribute independently and
+  // the xpath evaluation itself is what gets cross-checked.
+  def e15_xml_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("props").isNotNull)
+      .select(col("event_type"),
+        concat(lit("<e k=\""),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)"),
+          lit("\"/>")).as("xml"))
+      .select(col("event_type"),
+        xpath_long(col("xml"), lit("/e/@k")).as("k"))
+      .where(col("k") % 3 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  // o2: keyset-free pagination (ORDER BY … LIMIT … OFFSET) — the API
+  // layer's page-2 request. Spark executes offset+limit as a single
+  // TakeOrdered of offset+limit rows then drops the prefix — no global
+  // sort — which is the right plan as long as page·size stays
+  // API-bounded (the reference caps rows at 1000).
+  def o2_pagination(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(desc("value"), col("event_id"))
+      .offset(20)
+      .limit(20)
+
   // u5 (Spark 4 recursive CTE): single-source reachability with hop
   // distances in PURE SQL — WITH RECURSIVE lowers to Catalyst's
   // UnionLoop, the declarative sibling of g3's hand-rolled dataflow
@@ -1331,6 +1362,8 @@ object CoreQueries {
     "a29_agg_surface" -> a29_agg_surface _,
     "u6_bag_setops" -> u6_bag_setops _,
     "a30_interp_fill" -> a30_interp_fill _,
+    "e15_xml_extract" -> e15_xml_extract _,
+    "o2_pagination" -> o2_pagination _,
     "w4_rank_functions" -> w4_rank_functions _,
     "j13_scd2_lookup" -> j13_scd2_lookup _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
@@ -1810,6 +1843,17 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "e15_xml_extract" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |WHERE k % 3 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "o2_pagination" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 20 OFFSET 20""".stripMargin,
     "a30_interp_fill" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
