@@ -554,6 +554,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fuzzy join must stay blocked (equi-join):\n$p")
   }
 
+  test("o2_pagination: LIMIT+OFFSET compiles to a bounded TakeOrdered, " +
+    "never a global sort") {
+    val p = plan(CoreQueries.queries("o2_pagination")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pagination should be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"pagination must not global-sort:\n$p")
+  }
+
+  test("s27_embedding_outliers: stats broadcast; top-k is " +
+    "TakeOrderedAndProject") {
+    val p = plan(PipelineQueries.queries("s27_embedding_outliers")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"stats should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k shape missing:\n$p")
+  }
+
   test("p17_compaction_plan: manifest-sized window then re-agg — " +
     "no more than 2 exchanges") {
     val p = plan(PipelineQueries.queries("p17_compaction_plan")(spark, dir))
