@@ -564,7 +564,26 @@ object EngineQueries {
       .select(col("exact_tuples"))
   }
 
+  /** The reference's GET /api/v1/functionSpecs: the custom-function
+    * registry dumped as rows (reference QueryApi.scala:356-360 over
+    * ComputeFunction.getSpecs). Here the registry is
+    * [[graft.plans.GraftExtensions.functions]]; the oracle pins the
+    * EXACT published surface as a VALUES list, so dropping or renaming
+    * a SQL-registered function fails the correctness gate — the same
+    * contract an API consumer holds the reference to. */
+  def ast_function_specs(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      graft.plans.GraftExtensions.functions.map(_._1).sorted
+        .map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+      .orderBy("name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ast_function_specs" -> ast_function_specs _,
     "ast_chart_sum" -> ast_chart_sum _,
     "ast_formula_ratio" -> ast_formula_ratio _,
     "ast_extract_compute" -> ast_extract_compute _,
@@ -594,6 +613,22 @@ object EngineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the published SQL-function surface, pinned name by name
+    "ast_function_specs" ->
+      """SELECT * FROM (VALUES
+        |  ('ddsketch'), ('ddsketch_quantile'), ('ddsketch_quantile_of'),
+        |  ('hll_estimate'), ('hll_estimate_of'), ('hll_sketch'),
+        |  ('graft_byte_entropy'), ('graft_char_ngrams'), ('graft_cosine'),
+        |  ('graft_dd_from_proto'), ('graft_dd_proto'), ('graft_dd_proto_merge'),
+        |  ('graft_dd_proto_quantile'), ('graft_dd_proto_stat'),
+        |  ('graft_dd_to_proto'), ('graft_dot'), ('graft_hll_compat'),
+        |  ('graft_hll_compat_estimate'), ('graft_hll_compat_union'),
+        |  ('graft_int8_cosine'), ('graft_int8_quantize'), ('graft_minhash'),
+        |  ('graft_regex_extract_struct'), ('graft_simhash'), ('graft_theta'),
+        |  ('graft_theta_diff'), ('graft_theta_estimate'),
+        |  ('graft_theta_intersect'), ('graft_theta_union'),
+        |  ('graft_word_shingles')) AS t(name)
+        |ORDER BY name""".stripMargin,
     "ast_chart_sum" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts,
         |  event_type AS group_key, round(sum(value), 6) AS value
