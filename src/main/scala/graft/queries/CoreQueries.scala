@@ -1060,6 +1060,37 @@ object CoreQueries {
       .agg((count(lit(1)) / lit(3600.0)).as("rate"))
       .orderBy("step_ts")
 
+  // a31: counter increase() with RESET detection — the Prometheus
+  // semantic a12's naive count→rate cannot express: a monotone counter
+  // that wraps/restarts must contribute its post-reset value, not a
+  // negative delta. The counter is synthesized deterministically (per-
+  // user running cents modulo 1e7, so resets really occur), and every
+  // step is integer arithmetic over one (user → ts) window — exact
+  // under any partitioning. Per-series state is a lag(1), so at 100 TB
+  // this is one shuffle on the series key; the step re-aggregation is
+  // partial/final on top.
+  def a31_counter_increase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ctr", pmod(col("cum"), lit(10000000L)))
+      .withColumn("prev", lag(col("ctr"), 1).over(w))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(0L))
+          .when(col("ctr") >= col("prev"), col("ctr") - col("prev"))
+          .otherwise(col("ctr")))
+      .groupBy(expr("(ts_ms div 3600000) * 3600000").as("step_ts"))
+      .agg(sum(col("inc")).as("increase_cents"),
+        sum(when(col("prev").isNotNull && col("ctr") < col("prev"), 1L)
+          .otherwise(0L)).as("n_resets"))
+      .orderBy("step_ts")
+  }
+
   // ------------------------------------------------------------------ O*
   // O1 exemplar top-k: ORDER BY ts DESC LIMIT n → TakeOrderedAndProject
   def o1_topk(s: SparkSession, dir: String): DataFrame =
@@ -1364,6 +1395,7 @@ object CoreQueries {
     "a30_interp_fill" -> a30_interp_fill _,
     "e15_xml_extract" -> e15_xml_extract _,
     "o2_pagination" -> o2_pagination _,
+    "a31_counter_increase" -> a31_counter_increase _,
     "w4_rank_functions" -> w4_rank_functions _,
     "j13_scd2_lookup" -> j13_scd2_lookup _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
@@ -1843,6 +1875,29 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "a31_counter_increase" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    sum(cents) OVER w % 10000000 AS ctr
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT ts_ms, ctr,
+        |    lag(ctr) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |      AS prev
+        |  FROM c)
+        |SELECT (ts_ms // 3600000) * 3600000 AS step_ts,
+        |  CAST(sum(CASE WHEN prev IS NULL THEN 0
+        |                WHEN ctr >= prev THEN ctr - prev
+        |                ELSE ctr END) AS BIGINT) AS increase_cents,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ctr < prev
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+        |FROM d GROUP BY 1 ORDER BY step_ts""".stripMargin,
     "e15_xml_extract" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (
