@@ -1647,6 +1647,26 @@ object PipelineQueries {
       .select(col("m_id"), round(col("score"), 6).as("score"))
   }
 
+  // p18: weighted sampling without replacement (Efraimidis–Spiliopoulos
+  // A-Res): each row draws key = ln(u)/w from a deterministic uniform
+  // u = (mix32(id)+1)/2^32, and the global top-k by key IS a weighted
+  // sample — the distributed-friendly formulation (one
+  // TakeOrderedAndProject, no sequential scan over cumulative weights).
+  // Weights = n_chars, so long documents are proportionally likelier.
+  // Keys follow the t13/p16 nano-long contract (ln of an exact-integer-
+  // derived double, round-9, carried as BIGINT) so both engines rank
+  // the identical integers.
+  def p18_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("key_nanos",
+        expr("""CAST(round(round(
+                 ln(CAST(((doc_id % 2147483648) * 2654435761 % 4294967296)
+                         + 1 AS DOUBLE) / 4294967296.0)
+                 / n_chars, 9) * 1e9, 0) AS BIGINT)"""))
+      .orderBy(desc("key_nanos"), col("doc_id"))
+      .limit(20)
+
   // s26: distributed covariance matrix of the embedding space — the
   // one-pass statistic PCA / whitening / Mahalanobis outlier scoring
   // all start from. Shape at 100 TB: explode to (vec, dim, x), self-join
@@ -1833,6 +1853,7 @@ object PipelineQueries {
     "s25_maxsim" -> s25_maxsim _,
     "s26_covariance" -> s26_covariance _,
     "s27_embedding_outliers" -> s27_embedding_outliers _,
+    "p18_weighted_sample" -> p18_weighted_sample _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2324,6 +2345,14 @@ object PipelineQueries {
         | AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    "p18_weighted_sample" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(round(round(
+        |    ln(CAST(((doc_id % 2147483648) * 2654435761 % 4294967296)
+        |            + 1 AS DOUBLE) / 4294967296.0)
+        |    / n_chars, 9) * 1e9, 0) AS BIGINT) AS key_nanos
+        |FROM documents
+        |ORDER BY key_nanos DESC, doc_id LIMIT 20""".stripMargin,
     "s27_embedding_outliers" ->
       """WITH el AS (
         |  SELECT vec_id, i,
