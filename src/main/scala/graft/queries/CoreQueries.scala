@@ -1091,6 +1091,33 @@ object CoreQueries {
       .orderBy("step_ts")
   }
 
+  // a32: rolling 7-day actives (the WAU curve) — count DISTINCT users
+  // over a trailing window, which SQL window frames cannot express
+  // (no DISTINCT aggregate over a frame). The dataflow rewrite: dedup
+  // to (user, active_day), fan each pair out to the 7 report days it
+  // keeps the user active for (sequence + explode — bounded, exact),
+  // dedup again, count per day. At 100 TB the expansion is 7× the
+  // (user, day) DISTINCT pairs — dimension-table-sized next to the
+  // event scan — and every aggregation is partial/final.
+  def a32_rolling_actives(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000L
+    val active = t(s, dir, "events")
+      .select(col("user_id"), expr(s"(ts div 1000000) div $day").as("d"))
+      .distinct()
+    val span = t(s, dir, "events")
+      .agg(expr(s"min((ts div 1000000) div $day)").as("d0"),
+        expr(s"max((ts div 1000000) div $day)").as("d1"))
+    active
+      .select(col("user_id"),
+        explode(expr("sequence(d, d + 6)")).as("report_d"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .where(col("report_d") >= col("d0") && col("report_d") <= col("d1"))
+      .groupBy(col("report_d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("report_d")
+  }
+
   // ------------------------------------------------------------------ O*
   // O1 exemplar top-k: ORDER BY ts DESC LIMIT n → TakeOrderedAndProject
   def o1_topk(s: SparkSession, dir: String): DataFrame =
@@ -1396,6 +1423,7 @@ object CoreQueries {
     "e15_xml_extract" -> e15_xml_extract _,
     "o2_pagination" -> o2_pagination _,
     "a31_counter_increase" -> a31_counter_increase _,
+    "a32_rolling_actives" -> a32_rolling_actives _,
     "w4_rank_functions" -> w4_rank_functions _,
     "j13_scd2_lookup" -> j13_scd2_lookup _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
@@ -1875,6 +1903,22 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "a32_rolling_actives" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d
+        |  FROM events),
+        |span AS (
+        |  SELECT min(epoch_ms(ts) // 86400000) AS d0,
+        |    max(epoch_ms(ts) // 86400000) AS d1
+        |  FROM events),
+        |fan AS (
+        |  SELECT DISTINCT user_id, unnest(generate_series(d, d + 6))
+        |    AS report_d
+        |  FROM active)
+        |SELECT report_d, count(DISTINCT user_id) AS wau
+        |FROM fan CROSS JOIN span
+        |WHERE report_d >= d0 AND report_d <= d1
+        |GROUP BY report_d ORDER BY report_d""".stripMargin,
     "a31_counter_increase" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

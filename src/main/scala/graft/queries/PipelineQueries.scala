@@ -1647,6 +1647,34 @@ object PipelineQueries {
       .select(col("m_id"), round(col("score"), 6).as("score"))
   }
 
+  // t21: cross-source vocabulary overlap matrix — pairwise Jaccard of
+  // the per-source token sets, the corpus diagnostic behind "are these
+  // two crawls near-duplicates of each other / is this source already
+  // covered". The token-set frame dedups to (source, token) first
+  // (vocabulary-sized, tiny next to the corpus), so the pairwise join
+  // runs over vocabularies, not documents; |A∪B| derives from sizes
+  // and the intersection — never materialized. Exact integers; one
+  // double division per pair.
+  def t21_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    st.as("a")
+      .join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   // p18: weighted sampling without replacement (Efraimidis–Spiliopoulos
   // A-Res): each row draws key = ln(u)/w from a deterministic uniform
   // u = (mix32(id)+1)/2^32, and the global top-k by key IS a weighted
@@ -1854,6 +1882,7 @@ object PipelineQueries {
     "s26_covariance" -> s26_covariance _,
     "s27_embedding_outliers" -> s27_embedding_outliers _,
     "p18_weighted_sample" -> p18_weighted_sample _,
+    "t21_source_overlap" -> t21_source_overlap _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2345,6 +2374,22 @@ object PipelineQueries {
         | AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    "t21_source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS sz FROM st GROUP BY source),
+        |ix AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) AS jaccard
+        |FROM ix
+        |JOIN sz za ON za.source = src_a
+        |JOIN sz zb ON zb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "p18_weighted_sample" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(round(round(
