@@ -1013,6 +1013,23 @@ object CoreQueries {
         col("l_extendedprice"), Seq("p50" -> 0.5, "p95" -> 0.95))
       .orderBy("l_returnflag")
 
+  // a33: exact INTERPOLATED percentiles (the CONT convention — a15's
+  // selection helper implements DISC rank order statistics). Spark's
+  // `percentile` aggregate interpolates between neighboring order
+  // statistics; run over integer cents at quarter fractions, every
+  // term of the interpolation (ints < 2^53 and f ∈ {.25,.5,.75}) is
+  // exactly representable, so the two engines' formula shapes cannot
+  // diverge even in the last bit.
+  def a33_percentile_interp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), (dec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
+        (expr("percentile(cents, 0.5)") / 100.0).as("p50"),
+        (expr("percentile(cents, 0.75)") / 100.0).as("p75"))
+      .orderBy("event_type")
+
   // A16 (beyond the reference): two-phase salted aggregation for hot
   // keys — per-(key, salt) partial then per-key final, so a dominant key
   // spreads over n reducers instead of one. The salt derives from row
@@ -1424,6 +1441,7 @@ object CoreQueries {
     "o2_pagination" -> o2_pagination _,
     "a31_counter_increase" -> a31_counter_increase _,
     "a32_rolling_actives" -> a32_rolling_actives _,
+    "a33_percentile_interp" -> a33_percentile_interp _,
     "w4_rank_functions" -> w4_rank_functions _,
     "j13_scd2_lookup" -> j13_scd2_lookup _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
@@ -1903,6 +1921,16 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "a33_percentile_interp" ->
+      """SELECT event_type,
+        |  quantile_cont(cents, 0.25) / 100.0 AS p25,
+        |  quantile_cont(cents, 0.5) / 100.0 AS p50,
+        |  quantile_cont(cents, 0.75) / 100.0 AS p75
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a32_rolling_actives" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d

@@ -1647,6 +1647,24 @@ object PipelineQueries {
       .select(col("m_id"), round(col("score"), 6).as("score"))
   }
 
+  // p19: epoch reshuffling — a training loader wants a DIFFERENT
+  // deterministic global permutation each epoch (same-order epochs
+  // correlate gradient noise). Each epoch salts the replayable mix32
+  // ordering key with an epoch offset, giving an independent
+  // permutation that any engine (and any retry) reproduces; shard/pos
+  // come from the same globalShuffle machinery as p6, so one window
+  // per epoch over shard-partitioned hashes, no global sort.
+  def p19_epoch_shuffle(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"))
+    (0 until 2).map { e =>
+      Sampling.globalShuffle(base, "doc_id", numShards = 4,
+          score = Sampling.mix32(col("doc_id") + lit(e * 1000003L)))
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   // t21: cross-source vocabulary overlap matrix — pairwise Jaccard of
   // the per-source token sets, the corpus diagnostic behind "are these
   // two crawls near-duplicates of each other / is this source already
@@ -1883,6 +1901,7 @@ object PipelineQueries {
     "s27_embedding_outliers" -> s27_embedding_outliers _,
     "p18_weighted_sample" -> p18_weighted_sample _,
     "t21_source_overlap" -> t21_source_overlap _,
+    "p19_epoch_shuffle" -> p19_epoch_shuffle _,
     "d1_dedup_exact" -> d1_dedup_exact _,
     "d1_dedup_exact_rows" -> d1_dedup_exact_rows _,
     "d2_minhash_lsh" -> d2_minhash_lsh _,
@@ -2374,6 +2393,18 @@ object PipelineQueries {
         | AND abs(a.n_chars - b.n_chars) <= 24
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    "p19_epoch_shuffle" ->
+      """WITH ep AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch)),
+        |m AS (
+        |  SELECT epoch, doc_id,
+        |    ((doc_id + epoch * 1000003) % 2147483648)
+        |      * 2654435761 % 4294967296 AS h
+        |  FROM documents CROSS JOIN ep)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |  CAST(h % 4 AS BIGINT) AS shard,
+        |  row_number() OVER (PARTITION BY epoch, h % 4 ORDER BY h, doc_id) - 1
+        |    AS pos
+        |FROM m ORDER BY epoch, shard, pos""".stripMargin,
     "t21_source_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source,
