@@ -777,6 +777,23 @@ object CoreQueries {
       .offset(20)
       .limit(20)
 
+  // e16 (Spark 4 SQL pipe syntax): the |> operator chain — filter,
+  // derived column, aggregate, order — reading top-to-bottom like the
+  // DataFrame API while remaining pure SQL. Same Catalyst plan as the
+  // nested-SELECT equivalent (the oracle), which is the point: pipe
+  // syntax is parser sugar, not a new execution path.
+  def e16_pipe_syntax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """FROM events
+        ||> WHERE event_type IN ('click', 'purchase')
+        ||> EXTEND CAST(value AS DECIMAL(18,2)) AS dvalue
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(dvalue) AS DOUBLE) AS total
+        |   GROUP BY event_type
+        ||> ORDER BY event_type""".stripMargin)
+  }
+
   // u5 (Spark 4 recursive CTE): single-source reachability with hop
   // distances in PURE SQL — WITH RECURSIVE lowers to Catalyst's
   // UnionLoop, the declarative sibling of g3's hand-rolled dataflow
@@ -1438,6 +1455,7 @@ object CoreQueries {
     "u6_bag_setops" -> u6_bag_setops _,
     "a30_interp_fill" -> a30_interp_fill _,
     "e15_xml_extract" -> e15_xml_extract _,
+    "e16_pipe_syntax" -> e16_pipe_syntax _,
     "o2_pagination" -> o2_pagination _,
     "a31_counter_increase" -> a31_counter_increase _,
     "a32_rolling_actives" -> a32_rolling_actives _,
@@ -1970,6 +1988,11 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND ctr < prev
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
         |FROM d GROUP BY 1 ORDER BY step_ts""".stripMargin,
+    "e16_pipe_syntax" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e15_xml_extract" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (
