@@ -1211,6 +1211,27 @@ object CoreQueries {
         |ORDER BY is_total, event_type""".stripMargin)
   }
 
+  // a34: full CUBE with a grouping_id bitmask — all four aggregation
+  // levels of a 2-dim cube in ONE pass (Spark expands the grouping
+  // sets map-side via Expand, so the fact scan happens once, not
+  // per-level). grouping() bits disambiguate "NULL because aggregated"
+  // from a genuine NULL value — the correctness corner COALESCE alone
+  // would hide; both engines compute the same bit per column position.
+  def a34_cube(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events_cube")
+    s.sql(
+      """WITH e AS (
+        |  SELECT event_type, user_id % 4 AS ub, value FROM events_cube)
+        |SELECT COALESCE(event_type, '_all') AS event_type,
+        |  COALESCE(ub, -1) AS ub,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(event_type) AS BIGINT) * 2
+        |    + CAST(grouping(ub) AS BIGINT) AS gid
+        |FROM e GROUP BY CUBE (event_type, ub)
+        |ORDER BY gid, event_type, ub""".stripMargin)
+  }
+
   // ------------------------------------------------------------------ J*
   // J1 formula join — div semantics: inner join, drop zero denominator
   // (reference Formula.scala:59-63)
@@ -1460,6 +1481,7 @@ object CoreQueries {
     "a31_counter_increase" -> a31_counter_increase _,
     "a32_rolling_actives" -> a32_rolling_actives _,
     "a33_percentile_interp" -> a33_percentile_interp _,
+    "a34_cube" -> a34_cube _,
     "w4_rank_functions" -> w4_rank_functions _,
     "j13_scd2_lookup" -> j13_scd2_lookup _,
     "k2_dd_proto_interop" -> k2_dd_proto_interop _,
@@ -1939,6 +1961,17 @@ object CoreQueries {
       """SELECT source, count(*) AS n FROM documents
         |WHERE lower(lang) = lower('EN')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "a34_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 4 AS ub, value FROM events)
+        |SELECT COALESCE(event_type, '_all') AS event_type,
+        |  COALESCE(ub, -1) AS ub,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(event_type) AS BIGINT) * 2
+        |    + CAST(grouping(ub) AS BIGINT) AS gid
+        |FROM e GROUP BY CUBE (event_type, ub)
+        |ORDER BY gid, event_type, ub""".stripMargin,
     "a33_percentile_interp" ->
       """SELECT event_type,
         |  quantile_cont(cents, 0.25) / 100.0 AS p25,
