@@ -415,6 +415,53 @@ object Dedup {
       .select("id_new", "id_hist", "jaccard")
   }
 
+  /** [[crossNearDuplicates]] against a PERSISTED signature store — the
+    * operational shape at corpus scale: the history's shingle sets and
+    * MinHash signatures are computed ONCE at ingest and land as an
+    * index table (`store`: id, set array<long>, sig array<long>); a
+    * daily batch re-computes only its own side and joins the stored
+    * bands. Re-minhashing a 100 TB history per batch is the cost this
+    * method exists to avoid. Results are identical to the
+    * from-text path by construction (the store carries the same
+    * deterministic hashes). */
+  def crossNearDuplicatesFromStore(newDf: DataFrame, store: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      numHashes: Int = 128, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val setsNew = newDf.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("set"))
+    val bandedNew = lshBands(
+      setsNew.select(col("id"),
+        minhashSignature(col("set"), numHashes).as("sig")),
+      "id", "sig", bands, rowsPerBand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
+    val histCapped = lshBands(store.select(col("id"), col("sig")),
+        "id", "sig", bands, rowsPerBand)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val cands = bandedNew.select(
+        col("band"), col("band_key"), col("id").as("id_new"))
+      .join(histCapped.select(
+        col("band"), col("band_key"), col("id").as("id_hist")),
+        Seq("band", "band_key"))
+      .select("id_new", "id_hist").distinct()
+    cands
+      .join(setsNew.select(col("id").as("id_new"), col("set").as("s_n")),
+        "id_new")
+      .join(store.select(col("id").as("id_hist"), col("set").as("s_h")),
+        "id_hist")
+      .withColumn("jaccard", graft.functions.SketchExpressions
+        .jaccardSorted(col("s_n"), col("s_h")))
+      .where(col("jaccard") >= threshold)
+      .select("id_new", "id_hist", "jaccard")
+  }
+
   // ------------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over a token-array column: bit i of the result is set

@@ -220,6 +220,44 @@ object PipelineQueries {
       .orderBy("id_new", "id_hist")
   }
 
+  /** d16's persisted MinHash index: the history corpus's shingle sets +
+    * signatures written ONCE as a parquet table (per sf dir, rebuilt
+    * per process like every ingest artifact). In production this is an
+    * offline index maintained beside the corpus — re-minhashing 100 TB
+    * of history per daily batch is the cost it avoids. */
+  private val sigStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sigStoreDir(s: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent(dir, { d =>
+      val out = graft.Tables.tmpDirFor("graft_sigstore", d)
+      val sets = docs(s, d).where(col("doc_id") < 250)
+        .select(col("doc_id").as("id"),
+          graft.functions.SketchExpressions
+            .wordShingleHashes(Dedup.tokens(col("text")), 3).as("set"))
+      sets.select(col("id"), col("set"),
+          Dedup.minhashSignature(col("set"), 128).as("sig"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  // d16: d9's incremental near-dup THROUGH the persisted signature
+  // store — the batch side computes its own shingles/signatures, the
+  // history side reads (id, set, sig) from the index table and never
+  // touches text. Same answer as d9 by construction (the store carries
+  // the identical deterministic hashes), which is exactly the property
+  // that makes the index trustworthy; the oracle is d9's.
+  def d16_signature_store(s: SparkSession, dir: String): DataFrame = {
+    val store = s.read.parquet(sigStoreDir(s, dir))
+    Dedup.crossNearDuplicatesFromStore(
+        docs(s, dir).where(col("doc_id") >= 250), store,
+        "doc_id", "text", shingleWidth = 3, numHashes = 128, bands = 16,
+        threshold = 0.8)
+      .select(col("id_new"), col("id_hist"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_new", "id_hist")
+  }
+
   // d8: C4-style repeated-span removal — 10-token spans, first global
   // occurrence (by doc_id, span index) survives, documents reassembled
   // from surviving spans. Deterministic → the oracle replays the same
@@ -449,6 +487,7 @@ object PipelineQueries {
     })
     d7BloomFor(s, dir)
     bpeFor(s, dir)
+    sigStoreDir(s, dir)
   }
 
   // s5: IVF ANN with the same planted-answer gate as s2 — centroids
@@ -1915,6 +1954,7 @@ object PipelineQueries {
     "d8_span_dedup" -> d8_span_dedup _,
     "d12_substring_dedup" -> d12_substring_dedup _,
     "d9_incremental_neardup" -> d9_incremental_neardup _,
+    "d16_signature_store" -> d16_signature_store _,
     "p1_hash_sample" -> p1_hash_sample _,
     "p2_stratified_sample" -> p2_stratified_sample _,
     "p3_token_budget" -> p3_token_budget _,
@@ -2716,6 +2756,23 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM ex WHERE doc_id NOT IN (SELECT id FROM drops)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // d16 = d9 through the persisted signature index: same oracle
+    "d16_signature_store" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(toks[i : i + 2], ' ')
+        |      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+        |  FROM t)
+        |SELECT n.id AS id_new, h.id AS id_hist,
+        |  round(CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(n.sh, h.sh))), 6) AS jaccard
+        |FROM g n JOIN g h ON n.id >= 250 AND h.id < 250
+        |WHERE CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(n.sh, h.sh))) >= 0.8
+        |ORDER BY id_new, id_hist""".stripMargin,
     "d9_incremental_neardup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
