@@ -995,6 +995,43 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-image luminance histogram over REAL decoded pixels: count of
+    * pixels per equal-width bucket (256/buckets levels each) — the
+    * exposure/contrast profile image curation filters threshold on
+    * (all-black scans, blown-out pages). One decode + one counting
+    * loop per image; only (media_id, bucket, n) long rows flow
+    * downstream. Undecodable payloads emit nothing. */
+  def lumHistogram(media: DataFrame, buckets: Int = 8,
+      codec: MediaCodec = ImageIoCodec): DataFrame = {
+    require(buckets >= 1 && 256 % buckets == 0,
+      s"buckets ($buckets) must divide 256")
+    val width = 256 / buckets
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          codec.decodeImage(r.getAs[Array[Byte]](1)) match {
+            case Some(di) =>
+              val counts = new Array[Long](buckets)
+              var i = 0
+              while (i < di.gray.length) {
+                counts(di.gray(i) / width) += 1L
+                i += 1
+              }
+              (0 until buckets).iterator
+                .filter(b => counts(b) > 0L)
+                .map(b => Row(id, b.toLong, counts(b)))
+            case None => Iterator.empty
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling over REAL pixel data: treat the decoded raster's
     * scanlines as a frame sequence (the image analogue of video frame
     * sampling — same cadence/cap contract as [[sampleFrames]]) and emit

@@ -1117,6 +1117,20 @@ object PipelineQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  // m11: luminance histogram over REAL decoded BMP pixels — the
+  // exposure/contrast profile image-curation filters threshold on.
+  // The fixture images are decodable containers with analytic pixels
+  // (fixturePixel = (id·31 + x·7 + y·13) mod 256), so the oracle
+  // regenerates the exact pixel multiset from the formula over the
+  // (x, y) grid and counts the same integer buckets — a full
+  // round-trip proof of encode → container → decode → histogram.
+  def m11_lum_histogram(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticImageTable(
+      docs(s, dir).where(col("doc_id") < 100), "doc_id")
+    Multimodal.lumHistogram(media, buckets = 8)
+      .orderBy("media_id", "bucket")
+  }
+
   // m4: REAL audio decode end-to-end — genuine RIFF/WAVE PCM16 containers
   // (written by the deterministic fixture encoder) decoded back through
   // javax.sound.sampled to samples, with rate, length, duration, energy,
@@ -2006,7 +2020,8 @@ object PipelineQueries {
     "m5_video_decode" -> m5_video_decode _,
     "m6_video_frames" -> m6_video_frames _,
     "m7_image_phash_dedup" -> m7_image_phash_dedup _,
-    "m8_audio_fingerprint" -> m8_audio_fingerprint _
+    "m8_audio_fingerprint" -> m8_audio_fingerprint _,
+    "m11_lum_histogram" -> m11_lum_histogram _
   )
 
   /** s18 oracle: replays the Lloyd iterations CTE-for-iteration with the
@@ -2756,6 +2771,19 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM ex WHERE doc_id NOT IN (SELECT id FROM drops)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // m11: replay the analytic pixel function over each image's grid
+    "m11_lum_histogram" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |dims AS (
+        |  SELECT id, 16 + id % 17 AS w, 16 + (id * 7) % 13 AS h FROM ids),
+        |px AS (
+        |  SELECT d.id, (d.id * 31 + x.x * 7 + y.y * 13) % 256 AS lum
+        |  FROM dims d
+        |  JOIN generate_series(0, 32) AS x(x) ON x.x < d.w
+        |  JOIN generate_series(0, 28) AS y(y) ON y.y < d.h)
+        |SELECT id AS media_id, CAST(lum // 32 AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM px GROUP BY 1, 2 ORDER BY media_id, bucket""".stripMargin,
     // d16 = d9 through the persisted signature index: same oracle
     "d16_signature_store" ->
       """WITH t AS (
