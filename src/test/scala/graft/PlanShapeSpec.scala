@@ -570,6 +570,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k shape missing:\n$p")
   }
 
+  test("a34_cube: all four levels expand from ONE fact scan") {
+    val p = plan(CoreQueries.queries("a34_cube")(spark, dir))
+    assert(p.contains("Expand"), s"CUBE should lower to Expand:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"cube must scan the fact table once, found $scans:\n$p")
+  }
+
+  test("a31_counter_increase: cumsum + lag share one series exchange") {
+    val p = plan(CoreQueries.queries("a31_counter_increase")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange for the (user) windows + one for the step re-agg
+    assert(exchanges <= 2,
+      s"expected <= 2 exchanges (windows share one), found $exchanges:\n$p")
+  }
+
+  test("p18_weighted_sample: A-Res selection is TakeOrderedAndProject") {
+    val p = plan(PipelineQueries.queries("p18_weighted_sample")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a bounded top-k, not a global sort:\n$p")
+  }
+
   test("p17_compaction_plan: manifest-sized window then re-agg — " +
     "no more than 2 exchanges") {
     val p = plan(PipelineQueries.queries("p17_compaction_plan")(spark, dir))
