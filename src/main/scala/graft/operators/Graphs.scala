@@ -134,9 +134,6 @@ object Graphs {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
-  /** One PageRank round, un-checkpointed — also the plan-shape test
-    * surface (the loop's localCheckpoint hides the round plan behind an
-    * RDD scan). */
   /** Multi-source BFS hop distances over `edges(src, dst)` (directed):
     * min number of edges from ANY node in `sources(id)`. Returns
     * (id, dist) for every REACHED node; unreached nodes are absent (the
@@ -176,6 +173,9 @@ object Graphs {
     visited
   }
 
+  /** One PageRank round, un-checkpointed — also the plan-shape test
+    * surface (the loop's localCheckpoint hides the round plan behind an
+    * RDD scan). */
   private[graft] def round(
       nodes: DataFrame,
       withDeg: DataFrame,

@@ -1772,8 +1772,10 @@ object PipelineQueries {
   // per vector (each vector contributes its d(d+1)/2 upper-triangle
   // products locally), and aggregate to d² cells with map-side partial
   // combine — the shuffle carries AT MOST d(d+1)/2 partial sums per
-  // partition regardless of row count. Products accumulate in exact
-  // DECIMAL(38,12); cov = E[xy] − E[x]E[y] derives in a verbatim-
+  // partition regardless of row count. Products accumulate as exact
+  // int64 (|xq| ≤ 1e6 ⇒ |xq·xq| ≤ 1e12, so the sum stays inside int64
+  // up to ~9.2e6 vectors per cell — beyond that, route the sum through
+  // DecimalType(38,0)); cov = E[xy] − E[x]E[y] derives in a verbatim-
   // mirrored double expression, so the full matrix hash-matches.
   def s26_covariance(s: SparkSession, dir: String): DataFrame = {
     val n = embs(s, dir).count() // plan-time scalar, one metadata-cheap pass

@@ -170,7 +170,7 @@ class PipelinePropertySpec extends AnyFunSuite {
   }
 
   test("d14's two-shifted-grid length blocking covers every |Δn| <= 24 " +
-    "pair and no |Δn| >= 50 pair") {
+    "pair and no |Δn| >= 75 (bucketWidth + shift) pair") {
     def buckets(n: Int): Set[Long] = Set(n / 50L, (n + 25) / 50L)
     for (n1 <- 0 to 700; d <- 0 to 24)
       assert(buckets(n1).intersect(buckets(n1 + d)).nonEmpty,
