@@ -174,9 +174,12 @@ object Dedup {
     * the per-document interval merge are both ordinary hash-partitioned
     * aggregations/windows. Stride-1 windows emit ~len rows per document —
     * the same asymptotics as the suffix array's leaf count. Window
-    * identity is the 64-bit xxhash64 of the window text (same collision
-    * posture as [[exact]]); within-document repetitions alone do NOT
-    * mark a window (the count is over distinct ids) — this is the
+    * identity is a 64-bit Rabin–Karp rolling hash of the window text
+    * ([[graft.functions.RollingHashWindows]] — ONE O(len) walk per
+    * document, where a per-position substr+xxhash64 projection costs
+    * O(len·W) and dominated the whole operator); same per-pair ~2^-64
+    * collision posture as [[exact]]. Within-document repetitions alone
+    * do NOT mark a window (the count is over distinct ids) — this is the
     * cross-document variant, the one that removes inter-document
     * boilerplate without touching a document's own refrains. */
   def duplicatedSubstringSpans(df: DataFrame, idCol: String,
@@ -187,10 +190,7 @@ object Dedup {
       length(txt).cast("long").as("doc_len"), txt.as("_t"))
     val wins = base.where(col("doc_len") >= windowChars)
       .select(col("id"),
-        posexplode(transform(
-          sequence(lit(0L), col("doc_len") - windowChars),
-          p => xxhash64(col("_t").substr(
-            (p + 1).cast("int"), lit(windowChars)))))
+        posexplode(graft.functions.RollingHashWindows(col("_t"), windowChars))
           .as(Seq("pos", "h")))
     // windows shared by >= 2 distinct documents (min id ≠ max id ⟺ two
     // distinct ids — min/max partial-aggregate map-side, where a

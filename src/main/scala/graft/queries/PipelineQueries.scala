@@ -273,8 +273,9 @@ object PipelineQueries {
   // distributed stride-1 window hash + interval merge). Integer output
   // (doc_len, span count, covered chars) → the oracle replays the same
   // windowing, >=2-distinct-docs test, and interval merge on window TEXT
-  // (Spark groups the xxhash64 of the window — same answer absent a
-  // 64-bit collision, the documented posture of every dedup entry).
+  // (Spark groups a 64-bit Rabin–Karp rolling hash of the window — one
+  // O(len) walk per document via RollingHashWindows — same answer absent
+  // a 64-bit collision, the documented posture of every dedup entry).
   def d12_substring_dedup(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSubstringSpans(docs(s, dir), "doc_id", "text",
         windowChars = 30)

@@ -184,6 +184,44 @@ class PipelinePropertySpec extends AnyFunSuite {
         s"pair ($n1, ${n1 + d}) spuriously blocked together")
   }
 
+  test("RollingHashWindows: rolling state equals a direct per-window " +
+    "recompute, and hash-grouping equals text-grouping of windows") {
+    import graft.functions.RollingHashWindows
+    val B = 0x100000001b3L
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    // direct (non-rolling) reference: hash each substring from scratch
+    def direct(s: String, w: Int): Seq[Long] =
+      (0 to s.length - w).map { i =>
+        mix(s.substring(i, i + w).foldLeft(0L)((h, c) => h * B + c))
+      }
+    val w = 7
+    val texts = corpus(11L, 60).map(_._2) ++ Seq(
+      "", "short", "ααββγγδδ εεζζ ηηθθ ιικκ λλμμ non-ascii χars",
+      "aaaaaaaaaaaaaaaaaaaaaa") // degenerate repeats
+    val got = texts.toDF("t")
+      .select(RollingHashWindows(col("t"), w).as("hs"))
+      .as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, hs) =>
+      assert(hs === direct(t, w), s"text=$t")
+    }
+    // decision equivalence: on the whole corpus, equal window text ⟺
+    // equal hash (the grouping d12's >=2-distinct-docs test runs on)
+    val byHash = texts.flatMap(t =>
+        (0 to t.length - w).map(i => (t.substring(i, i + w),
+          direct(t, w)(i))))
+      .groupBy(_._2).values
+    byHash.foreach(g => assert(g.map(_._1).distinct.size === 1))
+    val byText = texts.flatMap(t =>
+      (0 to t.length - w).map(i => (t.substring(i, i + w), direct(t, w)(i))))
+      .groupBy(_._1).values
+    byText.foreach(g => assert(g.map(_._2).distinct.size === 1))
+  }
+
   test("bfsHops is invariant under input repartitioning") {
     val edges = (0L until 40L).flatMap { i =>
       Seq((i, (i + 1) % 40), (i, (i + 7) % 40))
