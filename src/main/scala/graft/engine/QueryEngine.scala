@@ -890,6 +890,71 @@ object QueryEngine {
     case _ => id
   }
 
+  /** One incrementally-delivered result batch: the chart rows for replay
+    * group `seq` covering [startMs, endMs). `sealedBatch` = false only
+    * for the trailing live (unsealed) batch. `df` is the SAME shape as
+    * [[evaluate]]'s output, restricted to the group's range. */
+  case class ReplayBatch(seq: Int, startMs: Long, endMs: Long,
+      sealedBatch: Boolean, df: DataFrame)
+
+  /** Incremental (SSE-style) result delivery — the reference streams
+    * partial results per replay group as workers finish, sealed segments
+    * replayed in group order before any unsealed/live data
+    * (QueryEngineV2.scala:553-592 groups via
+    * SequencingStrategy.computeReplaySequence; QueryApi.scala:186-295
+    * forwards each group's points as SSE events). A dashboard user feels
+    * this as time-to-first-datapoint ∝ the first group, not the query.
+    *
+    * Spark-first shape: each [[ReplaySequencer.ReplayGroup]] is a time
+    * range, so a batch is just [[evaluate]] over [group.start,
+    * group.end) — the pushed timestamp filters + manifest pruning
+    * restrict that job's scan to exactly the group's segments. The
+    * iterator is LAZY: a group's job runs when the consumer advances,
+    * so emission is genuinely incremental, not a buffered split of one
+    * job. Because groups tile the window on step boundaries (no chart
+    * bucket straddles two groups), the ordered concatenation of all
+    * batches equals the batch [[evaluate]] exactly — pinned by
+    * IncrementalDeliverySpec and the `ast_incremental_chart` oracle.
+    *
+    * Ordering contract (the reference's sealed-before-unsealed rule):
+    * all sealed groups emit first, in replay order (forward: step ranges
+    * strictly increasing; reverse: strictly decreasing — newest first,
+    * the log-tail view); the live batch, when `liveTables` is given,
+    * emits LAST regardless of its time range. Rows inside every batch
+    * are (step_ts, label)-ordered, so per-step delivery order matches
+    * the reference's per-group mergeSorted emission. */
+  def evaluateIncremental(tables: String => Telemetry, ast: ASTInput,
+      startMs: Long, endMs: Long, stepMs: Long,
+      segments: Seq[ReplaySequencer.SegmentSpan],
+      minGroupSize: Int = 1, reverse: Boolean = false,
+      liveTables: Option[String => Telemetry] = None)
+      : Iterator[ReplayBatch] = {
+    val groups = ReplaySequencer.sequence(
+      segments, startMs, endMs, stepMs, minGroupSize, reverse)
+    val sealedIt = groups.iterator.zipWithIndex.map { case (g, i) =>
+      ReplayBatch(i, g.startMs, g.endMs, sealedBatch = true,
+        evaluate(tables, ast, g.startMs, g.endMs, stepMs))
+    }
+    liveTables match {
+      case None => sealedIt
+      case Some(live) => sealedIt ++ Iterator.single(
+        ReplayBatch(groups.size, startMs, endMs, sealedBatch = false,
+          evaluate(live, ast, startMs, endMs, stepMs)))
+    }
+  }
+
+  /** Row-level SSE-style emission: drain each replay batch through
+    * `toLocalIterator` — one partition in flight per batch, rows stream
+    * to the caller in (batch, step_ts, label) order without collecting
+    * any batch whole. The iterator triggers each group's job only when
+    * the previous group's rows are consumed. */
+  def streamRows(batches: Iterator[ReplayBatch])
+      : Iterator[(Int, Boolean, org.apache.spark.sql.Row)] =
+    batches.flatMap { b =>
+      import scala.jdk.CollectionConverters._
+      b.df.toLocalIterator().asScala.map(r => (b.seq, b.sealedBatch, r))
+    }
+
   /** The grouping keys of `e` that actually reach its chart output under
     * a consuming output's `grouping` context. Zero live keys means the
     * series' group key is the constant ""/":" on every row — either the

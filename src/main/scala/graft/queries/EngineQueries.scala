@@ -564,6 +564,50 @@ object EngineQueries {
       .select(col("exact_tuples"))
   }
 
+  /** Incremental (SSE-style) delivery end-to-end: sealed events (before
+    * 2024-01-25) replay through [[graft.engine.ReplaySequencer]] in
+    * day-interval groups merged 4 intervals at a time (the reference's
+    * executionGroupSize), the live/unsealed tail emits LAST — and the
+    * ordered concatenation of every batch is EXACTLY the batch chart
+    * (each batch is the same AST over the group's time range; groups
+    * tile the window on step boundaries, so no bucket straddles two
+    * batches). The oracle recomputes each row's (emit_seq, sealed)
+    * assignment from the day grid alone: sealed rows land in group
+    * (day − day0) / 4, live rows in the one group after the last sealed
+    * group — so a sequencing bug (wrong group bounds, a bucket split
+    * across batches, live rows interleaved) hash-mismatches even though
+    * every VALUE is the plain chart sum. */
+  def ast_incremental_chart(s: SparkSession, dir: String): DataFrame = {
+    val cutMs = 1706140800000L // 2024-01-25T00:00:00Z, a step boundary
+    val ev = Tables.load(s, dir, "events")
+    val sealedDf = ev.where(col("ts") < cutMs * 1000000L)
+    val liveDf = ev.where(col("ts") >= cutMs * 1000000L)
+    def tel(df: org.apache.spark.sql.DataFrame): Telemetry =
+      Telemetry.nanos(df, "ts", valueCol = col("value"),
+        message = Some(col("props")))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    // the sealed segment's span, from metadata (the reference's PG
+    // manifest lookup) — one one-row aggregate, planning-time only
+    val b = sealedDf.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .head()
+    val span = graft.engine.ReplaySequencer.SegmentSpan("events-sealed",
+      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+    val batches = QueryEngine.evaluateIncremental(
+      _ => tel(sealedDf), ast, START, END, DAY, Seq(span),
+      minGroupSize = 4, liveTables = Some(_ => tel(liveDf)))
+    batches.map { rb =>
+      rb.df.select(lit(rb.seq).cast("long").as("emit_seq"),
+        lit(rb.sealedBatch).as("sealed"), col("step_ts"),
+        col("group_key"), round(col("value"), 6).as("value"))
+    }.reduce(_ unionByName _)
+      .orderBy("emit_seq", "step_ts", "group_key")
+  }
+
   /** The reference's GET /api/v1/functionSpecs: the custom-function
     * registry dumped as rows (reference QueryApi.scala:356-360 over
     * ComputeFunction.getSpecs). Here the registry is
@@ -583,6 +627,7 @@ object EngineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ast_incremental_chart" -> ast_incremental_chart _,
     "ast_function_specs" -> ast_function_specs _,
     "ast_chart_sum" -> ast_chart_sum _,
     "ast_formula_ratio" -> ast_formula_ratio _,
@@ -613,6 +658,28 @@ object EngineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // incremental delivery: every row's replay-group assignment is
+    // recomputed from the day grid (sealed day d -> group (d-day0)/4,
+    // live rows -> one group past the last sealed group); all operands
+    // of the integer divisions are non-negative, so trunc == floor on
+    // both engines
+    "ast_incremental_chart" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |b AS (
+        |  SELECT min(ms) // 86400000 AS day0, max(ms) // 86400000 AS dmax
+        |  FROM e WHERE ms < 1706140800000),
+        |g AS (
+        |  SELECT (ms // 86400000) * 86400000 AS step_ts,
+        |    CASE WHEN ms < 1706140800000
+        |      THEN ((ms // 86400000) - b.day0) // 4
+        |      ELSE ((b.dmax - b.day0) // 4) + 1 END AS emit_seq,
+        |    ms < 1706140800000 AS sealed, event_type, value
+        |  FROM e, b WHERE event_type IN ('click', 'view'))
+        |SELECT CAST(emit_seq AS BIGINT) AS emit_seq, sealed, step_ts,
+        |  event_type AS group_key, round(sum(value), 6) AS value
+        |FROM g GROUP BY 1, 2, 3, 4
+        |ORDER BY emit_seq, step_ts, group_key""".stripMargin,
     // the published SQL-function surface, pinned name by name
     "ast_function_specs" ->
       """SELECT * FROM (VALUES

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ast.AstJson
+import graft.engine.{QueryEngine, ReplaySequencer, Telemetry}
+import graft.engine.ReplaySequencer.{ReplayGroup, SegmentSpan}
+
+/** Incremental (SSE-style) delivery: the replay sequencer mirrors the
+  * reference's SequencingStrategy (discretize → per-interval split →
+  * contiguous merge), and evaluateIncremental's batches obey the
+  * reference's ordering contract (sealed before unsealed, steps monotone
+  * in replay order) while concatenating EXACTLY to the batch result.
+  */
+class IncrementalDeliverySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val STEP = 60000L // 1 min
+
+  // ----------------------------------------------------- sequencer unit
+
+  test("a multi-step span splits into per-interval groups at minGroupSize=1") {
+    // S1 9:16-9:19 → (9:16,9:17,9:18), the SequencingStrategy.scala:71-76
+    // worked example
+    val gs = ReplaySequencer.sequence(
+      Seq(SegmentSpan("s1", min(16), min(19))), min(0), min(60), STEP, 1)
+    assert(gs === List(
+      ReplayGroup(min(16), min(17), Seq("s1")),
+      ReplayGroup(min(17), min(18), Seq("s1")),
+      ReplayGroup(min(18), min(19), Seq("s1"))))
+  }
+  private def min(m: Long): Long = m * STEP
+
+  test("overlapping segments share interval groups; merge joins " +
+    "contiguous intervals until minGroupSize slices") {
+    // S1 9:16-9:19, S2 9:17-9:19: intervals 16→(S1), 17→(S1,S2),
+    // 18→(S1,S2); minGroupSize=3 merges 16+17 (1+2 slices), then 18
+    val gs = ReplaySequencer.sequence(
+      Seq(SegmentSpan("s1", min(16), min(19)),
+        SegmentSpan("s2", min(17), min(19))),
+      min(0), min(60), STEP, minGroupSize = 3)
+    assert(gs.map(g => (g.startMs, g.endMs)) ===
+      List((min(16), min(18)), (min(18), min(19))))
+    assert(gs.head.segmentIds.toSet === Set("s1", "s2"))
+  }
+
+  test("non-aligned span bounds floor/ceil to the step grid and clamp " +
+    "to the query window") {
+    val gs = ReplaySequencer.sequence(
+      Seq(SegmentSpan("s", min(16) + 7, min(18) + 1)),
+      min(16) + 30, min(60), STEP, minGroupSize = 10)
+    // intervals 16,17,18 merge into one (partial flush); start clamps to
+    // the query start inside interval 16
+    assert(gs === List(ReplayGroup(min(16) + 30, min(19), Seq("s"))))
+  }
+
+  test("reverse sequencing emits newest interval groups first") {
+    val gs = ReplaySequencer.sequence(
+      Seq(SegmentSpan("s", min(10), min(14))), min(0), min(60), STEP,
+      minGroupSize = 2, reverse = true)
+    assert(gs.map(g => (g.startMs, g.endMs)) ===
+      List((min(12), min(14)), (min(10), min(12))))
+  }
+
+  test("groups tile the covered window disjointly on step boundaries " +
+    "(randomized spans)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val spans = (0 until 1 + rnd.nextInt(6)).map { i =>
+        val a = rnd.nextInt(200).toLong * 1000
+        SegmentSpan(s"s$i", a, a + 1000 + rnd.nextInt(50000))
+      }
+      val gs = ReplaySequencer.sequence(spans, 0, 300000, 7000,
+        minGroupSize = 1 + rnd.nextInt(4))
+      // disjoint, ordered, step-aligned interior bounds
+      gs.sliding(2).foreach {
+        case List(a, b) => assert(a.endMs <= b.startMs)
+        case _ =>
+      }
+      gs.foreach { g =>
+        assert(g.startMs < g.endMs)
+        if (g.startMs > 0) assert(g.startMs % 7000 === 0)
+        if (g.endMs < 300000) assert(g.endMs % 7000 === 0)
+      }
+      // coverage: every step interval a span overlaps (within the
+      // window) is inside exactly one group
+      val covered = spans.flatMap { s =>
+        val lo = Math.max(s.startMs / 7000, 0L)
+        val hi = Math.min((s.endMs + 6999) / 7000, 300000L / 7000)
+        lo until hi
+      }.toSet
+      covered.foreach { iv =>
+        val mid = iv * 7000 + 3500
+        assert(gs.count(g => g.startMs <= mid && mid < g.endMs) === 1,
+          s"interval $iv spans=$spans groups=$gs")
+      }
+    }
+  }
+
+  // ------------------------------------- end-to-end ordering + equality
+
+  private def mkEvents(n: Int): org.apache.spark.sql.DataFrame = {
+    val base = 1704067200000L
+    (0 until n).map { i =>
+      (base * 1000000L + i.toLong * 97 * 60000L * 1000000L,
+        if (i % 3 == 0) "click" else "view", (i % 50) / 2.0,
+        s"""{"k": $i}""")
+    }.toDF("ts", "event_type", "value", "props")
+  }
+
+  private def tel(df: org.apache.spark.sql.DataFrame): Telemetry =
+    Telemetry.nanos(df, "ts", valueCol = col("value"),
+      message = Some(col("props")))
+
+  private val AST = AstJson.parseAstInput(
+    """{"baseExpressions": {"a": {
+      |  "dataset": "logs",
+      |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+      |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+      |}}}""".stripMargin)
+
+  test("concatenated incremental batches equal the batch evaluate, " +
+    "sealed batches precede the live batch, steps monotone") {
+    val ev = mkEvents(400)
+    val base = 1704067200000L
+    val cut = base + 200L * 97 * 60000 // some mid step boundary-ish cut
+    val cutAligned = cut - cut % 3600000 // align to the 1h step grid
+    val sealedDf = ev.where(col("ts") < cutAligned * 1000000L)
+    val liveDf = ev.where(col("ts") >= cutAligned * 1000000L)
+    val bounds = sealedDf.agg(org.apache.spark.sql.functions.min(col("ts")), org.apache.spark.sql.functions.max(col("ts"))).head()
+    val span = SegmentSpan("s", bounds.getLong(0) / 1000000L,
+      bounds.getLong(1) / 1000000L + 1)
+    val start = base
+    val end = base + 400L * 97 * 60000
+    val batches = QueryEngine.evaluateIncremental(
+      _ => tel(sealedDf), AST, start, end, 3600000L, Seq(span),
+      minGroupSize = 24, liveTables = Some(_ => tel(liveDf))).toList
+
+    // ordering contract
+    val sealedFlags = batches.map(_.sealedBatch)
+    assert(sealedFlags.init.forall(identity) && !sealedFlags.last)
+    assert(batches.map(_.seq) === batches.indices.toList)
+    val sealedB = batches.init
+    sealedB.sliding(2).foreach {
+      case List(a, b) => assert(a.endMs <= b.startMs)
+      case _ =>
+    }
+    // steps monotone ACROSS sealed batches as delivered
+    val stepsPerBatch = sealedB.map(_.df.select("step_ts")
+      .as[Long].collect().toSeq)
+    stepsPerBatch.filter(_.nonEmpty).sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min)
+      case _ =>
+    }
+
+    // concatenation == batch evaluate over the SAME data (sealed+live)
+    val concat = batches.map(_.df).reduce(_ unionByName _)
+      .select("step_ts", "group_key", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val whole = QueryEngine.evaluate(_ => tel(ev), AST, start, end, 3600000L)
+      .select("step_ts", "group_key", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(concat === whole)
+  }
+
+  test("streamRows delivers (seq, sealed, row) in batch order without " +
+    "collecting any batch") {
+    val ev = mkEvents(120)
+    val bounds = ev.agg(org.apache.spark.sql.functions.min(col("ts")), org.apache.spark.sql.functions.max(col("ts"))).head()
+    val span = SegmentSpan("s", bounds.getLong(0) / 1000000L,
+      bounds.getLong(1) / 1000000L + 1)
+    val base = 1704067200000L
+    val rows = QueryEngine.streamRows(QueryEngine.evaluateIncremental(
+      _ => tel(ev), AST, base, base + 120L * 97 * 60000, 3600000L,
+      Seq(span), minGroupSize = 48)).toList
+    assert(rows.nonEmpty)
+    // seq non-decreasing; within a batch, step_ts non-decreasing
+    rows.sliding(2).foreach {
+      case List((s1, _, r1), (s2, _, r2)) =>
+        assert(s1 <= s2)
+        if (s1 == s2)
+          assert(r1.getAs[Long]("step_ts") <= r2.getAs[Long]("step_ts"))
+      case _ =>
+    }
+  }
+}
