@@ -25,8 +25,89 @@ import org.apache.spark.sql.SparkSession
   * a large value flags a measurement to distrust, not a plan change.
   * Query builders are idempotent (ingest-time artifacts are memoized per
   * process via prepare()), so re-running measures the read-side plan.
+  *
+  * Scale slope (the 100×-claim check, judge ask r6 #4): when a smaller
+  * scale factor of the same testdata exists (auto-derived sibling
+  * `sf0.01` of an `sf0.1` dir, or SPARK_GRAFT_SLOPE_DIR), every query
+  * also runs there and the output gains `slope` — the per-query scaling
+  * exponent log(t_big/t_small)/log(sf_big/sf_small). ~1 = linear in
+  * data, <1 = overhead-dominated or sub-linear, >1.5 with a
+  * non-trivial runtime = super-linear and listed in `superlinear`:
+  * the plan to distrust at 100 TB. Entries over the fixed-size
+  * documents/embeddings tables (500/2000 rows at every sf) see the
+  * same data at both dirs and slope ≈ 0 by construction — the slope
+  * gate is really about the sf-scaling events/lineitem surfaces.
   */
 object Bench {
+
+  private final case class SuiteResult(
+      results: Seq[(String, Double)],
+      dispersion: Seq[(String, Double)],
+      errors: Seq[(String, String)])
+
+  /** One warm-up + `iters` timed medians for every selected query at
+    * `sfDir`. GC between runs is deliberate (see scaladoc). */
+  private def runSuite(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]], iters: Int): SuiteResult = {
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
+    }
+    try SparkEntry.prepare(spark, sfDir) // ingest-time artifacts, built once
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val dispersion = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        def once(): (Boolean, Double) = {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch {
+              case e: Throwable =>
+                errors.getOrElseUpdate(name,
+                  Option(e.getMessage).getOrElse(e.getClass.getName)
+                    .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+                false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // UNTIMED: with a 24g heap GC almost never fires, so Spark's
+          // GC-triggered ContextCleaner never releases earlier queries'
+          // broadcast/shuffle state — by query ~90 the accumulated pressure
+          // inflated late entries up to 6× run-to-run. A nudge between
+          // runs keeps each measurement independent of its position.
+          System.gc()
+          (ok, dt)
+        }
+        // warm-up (untimed, also absorbs one-time ingest/broadcast builds);
+        // a failing query is reported once and not retried — its single
+        // failed wall-time stands so `total` still reflects the spent time
+        val warm = once()
+        val times: Seq[Double] =
+          if (!warm._1) Seq(warm._2)
+          else {
+            val timed = Seq.fill(iters)(once()).filter(_._1).map(_._2)
+            if (timed.isEmpty) Seq(warm._2) else timed
+          }
+        val sorted = times.sorted
+        val median = sorted(sorted.size / 2)
+        dispersion(name) =
+          if (median > 0) math.rint((sorted.last - sorted.head) / median * 1000) / 1000
+          else 0.0
+        name -> median
+      }
+    SuiteResult(results, dispersion.toSeq, errors.toSeq)
+  }
+
+  /** Scale factor parsed from a testdata dir name (`…/sf0.1` → 0.1). */
+  private def sfOf(dir: String): Option[Double] = {
+    val base = new java.io.File(dir).getName
+    if (base.startsWith("sf")) base.drop(2).toDoubleOption else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,87 +119,88 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM + parquet footers once so per-query numbers measure the
-    // query, not first-touch class loading. Warm-up and prepare() run
-    // OUTSIDE the per-query error capture, so a failure here must not
-    // abort the whole record (round 5 lost its entire bench to one
-    // analysis error in prepare when the testdata encoding changed):
-    // log and continue — affected queries then fail individually into
-    // the `errors` field while everything else still gets measured.
-    Tables.names.foreach { n =>
-      try Tables.load(spark, sfDir, n).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
-    }
-    try SparkEntry.prepare(spark, sfDir) // ingest-time artifacts, built once
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
       .max(1)
-    val dispersion = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): (Boolean, Double) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch {
-            case e: Throwable =>
-              errors.getOrElseUpdate(name,
-                Option(e.getMessage).getOrElse(e.getClass.getName)
-                  .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
-              false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // UNTIMED: with a 24g heap GC almost never fires, so Spark's
-        // GC-triggered ContextCleaner never releases earlier queries'
-        // broadcast/shuffle state — by query ~90 the accumulated pressure
-        // inflated late entries up to 6× run-to-run. A nudge between
-        // runs keeps each measurement independent of its position.
-        System.gc()
-        (ok, dt)
-      }
-      // warm-up (untimed, also absorbs one-time ingest/broadcast builds);
-      // a failing query is reported once and not retried — its single
-      // failed wall-time stands so `total` still reflects the spent time
-      val warm = once()
-      val times: Seq[Double] =
-        if (!warm._1) Seq(warm._2)
-        else {
-          val timed = Seq.fill(iters)(once()).filter(_._1).map(_._2)
-          if (timed.isEmpty) Seq(warm._2) else timed
-        }
-      val sorted = times.sorted
-      val median = sorted(sorted.size / 2)
-      dispersion(name) =
-        if (median > 0) math.rint((sorted.last - sorted.head) / median * 1000) / 1000
-        else 0.0
-      name -> median
+    val main = runSuite(spark, sfDir, only, iters)
+
+    // ---- slope pass: the same suite at a smaller SF of the same data.
+    // Auto-derived (sf0.1 → sibling sf0.01) unless pinned/disabled via
+    // SPARK_GRAFT_SLOPE_DIR ("" disables). 2 iterations: the small run
+    // is overhead-dominated, and the slope only needs one stable digit.
+    val slopeDir: Option[String] = sys.env.get("SPARK_GRAFT_SLOPE_DIR") match {
+      case Some("") => None
+      case Some(d) => Some(d).filter(x => new java.io.File(x).isDirectory)
+      case None =>
+        val base = new java.io.File(sfDir).getName
+        for {
+          p <- Option(new java.io.File(sfDir).getParentFile)
+          if base.startsWith("sf")
+          tenth <- scala.util.Try(BigDecimal(base.drop(2)) / 10).toOption
+          cand = new java.io.File(p,
+            "sf" + tenth.bigDecimal.stripTrailingZeros.toPlainString)
+          d <- Some(cand).filter(_.isDirectory)
+        } yield d.getPath
     }
+    val slope: Option[(String, Double, Seq[(String, Double)])] =
+      slopeDir.flatMap { d =>
+        val ratio = (sfOf(sfDir), sfOf(d)) match {
+          case (Some(a), Some(b)) if b > 0 && a != b => a / b
+          case _ => 10.0
+        }
+        val small = runSuite(spark, d, only, iters = math.min(iters, 2))
+        val smallMap = small.results.toMap
+        val ss = main.results.flatMap { case (name, tBig) =>
+          smallMap.get(name).map { tSmall =>
+            // floor both at 50 ms: below that the measurement is pure
+            // scheduling jitter and the ratio is noise, not a slope
+            val s = math.log(math.max(tBig, 0.05) / math.max(tSmall, 0.05)) /
+              math.log(ratio)
+            name -> math.rint(s * 1000) / 1000
+          }
+        }
+        if (ss.isEmpty) None else Some((d, ratio, ss))
+      }
+    // super-linear flags: exponent > 1.5 AND the big run is non-trivial
+    // (a 0.2 s entry 3× a 0.05 s floor is overhead, not a scale risk)
+    val superlinear = slope.map(_._3).getOrElse(Nil)
+      .filter { case (n, s) =>
+        s > 1.5 && main.results.toMap.getOrElse(n, 0.0) >= 0.75 }
+      .map(_._1)
+
     // full escaping (JsonOut): a Spark error message containing an ANSI
     // escape or other control char must not break the driver's json.load
     val qs = JsonOut.obj(
-      results.map { case (k, v) => k -> v.toString }, quoteValues = false)
+      main.results.map { case (k, v) => k -> v.toString }, quoteValues = false)
     val disp = JsonOut.obj(
-      dispersion.toSeq.map { case (k, v) => k -> v.toString },
+      main.dispersion.map { case (k, v) => k -> v.toString },
       quoteValues = false)
-    val errs = JsonOut.obj(errors.toSeq, quoteValues = true)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs,"sf":"$sfDir"}"""
+    val errs = JsonOut.obj(main.errors, quoteValues = true)
+    val total = if (main.results.nonEmpty) main.results.map(_._2).sum else 0.0
+    val slopeFields = slope match {
+      case None => ""
+      case Some((d, ratio, ss)) =>
+        val sj = JsonOut.obj(ss.map { case (k, v) => k -> v.toString },
+          quoteValues = false)
+        val fl = superlinear.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+        s""","slope":$sj,"slope_sf":"$d","slope_ratio":$ratio,"superlinear":$fl"""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs$slopeFields,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
     // machine parse in round 1 — also write the bare JSON line to a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
     println(line)
-    if (errors.nonEmpty)
-      System.err.println(s"BENCH ERRORS (${errors.size}): " + errors.keys.mkString(", "))
+    if (main.errors.nonEmpty)
+      System.err.println(s"BENCH ERRORS (${main.errors.size}): " +
+        main.errors.map(_._1).mkString(", "))
+    if (superlinear.nonEmpty)
+      System.err.println("BENCH SUPERLINEAR (slope > 1.5 at >= 0.75 s): " +
+        superlinear.mkString(", "))
     spark.stop()
   }
 }
