@@ -101,6 +101,28 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  /** U2 on literal FAMILIES (Cox trigram-index algebra, the class/
+    * quantifier half of the reference's lib-trigram coverage,
+    * NLPUtils.scala:54-153): a character class INSIDE a required run
+    * cross-products into a small literal family (s[iu]gn[ou]p →
+    * {signop, signup, sugnop, sugnup} — OR'd trigram requirements, same
+    * as an alternation), and a bounded repeat folds into the run
+    * (er{2}or ≡ "error"). Segments whose fingerprints contain no
+    * family member's trigrams are skipped; file-skipping proven in
+    * SegmentIndexSpec, result equivalence here vs the full table
+    * (pruning is sound). */
+  def s28_regex_class_pruned(s: SparkSession, dir: String): DataFrame = {
+    val re = "(s[iu]gn[ou]p|er{2}or)"
+    val clause = Filter("event_type", List(re), Ops.REGEX)
+    val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
+        Set("event_type"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return typedEmpty(s, "event_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double"))
+    df.where(col("event_type").rlike(s"(?i)$re"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** S3/S4 deluxe: plan-time segment skipping through the custom
     * Catalyst FileIndex — the query is a plain WHERE over the relation;
     * Catalyst pushes the predicates and [[graft.sources.ManifestFileIndex]]
@@ -246,6 +268,7 @@ object SourceQueries {
     "s3_time_pruned" -> s3_time_pruned _,
     "s6_regex_pruned" -> s6_regex_pruned _,
     "s7_regex_alternation" -> s7_regex_alternation _,
+    "s28_regex_class_pruned" -> s28_regex_class_pruned _,
     "s10_fileindex_scan" -> s10_fileindex_scan _,
     "ast_fileindex_chart" -> ast_fileindex_chart _
   )
@@ -300,6 +323,10 @@ object SourceQueries {
     "s7_regex_alternation" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE regexp_matches(event_type, '(purchase|signup)', 'i')
+        |ORDER BY event_id""".stripMargin,
+    "s28_regex_class_pruned" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE regexp_matches(event_type, '(s[iu]gn[ou]p|er{2}or)', 'i')
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -193,6 +193,34 @@ class SegmentIndexSpec extends AnyFunSuite {
     assert(SegmentIndex.requiredTrigrams("(foo|bar)?baz") == Lit("baz"))
     // empty branch → whole alternation unconstrained
     assert(SegmentIndex.requiredTrigrams("(foo|)bar") == Lit("bar"))
+    // class INSIDE a run cross-products into a literal family (Cox
+    // gr[ae]y algebra) instead of breaking the run
+    assert(SegmentIndex.requiredTrigrams("s[iu]gn[ou]p") ==
+      AnyOf(Seq(Lit("signop"), Lit("signup"), Lit("sugnop"), Lit("sugnup"))))
+    // bounded repeat folds into the run: er{2}or ≡ "error"
+    assert(SegmentIndex.requiredTrigrams("er{2}or") == Lit("error"))
+  }
+
+  test("class families and bounded repeats prune segments") {
+    // pa[xy]ment → {paxment, payment}: only seg2 carries "payment"
+    val fam = Filter("service", List("pa[xy]ment.*"), Ops.REGEX)
+    val f1 = SegmentIndex.prune(manifest, Some(fam), indexed, 0L, 10000L)
+    assert(f1.length == 1 && f1.head.contains("seg2"), f1)
+    // payment{1,2} requires "payment" (1 forced copy; the open tail
+    // breaks the following run, never the preceding requirement)
+    val rep = Filter("service", List("payment{1,2}"), Ops.REGEX)
+    val f2 = SegmentIndex.prune(manifest, Some(rep), indexed, 0L, 10000L)
+    assert(f2.length == 1 && f2.head.contains("seg2"), f2)
+    // oversized class ([a-z]) breaks the family but the runs on either
+    // side still bind: pa[a-z]ment keeps requiring "ment" → seg2 only
+    val wide = Filter("service", List("pa[a-z]ment"), Ops.REGEX)
+    val f3 = SegmentIndex.prune(manifest, Some(wide), indexed, 0L, 10000L)
+    assert(f3.length == 1 && f3.head.contains("seg2"), f3)
+    // both flanking runs under 3 chars → no requirement survives, every
+    // segment stays a candidate (sound degradation)
+    val short = Filter("service", List("p[a-z]y"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(short), indexed, 0L, 10000L)
+      .length == 3)
   }
 
   test("prune-to-zero-files returns a TYPED empty frame from every entry") {
