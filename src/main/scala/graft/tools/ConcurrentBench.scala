@@ -1,0 +1,113 @@
+package graft.tools
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-query posture bench: the reference coordinator serves many
+  * dashboard queries simultaneously (one Akka stream per request); the
+  * Spark-native analogue is many concurrent actions on ONE SparkContext
+  * under the FAIR scheduler, each query in its own on-demand pool so no
+  * single heavy query starves the rest (pools created by setting the
+  * `spark.scheduler.pool` thread-local property get weight 1 and share
+  * the executors fairly).
+  *
+  * Runs the headline set twice — serially, then N-way concurrently
+  * (default 8 threads, each query in its own pool + job group) — and
+  * prints one JSON line:
+  *   - per-query serial and concurrent seconds, and the inflation ratio
+  *   - `stable`: whether every query's result hash matches its serial
+  *     run (concurrent evaluation must not change answers)
+  *   - wall-clock speedup of the concurrent batch vs the serial batch
+  *
+  * Usage: runMain graft.tools.ConcurrentBench [sfDir] [threads] [name...]
+  * The session is created here with FAIR mode (scheduler mode is fixed
+  * at context creation and the Bench/Verify mains don't need it).
+  */
+object ConcurrentBench {
+
+  private val DefaultSet = Seq(
+    "f1_eq", "a1_step_agg", "a5_percentile", "ast_chart_sum",
+    "ast_formula_ratio", "e15_xml_extract", "o1_topk", "u3_set_ops")
+
+  private def hashOf(df: org.apache.spark.sql.DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.collect().map(_.toString).sorted
+      .foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threads = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val names = if (args.length > 2) args.drop(2).toSeq else DefaultSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.names.foreach { n =>
+      try graft.Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => }
+    }
+    val qs = names.map(n => n -> graft.SparkEntry.queries(n))
+
+    // serial pass: warm-up + timed, canonical result hash per query
+    val serial = qs.map { case (n, fn) =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      val h = hashOf(fn(spark, sfDir))
+      n -> ((System.nanoTime() - t0) / 1e9, h)
+    }.toMap
+
+    // concurrent pass: each query on its own thread, own FAIR pool, own
+    // job group. newSession() per thread isolates session state (configs,
+    // temp views) while sharing the context — the multi-tenant shape.
+    val pool = Executors.newFixedThreadPool(threads)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, (Double, String)]()
+    val cw0 = System.nanoTime()
+    val futures = qs.zipWithIndex.map { case ((n, fn), i) =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val sess = spark.newSession()
+          sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
+          sess.sparkContext.setJobGroup(s"q$i", n, interruptOnCancel = true)
+          start.await()
+          val t0 = System.nanoTime()
+          val h = hashOf(fn(sess, sfDir))
+          results.put(n, ((System.nanoTime() - t0) / 1e9, h))
+        }
+      })
+    }
+    start.countDown()
+    val t0 = System.nanoTime()
+    futures.foreach(_.get(600, TimeUnit.SECONDS))
+    val concurrentWall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+
+    val rows = names.map { n =>
+      val (st, sh) = serial(n)
+      val (ct, ch) = results.get(n)
+      (n, st, ct, if (st > 0) ct / st else 0.0, sh == ch)
+    }
+    val stable = rows.forall(_._5)
+    val serialTotal = rows.map(_._2).sum
+    def f(d: Double) = math.rint(d * 1000) / 1000
+    val qj = graft.JsonOut.obj(rows.map { case (n, st, ct, infl, _) =>
+      n -> s"""{"serial":${f(st)},"concurrent":${f(ct)},"inflation":${f(infl)}}"""
+    }, quoteValues = false)
+    val line = s"""{"metric":"concurrent","threads":$threads,"stable":$stable,""" +
+      s""""serial_total":${f(serialTotal)},"concurrent_wall":${f(concurrentWall)},""" +
+      s""""speedup":${f(serialTotal / concurrentWall)},"queries":$qj,"sf":"$sfDir"}"""
+    println(line)
+    val w = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_CONC_OUT", "/tmp/concurrent_bench.json"), "UTF-8")
+    try w.println(line) finally w.close()
+    spark.stop()
+    if (!stable) sys.exit(1)
+  }
+}
