@@ -608,6 +608,37 @@ object EngineQueries {
       .orderBy("emit_seq", "step_ts", "group_key")
   }
 
+  /** Reverse (newest-first) incremental delivery — the log-tail view:
+    * `checkShouldReverseSort` queries replay groups newest-endTs-first
+    * so the first SSE batch is the most recent data
+    * (QueryEngineV2.scala:561, SequencingStrategy.scala:62-64). Same
+    * construction as [[ast_incremental_chart]] but reverse = true over
+    * the whole table (no live tail): group k holds day intervals
+    * [dmax−4k−3, dmax−4k], so the oracle recomputes emit_seq as
+    * (dmax − day)/4 — a wrong replay direction renumbers every batch
+    * and hash-mismatches. */
+  def ast_incremental_reverse(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val tel = Telemetry.nanos(ev, "ts", valueCol = col("value"),
+      message = Some(col("props")))
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val span = graft.engine.ReplaySequencer.SegmentSpan("events",
+      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+    QueryEngine.evaluateIncremental(_ => tel, ast, START, END, DAY,
+        Seq(span), minGroupSize = 4, reverse = true)
+      .map { rb =>
+        rb.df.select(lit(rb.seq).cast("long").as("emit_seq"), col("step_ts"),
+          col("group_key"), round(col("value"), 6).as("value"))
+      }.reduce(_ unionByName _)
+      .orderBy("emit_seq", "step_ts", "group_key")
+  }
+
   /** The reference's GET /api/v1/functionSpecs: the custom-function
     * registry dumped as rows (reference QueryApi.scala:356-360 over
     * ComputeFunction.getSpecs). Here the registry is
@@ -628,6 +659,7 @@ object EngineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ast_incremental_chart" -> ast_incremental_chart _,
+    "ast_incremental_reverse" -> ast_incremental_reverse _,
     "ast_function_specs" -> ast_function_specs _,
     "ast_chart_sum" -> ast_chart_sum _,
     "ast_formula_ratio" -> ast_formula_ratio _,
@@ -679,6 +711,20 @@ object EngineQueries {
         |SELECT CAST(emit_seq AS BIGINT) AS emit_seq, sealed, step_ts,
         |  event_type AS group_key, round(sum(value), 6) AS value
         |FROM g GROUP BY 1, 2, 3, 4
+        |ORDER BY emit_seq, step_ts, group_key""".stripMargin,
+    // reverse replay: emit_seq = (dmax - day)/4, newest group first;
+    // non-negative operands ⇒ trunc == floor on both engines
+    "ast_incremental_reverse" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |b AS (SELECT max(ms) // 86400000 AS dmax FROM e),
+        |g AS (
+        |  SELECT (ms // 86400000) * 86400000 AS step_ts,
+        |    (b.dmax - (ms // 86400000)) // 4 AS emit_seq, event_type, value
+        |  FROM e, b WHERE event_type IN ('click', 'view'))
+        |SELECT CAST(emit_seq AS BIGINT) AS emit_seq, step_ts,
+        |  event_type AS group_key, round(sum(value), 6) AS value
+        |FROM g GROUP BY 1, 2, 3
         |ORDER BY emit_seq, step_ts, group_key""".stripMargin,
     // the published SQL-function surface, pinned name by name
     "ast_function_specs" ->

@@ -171,6 +171,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("e15: XML extraction runs as the codegen single-pass expression, " +
+      "no DOM, inside whole-stage codegen") {
+    val p = plan(CoreQueries.queries("e15_xml_extract")(spark, dir))
+    assert(p.contains("xml_extract_struct"),
+      s"e15 must use XmlExtractStruct, not xpath_*:\n$p")
+    assert(!p.contains("xpath"),
+      s"no per-row DOM parse on e15's hot path:\n$p")
+    assert("PushedFilters: \\[[^\\]]*IsNotNull\\(props".r.findFirstIn(p)
+      .isDefined, s"props non-null gate must reach the scan:\n$p")
+    // the extraction projection stays inside a WholeStageCodegen span
+    // (ComputeUnaryCodegen keeps children fused — a fallback to the
+    // interpreted path would strand the expression outside every codegen
+    // id). AQE's pre-execution plan hides the spans, so inspect with AQE
+    // off — span fusion is a codegen-planner property, not a runtime one.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val np = plan(CoreQueries.queries("e15_xml_extract")(spark, dir))
+      // the Project/Filter rows carrying xml_extract_struct sit on
+      // codegen'd lines (the FileScan's DataFilters echo doesn't count —
+      // scans are columnar, not codegen stages)
+      val evalLines = np.linesIterator.filter(l =>
+        l.contains("xml_extract_struct") &&
+          (l.contains("Project") || l.contains("Filter ("))).toSeq
+      assert(evalLines.nonEmpty, s"no evaluation site found:\n$np")
+      assert(evalLines.forall(_.contains("*(")),
+        s"xml_extract_struct outside codegen:\n$np")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("s20: conjunctive retrieval pushes the term filter into the index " +
       "scan — O(df) read, not a corpus scan") {
     val p = plan(PipelineQueries.queries("s20_inverted_index")(spark, dir))
