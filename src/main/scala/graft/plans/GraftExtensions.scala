@@ -93,6 +93,16 @@ object GraftExtensions {
         "_FUNC_(msg, regex, f1, f2, ...) - single-pass multi-group extraction to a struct."),
       (args: Seq[Expression]) =>
         RegexExtractStruct(args.head, str(args(1)), args.drop(2).map(str)))),
+    "graft_xml_extract_struct" -> ((
+      info("graft_xml_extract_struct",
+        "_FUNC_(xml, elem, f1, f2, ...) - single-pass XML attribute/#text extraction to a struct (no DOM)."),
+      (args: Seq[Expression]) =>
+        XmlExtractStruct(args.head, str(args(1)), args.drop(2).map(str)))),
+    "graft_rolling_hash_windows" -> ((
+      info("graft_rolling_hash_windows",
+        "_FUNC_(text, w) - all stride-1 w-char window hashes in one O(len) walk (Rabin-Karp)."),
+      (args: Seq[Expression]) =>
+        RollingHashWindows(args.head, int(args(1))))),
     "ddsketch" -> ((
       info("ddsketch", "_FUNC_(col) - mergeable DDSketch (binary), relative accuracy 0.01."),
       (args: Seq[Expression]) => DDSketchAgg(args.head).toAggregateExpression())),

@@ -737,10 +737,11 @@ object EngineQueries {
         |  ('graft_dd_to_proto'), ('graft_dot'), ('graft_hll_compat'),
         |  ('graft_hll_compat_estimate'), ('graft_hll_compat_union'),
         |  ('graft_int8_cosine'), ('graft_int8_quantize'), ('graft_minhash'),
-        |  ('graft_regex_extract_struct'), ('graft_simhash'), ('graft_theta'),
+        |  ('graft_regex_extract_struct'), ('graft_rolling_hash_windows'),
+        |  ('graft_simhash'), ('graft_theta'),
         |  ('graft_theta_diff'), ('graft_theta_estimate'),
         |  ('graft_theta_intersect'), ('graft_theta_union'),
-        |  ('graft_word_shingles')) AS t(name)
+        |  ('graft_word_shingles'), ('graft_xml_extract_struct')) AS t(name)
         |ORDER BY name""".stripMargin,
     "ast_chart_sum" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts,

@@ -34,6 +34,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ent") - 1.0) < 1e-12) // 2 symbols 50/50
   }
 
+  test("xml extraction and rolling-hash windows callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_xml_extract_struct('<e k="42">hi</e>', 'e', 'k', '#text') AS x,
+        |  graft_rolling_hash_windows('abcdef', 3) AS h,
+        |  graft_rolling_hash_windows('xxabcdexx', 3) AS h2
+        |""".stripMargin).head()
+    val x = r.getStruct(0)
+    assert(x.getAs[String]("k") == "42" && x.getAs[String]("#text") == "hi")
+    val h = r.getSeq[Long](1)
+    assert(h.length == 4)
+    // the same 3-char windows (abc, bcd, cde) hash identically wherever
+    // they occur in a string
+    val h2 = r.getSeq[Long](2)
+    assert(h2.slice(2, 5) == h.take(3))
+  }
+
   test("binary-returning scalars survive whole-stage codegen (unbox byte[])") {
     import spark.implicits._
     Seq(1.0, 2.0, 3.0).toDF("v").createOrReplaceTempView("bc_vals")
