@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment compaction EXECUTION — the rewrite half of the small-file
+  * story (p17_compaction_plan is the planning half; the reference's
+  * ingest lands one rollup segment per closed block per hour, and scan
+  * efficiency at 100 TB needs them re-packed toward the parquet
+  * row-group sweet spot — the st4 bench documents the cost: 719
+  * KB-scale files whose footer opens dominate the read).
+  *
+  * Binning mirrors p17's rule exactly: files in stable (path-sorted)
+  * order, each assigned the bin its cumulative START byte offset falls
+  * in — greedy first-fit with exact integer arithmetic, planned from a
+  * manifest-sized frame (one row per FILE; driver-side listing is the
+  * same planning metadata the manifest build uses).
+  *
+  * The rewrite is one distributed pass: rows get their bin by a
+  * broadcast join of `input_file_name()` against the plan,
+  * `repartition(bin)` co-locates each bin on one task, and a
+  * `partitionBy(bin)` write emits EXACTLY one file per bin (all rows of
+  * a bin share a shuffle partition, so the writer opens one file per
+  * bin dir). The shuffle carries each data row once — the unavoidable
+  * cost of a rewrite — and never the driver.
+  */
+object Compaction {
+
+  /** One row per source file: (file, bytes, bin). */
+  def plan(spark: SparkSession, files: Seq[String], targetBytes: Long)
+      : DataFrame = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    import spark.implicits._
+    val sized = files.sorted.map(f => (f, new java.io.File(f).length()))
+    val starts = sized.scanLeft(0L)(_ + _._2).init
+    sized.zip(starts)
+      .map { case ((f, len), start) => (f, len, start / targetBytes) }
+      .toDF("file", "bytes", "bin")
+  }
+
+  /** Compact `files` into `outDir` (one parquet file per bin, laid out
+    * as bin=K partition dirs). Returns the number of bins written.
+    * Deterministic: same files + target → same binning, same rows per
+    * output file. */
+  def compact(spark: SparkSession, files: Seq[String], outDir: String,
+      targetBytes: Long): Int = {
+    if (files.isEmpty) return 0
+    val p = plan(spark, files, targetBytes)
+    val nBins = p.agg(max(col("bin"))).head().getLong(0).toInt + 1
+    // input_file_name() is non-deterministic, so it must be PROJECTED
+    // before joining (a join condition requires determinism); it is also
+    // URI-formatted, so the plan side normalizes to the same shape
+    val rows = spark.read.parquet(files: _*)
+      .withColumn("_src", input_file_name())
+    val keyed = p.select(
+      concat(lit("file://"), col("file")).as("_src"), col("bin"))
+    rows.join(broadcast(keyed), "_src")
+      .drop("_src")
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    nBins
+  }
+}

@@ -254,6 +254,31 @@ object StreamingQueries {
   private val rollupCols = Seq("ts", "event_type", "rollup_sum",
     "rollup_count", "rollup_min", "rollup_max", "rollup_avg")
 
+  private val compactedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** st22: compaction EXECUTION over st4's streaming segment landscape —
+    * the st4 drift investigation showed the read side is footer-IO-bound
+    * on one file per touched (date_int, hour) dir (719 KB-scale files at
+    * sf0.1); [[graft.operators.Compaction]] re-packs them toward a
+    * target size (here 4 MB → a handful of files) and the compacted
+    * read must return EXACTLY st4's rows — same oracle SQL, so a
+    * compaction that drops/duplicates/reorders data hash-mismatches.
+    * File-count shrinkage itself is pinned in CompactionSpec. */
+  def st22_compacted_rollup(s: SparkSession, dir: String): DataFrame = {
+    val base = rollupSegmentsBase(s, dir)
+    val segFiles = listParquet(new java.io.File(s"$base/segments")).sorted
+    if (segFiles.isEmpty) return emptyRollup(s).orderBy("ts", "event_type")
+    val outDir = s"$base/compacted"
+    compactedDirs.computeIfAbsent(outDir, { _ =>
+      graft.operators.Compaction.compact(s, segFiles, outDir,
+        targetBytes = 4L << 20)
+    })
+    s.read.parquet(outDir)
+      .select(rollupCols.map(col): _*)
+      .orderBy("ts", "event_type")
+  }
+
   private def listParquet(dir: java.io.File): Seq[String] = {
     val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
     fs.filter(_.isDirectory).flatMap(listParquet) ++
@@ -1154,6 +1179,7 @@ object StreamingQueries {
     "st2_running_stats" -> st2_running_stats _,
     "st3_rollup_ingest" -> st3_rollup_ingest _,
     "st4_rollup_segments" -> st4_rollup_segments _,
+    "st22_compacted_rollup" -> st22_compacted_rollup _,
     "st10_live_sealed_union" -> st10_live_sealed_union _,
     "st11_partition_pruned" -> st11_partition_pruned _,
     "st5_session_window" -> st5_session_window _,
@@ -1317,6 +1343,20 @@ object StreamingQueries {
         |  CAST(sum(rollup_count) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(rollup_sum AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // st22 reads the COMPACTED copy of st4's segments; identical rows
+    // by contract, so it shares st4's oracle verbatim
+    "st22_compacted_rollup" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+        |r AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS ts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum,
+        |    CAST(count(*) AS DOUBLE) AS rollup_count,
+        |    min(value) AS rollup_min, max(value) AS rollup_max,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      AS rollup_avg
+        |  FROM events GROUP BY 1, 2)
+        |SELECT r.* FROM r, mx WHERE r.ts + 60000 <= mx.m - 3600000
+        |ORDER BY ts, event_type""".stripMargin,
     "st4_rollup_segments" ->
       """WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
         |r AS (

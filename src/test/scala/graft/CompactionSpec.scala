@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Compaction
+
+/** Compaction execution: the bin plan mirrors p17's cumulative-offset
+  * rule, the rewrite emits exactly one file per bin, and the compacted
+  * data is row-identical to the source (the property st22's shared
+  * oracle also enforces end-to-end). */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkFiles(dir: String, n: Int): Seq[String] = {
+    (0 until n).foreach { i =>
+      Seq.tabulate(40)(j => (i.toLong * 100 + j, s"v$i-$j"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg$i")
+    }
+    (0 until n).flatMap { i =>
+      new java.io.File(s"$dir/seg$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+  }
+
+  test("plan assigns each file the bin of its cumulative start offset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpl").toString
+    val files = mkFiles(dir, 6)
+    val sizes = files.sorted.map(f => new java.io.File(f).length())
+    val target = sizes.head * 2 + 1 // ~2 files per bin
+    val plan = Compaction.plan(spark, files, target)
+      .orderBy("file").collect()
+    var cum = 0L
+    files.sorted.zip(plan).foreach { case (f, row) =>
+      assert(row.getString(0) == f)
+      assert(row.getLong(2) == cum / target, s"bin mismatch for $f")
+      cum += row.getLong(1)
+    }
+  }
+
+  test("compact writes one file per bin and preserves every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cex").toString
+    val files = mkFiles(dir, 7)
+    val sizes = files.sorted.map(f => new java.io.File(f).length())
+    val target = sizes.sum / 3 + 1 // ~3 bins
+    val out = s"$dir/out"
+    val nBins = Compaction.compact(spark, files, out, target)
+    assert(nBins >= 2 && nBins < files.size, s"nBins=$nBins")
+    val written = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        cs.filter(_.isDirectory).flatMap(walk) ++
+          cs.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+      }
+      walk(new java.io.File(out))
+    }
+    assert(written.size == nBins,
+      s"expected $nBins files, found ${written.size}")
+    val before = spark.read.parquet(files: _*)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    val after = spark.read.parquet(out)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    assert(after.sameElements(before))
+  }
+
+  test("compact handles a single bin and empty input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_c1").toString
+    val files = mkFiles(dir, 2)
+    assert(Compaction.compact(spark, files, s"$dir/one", Long.MaxValue) == 1)
+    assert(Compaction.compact(spark, Nil, s"$dir/none", 1024) == 0)
+  }
+}
