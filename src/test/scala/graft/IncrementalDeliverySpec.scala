@@ -167,6 +167,44 @@ class IncrementalDeliverySpec extends AnyFunSuite {
     assert(concat === whole)
   }
 
+  test("replay groups from a real multi-file segment manifest: concat " +
+    "equals batch over the segment relation") {
+    // segment landscape: the sf0.001 events split into 6 time-ranged
+    // files (the ingest shape); spans come from the SegmentIndex
+    // manifest rows — the same (file, min_ts, max_ts) the planner uses
+    val segBase = java.nio.file.Files
+      .createTempDirectory("graft_inc_segs").toString
+    val ev = Tables.load(spark, SparkTestSession.sfDir, "events")
+    ev.repartitionByRange(6, col("ts"))
+      .write.mode("overwrite").parquet(segBase)
+    val files = new java.io.File(segBase).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size == 6)
+    val manifest = graft.sources.SegmentIndex.build(spark, files, "ts",
+      c => expr("ts div 1000000"), Seq.empty)
+    val spans = manifest.select("file", "min_ts", "max_ts").collect()
+      .map(r => SegmentSpan(r.getString(0), r.getLong(1), r.getLong(2) + 1))
+      .toSeq
+    val rel = spark.read.parquet(files: _*)
+    val relTel = Telemetry.nanos(rel, "ts", valueCol = col("value"),
+      message = Some(col("props")))
+    val start = 1704067200000L
+    val end = start + 31L * 86400000L
+    val batches = QueryEngine.evaluateIncremental(
+      _ => relTel, AST, start, end, 86400000L, spans,
+      minGroupSize = 3).toList
+    assert(batches.size > 1, "expected multiple replay groups")
+    val concat = batches.map(_.df).reduce(_ unionByName _)
+      .select("step_ts", "group_key", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val whole = QueryEngine.evaluate(_ => relTel, AST, start, end, 86400000L)
+      .select("step_ts", "group_key", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(concat === whole)
+  }
+
   test("streamRows delivers (seq, sealed, row) in batch order without " +
     "collecting any batch") {
     val ev = mkEvents(120)
