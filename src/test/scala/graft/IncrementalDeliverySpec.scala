@@ -167,6 +167,36 @@ class IncrementalDeliverySpec extends AnyFunSuite {
     assert(concat === whole)
   }
 
+  test("reverse incremental delivery emits newest groups first and " +
+    "still concatenates to the batch result") {
+    val ev = mkEvents(240)
+    val bounds = ev.agg(
+      org.apache.spark.sql.functions.min(col("ts")),
+      org.apache.spark.sql.functions.max(col("ts"))).head()
+    val span = SegmentSpan("s", bounds.getLong(0) / 1000000L,
+      bounds.getLong(1) / 1000000L + 1)
+    val base = 1704067200000L
+    val end = base + 240L * 97 * 60000
+    val batches = QueryEngine.evaluateIncremental(
+      _ => tel(ev), AST, base, end, 3600000L, Seq(span),
+      minGroupSize = 24, reverse = true).toList
+    assert(batches.size > 1)
+    batches.sliding(2).foreach {
+      case List(a, b) => assert(b.endMs <= a.startMs,
+        s"reverse order violated: $a then $b")
+      case _ =>
+    }
+    val concat = batches.map(_.df).reduce(_ unionByName _)
+      .select("step_ts", "group_key", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val whole = QueryEngine.evaluate(_ => tel(ev), AST, base, end, 3600000L)
+      .select("step_ts", "group_key", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(concat === whole)
+  }
+
   test("replay groups from a real multi-file segment manifest: concat " +
     "equals batch over the segment relation") {
     // segment landscape: the sf0.001 events split into 6 time-ranged
