@@ -483,6 +483,19 @@ object Dedup {
     * missed pairs at distance 4..maxHamming whose flips spread over all
     * four chunks). maxHamming=3 reproduces the classic 4x16 banding. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingNearDuplicates64(
+      df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sh")),
+      "id", "sh", maxHamming, maxBucket)
+
+  /** Hamming-≤maxHamming self-join over ANY precomputed 64-bit signature
+    * column (SimHash, image aHash, audio fingerprint — any locality-
+    * preserving 64-bit code). Same chunk-banding pigeonhole as
+    * [[simhashNearDuplicates]]: maxHamming+1 disjoint bit chunks, a pair
+    * within the radius agrees on at least one chunk — full recall, with
+    * candidates ∝ bucket sizes instead of n². Output (id_a, id_b,
+    * hamming), id_a < id_b. */
+  def hammingNearDuplicates64(df: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming $maxHamming out of range (banding needs maxHamming+1 " +
@@ -492,8 +505,7 @@ object Dedup {
     val lastWidth = 64 - chunkBits * (nChunks - 1)
     val stdMask = (1L << chunkBits) - 1
     val lastMask = if (lastWidth == 64) -1L else (1L << lastWidth) - 1
-    val withSim = df.select(col(idCol).as("id"),
-      simhash(tokens(col(textCol))).as("sh"))
+    val withSim = df.select(col(idCol).as("id"), col(sigCol).as("sh"))
     val banded = withSim.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(nChunks - 1)),
           b => shiftright_dyn(col("sh"), b * chunkBits).bitwiseAND(

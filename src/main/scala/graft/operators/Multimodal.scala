@@ -561,6 +561,44 @@ object Multimodal {
     base + ((id * 31 + x * 7 + y * 13) % 3).toInt
   }
 
+  /** [[fixtureNearDupPixel]] with per-id BLOCK DAMAGE — the regime a
+    * hamming-radius perceptual join exists for (re-encodes and small
+    * edits change a FEW hash bits; exact aHash grouping misses them).
+    * Variant k = id mod 3 of group g inverts one whole 4×4 block
+    * (k = 0: none; k = 1, 2: block d_k = (g·5 + k·11) mod 64, d_1 ≠
+    * d_2), flipping EXACTLY that block's aHash bit: inversion moves the
+    * block mean across the global mean, while the global mean itself
+    * moves < 4 gray levels — an order of magnitude under every other
+    * block's ≥ 90-level margin, so no other bit flips. Within a triple
+    * the 64-bit hashes sit at hamming (0,1) = 1, (0,2) = 1, (1,2) = 2;
+    * across groups ≥ 6 (patterns differing in one of the six code bits
+    * differ in ~10 blocks, damage adds at most ±4). */
+  def fixtureDamagedPixel(id: Long, x: Int, y: Int): Int = {
+    val g = id / 3
+    val b = (y / 4) * 8 + (x / 4)
+    val k = (id % 3).toInt
+    val damaged = k != 0 && b == (g * 5 + k * 11) % 64
+    val high = ((((g + 1) >> (b % 6)) & 1L) == 1L) != damaged
+    val base = if (high) 220 else 30
+    base + ((id * 31 + x * 7 + y * 13) % 3).toInt
+  }
+
+  /** Media table over [[fixtureDamagedPixel]]: genuine 32×32 BMPs whose
+    * consecutive id triples are near-duplicates at aHash hamming ≤ 2
+    * but NOT aHash-identical. */
+  def syntheticDamagedImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            Bmp.encodeGray(32, 32, (x, y) => fixtureDamagedPixel(id, x, y))
+          Row(id, payload, Row("bmp", 32, 32, null))
+        }
+      }(enc)
+  }
+
   /** Real-image near-dup media table: one genuine 32×32 BMP per input
     * id, pixels from [[fixtureNearDupPixel]] — consecutive id triples
     * are perceptual near-duplicates of each other. */

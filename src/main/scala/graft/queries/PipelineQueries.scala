@@ -1169,6 +1169,30 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  // m12: hamming-radius perceptual image dedup — m7's exact-aHash
+  // grouping misses re-encodes/small edits that flip a FEW bits, the
+  // case perceptual hashing exists for. Fixture triples carry planted
+  // 1–2-bit aHash damage (one inverted block per variant); the decoded
+  // aHash packs to a 64-bit signature and the banded hamming-<=2
+  // self-join (Dedup.hammingNearDuplicates64 — maxHamming+1 chunk
+  // pigeonhole, FULL recall, candidates ∝ band buckets not n²) must
+  // recover exactly the within-triple pairs at their exact distances.
+  // The oracle replays pixels → damage → bits analytically and
+  // brute-forces all pairs (sound because banded recall is total at
+  // the radius).
+  def m12_image_hamming_neardup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticDamagedImageTable(
+      docs(s, dir).where(col("doc_id") < 150), "doc_id")
+    val packed = Multimodal.imageAHash(media)
+      .withColumn("sh", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | " +
+          "IF(substring(ahash, i + 1, 1) = '1', shiftleft(1L, i), 0L))"))
+    Dedup.hammingNearDuplicates64(packed, "media_id", "sh", maxHamming = 2)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   // m8: audio fingerprint dedup over REAL decoded PCM — genuine WAV
   // clips whose consecutive id-triples share an 8-frame energy profile
   // under per-id sample noise; the frame-energy-vs-clip-mean bit string
@@ -2023,6 +2047,7 @@ object PipelineQueries {
     "m5_video_decode" -> m5_video_decode _,
     "m6_video_frames" -> m6_video_frames _,
     "m7_image_phash_dedup" -> m7_image_phash_dedup _,
+    "m12_image_hamming_neardup" -> m12_image_hamming_neardup _,
     "m8_audio_fingerprint" -> m8_audio_fingerprint _,
     "m11_lum_histogram" -> m11_lum_histogram _
   )
@@ -3491,6 +3516,38 @@ object PipelineQueries {
         |  min(id) OVER (PARTITION BY h) AS dup_group,
         |  count(*) OVER (PARTITION BY h) AS group_size
         |FROM bits ORDER BY media_id""".stripMargin,
+    // m12: replay the damaged-image fixture (pattern bit XOR the planted
+    // per-variant block inversion), the block/global mean bits, then
+    // brute-force all pairs at hamming <= 2 — decision-equal to the
+    // banded join because chunk-pigeonhole recall is total at the radius
+    "m12_image_hamming_neardup" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |ids AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS grp, doc_id % 3 AS k
+        |  FROM documents WHERE doc_id < 150),
+        |px AS (
+        |  SELECT i.id,
+        |    (gy.v // 4) * 8 + (gx.v // 4) AS b,
+        |    (CASE WHEN
+        |        ((((i.grp + 1) >> (((gy.v // 4) * 8 + (gx.v // 4)) % 6))
+        |           & 1) = 1)
+        |        <> (i.k <> 0 AND ((gy.v // 4) * 8 + (gx.v // 4))
+        |              = (i.grp * 5 + i.k * 11) % 64)
+        |      THEN 220 ELSE 30 END)
+        |      + (i.id * 31 + gx.v * 7 + gy.v * 13) % 3 AS p
+        |  FROM ids i, g gx, g gy),
+        |bs AS (SELECT id, b, sum(p) AS s FROM px GROUP BY id, b),
+        |ts AS (SELECT id, sum(s) AS t FROM bs GROUP BY id),
+        |bits AS (
+        |  SELECT bs.id,
+        |    string_agg(CASE WHEN bs.s * 64 > ts.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY bs.b) AS h
+        |  FROM bs JOIN ts USING (id) GROUP BY bs.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(mismatches(a.h, b.h) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.id < b.id
+        |WHERE mismatches(a.h, b.h) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // m8: replay the PCM near-dup fixture (group g = id//3, frame f of
     // 256 samples loud iff bit (f%6) of g+1 set, alternating sign,
     // noise (id·31+i·17)%3−1), the frame energies, the integer bit test

@@ -861,6 +861,28 @@ class PipelineSpec extends AnyFunSuite {
       "distinct groups differ")
   }
 
+  test("damaged-image fixture plants exact 1/1/2 hamming triples and " +
+      "the banded join recovers them with exact distances") {
+    import spark.implicits._
+    val media = Multimodal.syntheticDamagedImageTable(
+      spark.range(12).toDF("doc_id"), "doc_id")
+    val packed = Multimodal.imageAHash(media)
+      .withColumn("sh", org.apache.spark.sql.functions.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | " +
+          "IF(substring(ahash, i + 1, 1) = '1', shiftleft(1L, i), 0L))"))
+    val pairs = Dedup.hammingNearDuplicates64(
+        packed, "media_id", "sh", maxHamming = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // per triple (3k, 3k+1, 3k+2): damage-free vs damaged at 1, the two
+    // damaged variants at 2; nothing across triples
+    val expected = (0 until 4).flatMap { k =>
+      val b = k * 3L
+      Seq((b, b + 1, 1), (b, b + 2, 1), (b + 1, b + 2, 2))
+    }
+    assert(pairs.toSeq === expected)
+  }
+
   test("duplicatedSubstringSpans: planted cross-doc run, interval merge, " +
       "short docs, within-doc repeats excluded") {
     import spark.implicits._
