@@ -1011,6 +1011,36 @@ object PipelineQueries {
     e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
 
+  // s29: embedding near-dup via 64-bit sign-random-projection codes —
+  // the cosine analogue of d3/m12: SRP (Charikar's simhash for real
+  // vectors) maps angle to expected hamming, so "cosine near-dup" joins
+  // become the SAME banded hamming-<=k self-join (candidates ∝ band
+  // buckets, full recall at the radius by chunk pigeonhole), with no n²
+  // stage anywhere — the scale path SemDeDup (s12) trades recall for
+  // and brute-force cosine (d5-style) can't offer. Projections reuse
+  // s21's exact-integer discipline: elements rounded to 9 dp, carried
+  // as nano-unit longs, ±1 signs regenerated per (j, i) — the sign bit
+  // is an exact-integer comparison, so the DuckDB oracle (DECIMAL(27,9)
+  // sums, brute-forced pairs) is decision-identical.
+  def s29_srp_hamming_neardup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        v => round(round(v, 9) * lit(1e9), 0).cast("long")).as("nanos"))
+    val packed = e.select(col("vec_id"), expr(
+      """aggregate(sequence(0, 63), 0L, (acc, j) -> acc |
+        |  IF(aggregate(
+        |       zip_with(nanos,
+        |         transform(sequence(0, size(nanos) - 1),
+        |           i -> CAST((j * 31 + i * 17) % 97 % 2 * 2 - 1 AS BIGINT)),
+        |         (v, sgn) -> v * sgn),
+        |       0L, (a, x) -> a + x) > 0,
+        |     shiftleft(1L, j), 0L))""".stripMargin).as("sh"))
+    Dedup.hammingNearDuplicates64(packed, "vec_id", "sh", maxHamming = 3)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   // s20: inverted-index build + conjunctive retrieval — the posting-list
   // structure every corpus-scale term query stands on. The index (term →
   // sorted doc postings + df) is materialized ONCE per dataset as a
@@ -2010,6 +2040,7 @@ object PipelineQueries {
     "p13_curriculum_bins" -> p13_curriculum_bins _,
     "s20_inverted_index" -> s20_inverted_index _,
     "s21_random_projection" -> s21_random_projection _,
+    "s29_srp_hamming_neardup" -> s29_srp_hamming_neardup _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
@@ -3104,6 +3135,31 @@ object PipelineQueries {
          |$cols
          |FROM e ORDER BY vec_id""".stripMargin
     },
+    // s29: replay the SRP sign bits with exact DECIMAL(27,9) sums (same
+    // discipline as s21 — the engine's integer nano sums and these
+    // decimal sums are the same exact numbers, so the > 0 sign test is
+    // decision-identical), then brute-force pairs at hamming <= 3
+    // (sound vs the banded join: chunk-pigeonhole recall is total)
+    "s29_srp_hamming_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (
+        |  SELECT e.vec_id, j.v AS j,
+        |    list_sum(list_transform(range(0, len(e.v)),
+        |      i -> CAST(round(e.v[i + 1]
+        |        * ((CAST(j.v AS BIGINT) * 31 + i * 17) % 97 % 2 * 2 - 1), 9)
+        |        AS DECIMAL(27, 9)))) AS s
+        |  FROM e, LATERAL (SELECT unnest(range(0, 64)) AS v) j),
+        |bits AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS h
+        |  FROM proj GROUP BY vec_id)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(mismatches(a.h, b.h) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.vec_id < b.vec_id
+        |WHERE mismatches(a.h, b.h) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // s20: the conjunctive query over the materialized index equals the
     // direct corpus predicate — distinct (doc, term) pairs, keep docs
     // carrying both query terms
