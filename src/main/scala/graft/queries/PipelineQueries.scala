@@ -1026,15 +1026,8 @@ object PipelineQueries {
     val e = embs(s, dir).select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         v => round(round(v, 9) * lit(1e9), 0).cast("long")).as("nanos"))
-    val packed = e.select(col("vec_id"), expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) -> acc |
-        |  IF(aggregate(
-        |       zip_with(nanos,
-        |         transform(sequence(0, size(nanos) - 1),
-        |           i -> CAST((j * 31 + i * 17) % 97 % 2 * 2 - 1 AS BIGINT)),
-        |         (v, sgn) -> v * sgn),
-        |       0L, (a, x) -> a + x) > 0,
-        |     shiftleft(1L, j), 0L))""".stripMargin).as("sh"))
+    val packed = e.select(col("vec_id"),
+      graft.functions.SketchExpressions.srpCode64(col("nanos")).as("sh"))
     Dedup.hammingNearDuplicates64(packed, "vec_id", "sh", maxHamming = 3)
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("long").as("hamming"))
