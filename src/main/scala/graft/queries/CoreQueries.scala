@@ -794,6 +794,30 @@ object CoreQueries {
         sum(col("v")).as("sum_v"))
       .orderBy("event_type")
 
+  // e18: LIST XML extraction — every occurrence of an attribute across
+  // repeated elements (the xpath('//e/@k') node-set semantics), via the
+  // single-pass XmlExtractAll walk instead of a per-row DOM. Each
+  // synthesized payload carries THREE <e> elements — k, k+1, and one
+  // WITHOUT the attribute (which must contribute nothing, per node-set
+  // semantics) — so the oracle's closed form (2 values per row, sum
+  // 2k+1) breaks if the scanner misses an occurrence, double-counts,
+  // or fabricates an empty string for the absent attribute.
+  def e18_xml_extract_all(s: SparkSession, dir: String): DataFrame = {
+    val k = expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    t(s, dir, "events")
+      .where(col("props").isNotNull && k.isNotNull)
+      .select(col("event_type"),
+        concat(lit("<r><e k=\""), k, lit("\"/><e k=\""), k + 1,
+          lit("\"/><e j=\"x\"/></r>")).as("xml"))
+      .select(col("event_type"),
+        explode(graft.functions.XmlExtractAll(col("xml"), "e", "k"))
+          .as("kv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("kv").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   // o2: keyset-free pagination (ORDER BY … LIMIT … OFFSET) — the API
   // layer's page-2 request. Spark executes offset+limit as a single
   // TakeOrdered of offset+limit rows then drops the prefix — no global
@@ -1506,6 +1530,7 @@ object CoreQueries {
     "a30_interp_fill" -> a30_interp_fill _,
     "e15_xml_extract" -> e15_xml_extract _,
     "e17_xpath" -> e17_xpath _,
+    "e18_xml_extract_all" -> e18_xml_extract_all _,
     "e16_pipe_syntax" -> e16_pipe_syntax _,
     "o2_pagination" -> o2_pagination _,
     "a31_counter_increase" -> a31_counter_increase _,
@@ -2063,6 +2088,17 @@ object CoreQueries {
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events WHERE props IS NOT NULL)
         |WHERE k % 3 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // e18: two attribute-bearing <e> per row (k, k+1), one without →
+    // exactly 2 list entries per row, sum 2k+1
+    "e18_xml_extract_all" ->
+      """SELECT event_type, CAST(count(*) * 2 AS BIGINT) AS n,
+        |  CAST(sum(2 * k + 1) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE props IS NOT NULL)
+        |WHERE k IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e17_xpath" ->
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -75,6 +75,42 @@ class XmlExtractSpec extends AnyFunSuite {
     }
   }
 
+  private def all(xml: String, elem: String, field: String): Seq[String] = {
+    val r = Seq(xml).toDF("x")
+      .select(graft.functions.XmlExtractAll(col("x"), elem, field).as("a"))
+      .head()
+    if (r.isNullAt(0)) null else r.getSeq[String](0)
+  }
+
+  test("XmlExtractAll collects every occurrence in document order, " +
+    "skipping elements lacking the field") {
+    assert(all("""<r><e k="1"/><e j="x"/><e k="2">t</e></r>""", "e", "k") ===
+      Seq("1", "2"))
+    assert(all("""<e>a</e><e/><e>b</e>""", "e", "#text") === Seq("a", "b"))
+    assert(all("no xml", "e", "k") === Seq.empty)
+    // a '>' inside a quoted attribute must not close the tag early
+    assert(all("""<e k="a&gt;b"/><e k="c>d"/><e k="2"/>""", "e", "k") ===
+      Seq("a>b", "c>d", "2"))
+    // comments/CDATA skipped; prefix names don't match
+    assert(all("""<!--<e k="0"/>--><ee k="9"/><e k="1"/>""", "e", "k") ===
+      Seq("1"))
+    // malformed tag anywhere → null (same contract as the struct form)
+    assert(all("""<e k="1"/><e k=bare/>""", "e", "k") === null)
+  }
+
+  test("XmlExtractAll agrees with the xpath built-in on generated docs") {
+    val docs = (0 until 300).map { i =>
+      s"""<r><e k="$i"/><e k="${i * 2}"/>${if (i % 2 == 0) """<e j="n"/>"""
+        else ""}</r>"""
+    }
+    val df = docs.toDF("x").select(
+      graft.functions.XmlExtractAll(col("x"), "e", "k").as("mine"),
+      xpath(col("x"), lit("//e/@k")).as("theirs"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
   test("survives whole-stage codegen in a filtered aggregate") {
     val n = (1 to 1000).map(i => s"""<e k="$i"/>""").toDF("x")
       .select(XmlExtractStruct(col("x"), "e", Seq("k"))
