@@ -890,6 +890,30 @@ object QueryEngine {
     case _ => id
   }
 
+  /** The fixed infra scope dimensions served by GET /api/v1/scopeTags
+    * (reference QueryApi.scala:57-61 over Commons.scala:104-109) — the
+    * tag names a UI scopes dashboards by. A constant of the data model,
+    * not of any deployment. */
+  val scopeTags: Seq[String] = Seq(
+    "resource.k8s.namespace.name", "resource.service.name", "resource.file")
+
+  /** GET /api/v1/metricMetadata (reference QueryEngineV2.scala:952-995):
+    * the distinct (metricName, metricType) catalog, type defaulting to
+    * "gauge" where absent — the reference reads it from its exemplar
+    * metadata store; Spark-native, it is a distinct-aggregate over the
+    * metrics telemetry itself (one narrow shuffle of (name, type)
+    * pairs, partial-aggregated map-side). */
+  def metricMetadata(tel: Telemetry, nameCol: String,
+      typeCol: Option[String] = None): DataFrame = {
+    val t = typeCol.map(c => coalesce(FilterCompiler.fieldCol(c),
+      lit("gauge"))).getOrElse(lit("gauge"))
+    tel.df.select(FilterCompiler.fieldCol(nameCol).as("metric_name"),
+        t.as("metric_type"))
+      .where(col("metric_name").isNotNull)
+      .distinct()
+      .orderBy("metric_name", "metric_type")
+  }
+
   /** One incrementally-delivered result batch: the chart rows for replay
     * group `seq` covering [startMs, endMs). `sealedBatch` = false only
     * for the trailing live (unsealed) batch. `df` is the SAME shape as

@@ -639,6 +639,27 @@ object EngineQueries {
       .orderBy("emit_seq", "step_ts", "group_key")
   }
 
+  /** GET /api/v1/scopeTags: the fixed infra scope dimensions, pinned as
+    * a VALUES oracle the way ast_function_specs pins the function
+    * registry — renaming or dropping a scope dimension breaks the same
+    * contract a dashboard holds the reference to. */
+  def ast_scope_tags(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      QueryEngine.scopeTags.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+      .orderBy("tag")
+  }
+
+  /** GET /api/v1/metricMetadata: distinct (metricName, metricType)
+    * catalog over the metrics telemetry, type defaulting to "gauge" —
+    * the reference's PG exemplar-store query re-expressed as a
+    * distinct-aggregate over the data itself. */
+  def ast_metric_metadata(s: SparkSession, dir: String): DataFrame =
+    QueryEngine.metricMetadata(eventsTel(s, dir), "event_type")
+
   /** The reference's GET /api/v1/functionSpecs: the custom-function
     * registry dumped as rows (reference QueryApi.scala:356-360 over
     * ComputeFunction.getSpecs). Here the registry is
@@ -660,6 +681,8 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ast_incremental_chart" -> ast_incremental_chart _,
     "ast_incremental_reverse" -> ast_incremental_reverse _,
+    "ast_scope_tags" -> ast_scope_tags _,
+    "ast_metric_metadata" -> ast_metric_metadata _,
     "ast_function_specs" -> ast_function_specs _,
     "ast_chart_sum" -> ast_chart_sum _,
     "ast_formula_ratio" -> ast_formula_ratio _,
@@ -726,6 +749,15 @@ object EngineQueries {
         |  event_type AS group_key, round(sum(value), 6) AS value
         |FROM g GROUP BY 1, 2, 3
         |ORDER BY emit_seq, step_ts, group_key""".stripMargin,
+    "ast_scope_tags" ->
+      """SELECT * FROM (VALUES
+        |  ('resource.file'), ('resource.k8s.namespace.name'),
+        |  ('resource.service.name')) AS t(tag)
+        |ORDER BY tag""".stripMargin,
+    "ast_metric_metadata" ->
+      """SELECT DISTINCT event_type AS metric_name, 'gauge' AS metric_type
+        |FROM events WHERE event_type IS NOT NULL
+        |ORDER BY metric_name, metric_type""".stripMargin,
     // the published SQL-function surface, pinned name by name
     "ast_function_specs" ->
       """SELECT * FROM (VALUES
