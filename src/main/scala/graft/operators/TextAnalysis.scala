@@ -173,6 +173,35 @@ object TextAnalysis {
     * fingerprint — the per-document columns a corpus-curation pipeline
     * materializes before filtering/dedup. The token statistics struct is
     * computed once per row and shared by every derived column. */
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, §2.2 — the rules
+    * the C4 pipeline applies before any document-level filter): keep
+    * only lines that (a) have at least `minWords` words, (b) end in
+    * terminal punctuation (. ! ? "), (c) contain no curly brace (the
+    * JSON/code-spill heuristic), and (d) do not contain "lorem ipsum"
+    * (case-insensitive). Per document: (id, n_lines, n_kept, text_kept)
+    * with surviving lines rejoined by newline in original order.
+    *
+    * Map-only — higher-order array functions over the line split, no
+    * shuffle, no state; at 100 TB this runs at scan speed alongside
+    * projection. (Line DEDUP across documents is the separate
+    * [[Dedup.spanDedup]]/[[Dedup.duplicatedSubstringSpans]] concern.) */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    def keep(l: Column): Column = {
+      val t = trim(l)
+      size(split(t, "\\s+")) >= minWords &&
+        t.rlike("[.!?\"]$") &&
+        !t.contains("{") && !t.contains("}") &&
+        !lower(t).contains("lorem ipsum")
+    }
+    val kept = filter(lines, keep _)
+    df.select(col(idCol).as("id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("text_kept"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), col(textCol).as("_text"),
         tokenStats(col(textCol)).as("_st"))

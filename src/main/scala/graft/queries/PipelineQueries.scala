@@ -819,6 +819,38 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  // t22: C4 line-level cleaning — the corpus ships single-line word-soup
+  // documents, so (the t7 pattern) the entry PLANTS a line structure
+  // deterministically: an 8-word sentence, a brace line (doc_id%3=0), a
+  // "lorem ipsum" line (doc_id%5=0), a 3-word fragment, and a tail
+  // sentence — then cleans it. Each planted line violates exactly one
+  // rule (braces, boilerplate, min-words/punctuation), so a rule
+  // regression flips specific n_kept values and hash-mismatches; the
+  // oracle replays the planting and all four predicates.
+  def t22_c4_line_clean(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n = size(toks)
+    val lineA = concat(array_join(slice(toks, 1, 8), " "), lit("."))
+    val lineD = array_join(slice(toks, 9, 3), " ")
+    val lineE = array_join(
+      concat(slice(toks, lit(12), greatest(n - 11, lit(0))),
+        array(lit("end"), lit("of"), lit("doc."))), " ")
+    val none = array().cast("array<string>")
+    val planted = docs(s, dir).select(col("doc_id"),
+      array_join(concat(
+        array(lineA),
+        when(col("doc_id") % 3 === 0,
+          array(lit("{ config = true }"))).otherwise(none),
+        when(col("doc_id") % 5 === 0,
+          array(lit("lorem ipsum dolor sit amet."))).otherwise(none),
+        array(lineD),
+        array(lineE)), "\n").as("text"))
+    TextAnalysis.c4LineClean(planted, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("text_kept"))
+      .orderBy("doc_id")
+  }
+
   // t7: PII redaction — the synthetic corpus is PII-free, so the entry
   // plants deterministic PII (email / IP / SSN-shaped / phone-shaped
   // strings derived from doc_id) and scrubs it with the codegen'd
@@ -2062,6 +2094,7 @@ object PipelineQueries {
     "t5_contamination" -> t5_contamination _,
     "t6_repetition" -> t6_repetition _,
     "t7_pii_redact" -> t7_pii_redact _,
+    "t22_c4_line_clean" -> t22_c4_line_clean _,
     "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
     "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
@@ -2729,6 +2762,34 @@ object PipelineQueries {
         |FROM pairs WHERE prev IS NOT NULL
         |ORDER BY media_id, frame_idx""".stripMargin,
     "t7_pii_redact" -> t7OracleSql,
+    // t22: replay the planted line structure and all four C4 rules
+    "t22_c4_line_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS v
+        |  FROM documents),
+        |built AS (
+        |  SELECT doc_id,
+        |    [array_to_string(v[1:8], ' ') || '.']
+        |    || (CASE WHEN doc_id % 3 = 0
+        |          THEN ['{ config = true }'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |          THEN ['lorem ipsum dolor sit amet.'] ELSE [] END)
+        |    || [array_to_string(v[9:11], ' ')]
+        |    || [array_to_string(list_concat(v[12:],
+        |          ['end', 'of', 'doc.']), ' ')] AS lines
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l ->
+        |      len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND regexp_matches(trim(l), '[.!?"]$')
+        |      AND position('{' IN l) = 0 AND position('}' IN l) = 0
+        |      AND position('lorem ipsum' IN lower(l)) = 0) AS kept
+        |  FROM built)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS text_kept
+        |FROM f ORDER BY doc_id""".stripMargin,
     // d3: planted families only — see d3_simhash for the hamming-0 proof.
     // 25 families x 3 pairs, all analytic; organic ids never satisfy the
     // mod-100000 congruence filter.

@@ -861,6 +861,30 @@ class PipelineSpec extends AnyFunSuite {
       "distinct groups differ")
   }
 
+  test("c4LineClean: each rule drops exactly its violating line") {
+    import spark.implicits._
+    val text = Seq(
+      "this line has enough words to survive.",  // keep
+      "{ json spill }",                          // brace rule
+      "Lorem Ipsum dolor sit amet forever.",     // boilerplate (ci)
+      "too short.",                              // min-words
+      "five words but no punctuation here",      // terminal punct
+      "and a final proper sentence ends here!"   // keep
+    ).mkString("\n")
+    val out = graft.operators.TextAnalysis
+      .c4LineClean(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(out.getLong(1) === 6L && out.getLong(2) === 2L)
+    assert(out.getString(3) ===
+      "this line has enough words to survive.\n" +
+      "and a final proper sentence ends here!")
+    // null text behaves as one empty (dropped) line, document retained
+    val nullOut = graft.operators.TextAnalysis
+      .c4LineClean(Seq((2L, null: String)).toDF("doc_id", "text"),
+        "doc_id", "text").head()
+    assert(nullOut.getLong(1) === 1L && nullOut.getLong(2) === 0L)
+  }
+
   test("damaged-image fixture plants exact 1/1/2 hamming triples and " +
       "the banded join recovers them with exact distances") {
     import spark.implicits._
