@@ -64,4 +64,62 @@ object RangeJoin {
         Seq(col("_lo").as("range_lo"), col("_hi").as("range_hi")) ++
         rightCols.map(c => col(s"_rv_$c").as(c)): _*)
   }
+
+  /** Interval-INTERVAL overlap join: every (left, right) pair whose
+    * half-open ranges intersect, per key (keys may be EMPTY — then the
+    * time bucket alone is the equi-key, which is the right partitioning
+    * for the classic keyless "sessions × incident windows" correlation).
+    * Both sides explode into `bucketMs` buckets and equi-join on
+    * (keys…, bucket) + the overlap residual (`lLo < rHi && rLo < lHi`).
+    *
+    * Pairs sharing several buckets are NOT deduplicated with a
+    * `distinct` shuffle: the overlap of two intersecting intervals
+    * starts at max(lLo, rLo), whose bucket — `greatest(floor(lLo/b),
+    * floor(rLo/b))` (floor is monotone, so floor∘max = max∘floor) — is
+    * covered by BOTH explosions; keeping a pair only in that first
+    * shared bucket is a stateless tie-break that emits each pair
+    * exactly once for free.
+    *
+    * Both sides carry the `maxLenMs` assert-guard: an over-long
+    * interval throws rather than silently under-matching. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+      rightCols: Seq[String], bucketMs: Long, maxLenMs: Long): DataFrame = {
+    require(bucketMs > 0 && maxLenMs >= bucketMs,
+      s"need maxLenMs >= bucketMs > 0, got bucket=$bucketMs max=$maxLenMs")
+    require(!left.columns.contains("_b"),
+      "overlap join uses a _b bucket column; rename the left side's first")
+    val clash = rightCols.toSet ++ Set(rLoCol, rHiCol)
+    require(left.columns.count(clash.contains) == 0,
+      s"columns ${left.columns.filter(clash.contains).mkString(",")} " +
+      "exist on both sides; alias one side's first")
+    val rk = keys.indices.map(i => s"_rk$i")
+    // _sb = the interval's start bucket; _guard referenced by the join
+    // condition so pruning can't drop the over-length check
+    def exploded(df: DataFrame, lo: String, hi: String, tag: String)
+        : DataFrame =
+      df.where(col(hi) > col(lo))
+        .withColumn(s"_guard$tag",
+          assert_true(col(hi).cast("long") - col(lo).cast("long") <= maxLenMs,
+            lit(s"interval longer than maxLenMs=$maxLenMs")))
+        .withColumn(s"_sb$tag",
+          expr(s"CAST(`$lo` AS BIGINT) div $bucketMs"))
+        .withColumn("_b", explode(sequence(col(s"_sb$tag"),
+          expr(s"(CAST(`$hi` AS BIGINT) - 1) div $bucketMs"))))
+    val l = exploded(left, lLoCol, lHiCol, "L")
+    val r = exploded(
+      right.select(
+        keys.zip(rk).map { case (k, n) => col(k).as(n) } ++
+          (Seq(rLoCol, rHiCol) ++ rightCols).distinct.map(col): _*),
+      rLoCol, rHiCol, "R")
+    val cond = (keys.zip(rk).map { case (k, n) => l(k) === r(n) } ++ Seq(
+      l("_b") === r("_b"),
+      l("_guardL").isNull, r("_guardR").isNull,
+      l(lLoCol) < r(rHiCol), r(rLoCol) < l(lHiCol),
+      // first-shared-bucket tie-break: exactly one emission per pair
+      l("_b") === greatest(l("_sbL"), r("_sbR")))).reduce(_ && _)
+    l.join(r, cond, "inner")
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightCols.map(c => r(c)): _*)
+  }
 }

@@ -1372,6 +1372,33 @@ object CoreQueries {
       .orderBy("event_id", "range_lo")
   }
 
+  // J-family extension: interval-INTERVAL overlap join, KEYLESS — the
+  // "user sessions × incident windows" correlation (which users were
+  // active while any high-severity error hour was open). Both sides
+  // bucket-explode and equi-join on the hour bucket; the first-shared-
+  // bucket tie-break (bucket == max of the two start buckets) emits
+  // each overlapping pair exactly once WITHOUT a distinct shuffle.
+  // Oracle: DuckDB evaluates the inequality join directly (its IEJoin).
+  def j13_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000").as("ms"))
+    val sessions = ev
+      .groupBy(col("user_id"), expr("ms div 86400000").as("day"))
+      .agg(min(col("ms")).as("a_start"), (max(col("ms")) + 1).as("a_end"))
+    val incidents = ev
+      .where(col("event_type") === "error" && col("value") > 190)
+      .select((expr("ms div 3600000") * 3600000).as("b_start"))
+      .distinct()
+      .withColumn("b_end", col("b_start") + 3600000L)
+    graft.operators.RangeJoin.intervalOverlap(
+        sessions, incidents, Seq.empty,
+        "a_start", "a_end", "b_start", "b_end", Seq("b_start"),
+        bucketMs = 3600000L, maxLenMs = 86400000L)
+      .select(col("user_id"), col("day"), col("b_start"))
+      .orderBy("user_id", "day", "b_start")
+  }
+
   // ------------------------------------------------------------------ W*
   // W1 window functions (absent in reference; free in Spark)
   def w1_window(s: SparkSession, dir: String): DataFrame = {
@@ -1555,6 +1582,7 @@ object CoreQueries {
     "j1_formula_div" -> j1_formula_div _,
     "j3_asof_enrich" -> j3_asof_enrich _,
     "j4_range_join" -> j4_range_join _,
+    "j13_interval_overlap" -> j13_interval_overlap _,
     "j1_formula_add" -> j1_formula_add _,
     "j2_join_enrich" -> j2_join_enrich _,
     "w1_window" -> w1_window _
@@ -1818,6 +1846,21 @@ object CoreQueries {
         |FROM l JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
         |ORDER BY event_id, range_lo""".stripMargin,
+    "j13_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value, epoch_ms(ts) AS ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ms // 86400000 AS day,
+        |    min(ms) AS a_start, max(ms) + 1 AS a_end
+        |  FROM ev GROUP BY 1, 2),
+        |i AS (
+        |  SELECT DISTINCT (ms // 3600000) * 3600000 AS b_start
+        |  FROM ev WHERE event_type = 'error' AND value > 190)
+        |SELECT s.user_id, CAST(s.day AS BIGINT) AS day, i.b_start
+        |FROM s JOIN i
+        |  ON s.a_start < i.b_start + 3600000 AND i.b_start < s.a_end
+        |ORDER BY user_id, day, b_start""".stripMargin,
     "j7_star_rollup" ->
       """SELECT r.r_name, p.p_type, count(*) AS n_items,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -45,6 +45,47 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out === Map(1L -> Some(7L), 2L -> None))
   }
 
+  test("intervalOverlap equals brute force on random intervals and " +
+      "emits each overlapping pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val lefts = (0 until 120).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(900)) // up to many buckets @ 64
+    }
+    val rights = (0 until 80).map { j =>
+      val lo = rnd.nextInt(5000).toLong
+      (j.toLong, lo, lo + 1 + rnd.nextInt(900))
+    }
+    val out = RangeJoin.intervalOverlap(
+        lefts.toDF("lid", "a_lo", "a_hi"),
+        rights.toDF("rid", "b_lo", "b_hi"),
+        Seq.empty, "a_lo", "a_hi", "b_lo", "b_hi", Seq("rid"),
+        bucketMs = 64L, maxLenMs = 1024L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = for {
+      (li, alo, ahi) <- lefts
+      (ri, blo, bhi) <- rights
+      if alo < bhi && blo < ahi
+    } yield (li, ri)
+    assert(out.length === out.distinct.length, "pair emitted twice")
+    assert(out.toSet === brute.toSet)
+    assert(out.length === brute.length)
+  }
+
+  test("intervalOverlap honors keys: pairs never cross key values") {
+    import spark.implicits._
+    val out = RangeJoin.intervalOverlap(
+        Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L))
+          .toDF("k", "lid", "a_lo", "a_hi"),
+        Seq(("a", 7L, 50L, 150L), ("b", 8L, 500L, 600L))
+          .toDF("k", "rid", "b_lo", "b_hi"),
+        Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", Seq("rid"),
+        bucketMs = 32L, maxLenMs = 256L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 7L)))
+  }
+
   test("an interval longer than maxLenMs fails loudly, never silently") {
     import spark.implicits._
     val ex = intercept[Exception] {
