@@ -171,6 +171,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("selective fact join admits a runtime bloom filter on the big " +
+      "side when the dimension can't broadcast") {
+    // at 100 TB the dimension side often exceeds the broadcast budget;
+    // Spark's runtime bloom filter then probes the fact scan with the
+    // filtered dimension's keys — row groups of non-matching orders are
+    // skipped at the source. Locked here under forced-shuffle confs
+    // (broadcast off, application threshold floored) so a conf or plan
+    // regression that silently loses the injection fails the suite.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = graft.Tables.load(spark, dir, "lineitem")
+      val o = graft.Tables.load(spark, dir, "orders")
+        .where(org.apache.spark.sql.functions
+          .col("o_orderpriority") === "1-URGENT")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("e15: XML extraction runs as the codegen single-pass expression, " +
       "no DOM, inside whole-stage codegen") {
     val p = plan(CoreQueries.queries("e15_xml_extract")(spark, dir))
