@@ -453,6 +453,28 @@ object QueryEngine {
     base.agg(approx_count_distinct(tupleKey(keys)).as("cardinality"))
   }
 
+  /** Cardinality ATTRIBUTION: one row per candidate tag with its
+    * distinct-value estimate under the expression's filter, next to the
+    * full-tuple cardinality — the "which tag explodes my series count"
+    * table behind the reference's per-tag cardinality endpoint
+    * (QueryApi.scala:71-97). ONE aggregation pass: every per-tag HLL and
+    * the tuple HLL partial-aggregate map-side together, so the cost is
+    * one scan + one one-row shuffle regardless of tag count. */
+  def cardinalityByTag(tel: Telemetry, e: BaseExpr, groupBys: Seq[String],
+      startMs: Long, endMs: Long): DataFrame = {
+    val base = prepared(tel, e, startMs, endMs)
+    val keys = groupBys.filter(base.columns.toSet.contains)
+    require(keys.nonEmpty, "cardinalityByTag needs at least one present tag")
+    val aggs = keys.map(k =>
+      approx_count_distinct(FilterCompiler.fieldCol(k)).as(s"_c_$k")) :+
+      approx_count_distinct(
+        tupleKey(keys.map(FilterCompiler.fieldCol))).as("_tuple")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(
+          keys.flatMap(k => Seq(lit(k), col(s"_c_$k"))): _*))
+        .as(Seq("tag", "n_values")), col("_tuple").as("tuple_cardinality"))
+  }
+
   /** The reference's groupBys-concatenated distinct key (':'-joined,
     * Aggregator.scala:43-60) with one divergence: null parts coalesce to
     * "" so the separator count is arity-stable — concat_ws SKIPS nulls,

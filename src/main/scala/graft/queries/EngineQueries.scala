@@ -564,6 +564,29 @@ object EngineQueries {
       .select(col("exact_tuples"))
   }
 
+  /** Cardinality attribution per tag, oracle-gated the ast_cardinality
+    * way: every per-tag HLL estimate must land within 5% of its exact
+    * distinct count; the hash-checked output is the exact table, so
+    * estimator drift fails the oracle rather than passing rows-only. */
+  def ast_cardinality_by_tag(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
+    val est = QueryEngine.cardinalityByTag(eventsTel(s, dir), ast,
+      Seq("event_type", "user_id"), START, END)
+    val ev = Tables.load(s, dir, "events").where(col("props").isNotNull)
+    val exact = ev.agg(
+        countDistinct(col("event_type")).as("_e"),
+        countDistinct(col("user_id")).as("_u"))
+      .select(explode(map(
+        lit("event_type"), col("_e"), lit("user_id"), col("_u")))
+        .as(Seq("tag", "n_exact")))
+    est.join(exact, "tag")
+      .where(abs(col("n_values") - col("n_exact")) / col("n_exact") <= 0.05)
+      .select(col("tag"), col("n_exact"))
+      .orderBy("tag")
+  }
+
   /** Incremental (SSE-style) delivery end-to-end: sealed events (before
     * 2024-01-25) replay through [[graft.engine.ReplaySequencer]] in
     * day-interval groups merged 4 intervals at a time (the reference's
@@ -709,7 +732,8 @@ object EngineQueries {
     "ast_relative_time" -> ast_relative_time _,
     "ast_tag_values" -> ast_tag_values _,
     "ast_tag_names" -> ast_tag_names _,
-    "ast_cardinality" -> ast_cardinality _
+    "ast_cardinality" -> ast_cardinality _,
+    "ast_cardinality_by_tag" -> ast_cardinality_by_tag _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -983,6 +1007,14 @@ object EngineQueries {
     "ast_cardinality" ->
       """SELECT count(DISTINCT concat_ws(':', event_type, user_id))
         |  AS exact_tuples
-        |FROM events WHERE props IS NOT NULL""".stripMargin
+        |FROM events WHERE props IS NOT NULL""".stripMargin,
+    "ast_cardinality_by_tag" ->
+      """SELECT 'event_type' AS tag,
+        |  count(DISTINCT event_type) AS n_exact
+        |FROM events WHERE props IS NOT NULL
+        |UNION ALL
+        |SELECT 'user_id' AS tag, count(DISTINCT user_id) AS n_exact
+        |FROM events WHERE props IS NOT NULL
+        |ORDER BY tag""".stripMargin
   )
 }
