@@ -989,6 +989,35 @@ object QueryEngine {
     }
   }
 
+  /** Running cardinality over the replay sequence — the reference's
+    * computeCardinality stream (QueryEngineV2.scala:599-668): each
+    * replay group contributes its HLL sketch, the coordinator unions it
+    * into the running state (HllSketch.heapify + Union, lgK 12,
+    * byte-identical to the reference's statefulMapConcat) and emits the
+    * updated estimate — a dashboard watches the distinct count converge
+    * while the replay progresses. Lazy: each group costs one pruned
+    * one-row aggregation job when the consumer advances. */
+  def cardinalityIncremental(tel: Telemetry, e: BaseExpr,
+      groupBys: Seq[String], startMs: Long, endMs: Long, stepMs: Long,
+      segments: Seq[ReplaySequencer.SegmentSpan], minGroupSize: Int = 1)
+      : Iterator[(Int, Double)] = {
+    import org.apache.datasketches.hll.HllSketch
+    val groups = ReplaySequencer.sequence(
+      segments, startMs, endMs, stepMs, minGroupSize)
+    val union = new org.apache.datasketches.hll.Union(12)
+    groups.iterator.zipWithIndex.map { case (g, i) =>
+      val base = prepared(tel, e, g.startMs, g.endMs)
+      val keys = groupBys.filter(base.columns.toSet.contains)
+        .map(FilterCompiler.fieldCol)
+      val bytes = base
+        .agg(graft.functions.SketchInteropFunctions
+          .dsHllSketch(tupleKey(keys)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      if (bytes != null) union.update(HllSketch.heapify(bytes))
+      (i, union.getResult.getEstimate)
+    }
+  }
+
   /** Row-level SSE-style emission: drain each replay batch through
     * `toLocalIterator` — one partition in flight per batch, rows stream
     * to the caller in (batch, step_ts, label) order without collecting

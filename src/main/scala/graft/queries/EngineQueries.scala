@@ -587,6 +587,41 @@ object EngineQueries {
       .orderBy("tag")
   }
 
+  /** The reference's running-cardinality stream
+    * (QueryEngineV2.computeCardinality): per replay group the estimate
+    * converges as group sketches union into the coordinator state.
+    * Oracle-gated like ast_cardinality: every per-group running
+    * estimate must land within 5% of the exact running distinct count
+    * over the SAME prefix of replay groups, and the hash-checked output
+    * is the exact prefix table — so both estimator drift AND a wrong
+    * replay prefix (groups skipped, mis-ordered, double-counted)
+    * hash-mismatch. */
+  def ast_incremental_cardinality(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (loMs, hiMs) = (b.getLong(0) / 1000000L, b.getLong(1) / 1000000L)
+    val span = graft.engine.ReplaySequencer.SegmentSpan("events",
+      loMs, hiMs + 1)
+    val ests = QueryEngine.cardinalityIncremental(eventsTel(s, dir), ast,
+      Seq("event_type", "user_id"), START, END, DAY, Seq(span),
+      minGroupSize = 4).toList
+    import s.implicits._
+    val estDf = ests.map { case (k, v) => (k.toLong, v) }.toDF("seq", "est")
+    val day0 = loMs / 86400000L
+    val prefixes = ev.where(col("props").isNotNull)
+      .select((floor(expr("ts div 1000000") / 86400000L) - day0).as("d"),
+        concat_ws(":", col("event_type"), col("user_id")).as("t"))
+      .join(s.range(ests.size).toDF("seq"), col("d") < (col("seq") + 1) * 4)
+      .groupBy("seq").agg(countDistinct(col("t")).as("n_exact"))
+    estDf.join(prefixes, "seq")
+      .where(abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
+      .select(col("seq"), col("n_exact"))
+      .orderBy("seq")
+  }
+
   /** Incremental (SSE-style) delivery end-to-end: sealed events (before
     * 2024-01-25) replay through [[graft.engine.ReplaySequencer]] in
     * day-interval groups merged 4 intervals at a time (the reference's
@@ -733,7 +768,8 @@ object EngineQueries {
     "ast_tag_values" -> ast_tag_values _,
     "ast_tag_names" -> ast_tag_names _,
     "ast_cardinality" -> ast_cardinality _,
-    "ast_cardinality_by_tag" -> ast_cardinality_by_tag _
+    "ast_cardinality_by_tag" -> ast_cardinality_by_tag _,
+    "ast_incremental_cardinality" -> ast_incremental_cardinality _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1008,6 +1044,25 @@ object EngineQueries {
       """SELECT count(DISTINCT concat_ws(':', event_type, user_id))
         |  AS exact_tuples
         |FROM events WHERE props IS NOT NULL""".stripMargin,
+    // running cardinality: exact distinct over each replay-group PREFIX
+    // (group k covers days [day0, day0 + 4(k+1)) of the span)
+    "ast_incremental_cardinality" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms, event_type, user_id, props
+        |  FROM events),
+        |b AS (
+        |  SELECT min(ms) // 86400000 AS day0, max(ms) // 86400000 AS dmax
+        |  FROM e),
+        |ks AS (
+        |  SELECT unnest(range(0,
+        |    (SELECT (dmax - day0) // 4 + 1 FROM b))) AS seq)
+        |SELECT ks.seq AS seq,
+        |  count(DISTINCT concat_ws(':', e.event_type, e.user_id))
+        |    AS n_exact
+        |FROM ks, e, b
+        |WHERE e.props IS NOT NULL
+        |  AND e.ms // 86400000 - b.day0 < 4 * (ks.seq + 1)
+        |GROUP BY ks.seq ORDER BY seq""".stripMargin,
     "ast_cardinality_by_tag" ->
       """SELECT 'event_type' AS tag,
         |  count(DISTINCT event_type) AS n_exact
