@@ -114,17 +114,33 @@ object AstJson {
     clauses.reduceLeft((acc, c) => BinaryClause(acc, c, op))
   }
 
-  private def parseExtractor(node: JsonNode): Extractor =
-    Extractor(
-      regex = reqText(node, "regex", "extractor"),
-      fields = Option(node.get("fields")).filter(_.isArray).getOrElse(
-        throw new IllegalArgumentException(
-          s"extractor without a fields array: $node"))
-        .elements().asScala.map { f =>
+  /** `(?P<name>…)` (RE2, what the reference's re2j stage accepts) and
+    * `(?<name>…)` (Java) named capture groups, in order. */
+  private val NamedGroup = """\(\?P?<([a-zA-Z][a-zA-Z0-9]*)>""".r
+
+  private def parseExtractor(node: JsonNode): Extractor = {
+    val regex = reqText(node, "regex", "extractor")
+    val fields = Option(node.get("fields")).filter(_.isArray) match {
+      case Some(arr) =>
+        arr.elements().asScala.map { f =>
           ExtractedField(reqText(f, "name", "extracted field"),
             reqText(f, "type", "extracted field"))
         }.toList
-    )
+      case None =>
+        // the reference derives names from the regex's named groups when
+        // no explicit list is given (RegexpStage.scala:27-40); types
+        // default to string — a number field still casts downstream via
+        // an explicit fields list or a compute
+        val derived = NamedGroup.findAllMatchIn(regex)
+          .map(m => ExtractedField(m.group(1), "string")).toList
+        if (derived.isEmpty)
+          throw new IllegalArgumentException(
+            s"extractor without a fields array or named groups: $node")
+        derived
+    }
+    // java.util.regex rejects the RE2 `(?P<name>` spelling; normalize it
+    Extractor(regex = regex.replace("(?P<", "(?<"), fields = fields)
+  }
 
   private def parseChart(node: JsonNode): ChartOptions =
     ChartOptions(

@@ -564,6 +564,25 @@ object EngineQueries {
       .select(col("exact_tuples"))
   }
 
+  // E1 with DERIVED field names: the reference accepts an extractor with
+  // no fields list and derives names from the regex's NAMED capture
+  // groups (RegexpStage.scala:27-40) — a reference user's query runs
+  // unchanged here, including the RE2 `(?P<name>` spelling (normalized
+  // to Java's `(?<name>` at parse time). Grouping by the derived field
+  // exercises the synthetic-field grouping path end to end.
+  def ast_extract_named(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"},
+        |  "extract": {"regex": "\"k\":\\s*(?P<kv>\\d+)"},
+        |  "chart": {"aggregation": "count", "groupBys": ["kv"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"), col("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   /** Cardinality attribution per tag, oracle-gated the ast_cardinality
     * way: every per-tag HLL estimate must land within 5% of its exact
     * distinct count; the hash-checked output is the exact table, so
@@ -769,6 +788,7 @@ object EngineQueries {
     "ast_tag_names" -> ast_tag_names _,
     "ast_cardinality" -> ast_cardinality _,
     "ast_cardinality_by_tag" -> ast_cardinality_by_tag _,
+    "ast_extract_named" -> ast_extract_named _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
   )
 
@@ -1044,6 +1064,12 @@ object EngineQueries {
       """SELECT count(DISTINCT concat_ws(':', event_type, user_id))
         |  AS exact_tuples
         |FROM events WHERE props IS NOT NULL""".stripMargin,
+    "ast_extract_named" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  regexp_extract(props, '"k":\s*(\d+)', 1) AS group_key,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY step_ts, group_key""".stripMargin,
     // running cardinality: exact distinct over each replay-group PREFIX
     // (group k covers days [day0, day0 + 4(k+1)) of the span)
     "ast_incremental_cardinality" ->
