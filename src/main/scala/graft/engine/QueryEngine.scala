@@ -1018,6 +1018,31 @@ object QueryEngine {
     }
   }
 
+  /** Incremental tag-value delivery — the reference's evaluateTagQuery
+    * streams distinct values as replay groups complete, deduplicating at
+    * the coordinator so each value reaches the UI once, when first seen
+    * (QueryEngineV2.scala:419-491 over the TagNameCompressionStage
+    * dedup). Per group: the values NOT seen in any earlier group, in
+    * sorted order. Lazy — a dropdown fills from the first group while
+    * the rest of the window still replays. */
+  def tagValuesIncremental(tel: Telemetry, e: BaseExpr, tagName: String,
+      startMs: Long, endMs: Long, stepMs: Long,
+      segments: Seq[ReplaySequencer.SegmentSpan], minGroupSize: Int = 1)
+      : Iterator[(Int, Seq[String])] = {
+    val groups = ReplaySequencer.sequence(
+      segments, startMs, endMs, stepMs, minGroupSize)
+    val seen = scala.collection.mutable.HashSet[String]()
+    groups.iterator.zipWithIndex.map { case (g, i) =>
+      // the distinct-value frame is bounded by the tag's cardinality
+      // (the same bound the reference streams through its coordinator)
+      val vals = tagValues(tel, e, tagName, g.startMs, g.endMs)
+        .select("tagValue").collect().map(_.getString(0))
+      val fresh = vals.filterNot(seen.contains).sorted.toSeq
+      seen ++= fresh
+      (i, fresh)
+    }
+  }
+
   /** Row-level SSE-style emission: drain each replay batch through
     * `toLocalIterator` — one partition in flight per batch, rows stream
     * to the caller in (batch, step_ts, label) order without collecting

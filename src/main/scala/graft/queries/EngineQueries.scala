@@ -564,6 +564,26 @@ object EngineQueries {
       .select(col("exact_tuples"))
   }
 
+  /** Incremental tag-value delivery: each distinct value emits with the
+    * seq of the FIRST replay group containing it — the oracle recomputes
+    * every value's first group from its min event day, so a wrong
+    * replay order, a missed group, or a broken coordinator dedup all
+    * hash-mismatch (exact values, no estimator gating needed). */
+  def ast_incremental_tags(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val span = graft.engine.ReplaySequencer.SegmentSpan("events",
+      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+    val rows = QueryEngine.tagValuesIncremental(eventsTel(s, dir), ast,
+        "event_type", START, END, DAY, Seq(span), minGroupSize = 4)
+      .flatMap { case (seq, vs) => vs.map(v => (seq.toLong, v)) }.toList
+    import s.implicits._
+    rows.toDF("seq", "tag_value").orderBy("seq", "tag_value")
+  }
+
   // E1 with DERIVED field names: the reference accepts an extractor with
   // no fields list and derives names from the regex's NAMED capture
   // groups (RegexpStage.scala:27-40) — a reference user's query runs
@@ -789,6 +809,7 @@ object EngineQueries {
     "ast_cardinality" -> ast_cardinality _,
     "ast_cardinality_by_tag" -> ast_cardinality_by_tag _,
     "ast_extract_named" -> ast_extract_named _,
+    "ast_incremental_tags" -> ast_incremental_tags _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
   )
 
@@ -1064,6 +1085,19 @@ object EngineQueries {
       """SELECT count(DISTINCT concat_ws(':', event_type, user_id))
         |  AS exact_tuples
         |FROM events WHERE props IS NOT NULL""".stripMargin,
+    // incremental tags: a value's emission seq = the replay group of its
+    // first event day
+    "ast_incremental_tags" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms, event_type FROM events
+        |  WHERE props IS NOT NULL),
+        |b AS (
+        |  SELECT min(epoch_ms(ts)) // 86400000 AS day0 FROM events)
+        |SELECT CAST((min(e.ms // 86400000) - b.day0) // 4 AS BIGINT)
+        |    AS seq,
+        |  e.event_type AS tag_value
+        |FROM e, b GROUP BY e.event_type, b.day0
+        |ORDER BY seq, tag_value""".stripMargin,
     "ast_extract_named" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
         |  regexp_extract(props, '"k":\s*(\d+)', 1) AS group_key,
