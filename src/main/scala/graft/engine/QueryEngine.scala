@@ -1043,6 +1043,20 @@ object QueryEngine {
     }
   }
 
+  /** Incremental exemplar delivery — the reference streams exemplar
+    * events per replay group next to the chart batches
+    * (QueryEngineV2.scala:493-543): each group contributes its own
+    * exemplar frame (the BaseExpr's order/limit applied WITHIN the
+    * group, exactly the per-group worker behavior). Lazy per group. */
+  def exemplarsIncremental(tel: Telemetry, e: BaseExpr,
+      startMs: Long, endMs: Long, stepMs: Long,
+      segments: Seq[ReplaySequencer.SegmentSpan], minGroupSize: Int = 1)
+      : Iterator[(Int, DataFrame)] =
+    ReplaySequencer.sequence(segments, startMs, endMs, stepMs, minGroupSize)
+      .iterator.zipWithIndex.map { case (g, i) =>
+        (i, exemplars(tel, e, g.startMs, g.endMs))
+      }
+
   /** Row-level SSE-style emission: drain each replay batch through
     * `toLocalIterator` — one partition in flight per batch, rows stream
     * to the caller in (batch, step_ts, label) order without collecting

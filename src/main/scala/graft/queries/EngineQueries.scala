@@ -584,6 +584,32 @@ object EngineQueries {
     rows.toDF("seq", "tag_value").orderBy("seq", "tag_value")
   }
 
+  /** Incremental exemplar delivery: each group's exemplar frame tagged
+    * with its seq; the filter is selective enough that no group hits the
+    * limit, so the oracle assigns every matching event its group by day
+    * arithmetic — completing the incremental family (chart forward +
+    * reverse, cardinality, tags, exemplars: every result kind the
+    * reference streams per replay group). */
+  def ast_incremental_exemplars(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ast = AstJson.parseBaseExpr(
+      """{"id": "a", "dataset": "logs", "order": "DESC", "limit": 100000,
+        |  "filter": {"op": "and",
+        |    "q1": {"k": "value", "v": ["198"], "op": "gt", "dataType": "number"},
+        |    "q2": {"k": "event_type", "v": ["purchase"], "op": "eq"}}
+        |}""".stripMargin)
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val span = graft.engine.ReplaySequencer.SegmentSpan("events",
+      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+    QueryEngine.exemplarsIncremental(eventsTel(s, dir), ast,
+        START, END, DAY, Seq(span), minGroupSize = 4)
+      .map { case (seq, df) =>
+        df.select(lit(seq).cast("long").as("seq"), col("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      .orderBy("seq", "event_id")
+  }
+
   // E1 with DERIVED field names: the reference accepts an extractor with
   // no fields list and derives names from the regex's NAMED capture
   // groups (RegexpStage.scala:27-40) — a reference user's query runs
@@ -810,6 +836,7 @@ object EngineQueries {
     "ast_cardinality_by_tag" -> ast_cardinality_by_tag _,
     "ast_extract_named" -> ast_extract_named _,
     "ast_incremental_tags" -> ast_incremental_tags _,
+    "ast_incremental_exemplars" -> ast_incremental_exemplars _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
   )
 
@@ -1085,6 +1112,17 @@ object EngineQueries {
       """SELECT count(DISTINCT concat_ws(':', event_type, user_id))
         |  AS exact_tuples
         |FROM events WHERE props IS NOT NULL""".stripMargin,
+    // incremental exemplars: every matching event lands in its day's
+    // group (the selective filter keeps all groups under the limit)
+    "ast_incremental_exemplars" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ms(ts)) // 86400000 AS day0 FROM events)
+        |SELECT CAST(((epoch_ms(ts) // 86400000) - b.day0) // 4 AS BIGINT)
+        |    AS seq,
+        |  event_id, event_type, value
+        |FROM events, b
+        |WHERE value > 198 AND event_type = 'purchase'
+        |ORDER BY seq, event_id""".stripMargin,
     // incremental tags: a value's emission seq = the replay group of its
     // first event day
     "ast_incremental_tags" ->
