@@ -818,6 +818,33 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  // e19: corrupt-record quarantine — the ingest-robustness contract: a
+  // malformed payload must never kill the job OR silently vanish; it
+  // routes to a quarantine column (Spark's PERMISSIVE parse with
+  // columnNameOfCorruptRecord) while valid rows parse on. Corruption is
+  // planted deterministically (every 7th event gets a leading brace),
+  // so the oracle replays exactly which rows quarantine and what the
+  // surviving parse sums to — a parser that drops bad rows, double-
+  // parses, or mis-routes a good row hash-mismatches.
+  def e19_corrupt_quarantine(s: SparkSession, dir: String): DataFrame = {
+    // a LEADING brace breaks the parse at the first token (a trailing
+    // one is tolerated by Jackson's stream reader, which stops after the
+    // first complete JSON value)
+    val raw = when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
+      .otherwise(col("props"))
+    val parsed = t(s, dir, "events")
+      .where(col("props").isNotNull)
+      .select(col("event_type"),
+        from_json(raw, "k BIGINT, _corrupt STRING",
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+    parsed.groupBy(col("event_type"))
+      .agg(count(when(col("j._corrupt").isNull, 1)).as("n_ok"),
+        count(when(col("j._corrupt").isNotNull, 1)).as("n_bad"),
+        sum(when(col("j._corrupt").isNull, col("j.k"))).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   // o2: keyset-free pagination (ORDER BY … LIMIT … OFFSET) — the API
   // layer's page-2 request. Spark executes offset+limit as a single
   // TakeOrdered of offset+limit rows then drops the prefix — no global
@@ -1558,6 +1585,7 @@ object CoreQueries {
     "e15_xml_extract" -> e15_xml_extract _,
     "e17_xpath" -> e17_xpath _,
     "e18_xml_extract_all" -> e18_xml_extract_all _,
+    "e19_corrupt_quarantine" -> e19_corrupt_quarantine _,
     "e16_pipe_syntax" -> e16_pipe_syntax _,
     "o2_pagination" -> o2_pagination _,
     "a31_counter_increase" -> a31_counter_increase _,
@@ -2131,6 +2159,19 @@ object CoreQueries {
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events WHERE props IS NOT NULL)
         |WHERE k % 3 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // e19: every 7th event's payload is corrupted (leading brace) —
+    // quarantine counts and surviving sums replay exactly
+    "e19_corrupt_quarantine" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+        |    AS BIGINT) AS sum_k
+        |FROM events WHERE props IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e18: two attribute-bearing <e> per row (k, k+1), one without →
     // exactly 2 list entries per row, sum 2k+1
