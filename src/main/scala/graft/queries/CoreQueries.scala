@@ -1426,6 +1426,33 @@ object CoreQueries {
       .orderBy("user_id", "day", "b_start")
   }
 
+  // a36: TIME-WEIGHTED average — the gauge-integral semantics (each
+  // sample holds until the next one, LOCF): per (event_type, day),
+  // Σ value_i · (ts_{i+1} − ts_i) / Σ (ts_{i+1} − ts_i), the operator
+  // behind every correct "average CPU over the hour" panel (a plain avg
+  // over-weights bursts of samples). One window (lead) + one aggregate.
+  // Determinism: the hold interval is an exact integer of millis and
+  // value rides DECIMAL(18,2), so the weighted sum is EXACT on both
+  // engines and the final division is one identical IEEE op — no
+  // rounding tolerance needed. Ties order by (ms, event_id) on both
+  // sides; the last sample of each group carries no interval (nothing
+  // to hold until) and drops out of both numerator and denominator.
+  def a36_time_weighted_avg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ms"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        expr("ts div 1000000").as("ms"))
+      .withColumn("day", expr("ms div 86400000"))
+      .withColumn("hold", lead(col("ms"), 1).over(w) - col("ms"))
+      .where(col("hold").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)") * col("hold"))
+          .cast("double") / sum(col("hold"))).as("tw_avg"),
+        sum(col("hold")).as("span_ms"))
+      .orderBy("event_type", "day")
+  }
+
   // ------------------------------------------------------------------ W*
   // W1 window functions (absent in reference; free in Spark)
   def w1_window(s: SparkSession, dir: String): DataFrame = {
@@ -1611,6 +1638,7 @@ object CoreQueries {
     "j3_asof_enrich" -> j3_asof_enrich _,
     "j4_range_join" -> j4_range_join _,
     "j13_interval_overlap" -> j13_interval_overlap _,
+    "a36_time_weighted_avg" -> a36_time_weighted_avg _,
     "j1_formula_add" -> j1_formula_add _,
     "j2_join_enrich" -> j2_join_enrich _,
     "w1_window" -> w1_window _
@@ -1874,6 +1902,22 @@ object CoreQueries {
         |FROM l JOIN r
         |  ON l.event_type = r.event_type AND l.ms >= r.lo AND l.ms < r.hi
         |ORDER BY event_id, range_lo""".stripMargin,
+    "a36_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, day, value,
+        |    lead(ms) OVER (PARTITION BY event_type, day
+        |      ORDER BY ms, event_id) - ms AS hold
+        |  FROM e)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * hold) AS DOUBLE)
+        |    / sum(hold) AS tw_avg,
+        |  CAST(sum(hold) AS BIGINT) AS span_ms
+        |FROM h WHERE hold IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "j13_interval_overlap" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, value, epoch_ms(ts) AS ms
