@@ -59,15 +59,13 @@ case class XmlExtractAll(child: Expression, elem: String, field: String)
         if (end < 0) return new GenericArrayData(out.toArray[Any])
         i = end + 3
       } else if (nameMatches(s, lt + 1)) {
-        // delegate the single-element parse to the first-match scanner
-        // over the document TAIL — same attribute/entity/tag semantics,
-        // one code path to keep correct
-        val row = probe.compute(
-          UTF8String.fromString(s.substring(lt)))
-        if (row == null) return null // malformed tag → null array
-        val v = row.asInstanceOf[org.apache.spark.sql.catalyst
-          .InternalRow].getUTF8String(0)
-        if (v != null) out += v
+        // delegate the single-element parse to the struct scanner's
+        // index-based walker — same attribute/entity/tag semantics, one
+        // code path to keep correct, and no tail copy per element
+        val vals = probe.parseAt(s, lt)
+        if (vals == null) return null // malformed tag → null array
+        val v = vals(0)
+        if (v != null) out += v.asInstanceOf[UTF8String]
         // advance past this tag's closing '>', honoring quoted attribute
         // values (a '>' inside quotes does not close the tag)
         val end = tagEnd(s, lt + 1)

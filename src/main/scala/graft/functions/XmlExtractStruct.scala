@@ -69,6 +69,15 @@ case class XmlExtractStruct(child: Expression, elem: String,
     val s = input.asInstanceOf[UTF8String].toString
     val open = findElement(s)
     if (open < 0) return null
+    val out = parseAt(s, open)
+    if (out == null) null else new GenericInternalRow(out)
+  }
+
+  /** Parse the element whose `<` sits at `open` (the name is already
+    * known to match): field values array, or null for malformed input.
+    * Index-based so [[XmlExtractAll]] can walk a large document without
+    * copying the tail per element. */
+  private[functions] def parseAt(s: String, open: Int): Array[Any] = {
     val out = new Array[Any](fieldNames.length)
     // walk the tag body once: i sits just past "<elem"
     var i = open + 1 + elemChars.length
@@ -111,7 +120,7 @@ case class XmlExtractStruct(child: Expression, elem: String,
       while (i < n && s.charAt(i) != '<') i += 1
       out(textIdx) = UTF8String.fromString(decode(s, textStart, i))
     }
-    new GenericInternalRow(out)
+    out
   }
 
   /** Index of the first `<elem` whose name ends at a delimiter (space,
