@@ -171,6 +171,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("a36: the lead window's exchange is reused by the aggregation — " +
+      "one shuffle total") {
+    val p = plan(CoreQueries.queries("a36_time_weighted_avg")(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected the groupBy to reuse the window partitioning, " +
+        s"found $exchanges hash exchanges:\n$p")
+  }
+
+  test("j13: keyless interval overlap joins on the time bucket — " +
+      "never a nested-loop or cartesian plan") {
+    val p = plan(CoreQueries.queries("j13_interval_overlap")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"overlap join fell off the equi-join path:\n$p")
+  }
+
   test("selective fact join admits a runtime bloom filter on the big " +
       "side when the dimension can't broadcast") {
     // at 100 TB the dimension side often exceeds the broadcast budget;
