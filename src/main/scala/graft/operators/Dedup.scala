@@ -338,6 +338,32 @@ object Dedup {
     * Shingles are carried as distinct 64-bit hashes (WordShingleHashes),
     * not strings — the signature pass, the verification join's
     * intersect/union, and every shuffle all operate on array<long>. */
+  /** LSH banding plan for a target Jaccard threshold (the MMDS §3.4.3
+    * S-curve calculus made operational): among the divisor layouts
+    * (b bands × r = numHashes/b rows), pick the FEWEST bands whose
+    * recall at the threshold — 1 − (1 − t^r)^b, the probability a true
+    * pair at exactly t shares ≥ 1 band — meets `minRecall`. Fewest
+    * bands = coarsest candidate generation that still keeps the recall
+    * promise: every extra band multiplies bucket-join candidates, so
+    * this is the cheapest sound plan, not an arbitrary preset. Falls
+    * back to the most-bands layout (highest recall possible) when no
+    * divisor reaches minRecall. Returns (bands, rowsPerBand,
+    * inflection, recallAtT); pure arithmetic, a planning helper. */
+  def lshPlan(numHashes: Int, threshold: Double, minRecall: Double = 0.9)
+      : (Int, Int, Double, Double) = {
+    require(numHashes > 0, s"numHashes $numHashes must be positive")
+    require(threshold > 0 && threshold < 1,
+      s"threshold $threshold outside (0,1)")
+    require(minRecall > 0 && minRecall < 1,
+      s"minRecall $minRecall outside (0,1)")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val recall = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      (b, r, math.pow(1.0 / b, 1.0 / r), recall)
+    }
+    candidates.find(_._4 >= minRecall).getOrElse(candidates.last)
+  }
+
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {

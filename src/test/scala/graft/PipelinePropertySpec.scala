@@ -184,6 +184,23 @@ class PipelinePropertySpec extends AnyFunSuite {
         s"pair ($n1, ${n1 + d}) spuriously blocked together")
   }
 
+  test("lshPlan: fewest bands meeting the recall floor; the classic " +
+    "16x8 layout falls out of 128 hashes at t=0.8") {
+    for (n <- Seq(64, 128, 256); t <- Seq(0.5, 0.7, 0.8, 0.9)) {
+      val (b, r, _, recall) = Dedup.lshPlan(n, t)
+      assert(b * r === n)
+      assert(recall >= 0.9, s"n=$n t=$t recall $recall below floor")
+      // minimality: every coarser divisor layout misses the floor
+      (1 until b).filter(n % _ == 0).foreach { b2 =>
+        val r2 = n / b2
+        assert(1.0 - math.pow(1.0 - math.pow(t, r2), b2) < 0.9,
+          s"n=$n t=$t: coarser b=$b2 also meets the floor")
+      }
+    }
+    val (b, r, _, _) = Dedup.lshPlan(128, 0.8)
+    assert(b === 16 && r === 8)
+  }
+
   test("RollingHashWindows: rolling state equals a direct per-window " +
     "recompute, and hash-grouping equals text-grouping of windows") {
     import graft.functions.RollingHashWindows
