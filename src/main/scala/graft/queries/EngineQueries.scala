@@ -610,6 +610,35 @@ object EngineQueries {
       .orderBy("seq", "event_id")
   }
 
+  // U1 cross-DATASET formula: errors-per-datapoint = a logs count over
+  // a metrics rollup-count, the mixed dashboard every observability UI
+  // serves. The two operands resolve to DIFFERENT telemetry frames
+  // through the tables function (raw events vs the minute-rollup
+  // segment table); shared-scan bucketing keeps one scan per dataset
+  // and J1 alignment inner-joins the per-day series. Both operands are
+  // exact integers, so the ratio is one identical IEEE division.
+  def ast_cross_dataset_formula(s: SparkSession, dir: String): DataFrame = {
+    val logsTel = eventsTel(s, dir)
+    val metricsTel = Telemetry.millis(
+      s.read.parquet(metricsDir(s, dir)), "ts", valueCol = col("rollup_sum"))
+    val tables: String => Telemetry = {
+      case "metrics" => metricsTel
+      case _ => logsTel
+    }
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["error"], "op": "eq"},
+        |        "chart": {"aggregation": "count", "groupBys": []}},
+        |  "b": {"dataset": "metrics", "returnResults": false,
+        |        "filter": {"k": "event_type", "op": "exists"},
+        |        "chart": {"aggregation": "count", "groupBys": []}}},
+        | "formulae": ["a / b"]}""".stripMargin)
+    QueryEngine.evaluate(tables, ast, START, END, DAY)
+      .select(col("step_ts"), round(col("value"), 6).as("value"))
+      .orderBy("step_ts")
+  }
+
   // E1 with DERIVED field names: the reference accepts an extractor with
   // no fields list and derives names from the regex's NAMED capture
   // groups (RegexpStage.scala:27-40) — a reference user's query runs
@@ -835,6 +864,7 @@ object EngineQueries {
     "ast_cardinality" -> ast_cardinality _,
     "ast_cardinality_by_tag" -> ast_cardinality_by_tag _,
     "ast_extract_named" -> ast_extract_named _,
+    "ast_cross_dataset_formula" -> ast_cross_dataset_formula _,
     "ast_incremental_tags" -> ast_incremental_tags _,
     "ast_incremental_exemplars" -> ast_incremental_exemplars _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
@@ -1136,6 +1166,19 @@ object EngineQueries {
         |  e.event_type AS tag_value
         |FROM e, b GROUP BY e.event_type, b.day0
         |ORDER BY seq, tag_value""".stripMargin,
+    "ast_cross_dataset_formula" ->
+      """WITH a AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    count(*) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |b AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    count(*) AS v
+        |  FROM events GROUP BY 1)
+        |SELECT a.step_ts AS step_ts,
+        |  round(CAST(a.v AS DOUBLE) / b.v, 6) AS value
+        |FROM a JOIN b USING (step_ts)
+        |ORDER BY step_ts""".stripMargin,
     "ast_extract_named" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
         |  regexp_extract(props, '"k":\s*(\d+)', 1) AS group_key,
