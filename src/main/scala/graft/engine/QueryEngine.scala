@@ -453,6 +453,22 @@ object QueryEngine {
     base.agg(approx_count_distinct(tupleKey(keys)).as("cardinality"))
   }
 
+  /** Top-N SERIES selection over a chart result (beyond the reference —
+    * its UI truncates client-side; truncating in the engine is what
+    * works at 100k-series cardinality): keep only the rows of the N
+    * labels with the largest total |value|, ties broken by label. The
+    * totals frame is one narrow aggregate + TakeOrdered(N); the
+    * filtering join broadcasts those N labels — no second shuffle of
+    * the chart rows, no window over the full series set. */
+  def topSeries(chart: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"topSeries n=$n must be positive")
+    val totals = chart.groupBy(col(LABEL))
+      .agg(sum(abs(col(VALUE))).as("_tot"))
+      .orderBy(desc("_tot"), col(LABEL))
+      .limit(n)
+    chart.join(broadcast(totals.select(LABEL)), Seq(LABEL), "left_semi")
+  }
+
   /** Cardinality ATTRIBUTION: one row per candidate tag with its
     * distinct-value estimate under the expression's filter, next to the
     * full-tuple cardinality — the "which tag explodes my series count"

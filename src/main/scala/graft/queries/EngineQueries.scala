@@ -610,6 +610,24 @@ object EngineQueries {
       .orderBy("seq", "event_id")
   }
 
+  // Top-N series (beyond the reference): rank the 150 per-user series
+  // by total count — exact integers in double, so the cut and the
+  // (total desc, label) tie-break are engine-identical — and keep only
+  // the top 5 series' rows. The totals are one narrow aggregate +
+  // TakeOrdered(5); the filter is a broadcast semi join.
+  def ast_top_series(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"},
+        |  "chart": {"aggregation": "count", "groupBys": ["user_id"]}
+        |}}}""".stripMargin)
+    val chart = QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+    QueryEngine.topSeries(chart, 5)
+      .select(col("step_ts"), col("group_key"), col("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // U1 cross-DATASET formula: errors-per-datapoint = a logs count over
   // a metrics rollup-count, the mixed dashboard every observability UI
   // serves. The two operands resolve to DIFFERENT telemetry frames
@@ -865,6 +883,7 @@ object EngineQueries {
     "ast_cardinality_by_tag" -> ast_cardinality_by_tag _,
     "ast_extract_named" -> ast_extract_named _,
     "ast_cross_dataset_formula" -> ast_cross_dataset_formula _,
+    "ast_top_series" -> ast_top_series _,
     "ast_incremental_tags" -> ast_incremental_tags _,
     "ast_incremental_exemplars" -> ast_incremental_exemplars _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
@@ -1166,6 +1185,19 @@ object EngineQueries {
         |  e.event_type AS tag_value
         |FROM e, b GROUP BY e.event_type, b.day0
         |ORDER BY seq, tag_value""".stripMargin,
+    "ast_top_series" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    CAST(user_id AS VARCHAR) AS label,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events WHERE props IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT label FROM (
+        |    SELECT label, sum(value) AS tot FROM c GROUP BY label)
+        |  ORDER BY tot DESC, label LIMIT 5)
+        |SELECT c.step_ts, c.label AS group_key, c.value
+        |FROM c JOIN t USING (label)
+        |ORDER BY step_ts, group_key""".stripMargin,
     "ast_cross_dataset_formula" ->
       """WITH a AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
