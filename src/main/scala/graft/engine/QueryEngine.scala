@@ -469,6 +469,24 @@ object QueryEngine {
     chart.join(broadcast(totals.select(LABEL)), Seq(LABEL), "left_semi")
   }
 
+  /** Period-over-period comparison (beyond the reference): align each
+    * chart point with the SAME series' point `offsetMs` earlier and
+    * emit (value, prev_value, ratio) — the week-over-week panel behind
+    * every seasonality-aware alert. One self-join on (shifted step,
+    * label): both sides are already aggregated series (one row per
+    * step×series), so the join input is tiny relative to the scan and
+    * partitions on the same keys the chart aggregation produced. Inner
+    * join: steps without a comparison point drop (a ratio against
+    * nothing is not 0 or ∞ — it is absent). */
+  def periodOverPeriod(chart: DataFrame, offsetMs: Long): DataFrame = {
+    require(offsetMs > 0, s"offsetMs $offsetMs must be positive")
+    val prev = chart.select(
+      (col(STEP_TS) + offsetMs).as(STEP_TS), col(LABEL),
+      col(VALUE).as("prev_value"))
+    chart.join(prev, Seq(STEP_TS, LABEL))
+      .withColumn("ratio", col(VALUE) / col("prev_value"))
+  }
+
   /** Cardinality ATTRIBUTION: one row per candidate tag with its
     * distinct-value estimate under the expression's filter, next to the
     * full-tuple cardinality — the "which tag explodes my series count"

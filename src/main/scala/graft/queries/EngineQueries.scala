@@ -610,6 +610,24 @@ object EngineQueries {
       .orderBy("seq", "event_id")
   }
 
+  // Week-over-week ratio (beyond the reference): per-series daily
+  // counts joined against the same series 7 days earlier. Counts are
+  // exact integers in double, so the ratio is one identical IEEE
+  // division on both engines — no rounding tolerance.
+  def ast_wow_ratio(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"},
+        |  "chart": {"aggregation": "count", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val chart = QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+    QueryEngine.periodOverPeriod(chart, 7 * DAY)
+      .select(col("step_ts"), col("group_key"), col("value"),
+        col("prev_value"), col("ratio"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // Top-N series (beyond the reference): rank the 150 per-user series
   // by total count — exact integers in double, so the cut and the
   // (total desc, label) tie-break are engine-identical — and keep only
@@ -884,6 +902,7 @@ object EngineQueries {
     "ast_extract_named" -> ast_extract_named _,
     "ast_cross_dataset_formula" -> ast_cross_dataset_formula _,
     "ast_top_series" -> ast_top_series _,
+    "ast_wow_ratio" -> ast_wow_ratio _,
     "ast_incremental_tags" -> ast_incremental_tags _,
     "ast_incremental_exemplars" -> ast_incremental_exemplars _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
@@ -1185,6 +1204,17 @@ object EngineQueries {
         |  e.event_type AS tag_value
         |FROM e, b GROUP BY e.event_type, b.day0
         |ORDER BY seq, tag_value""".stripMargin,
+    "ast_wow_ratio" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    event_type, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE props IS NOT NULL GROUP BY 1, 2)
+        |SELECT c.step_ts, c.event_type AS group_key, c.v AS value,
+        |  p.v AS prev_value, c.v / p.v AS ratio
+        |FROM c JOIN c p
+        |  ON c.step_ts = p.step_ts + 604800000
+        | AND c.event_type = p.event_type
+        |ORDER BY c.step_ts, group_key""".stripMargin,
     "ast_top_series" ->
       """WITH c AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
