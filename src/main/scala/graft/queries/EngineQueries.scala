@@ -610,6 +610,35 @@ object EngineQueries {
       .orderBy("seq", "event_id")
   }
 
+  // Z-score anomaly flags (beyond the reference): points more than 2σ
+  // from their series' window mean. Counts are exact integers, so the
+  // integer sums (Σv, Σv², n) are identical on both engines and μ, σ,
+  // and the 2σ test are each a short chain of identical IEEE ops —
+  // deterministic anomaly DECISIONS, no tolerance. One window over the
+  // post-aggregation series (tiny), no second scan.
+  def ast_anomaly_bands(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"},
+        |  "chart": {"aggregation": "count", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val chart = QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+    val vl = col("value").cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    chart
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_s", sum(vl).over(w))
+      .withColumn("_ss", sum(vl * vl).over(w))
+      .withColumn("mu", col("_s").cast("double") / col("_n"))
+      .withColumn("sigma", sqrt(
+        col("_ss").cast("double") / col("_n") - col("mu") * col("mu")))
+      .where(abs(col("value") - col("mu")) > lit(2.0) * col("sigma"))
+      .select(col("step_ts"), col("group_key"), col("value"),
+        col("mu"), col("sigma"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // Week-over-week ratio (beyond the reference): per-series daily
   // counts joined against the same series 7 days earlier. Counts are
   // exact integers in double, so the ratio is one identical IEEE
@@ -903,6 +932,7 @@ object EngineQueries {
     "ast_cross_dataset_formula" -> ast_cross_dataset_formula _,
     "ast_top_series" -> ast_top_series _,
     "ast_wow_ratio" -> ast_wow_ratio _,
+    "ast_anomaly_bands" -> ast_anomaly_bands _,
     "ast_incremental_tags" -> ast_incremental_tags _,
     "ast_incremental_exemplars" -> ast_incremental_exemplars _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
@@ -1204,6 +1234,26 @@ object EngineQueries {
         |  e.event_type AS tag_value
         |FROM e, b GROUP BY e.event_type, b.day0
         |ORDER BY seq, tag_value""".stripMargin,
+    "ast_anomaly_bands" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    event_type, CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE props IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT c.step_ts, c.event_type AS group_key,
+        |  CAST(c.v AS DOUBLE) AS value,
+        |  CAST(st.s AS DOUBLE) / st.n AS mu,
+        |  sqrt(CAST(st.ss AS DOUBLE) / st.n
+        |    - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n))
+        |    AS sigma
+        |FROM c JOIN st USING (event_type)
+        |WHERE abs(CAST(c.v AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+        |  > 2.0 * sqrt(CAST(st.ss AS DOUBLE) / st.n
+        |    - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n))
+        |ORDER BY c.step_ts, group_key""".stripMargin,
     "ast_wow_ratio" ->
       """WITH c AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
