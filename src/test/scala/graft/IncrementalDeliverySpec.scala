@@ -167,6 +167,40 @@ class IncrementalDeliverySpec extends AnyFunSuite {
     assert(concat === whole)
   }
 
+  test("an UNALIGNED sealed/live cut splits the straddled bucket into " +
+    "two partial rows whose per-(step,label) SUM equals the batch value") {
+    // the reference behaves the same way: a bucket half-sealed at query
+    // time arrives as a sealed partial plus a live partial and the UI
+    // merges (sum aggregation) — partials must NEVER double-count
+    val ev = mkEvents(300)
+    val base = 1704067200000L
+    val cut = base + 150L * 97 * 60000 + 1234567 // deliberately off-grid
+    val sealedDf = ev.where(col("ts") < cut * 1000000L)
+    val liveDf = ev.where(col("ts") >= cut * 1000000L)
+    val bounds = sealedDf.agg(
+      org.apache.spark.sql.functions.min(col("ts")),
+      org.apache.spark.sql.functions.max(col("ts"))).head()
+    val span = SegmentSpan("s", bounds.getLong(0) / 1000000L,
+      bounds.getLong(1) / 1000000L + 1)
+    val start = base
+    val end = base + 300L * 97 * 60000
+    val batches = QueryEngine.evaluateIncremental(
+      _ => tel(sealedDf), AST, start, end, 3600000L, Seq(span),
+      minGroupSize = 24, liveTables = Some(_ => tel(liveDf))).toList
+    val summed = batches.map(_.df).reduce(_ unionByName _)
+      .groupBy("step_ts", "group_key")
+      .agg(org.apache.spark.sql.functions.sum("value").as("value"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    val whole = QueryEngine.evaluate(_ => tel(ev), AST, start, end, 3600000L)
+      .collect().map(r => ((r.getAs[Long]("step_ts"),
+        r.getAs[String]("group_key")), r.getAs[Double]("value"))).toMap
+    assert(summed.keySet === whole.keySet)
+    whole.foreach { case (k, v) =>
+      assert(math.abs(summed(k) - v) < 1e-9, s"bucket $k double-counted")
+    }
+  }
+
   test("reverse incremental delivery emits newest groups first and " +
     "still concatenates to the batch result") {
     val ev = mkEvents(240)
