@@ -65,6 +65,21 @@ class CompactionSpec extends AnyFunSuite {
     assert(after.sameElements(before))
   }
 
+  test("bins are byte-bounded: each bin's total stays under target + " +
+    "one file (the greedy start-offset guarantee)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbb").toString
+    val files = mkFiles(dir, 9)
+    val sizes = files.sorted.map(f => f -> new java.io.File(f).length()).toMap
+    val target = sizes.values.min * 3 / 2
+    val plan = Compaction.plan(spark, files, target).collect()
+    val maxFile = sizes.values.max
+    plan.groupBy(_.getLong(2)).foreach { case (bin, rows) =>
+      val total = rows.map(_.getLong(1)).sum
+      assert(total <= target + maxFile,
+        s"bin $bin overflows: $total > $target + $maxFile")
+    }
+  }
+
   test("compact handles a single bin and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1").toString
     val files = mkFiles(dir, 2)

@@ -171,6 +171,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("ast_top_series: totals cut is a TakeOrdered and the series " +
+      "filter a broadcast semi join — no window over the full series set") {
+    val p = plan(EngineQueries.queries("ast_top_series")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N totals must be a bounded TakeOrdered:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("Broadcast"),
+      s"series filter must broadcast, not shuffle the chart:\n$p")
+  }
+
   test("a36: the lead window's exchange is reused by the aggregation — " +
       "one shuffle total") {
     val p = plan(CoreQueries.queries("a36_time_weighted_avg")(spark, dir))
