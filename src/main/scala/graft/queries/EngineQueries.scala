@@ -232,6 +232,56 @@ object EngineQueries {
   private[graft] def prepare(s: SparkSession, dir: String): Unit =
     metricsDir(s, dir)
 
+  // The rollup CASCADE: hour segments derived FROM the minute segments
+  // (not from raw) — sums/counts re-aggregate through DECIMAL, min/max
+  // through min/max, and the sketch columns merge BYTE-WISE (DDSketch
+  // proto bin addition, HLL union) — the property that lets a metrics
+  // lake keep only coarse rollups for old data without losing
+  // percentiles or cardinality. Built once per sf dir.
+  private val hourDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hourMetricsDir(s: SparkSession, sfDir: String): String =
+    hourDirs.computeIfAbsent(sfDir, { dir =>
+      val out = Tables.tmpDirFor("graft_metrics_hour", dir)
+      s.read.parquet(metricsDir(s, dir))
+        .groupBy((col("ts") - col("ts") % 3600000L).as("ts"),
+          col("event_type"))
+        .agg(
+          sum(col("rollup_sum").cast("decimal(18,2)")).cast("double")
+            .as("rollup_sum"),
+          sum(col("rollup_count")).cast("double").as("rollup_count"),
+          min(col("rollup_min")).as("rollup_min"),
+          max(col("rollup_max")).as("rollup_max"),
+          graft.functions.SketchInteropFunctions
+            .ddProtoMerge(col("sketch_dd")).as("sketch_dd"),
+          graft.functions.SketchInteropFunctions
+            .dsHllUnion(col("sketch_hll")).as("sketch_hll"))
+        .withColumn("rollup_avg", col("rollup_sum") / col("rollup_count"))
+        .withColumn("name", lit("events.value"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Day-step query answered from the HOUR cascade (minute → hour →
+    * query): the oracle recomputes the same two-level decimal
+    * re-aggregation from raw events, so a cascade that loses mass,
+    * double-counts an hour, or mis-buckets hash-mismatches. */
+  def ast_metrics_cascade(s: SparkSession, dir: String): DataFrame = {
+    val hdf = s.read.parquet(hourMetricsDir(s, dir))
+    val tel = Telemetry.millis(hdf, "ts", valueCol = col("rollup_sum"))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "metrics",
+        |  "filter": {"k": "event_type", "op": "exists"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    QueryEngine.evaluate(_ => tel, ast, START, END, DAY)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   def ast_metrics_rollup(s: SparkSession, dir: String): DataFrame = {
     val mdf = s.read.parquet(metricsDir(s, dir))
     val tel = Telemetry.millis(mdf, "ts", valueCol = col("rollup_sum"))
@@ -909,6 +959,7 @@ object EngineQueries {
     "ast_chart_avg" -> ast_chart_avg _,
     "ast_multi_series" -> ast_multi_series _,
     "ast_metrics_rollup" -> ast_metrics_rollup _,
+    "ast_metrics_cascade" -> ast_metrics_cascade _,
     "ast_metrics_count" -> ast_metrics_count _,
     "ast_metrics_avg" -> ast_metrics_avg _,
     "ast_metrics_minmax" -> ast_metrics_minmax _,
@@ -1074,6 +1125,19 @@ object EngineQueries {
         |    / count(value), 6) AS value
         |FROM events WHERE event_type = 'click'
         |GROUP BY step_ts, group_key ORDER BY step_ts, group_key""".stripMargin,
+    "ast_metrics_cascade" ->
+      """WITH m AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ms
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT (mts // 3600000) * 3600000 AS hts, event_type,
+        |    CAST(sum(CAST(ms AS DECIMAL(18,2))) AS DOUBLE) AS hs
+        |  FROM m GROUP BY 1, 2)
+        |SELECT (hts // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, round(sum(hs), 6) AS value
+        |FROM h GROUP BY 1, 2
+        |ORDER BY step_ts, group_key""".stripMargin,
     "ast_metrics_rollup" ->
       """WITH rollup AS (
         |  SELECT (epoch_ms(ts) // 60000) * 60000 AS mts, event_type,

@@ -35,6 +35,27 @@ class SketchInteropSpec extends AnyFunSuite {
     sk.toCompactByteArray
   }
 
+  test("sketch cascade: minute→hour→query DD merge equals the direct " +
+    "minute→query merge (rollup cascades lose nothing)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchInteropFunctions._
+    // 360 "minutes" of values across 6 "hours"
+    val rows = (0 until 360).flatMap { m =>
+      (0 until 5).map(i => (m.toLong, m / 60L, (m * 31 + i * 7) % 199 + 0.25))
+    }
+    val minute = rows.toDF("minute", "hour", "v")
+      .groupBy("minute", "hour").agg(ddProtoSketch(col("v")).as("sk"))
+    val direct = minute.agg(
+      ddProtoQuantileOf(ddProtoMerge(col("sk")), lit(0.9))).head().getDouble(0)
+    val cascaded = minute.groupBy("hour").agg(ddProtoMerge(col("sk")).as("hk"))
+      .agg(ddProtoQuantileOf(ddProtoMerge(col("hk")), lit(0.9)))
+      .head().getDouble(0)
+    // bin-count addition is associative on these integer counts — the
+    // cascade is EXACT, not merely within sketch error
+    assert(cascaded === direct)
+  }
+
   test("hll: reference-written payloads union to the right estimate") {
     import spark.implicits._
     // 8 "segments" with overlapping user sets, as lakeside would persist
