@@ -660,6 +660,32 @@ object EngineQueries {
       .orderBy("seq", "event_id")
   }
 
+  // Multiwindow burn rate (the SRE alerting primitive, beyond the
+  // reference): flag hours where the error ratio exceeds the threshold
+  // in BOTH the short (1 h) and long (trailing 6 h) windows — the
+  // standard fast-burn page that ignores blips. Integer counts make
+  // every ratio and comparison an identical IEEE chain on both engines;
+  // the long window is a RANGE frame over the hourly series (tiny,
+  // post-aggregation), not a rescan.
+  def ast_burn_rate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy((expr("ts div 1000000") - expr("ts div 1000000") % 3600000L)
+        .as("hour_ts"))
+      .agg(count(when(col("event_type") === "error", 1)).as("err"),
+        count(lit(1)).as("total"))
+    val w6 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hour_ts")).rangeBetween(-5L * 3600000L, 0)
+    hourly
+      .withColumn("short_ratio",
+        col("err").cast("double") / col("total"))
+      .withColumn("long_ratio",
+        sum(col("err")).over(w6).cast("double") / sum(col("total")).over(w6))
+      .where(col("short_ratio") > 0.21 && col("long_ratio") > 0.21)
+      .select(col("hour_ts"), col("err"), col("total"),
+        col("short_ratio"), col("long_ratio"))
+      .orderBy("hour_ts")
+  }
+
   // Z-score anomaly flags (beyond the reference): points more than 2σ
   // from their series' window mean. Counts are exact integers, so the
   // integer sums (Σv, Σv², n) are identical on both engines and μ, σ,
@@ -984,6 +1010,7 @@ object EngineQueries {
     "ast_top_series" -> ast_top_series _,
     "ast_wow_ratio" -> ast_wow_ratio _,
     "ast_anomaly_bands" -> ast_anomaly_bands _,
+    "ast_burn_rate" -> ast_burn_rate _,
     "ast_incremental_tags" -> ast_incremental_tags _,
     "ast_incremental_exemplars" -> ast_incremental_exemplars _,
     "ast_incremental_cardinality" -> ast_incremental_cardinality _
@@ -1298,6 +1325,24 @@ object EngineQueries {
         |  e.event_type AS tag_value
         |FROM e, b GROUP BY e.event_type, b.day0
         |ORDER BY seq, tag_value""".stripMargin,
+    "ast_burn_rate" ->
+      """WITH h AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ts,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS err,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT hour_ts, err, total,
+        |    CAST(err AS DOUBLE) / total AS short_ratio,
+        |    CAST(sum(err) OVER w AS DOUBLE) / sum(total) OVER w
+        |      AS long_ratio
+        |  FROM h
+        |  WINDOW w AS (ORDER BY hour_ts
+        |    RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW))
+        |SELECT * FROM r
+        |WHERE short_ratio > 0.21 AND long_ratio > 0.21
+        |ORDER BY hour_ts""".stripMargin,
     "ast_anomaly_bands" ->
       """WITH c AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
