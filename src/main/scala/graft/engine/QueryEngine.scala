@@ -487,6 +487,56 @@ object QueryEngine {
       .withColumn("ratio", col(VALUE) / col("prev_value"))
   }
 
+  /** [[topSeries]] with an "__other__" rollup (beyond the reference —
+    * its UI truncates and the residual silently vanishes): the N
+    * largest-total series keep their rows verbatim, and every remaining
+    * series collapses into ONE `__other__` series per step whose value
+    * is the SUM of the collapsed values — so each step's total is
+    * conserved and the panel shows how much the cut hid. Only valid for
+    * summable aggregations (sum/count); the caller owns that contract.
+    *
+    * Plan shape: the same narrow totals aggregate + TakeOrdered(N) +
+    * broadcast semi/anti pair as [[topSeries]], plus one partial-agg
+    * shuffle over ONLY the non-top rows (already one row per
+    * step×series, ∝ series count — never scan-sized). */
+  def topSeriesOther(chart: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"topSeriesOther n=$n must be positive")
+    val totals = chart.groupBy(col(LABEL))
+      .agg(sum(abs(col(VALUE))).as("_tot"))
+      .orderBy(desc("_tot"), col(LABEL))
+      .limit(n)
+      .select(LABEL)
+    val top = chart.join(broadcast(totals), Seq(LABEL), "left_semi")
+    val rest = chart.join(broadcast(totals), Seq(LABEL), "left_anti")
+      .groupBy(col(STEP_TS))
+      .agg(sum(col(VALUE)).as(VALUE))
+      .select(lit("__other__").as(LABEL), col(STEP_TS), col(VALUE))
+    top.select(LABEL, STEP_TS, VALUE) unionByName rest
+  }
+
+  /** Latency-heatmap frame (beyond the reference — its DDSketch
+    * percentiles are the 1-D cut of this): datapoint counts on a 2-D
+    * (time step × value bucket) grid, the density panel behind every
+    * latency heatmap. Buckets are fixed-width `floor(value / width)` —
+    * one identical IEEE division + floor on any engine, so the grid is
+    * engine-exact without a tolerance band (the a29 recipe).
+    *
+    * 100 TB shape: ONE scan + ONE partial-aggregated shuffle keyed on
+    * (step, bucket) — the shuffle carries at most steps×buckets partial
+    * counts per map task regardless of row count, the same contract as
+    * the chart aggregate. */
+  def heatmap(tel: Telemetry, e: BaseExpr, startMs: Long, endMs: Long,
+      stepMs: Long, valueWidth: Double): DataFrame = {
+    require(valueWidth > 0, s"heatmap valueWidth $valueWidth must be positive")
+    val base = prepared(tel, e, startMs, endMs)
+    base
+      .where(tel.value.isNotNull)
+      .groupBy(
+        stepTsCol(tel.tsMillis, stepMs),
+        floor(tel.value / valueWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cardinality ATTRIBUTION: one row per candidate tag with its
     * distinct-value estimate under the expression's filter, next to the
     * full-tuple cardinality — the "which tag explodes my series count"

@@ -494,4 +494,41 @@ object TextAnalysis {
           + exp(-(lit(bias) + col("_raw").cast("double")))), 4).as("score"))
       .withColumn("keep", col("score") >= 0.5)
   }
+
+  // ------------------------------------------------------- log templates
+
+  /** Variable-token masking rules for log-template mining, applied in
+    * order (the masking half of Drain — He et al., ICWS 2017): UUIDs
+    * before hex runs (a UUID's groups are hex), IPv4 before bare
+    * numbers (an IP's octets are numbers), hex runs before numbers
+    * (a hex run may be all digits). Every pattern stays inside the
+    * Java-regex ∩ RE2 common dialect so a DuckDB oracle replays the
+    * exact chain. */
+  val templateRules: Seq[(String, String)] = Seq(
+    "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+      -> "<uuid>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<ip>",
+    "\\b[0-9a-f]{12,}\\b" -> "<hex>",
+    "[0-9]+" -> "<num>")
+
+  /** Collapse a raw log message to its TEMPLATE by masking the variable
+    * tokens ([[templateRules]]) — a pure codegen regexp_replace chain,
+    * zero shuffle, the map-side half of log-pattern mining. */
+  def logTemplate(msgCol: Column): Column =
+    templateRules.foldLeft(msgCol) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
+  /** Log-pattern mining: group messages by [[logTemplate]] and emit
+    * (template, n, example) where example is the lexicographically
+    * smallest raw message of the template (deterministic under any
+    * partitioning). 100 TB shape: masking is map-side codegen; the ONE
+    * shuffle carries (template, partial count, partial min-example) —
+    * partial-aggregated, so each map task contributes at most one row
+    * per distinct template, and template counts are tiny by
+    * construction (that is the point of the operator). */
+  def logTemplates(df: DataFrame, msgCol: Column): DataFrame =
+    df.select(logTemplate(msgCol).as("template"), msgCol.as("_msg"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"), min(col("_msg")).as("example"))
 }

@@ -751,6 +751,40 @@ object EngineQueries {
       .orderBy("step_ts", "group_key")
   }
 
+  // Top-N + "__other__" rollup (beyond the reference): the top-3
+  // per-user series keep their rows and the remaining users collapse
+  // into one residual series per day, conserving each step's total.
+  // Counts are exact integers in double, so the cut, the tie-break and
+  // the residual sums are engine-identical.
+  def ast_top_series_other(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "props", "op": "exists"},
+        |  "chart": {"aggregation": "count", "groupBys": ["user_id"]}
+        |}}}""".stripMargin)
+    val chart = QueryEngine.evaluate(tables(s, dir), ast, START, END, DAY)
+    QueryEngine.topSeriesOther(chart, 3)
+      .select(col("step_ts"), col("label"), col("value"))
+      .orderBy("step_ts", "label")
+  }
+
+  // Latency heatmap (beyond the reference): datapoint counts on a
+  // (day × value-bucket) grid under a filter — the 2-D density the
+  // reference's DDSketch percentiles summarize to one line. Buckets are
+  // floor(value / 25): one identical IEEE division + floor on both
+  // engines, no tolerance band.
+  def ast_heatmap(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click", "error"], "op": "in"}
+        |}}}""".stripMargin)
+    val e = ast.baseExpressions("a")
+    QueryEngine.heatmap(eventsTel(s, dir), e, START, END, DAY, 25.0)
+      .orderBy("step_ts", "bucket")
+  }
+
   // U1 cross-DATASET formula: errors-per-datapoint = a logs count over
   // a metrics rollup-count, the mixed dashboard every observability UI
   // serves. The two operands resolve to DIFFERENT telemetry frames
@@ -1008,6 +1042,8 @@ object EngineQueries {
     "ast_extract_named" -> ast_extract_named _,
     "ast_cross_dataset_formula" -> ast_cross_dataset_formula _,
     "ast_top_series" -> ast_top_series _,
+    "ast_top_series_other" -> ast_top_series_other _,
+    "ast_heatmap" -> ast_heatmap _,
     "ast_wow_ratio" -> ast_wow_ratio _,
     "ast_anomaly_bands" -> ast_anomaly_bands _,
     "ast_burn_rate" -> ast_burn_rate _,
@@ -1387,6 +1423,28 @@ object EngineQueries {
         |SELECT c.step_ts, c.label AS group_key, c.value
         |FROM c JOIN t USING (label)
         |ORDER BY step_ts, group_key""".stripMargin,
+    "ast_top_series_other" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |    CAST(user_id AS VARCHAR) AS label,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events WHERE props IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT label FROM (
+        |    SELECT label, sum(value) AS tot FROM c GROUP BY label)
+        |  ORDER BY tot DESC, label LIMIT 3)
+        |SELECT step_ts, label, value FROM c JOIN t USING (label)
+        |UNION ALL
+        |SELECT step_ts, '__other__' AS label, sum(value) AS value
+        |FROM c ANTI JOIN t USING (label) GROUP BY step_ts
+        |ORDER BY step_ts, label""".stripMargin,
+    "ast_heatmap" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events WHERE event_type IN ('click', 'error')
+        |  AND value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY step_ts, bucket""".stripMargin,
     "ast_cross_dataset_formula" ->
       """WITH a AS (
         |  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,

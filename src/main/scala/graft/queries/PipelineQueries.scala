@@ -851,6 +851,31 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // t23: log-template mining (the masking half of Drain) — 10k raw log
+  // lines collapse to 5 templates. Messages are planted deterministically
+  // from events (the t7 pattern): every variable token the masker must
+  // catch appears — decimal ids, an IPv4, a 12-char hex request id —
+  // against the event_type literal that must SURVIVE masking. All
+  // arithmetic in the plant is integer (floor(value·100) before any
+  // cast), and the oracle replays the identical plant + the identical
+  // 4-rule regexp_replace chain, so a rule-order regression (numbers
+  // masked before the IP, hex before the UUID) changes the template
+  // strings and hash-mismatches.
+  private def t23Message(): Column = concat(
+    col("event_type"), lit(" user="), col("user_id").cast("string"),
+    lit(" v="), floor(col("value") * 100).cast("long").cast("string"),
+    lit(" src=10.0."), expr("user_id div 256").cast("string"),
+    lit("."), (col("user_id") % 256).cast("string"),
+    lit(" req="), lpad(lower(hex(col("event_id"))), 12, "0"))
+
+  def t23_log_templates(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(t23Message().as("msg"))
+    TextAnalysis.logTemplates(m, col("msg"))
+      .orderBy(desc("n"), col("template"))
+  }
+
   // t7: PII redaction — the synthetic corpus is PII-free, so the entry
   // plants deterministic PII (email / IP / SSN-shaped / phone-shaped
   // strings derived from doc_id) and scrubs it with the codegen'd
@@ -2095,6 +2120,7 @@ object PipelineQueries {
     "t6_repetition" -> t6_repetition _,
     "t7_pii_redact" -> t7_pii_redact _,
     "t22_c4_line_clean" -> t22_c4_line_clean _,
+    "t23_log_templates" -> t23_log_templates _,
     "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
     "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
@@ -2763,6 +2789,28 @@ object PipelineQueries {
         |ORDER BY media_id, frame_idx""".stripMargin,
     "t7_pii_redact" -> t7OracleSql,
     // t22: replay the planted line structure and all four C4 rules
+    "t23_log_templates" ->
+      """WITH m AS (
+        |  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)
+        |    || ' v='
+        |    || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+        |    || ' src=10.0.' || CAST(user_id // 256 AS VARCHAR)
+        |    || '.' || CAST(user_id % 256 AS VARCHAR)
+        |    || ' req=' || lpad(lower(to_hex(event_id)), 12, '0') AS msg
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(msg,
+        |        '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}',
+        |        '<uuid>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<ip>', 'g'),
+        |    '\b[0-9a-f]{12,}\b', '<hex>', 'g'),
+        |    '[0-9]+', '<num>', 'g') AS template, msg
+        |  FROM m)
+        |SELECT template, count(*) AS n, min(msg) AS example
+        |FROM t GROUP BY template
+        |ORDER BY n DESC, template""".stripMargin,
     "t22_c4_line_clean" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS v

@@ -375,4 +375,41 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(card == 2L)
   }
+
+  test("topSeriesOther conserves each step's total and keeps top labels verbatim") {
+    import spark.implicits._
+    val chart = Seq(
+      (0L, "a", 10.0), (0L, "b", 5.0), (0L, "c", 1.0), (0L, "d", 2.0),
+      (1000L, "a", 7.0), (1000L, "c", 4.0), (1000L, "d", 1.0)
+    ).toDF("step_ts", "label", "value")
+    val out = QueryEngine.topSeriesOther(chart, 2)
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getDouble(2)))
+    // top-2 by total |value|: a (17) and b (5 — ties with c's 5, label
+    // asc breaks toward b); c+d collapse per step
+    assert(out.filter(_._2 == "a").map(_._3).sorted.toSeq == Seq(7.0, 10.0))
+    assert(out.filter(_._2 == "b").map(_._3).toSeq == Seq(5.0))
+    val other = out.filter(_._2 == "__other__").map(t => t._1 -> t._3).toMap
+    assert(other == Map(0L -> 3.0, 1000L -> 5.0))
+    // conservation: per-step totals unchanged by the cut
+    val before = chart.groupBy("step_ts").agg(sum("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(after == before)
+  }
+
+  test("heatmap buckets on floor(value/width) with half-open edges") {
+    import spark.implicits._
+    val t = Telemetry.millis(Seq(
+        (1000L, 0.0), (1000L, 24.999), (1000L, 25.0), (1000L, 49.9),
+        (90000000L, -0.1), (90000000L, 50.0))
+        .toDF("ts", "value"),
+      "ts", col("value"))
+    val e = BaseExpr(id = "a", filter = Filter("value", List("x"), Ops.EXISTS))
+    val out = QueryEngine.heatmap(t, e, 0L, 86400000L * 2, 86400000L, 25.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 25.0 lands in bucket 1 (half-open), -0.1 floors to bucket -1
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L,
+      (86400000L, -1L) -> 1L, (86400000L, 2L) -> 1L))
+  }
 }

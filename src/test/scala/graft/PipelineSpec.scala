@@ -930,4 +930,32 @@ class PipelineSpec extends AnyFunSuite {
       (13L, 9L, 0L, 0L),
       (14L, 61L, 0L, 0L)))
   }
+
+  test("logTemplate masks in rule order: uuid before hex, ip before num") {
+    import spark.implicits._
+    val masked = Seq(
+      "GET /u/123 from 10.1.2.3 req=deadbeefcafe id=3f2a8b1c-0000-4d5e-8f00-a1b2c3d4e5f6",
+      "retry 7 of 10", // bare numbers only
+      "hex run 0123456789ab tail", // exactly 12 hex chars
+      "short hex 0123456789a stays" // 11 chars: below the hex floor
+    ).toDF("msg").select(TextAnalysis.logTemplate(col("msg")).as("t"))
+      .as[String].collect().toSeq
+    assert(masked == Seq(
+      "GET /u/<num> from <ip> req=<hex> id=<uuid>",
+      "retry <num> of <num>",
+      "hex run <hex> tail",
+      "short hex <num>a stays"))
+  }
+
+  test("logTemplates groups by template with deterministic min example") {
+    import spark.implicits._
+    val df = Seq("boot in 5ms", "boot in 17ms", "halt code 9")
+      .toDF("msg")
+    val out = TextAnalysis.logTemplates(df, col("msg"))
+      .orderBy("template").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("boot in <num>ms", 2L, "boot in 17ms"),
+      ("halt code <num>", 1L, "halt code 9")))
+  }
 }
