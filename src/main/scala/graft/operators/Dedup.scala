@@ -228,6 +228,50 @@ object Dedup {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 
+  /** Content-defined-chunk dedup statistics: chunk every document with
+    * [[graft.functions.CdcChunks]] (Rabin-style CDC boundaries,
+    * expected chunk ≈ `divisor` chars) and report, per document, how
+    * many of its chunks also occur verbatim in ANOTHER document. CDC
+    * boundaries are shift-invariant, so an insertion near a document's
+    * head still leaves the rest of its chunks matching the donor's —
+    * the case fixed-window span dedup ([[duplicatedSubstringSpans]])
+    * pays O(len) window hashes to catch and fixed-CHUNK (every-k-chars)
+    * dedup misses entirely.
+    *
+    * 100 TB shape: chunking + hashing are map-side codegen; the dedup
+    * decision stream shuffles (chunk_hash, id, len) — never chunk TEXT
+    * — and the min≠max distinct-doc test partial-aggregates map-side
+    * (the d12 calculus). Chunk identity is a 64-bit xxhash of the chunk
+    * text: the same documented ~2^-64 per-pair collision stance as
+    * every dedup entry (the oracle replays decisions on chunk text). */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("id"), txt.as("_t"))
+    val chunks = base
+      .select(col("id"),
+        explode(graft.functions.CdcChunks(col("_t"), window, divisor))
+          .as("_c"),
+        col("_t"))
+      .select(col("id"), col("_c.len").cast("long").as("clen"),
+        xxhash64(expr("substring(_t, _c.start, _c.len)")).as("h"))
+    val dupH = chunks.groupBy(col("h"))
+      .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+      .where(col("_lo") =!= col("_hi"))
+      .select(col("h"))
+    val perDoc = chunks.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_chunks"),
+        sum(col("clen")).as("dup_chars"))
+    base.select(col("id"),
+        size(graft.functions.CdcChunks(col("_t"), window, divisor))
+          .cast("long").as("n_chunks"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   // ---------------------------------------------------------------- shingles
 
   /** Whitespace tokens. */

@@ -876,6 +876,19 @@ object PipelineQueries {
       .orderBy(desc("n"), col("template"))
   }
 
+  // d17: content-defined-chunk dedup — CDC boundaries (trailing-8-char
+  // polynomial hash ≡ 0 mod 64, expected chunk ≈ 64 chars) land INSIDE
+  // the corpus's ~500-char planted duplicate spans, so donor/copy pairs
+  // share their interior chunks even though the spans sit at different
+  // offsets. The oracle replays the identical per-position nested-mod
+  // hash, the same lag()-derived chunk spans, and the dedup decision on
+  // chunk TEXT (the d12 stance: Spark shuffles 64-bit chunk hashes).
+  def d17_cdc_chunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_chars"))
+      .orderBy("doc_id")
+
   // t7: PII redaction — the synthetic corpus is PII-free, so the entry
   // plants deterministic PII (email / IP / SSN-shaped / phone-shaped
   // strings derived from doc_id) and scrubs it with the codegen'd
@@ -2121,6 +2134,7 @@ object PipelineQueries {
     "t7_pii_redact" -> t7_pii_redact _,
     "t22_c4_line_clean" -> t22_c4_line_clean _,
     "t23_log_templates" -> t23_log_templates _,
+    "d17_cdc_chunks" -> d17_cdc_chunks _,
     "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
     "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
@@ -2789,6 +2803,59 @@ object PipelineQueries {
         |ORDER BY media_id, frame_idx""".stripMargin,
     "t7_pii_redact" -> t7OracleSql,
     // t22: replay the planted line structure and all four C4 rules
+    "d17_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS n
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(p.v AS BIGINT) AS p,
+        |    ((((((((((((((CAST(ascii(substring(t, CAST(p.v AS INT) - 7, 1))
+        |        AS BIGINT)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 6, 1)))
+        |        % 1000000007)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 5, 1)))
+        |        % 1000000007)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 4, 1)))
+        |        % 1000000007)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 3, 1)))
+        |        % 1000000007)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 2, 1)))
+        |        % 1000000007)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 1, 1)))
+        |        % 1000000007)
+        |      * 257 + ascii(substring(t, CAST(p.v AS INT), 1)))
+        |        % 1000000007 AS h
+        |  FROM d, LATERAL (SELECT unnest(range(8, n + 1)) AS v) p
+        |  WHERE n >= 8),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, p AS e FROM pos WHERE h % 64 = 0
+        |    UNION ALL
+        |    SELECT doc_id, n AS e FROM d WHERE n >= 1)),
+        |ch AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+        |      AS s,
+        |    e
+        |  FROM ends),
+        |ct AS (
+        |  SELECT ch.doc_id,
+        |    substring(d.t, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS c,
+        |    e - s + 1 AS clen
+        |  FROM ch JOIN d USING (doc_id)),
+        |dup AS (SELECT c FROM ct GROUP BY c
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_dup_chunks,
+        |    CAST(sum(clen) AS BIGINT) AS dup_chars
+        |  FROM ct JOIN dup USING (c) GROUP BY doc_id),
+        |nc AS (SELECT doc_id, count(*) AS n_chunks FROM ct GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(nc.n_chunks, 0) AS n_chunks,
+        |  coalesce(st.n_dup_chunks, 0) AS n_dup_chunks,
+        |  coalesce(st.dup_chars, 0) AS dup_chars
+        |FROM d LEFT JOIN nc USING (doc_id) LEFT JOIN st USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t23_log_templates" ->
       """WITH m AS (
         |  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)
