@@ -138,8 +138,14 @@ object AstJson {
             s"extractor without a fields array or named groups: $node")
         derived
     }
-    // java.util.regex rejects the RE2 `(?P<name>` spelling; normalize it
-    Extractor(regex = regex.replace("(?P<", "(?<"), fields = fields)
+    // java.util.regex rejects the RE2 `(?P<name>` spelling; rewrite it
+    // only where it opens a named group (anchored to the group-name
+    // grammar, so the contiguous text '(?P<' inside e.g. a character
+    // class is left untouched)
+    val normalized = """\(\?P<([a-zA-Z][a-zA-Z0-9]*)>""".r
+      .replaceAllIn(regex, m => java.util.regex.Matcher.quoteReplacement(
+        s"(?<${m.group(1)}>"))
+    Extractor(regex = normalized, fields = fields)
   }
 
   private def parseChart(node: JsonNode): ChartOptions =

@@ -46,18 +46,35 @@ object Compaction {
       targetBytes: Long): Int = {
     if (files.isEmpty) return 0
     val p = plan(spark, files, targetBytes)
-    val nBins = p.agg(max(col("bin"))).head().getLong(0).toInt + 1
+    // a file larger than targetBytes advances the cumulative offset past
+    // several bin indices, so max(bin)+1 would overcount — count the bins
+    // actually assigned
+    val nBins = p.select("bin").distinct().count().toInt
     // input_file_name() is non-deterministic, so it must be PROJECTED
     // before joining (a join condition requires determinism); it is also
-    // URI-formatted, so the plan side normalizes to the same shape
+    // a URI, so the plan side must go through the same URI encoding
+    // (spaces, '%', unicode) rather than a "file://" string concat
     val rows = spark.read.parquet(files: _*)
       .withColumn("_src", input_file_name())
-    val keyed = p.select(
-      concat(lit("file://"), col("file")).as("_src"), col("bin"))
-    rows.join(broadcast(keyed), "_src")
-      .drop("_src")
+    val inCount = rows.count()
+    // File.toURI percent-encodes (spaces, '%', unicode) and getRawPath
+    // keeps that encoding; re-prefixing with "file://" yields the same
+    // triple-slash form input_file_name() emits for local files
+    val keyed = p.collect().map { r =>
+      ("file://" + new java.io.File(r.getString(0)).toURI.getRawPath,
+        r.getLong(2))
+    }.toSeq
+    import spark.implicits._
+    val keyedDf = keyed.toDF("_src", "bin")
+    val joined = rows.join(broadcast(keyedDf), "_src").drop("_src")
       .repartition(col("bin"))
-      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+      .cache()
+    val outCount = joined.count()
+    require(outCount == inCount,
+      s"compaction plan/scan path mismatch: $inCount rows scanned, " +
+        s"$outCount matched the plan (URI normalization drift?)")
+    joined.write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    joined.unpersist()
     nBins
   }
 }

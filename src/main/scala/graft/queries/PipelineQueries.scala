@@ -2825,7 +2825,7 @@ object PipelineQueries {
         |      * 257 + ascii(substring(t, CAST(p.v AS INT) - 1, 1)))
         |        % 1000000007)
         |      * 257 + ascii(substring(t, CAST(p.v AS INT), 1)))
-        |        % 1000000007 AS h
+        |        % 1000000007) AS h
         |  FROM d, LATERAL (SELECT unnest(range(8, n + 1)) AS v) p
         |  WHERE n >= 8),
         |ends AS (

@@ -78,8 +78,16 @@ object ConcurrentBench {
           sess.sparkContext.setJobGroup(s"q$i", n, interruptOnCancel = true)
           start.await()
           val t0 = System.nanoTime()
-          val h = hashOf(fn(sess, sfDir))
-          results.put(n, ((System.nanoTime() - t0) / 1e9, h))
+          // per-query capture (like Bench.runSuite): one failing query
+          // must not kill the whole pass — mark it unstable instead
+          try {
+            val h = hashOf(fn(sess, sfDir))
+            results.put(n, ((System.nanoTime() - t0) / 1e9, h))
+          } catch {
+            case e: Throwable =>
+              results.put(n,
+                ((System.nanoTime() - t0) / 1e9, s"ERROR:${e.getClass.getSimpleName}"))
+          }
         }
       })
     }
@@ -92,7 +100,8 @@ object ConcurrentBench {
     val rows = names.map { n =>
       val (st, sh) = serial(n)
       val (ct, ch) = results.get(n)
-      (n, st, ct, if (st > 0) ct / st else 0.0, sh == ch)
+      (n, st, ct, if (st > 0) ct / st else 0.0,
+        sh == ch && !ch.startsWith("ERROR:"))
     }
     val stable = rows.forall(_._5)
     val serialTotal = rows.map(_._2).sum

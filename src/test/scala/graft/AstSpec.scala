@@ -36,6 +36,22 @@ class AstSpec extends AnyFunSuite {
     assert(b.syntheticFields == Set("raw", "x"))
   }
 
+  test("RE2 (?P<name> spelling normalizes only where it opens a group") {
+    val b = AstJson.parseBaseExpr(
+      """{"filter": {"k": "message", "v": ["x"], "op": "contains"},
+        |  "extract": {"regex": "val=(?P<amt>\\d+) cls=[(?P<]"}}"""
+        .stripMargin)
+    val ex = b.extractor.get
+    // the named group is rewritten to Java syntax; the same contiguous
+    // text inside the character class is NOT touched
+    assert(ex.regex == """val=(?<amt>\d+) cls=[(?P<]""")
+    assert(ex.fields == List(ExtractedField("amt", "string")))
+    // and the result must actually compile under java.util.regex
+    val m = java.util.regex.Pattern.compile(ex.regex)
+      .matcher("val=42 cls=P")
+    assert(m.find() && m.group("amt") == "42")
+  }
+
   test("binary clause accepts positional members like the reference") {
     val c = AstJson.parseFilter(
       """{"op": "or",

@@ -80,6 +80,59 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("a file larger than target skips bin indices; compact still " +
+    "writes one file per ASSIGNED bin and reports that count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbig").toString
+    // one fat segment (400 rows) then small ones: the fat file's size
+    // exceeds target, so cumulative offsets skip bin indices
+    Seq.tabulate(400)(j => (j.toLong, s"fat-$j")).toDF("id", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg0")
+    (1 to 3).foreach { i =>
+      Seq.tabulate(10)(j => (i.toLong * 1000 + j, s"v$i-$j"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg$i")
+    }
+    val files = (0 to 3).flatMap { i =>
+      new java.io.File(s"$dir/seg$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+    val sizes = files.sorted.map(f => new java.io.File(f).length())
+    val target = sizes.max / 3 // fat file spans >=3 bins' worth of bytes
+    val plan = Compaction.plan(spark, files, target).collect()
+    val assigned = plan.map(_.getLong(2)).distinct.sorted
+    assert(assigned.max + 1 > assigned.length,
+      s"test setup should skip bin indices, got ${assigned.toSeq}")
+    val out = s"$dir/out"
+    val nBins = Compaction.compact(spark, files, out, target)
+    assert(nBins == assigned.length, s"nBins=$nBins != ${assigned.length}")
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      cs.filter(_.isDirectory).flatMap(walk) ++
+        cs.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+    }
+    val written = walk(new java.io.File(out))
+    assert(written.size == nBins,
+      s"expected $nBins files, found ${written.size}")
+    val before = spark.read.parquet(files: _*)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    val after = spark.read.parquet(out)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    assert(after.sameElements(before))
+  }
+
+  test("compact joins by URI-encoded path (spaces survive)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csp").toString
+    val dir = s"$base/with space"
+    Seq.tabulate(20)(j => (j.toLong, s"s-$j")).toDF("id", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg0")
+    val files = new java.io.File(s"$dir/seg0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val out = s"$base/out"
+    val nBins = Compaction.compact(spark, files, out, Long.MaxValue)
+    assert(nBins == 1)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
   test("compact handles a single bin and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1").toString
     val files = mkFiles(dir, 2)

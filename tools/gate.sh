@@ -19,6 +19,10 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gate_smoke" >/tmp/g
 n=$(ls /tmp/gate_smoke | wc -l)
 [ "$n" -ge 60 ] || { echo "GATE FAIL: only $n query outputs (expected >=60)"; exit 1; }
 
+echo "== gate: DuckDB parse of every oracle SQL (EXPLAIN, no exec) =="
+python3 tools/parse_oracles.py /tmp/gate_smoke /root/testdata/sf0.001 \
+  || { echo "GATE FAIL: unparseable oracle SQL"; exit 1; }
+
 if [ "${1:-}" = "--full" ]; then
   echo "== gate: full test suite (fresh report dir) =="
   sbt -batch test || { echo "GATE FAIL: test suite red"; exit 1; }
