@@ -966,6 +966,62 @@ object EngineQueries {
       .orderBy("emit_seq", "step_ts", "group_key")
   }
 
+  /** Incremental delivery × FORMULAS: a `a / b` ratio AST replayed in
+    * day-interval groups (minGroupSize 4, the reference's
+    * executionGroupSize). [[QueryEngine.evaluateIncremental]] runs the
+    * full formula evaluation PER GROUP, so this pins that formula
+    * semantics tile across group boundaries: groups end on step
+    * boundaries, every formula join key (step_ts) lives entirely inside
+    * one group, and the ordered concatenation of the batches equals the
+    * batch formula (reference: Formula.scala:32-69 applies the operation
+    * per SSE-delivered point stream, SequencingStrategy.scala:35-66
+    * orders the groups — the division happens per replayed group there
+    * too).
+    *
+    * The div-by-zero-drop case is FORCED onto a group boundary: 'view'
+    * values on day day0+4 — the FIRST bucket of replay group 1 — are
+    * zeroed at the source, so that bucket's denominator sum is 0.0 and
+    * the formula must DROP it (reference drops the point rather than
+    * emitting Inf, Formula.scala:60-64). The oracle recomputes the same
+    * grid: emit_seq = (day − day0)/4, the zeroed bucket filtered by
+    * b.v != 0 — a group-boundary bug (bucket straddling two groups,
+    * off-by-one group bounds, Inf leaking instead of a drop)
+    * hash-mismatches. */
+  def ast_incremental_formula(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .head()
+    val (loMs, hiMs) = (bounds.getLong(0) / 1000000L,
+      bounds.getLong(1) / 1000000L)
+    val day0 = loMs / 86400000L
+    // first day interval of replay group 1 (grid fact, planning-time)
+    val boundaryDay = day0 + 4
+    val zeroed = ev.withColumn("value",
+      when(col("event_type") === "view" &&
+          floor(expr("ts div 1000000") / 86400000L) === boundaryDay,
+        lit(0.0)).otherwise(col("value")))
+    val tel = Telemetry.nanos(zeroed, "ts", valueCol = col("value"),
+      message = Some(col("props")))
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}},
+        |  "b": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}}
+        |}, "formulae": ["a / b"]}""".stripMargin)
+    val span = graft.engine.ReplaySequencer.SegmentSpan("events",
+      loMs, hiMs + 1)
+    QueryEngine.evaluateIncremental(_ => tel, ast, START, END, DAY,
+        Seq(span), minGroupSize = 4)
+      .map { rb =>
+        rb.df.select(lit(rb.seq).cast("long").as("emit_seq"),
+          col("step_ts"), round(col("value"), 6).as("value"))
+      }.reduce(_ unionByName _)
+      .orderBy("emit_seq", "step_ts")
+  }
+
   /** GET /api/v1/scopeTags: the fixed infra scope dimensions, pinned as
     * a VALUES oracle the way ast_function_specs pins the function
     * registry — renaming or dropping a scope dimension breaks the same
@@ -1008,6 +1064,7 @@ object EngineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ast_incremental_chart" -> ast_incremental_chart _,
     "ast_incremental_reverse" -> ast_incremental_reverse _,
+    "ast_incremental_formula" -> ast_incremental_formula _,
     "ast_scope_tags" -> ast_scope_tags _,
     "ast_metric_metadata" -> ast_metric_metadata _,
     "ast_function_specs" -> ast_function_specs _,
@@ -1075,6 +1132,30 @@ object EngineQueries {
         |  event_type AS group_key, round(sum(value), 6) AS value
         |FROM g GROUP BY 1, 2, 3, 4
         |ORDER BY emit_seq, step_ts, group_key""".stripMargin,
+    // incremental formula: per-day a/b ratio with emit_seq recomputed
+    // from the day grid; the 'view' sum on day0+4 (group 1's first
+    // bucket) is zeroed at the source, so that step must DROP (b.v != 0
+    // mirrors the engine's div-by-zero-drop). Non-negative operands ⇒
+    // trunc == floor on both engines.
+    "ast_incremental_formula" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |b0 AS (SELECT min(ms) // 86400000 AS day0 FROM e),
+        |g AS (
+        |  SELECT (ms // 86400000) * 86400000 AS step_ts,
+        |    ((ms // 86400000) - b0.day0) // 4 AS emit_seq, event_type,
+        |    CASE WHEN event_type = 'view'
+        |        AND (ms // 86400000) - b0.day0 = 4
+        |      THEN 0.0 ELSE value END AS value
+        |  FROM e, b0),
+        |a AS (SELECT step_ts, emit_seq, sum(value) AS v FROM g
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT step_ts, emit_seq, sum(value) AS v FROM g
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT CAST(emit_seq AS BIGINT) AS emit_seq, step_ts,
+        |  round(a.v / b.v, 6) AS value
+        |FROM a JOIN b USING (step_ts, emit_seq) WHERE b.v != 0.0
+        |ORDER BY emit_seq, step_ts""".stripMargin,
     // reverse replay: emit_seq = (dmax - day)/4, newest group first;
     // non-negative operands ⇒ trunc == floor on both engines
     "ast_incremental_reverse" ->

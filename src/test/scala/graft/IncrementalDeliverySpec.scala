@@ -167,6 +167,54 @@ class IncrementalDeliverySpec extends AnyFunSuite {
     assert(concat === whole)
   }
 
+  test("formula ASTs tile across replay groups; a zero-denominator " +
+    "bucket at a group boundary is dropped, not emitted as Inf") {
+    val base = 1704067200000L
+    val hour = 3600000L
+    // 96 hourly buckets; click numerator = bucket index + 1, view
+    // denominator = 2.0 except bucket 24 (= group 1's FIRST bucket at
+    // minGroupSize 24), which is zeroed
+    val rows = (0 until 96).flatMap { h =>
+      val ts = (base + h * hour) * 1000000L + 1000L
+      Seq((ts, "click", (h + 1).toDouble, "{}"),
+        (ts, "view", if (h == 24) 0.0 else 2.0, "{}"))
+    }
+    val df = rows.toDF("ts", "event_type", "value", "props")
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {
+        |  "a": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["click"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}},
+        |  "b": {"dataset": "logs", "returnResults": false,
+        |        "filter": {"k": "event_type", "v": ["view"], "op": "eq"},
+        |        "chart": {"aggregation": "sum", "groupBys": []}}
+        |}, "formulae": ["a / b"]}""".stripMargin)
+    val span = SegmentSpan("s", base, base + 96 * hour)
+    val batches = QueryEngine.evaluateIncremental(_ => tel(df), ast,
+      base, base + 96 * hour, hour, Seq(span), minGroupSize = 24).toList
+    assert(batches.size === 4)
+    // group 1 covers buckets 24-47; its first bucket must be ABSENT
+    // (div-by-zero drop), the other 23 present with the right ratio
+    val g1 = batches(1).df.select("step_ts", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(!g1.contains(base + 24 * hour))
+    assert(g1.size === 23)
+    (25 until 48).foreach { h =>
+      assert(g1(base + h * hour) === (h + 1) / 2.0)
+    }
+    // no Inf/NaN anywhere, and concatenation == batch formula evaluate
+    val concat = batches.map(_.df).reduce(_ unionByName _)
+      .select("step_ts", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(concat.forall { case (_, v) => !v.isInfinite && !v.isNaN })
+    val whole = QueryEngine.evaluate(_ => tel(df), ast,
+        base, base + 96 * hour, hour)
+      .select("step_ts", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(concat === whole)
+    assert(concat.length === 95)
+  }
+
   test("an UNALIGNED sealed/live cut splits the straddled bucket into " +
     "two partial rows whose per-(step,label) SUM equals the batch value") {
     // the reference behaves the same way: a bucket half-sealed at query
