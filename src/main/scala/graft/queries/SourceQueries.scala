@@ -123,6 +123,28 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  /** U2 on NESTED GROUPS (the general concatenation/alternation product
+    * over required runs — the remainder of the reference's lib-trigram
+    * regex coverage, NLPUtils.scala:54-153): groups whose language is a
+    * small exact string set join the literal-run cross product, so
+    * `si(gn|ng)up` requires {signup, singup} even though every piece is
+    * under 3 chars, and nesting composes ((si(gn|ng)up|er(ro|or)r) →
+    * a 4-member OR'd trigram family). Inexact constructs degrade to
+    * no-prune, never to a false requirement. File-skipping proven in
+    * SegmentIndexSpec; result equivalence here vs the full table
+    * (pruning is sound). */
+  def s30_regex_nested_pruned(s: SparkSession, dir: String): DataFrame = {
+    val re = "(si(gn|ng)up|er(ro|or)r)"
+    val clause = Filter("event_type", List(re), Ops.REGEX)
+    val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
+        Set("event_type"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return typedEmpty(s, "event_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double"))
+    df.where(col("event_type").rlike(s"(?i)$re"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** S3/S4 deluxe: plan-time segment skipping through the custom
     * Catalyst FileIndex — the query is a plain WHERE over the relation;
     * Catalyst pushes the predicates and [[graft.sources.ManifestFileIndex]]
@@ -269,6 +291,7 @@ object SourceQueries {
     "s6_regex_pruned" -> s6_regex_pruned _,
     "s7_regex_alternation" -> s7_regex_alternation _,
     "s28_regex_class_pruned" -> s28_regex_class_pruned _,
+    "s30_regex_nested_pruned" -> s30_regex_nested_pruned _,
     "s10_fileindex_scan" -> s10_fileindex_scan _,
     "ast_fileindex_chart" -> ast_fileindex_chart _
   )
@@ -327,6 +350,10 @@ object SourceQueries {
     "s28_regex_class_pruned" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE regexp_matches(event_type, '(s[iu]gn[ou]p|er{2}or)', 'i')
+        |ORDER BY event_id""".stripMargin,
+    "s30_regex_nested_pruned" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE regexp_matches(event_type, '(si(gn|ng)up|er(ro|or)r)', 'i')
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -147,12 +147,21 @@ object SegmentIndex {
     case class AnyOf(xs: Seq[TriReq]) extends TriReq
     case object Free extends TriReq
     def all(xs: Seq[TriReq]): TriReq = {
-      val f = xs.filter(_ != Free)
+      val f = xs.filter(_ != Free).flatMap {
+        case All(ys) => ys // flatten nested conjunctions
+        case other => Seq(other)
+      }
       if (f.isEmpty) Free else if (f.size == 1) f.head else All(f)
     }
     def anyOf(xs: Seq[TriReq]): TriReq =
       if (xs.contains(Free) || xs.isEmpty) Free
-      else if (xs.size == 1) xs.head else AnyOf(xs)
+      else {
+        val f = xs.flatMap {
+          case AnyOf(ys) => ys // flatten nested disjunctions
+          case other => Seq(other)
+        }
+        if (f.size == 1) f.head else AnyOf(f)
+      }
   }
 
   /** Compile a regex into its [[TriReq]] — the required-literal set
@@ -168,45 +177,88 @@ object SegmentIndex {
   private[graft] def requiredTrigrams(regex: String): TriReq = {
     import TriReq._
     val n = regex.length
+    val MaxFamily = 16
     object Bail extends RuntimeException
-    def parseGroup(open: Int): (TriReq, Int) = {
-      if (open + 1 < n && regex.charAt(open + 1) == '?') {
-        if (open + 2 < n && regex.charAt(open + 2) == ':') {
-          val (r, k) = parseAlt(open + 3)
-          if (k >= n || regex.charAt(k) != ')') throw Bail
-          (r, k + 1)
-        } else {
-          // lookaround / inline flags: skip the balanced group, no info
-          var depth = 1
-          var k = open + 1
-          while (k < n && depth > 0) {
-            regex.charAt(k) match {
-              case '\\' => k += 1
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case _ =>
-            }
-            k += 1
-          }
-          if (depth > 0) throw Bail
-          (Free, k)
-        }
-      } else {
-        val (r, k) = parseAlt(open + 1)
+
+    /** A parsed fragment: the sound requirement, plus — when the
+      * fragment's match language is EXACTLY a small finite string set —
+      * that set (Cox's "exact" component, regexp4.html §Transformation).
+      * The exact set lets a GROUP participate in literal-run merging, so
+      * `ab(cd|ef)gh` requires {abcdgh, abefgh} instead of nothing: the
+      * concatenation/alternation product over required runs the
+      * reference's trigram compiler builds (NLPUtils.scala:54-153).
+      * A SUPERSET of the true language is sound here (requirements are
+      * AnyOf over members, so extra members only weaken); a subset is
+      * not, so anything inexact propagates None. */
+    case class Frag(req: TriReq, exact: Option[Seq[String]])
+
+    def parseGroup(open: Int): (Frag, Int) = {
+      def body(start: Int): (Frag, Int) = {
+        val (f, k) = parseAlt(start)
         if (k >= n || regex.charAt(k) != ')') throw Bail
-        (r, k + 1)
+        (f, k + 1)
       }
+      def skipBalanced(): (Frag, Int) = {
+        // lookaround / bare inline flags / comment groups: no info
+        var depth = 1
+        var k = open + 1
+        while (k < n && depth > 0) {
+          regex.charAt(k) match {
+            case '\\' => k += 1
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          k += 1
+        }
+        if (depth > 0) throw Bail
+        (Frag(Free, None), k)
+      }
+      if (open + 1 < n && regex.charAt(open + 1) == '?') {
+        val c2 = if (open + 2 < n) regex.charAt(open + 2) else ' '
+        c2 match {
+          case ':' => body(open + 3)
+          // atomic group: its language ⊆ the body's, so the body's
+          // requirement is sound and its exact set a sound superset
+          case '>' => body(open + 3)
+          // named capture (?<name>…) — but NOT lookbehind (?<= / (?<!
+          case '<' if open + 3 < n && regex.charAt(open + 3) != '=' &&
+              regex.charAt(open + 3) != '!' =>
+            val gt = regex.indexOf('>', open + 3)
+            if (gt < 0) throw Bail
+            body(gt + 1)
+          case _ =>
+            // inline flags with a body, (?idmsu-…:X): parse X unless the
+            // 'x' (comment/whitespace) flag is present — x changes
+            // tokenization, so literal chars there are untrustworthy
+            val colon = regex.indexOf(':', open + 2)
+            val close = regex.indexOf(')', open + 2)
+            if (colon > 0 && (close < 0 || colon < close) &&
+                colon > open + 2 &&
+                regex.substring(open + 2, colon)
+                  .forall("idmsuU-".contains(_)))
+              body(colon + 1)
+            else skipBalanced()
+        }
+      } else body(open + 1)
     }
-    def parseAlt(start: Int): (TriReq, Int) = {
-      val branches = Seq.newBuilder[TriReq]
-      var (r, i) = parseSeq(start)
-      branches += r
+
+    def parseAlt(start: Int): (Frag, Int) = {
+      val branches = Seq.newBuilder[Frag]
+      var (f, i) = parseSeq(start)
+      branches += f
       while (i < n && regex.charAt(i) == '|') {
-        val (r2, j) = parseSeq(i + 1)
-        branches += r2
+        val (f2, j) = parseSeq(i + 1)
+        branches += f2
         i = j
       }
-      (anyOf(branches.result()), i)
+      val bs = branches.result()
+      val exact =
+        if (bs.forall(_.exact.isDefined)) {
+          val u = bs.flatMap(_.exact.get).distinct
+          if (u.size <= MaxFamily) Some(u) else None
+        } else None
+      (Frag(anyOf(bs.map(_.req)), exact), i)
     }
     // Literal FAMILIES (Cox, "Regular Expression Matching with a Trigram
     // Index", swtch.com/~rsc/regexp/regexp4.html): an atom contributes a
@@ -215,8 +267,7 @@ object SegmentIndex {
     // requires (color OR colour) instead of breaking the run at the
     // class/optional. Caps keep the product bounded; overflowing a cap
     // flushes the current family (weaker requirement — always sound).
-    def parseSeq(start: Int): (TriReq, Int) = {
-      val MaxFamily = 16
+    def parseSeq(start: Int): (Frag, Int) = {
       val atoms = scala.collection.mutable.ArrayBuffer[Either[Seq[String], TriReq]]()
       var i = start
 
@@ -254,7 +305,14 @@ object SegmentIndex {
         // one atom
         val atom: Either[Seq[String], TriReq] = regex.charAt(i) match {
           case '(' =>
-            val (r, k) = parseGroup(i); i = k; Right(r)
+            val (f, k) = parseGroup(i); i = k
+            // a group whose language is a small exact set joins the
+            // literal-run merge like a class family; anything inexact
+            // contributes its requirement and breaks the run
+            f.exact match {
+              case Some(fam) if fam.nonEmpty => Left(fam)
+              case _ => Right(f.req)
+            }
           case '\\' if i + 1 < n && regex.charAt(i + 1) == 'Q' =>
             // \Q…\E quotes everything in between literally (Java: a
             // missing \E quotes to the end of the pattern). A quantifier
@@ -351,7 +409,7 @@ object SegmentIndex {
               atom match {
                 case Left(alts) =>
                   // m exact copies via capped cross product ([ab]{3} →
-                  // 8 strings); overflow falls back to a single copy
+                  // 8 strings); overflow falls back to fewer copies
                   var acc = alts
                   var copies = 1
                   while (copies < math.min(m, 5) &&
@@ -360,6 +418,13 @@ object SegmentIndex {
                     copies += 1
                   }
                   atoms += Left(acc.distinct)
+                  // an INCOMPLETE enumeration (copies < m) matches the
+                  // FIRST copies of the real text, so it may merge with
+                  // the preceding run but must break before the next:
+                  // x[ab]{7}y with both sides merged would demand a
+                  // 4-copy block adjacent to x AND y that a 7-copy match
+                  // need not contain
+                  if (copies < m) atoms += Right(Free)
                 case r => atoms += r // a group repeated imposes the same requirement
               }
               if (maxS != minS) atoms += Right(Free)
@@ -373,7 +438,12 @@ object SegmentIndex {
       val parts = Seq.newBuilder[TriReq]
       var runSet: Seq[String] = Seq("")
       def flushRun(): Unit = {
-        val fam = runSet.distinct
+        // a member CONTAINING another member is dominated: its trigram
+        // set is a superset, so the AnyOf is decided by the smaller one
+        // alone ((foo|bar)?baz → {baz, foobaz, barbaz} ≡ {baz}) — drop
+        // it for a smaller, equivalent manifest predicate
+        val dist = runSet.distinct
+        val fam = dist.filterNot(m => dist.exists(o => o != m && m.contains(o)))
         // a requirement only exists if EVERY alternative carries a
         // trigram — one short/empty member makes the family vacuous
         if (fam.forall(_.length >= 3)) parts += anyOf(fam.map(Lit(_)))
@@ -387,11 +457,20 @@ object SegmentIndex {
         case Right(r) => flushRun(); parts += r
       }
       flushRun()
-      (all(parts.result()), i)
+      // the sequence is exact iff every atom is a literal family and
+      // the full cross product stays within the cap (a Right atom —
+      // wildcard, unbounded repeat, inexact group — loses exactness)
+      val exact = atoms.foldLeft(Option(Seq(""))) {
+        case (Some(acc), Left(alts)) =>
+          val p = (for (a <- acc; b <- alts) yield a + b).distinct
+          if (p.size <= MaxFamily) Some(p) else None
+        case _ => None
+      }
+      (Frag(all(parts.result()), exact), i)
     }
     try {
-      val (r, end) = parseAlt(0)
-      if (end != n) TriReq.Free else r // stray ')': sound no-info
+      val (f, end) = parseAlt(0)
+      if (end != n) TriReq.Free else f.req // stray ')': sound no-info
     } catch { case Bail => TriReq.Free }
   }
 

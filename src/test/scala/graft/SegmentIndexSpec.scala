@@ -166,9 +166,15 @@ class SegmentIndexSpec extends AnyFunSuite {
     // {m,n} with m>=1 repeats the atom m times ("timeout{2,3}" must
     // contain "timeoutt"); n>m detaches the following run
     assert(SegmentIndex.requiredLiterals("timeout{2,3}s") == Seq("timeoutt"))
-    // alternation branches are conditional → excluded from the flat view,
-    // but an ANDed run alongside them is still required
-    assert(SegmentIndex.requiredLiterals("(a|b)cdef") == Seq("cdef"))
+    // a short-branch alternation now merges into the adjacent run as an
+    // exact family (AnyOf(acdef, bcdef)) — conditional, so the flat
+    // (unconditional) view is empty even though pruning got STRONGER
+    assert(SegmentIndex.requiredLiterals("(a|b)cdef").isEmpty)
+    assert(SegmentIndex.requiredTrigrams("(a|b)cdef") ==
+      SegmentIndex.TriReq.AnyOf(Seq(SegmentIndex.TriReq.Lit("acdef"),
+        SegmentIndex.TriReq.Lit("bcdef"))))
+    // an inexact group (unbounded tail) still leaves the run required
+    assert(SegmentIndex.requiredLiterals("(a+|b.*c)cdef") == Seq("cdef"))
     assert(SegmentIndex.requiredLiterals("ab|cdef").isEmpty)
     // runs under 3 chars carry no trigram
     assert(SegmentIndex.requiredLiterals("ab.cd").isEmpty)
@@ -181,15 +187,17 @@ class SegmentIndexSpec extends AnyFunSuite {
     import SegmentIndex.TriReq._
     assert(SegmentIndex.requiredTrigrams("foo|bar") ==
       AnyOf(Seq(Lit("foo"), Lit("bar"))))
+    // a group with a small exact language joins the literal run (the
+    // concatenation product): stronger than AND(foo|bar, baz) — the
+    // branch and the suffix must be CONTIGUOUS
     assert(SegmentIndex.requiredTrigrams("(foo|bar)baz") ==
-      All(Seq(AnyOf(Seq(Lit("foo"), Lit("bar"))), Lit("baz"))))
-    // nested alternation
+      AnyOf(Seq(Lit("foobaz"), Lit("barbaz"))))
+    // nested alternation: exact sets multiply through nesting
     assert(SegmentIndex.requiredTrigrams("(aaa(bbb|ccc)|ddd)") ==
-      AnyOf(Seq(All(Seq(Lit("aaa"), AnyOf(Seq(Lit("bbb"), Lit("ccc"))))),
-        Lit("ddd"))))
-    // non-capturing group ("x" < 3 chars imposes nothing and is dropped)
+      AnyOf(Seq(Lit("aaabbb"), Lit("aaaccc"), Lit("ddd"))))
+    // non-capturing group: the short tail still joins the product
     assert(SegmentIndex.requiredTrigrams("(?:foo|bar)x") ==
-      AnyOf(Seq(Lit("foo"), Lit("bar"))))
+      AnyOf(Seq(Lit("foox"), Lit("barx"))))
     assert(SegmentIndex.requiredTrigrams("(foo|bar)?baz") == Lit("baz"))
     // empty branch → whole alternation unconstrained
     assert(SegmentIndex.requiredTrigrams("(foo|)bar") == Lit("bar"))
@@ -220,6 +228,25 @@ class SegmentIndexSpec extends AnyFunSuite {
     // segment stays a candidate (sound degradation)
     val short = Filter("service", List("p[a-z]y"), Ops.REGEX)
     assert(SegmentIndex.prune(manifest, Some(short), indexed, 0L, 10000L)
+      .length == 3)
+  }
+
+  test("nested-group regexes prune segments (exact-set product)") {
+    // pay(me|em)nt → {payment, payemnt}: only seg2 carries "payment";
+    // every PIECE is under 3 chars, so only the product can prune
+    val nested = Filter("service", List("pay(me|em)nt"), Ops.REGEX)
+    val f1 = SegmentIndex.prune(manifest, Some(nested), indexed, 0L, 10000L)
+    assert(f1.length == 1 && f1.head.contains("seg2"), f1)
+    // nesting inside alternation: (che(ck|kc)out|sea(rc|cr)h) keeps the
+    // checkout (seg1, seg3) and search (seg3) segments, drops seg2
+    val alt = Filter("service",
+      List("(che(ck|kc)out|sea(rc|cr)h)"), Ops.REGEX)
+    val f2 = SegmentIndex.prune(manifest, Some(alt), indexed, 0L, 10000L)
+    assert(f2.length == 2 && !f2.exists(_.contains("seg2")), f2)
+    // an inexact part inside the group degrades that branch to no-prune
+    // for the whole alternation (sound)
+    val inexact = Filter("service", List("(payment|x.*y)"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(inexact), indexed, 0L, 10000L)
       .length == 3)
   }
 

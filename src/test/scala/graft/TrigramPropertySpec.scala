@@ -71,14 +71,49 @@ class TrigramPropertySpec extends AnyFunSuite {
       Pat(s"(?:${inner.re}){2,3}",
         Gen.listOfN(k, inner.sample).map(_.mkString))))
 
+  // unique named-group names across one generated pattern (Java rejects
+  // duplicate names within a pattern)
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def alternation(depth: Int): Gen[Pat] =
     for {
       n <- Gen.chooseNum(2, 3)
       branches <- Gen.listOfN(n, sequence(depth - 1))
       pick <- Gen.chooseNum(0, n - 1)
+      // group spellings the compiler must all see through: capturing,
+      // non-capturing, NAMED capturing, inline-flagged
+      wrap <- Gen.oneOf("(", "(?:", "(?named>", "(?i:", "(?s:")
+    } yield {
+      val open =
+        if (wrap == "(?named>") s"(?<g${nameCounter.incrementAndGet()}>"
+        else wrap
+      Pat(
+        branches.map(_.re).mkString(open, "|", ")"),
+        Gen.delay(branches(pick).sample))
+    }
+
+  // short-literal alternation groups: the exact-set path ((ab|cd)ef
+  // requires {abef, cdef}) — members too short to carry a trigram alone
+  private val shortAltGroup: Gen[Pat] =
+    for {
+      n <- Gen.chooseNum(2, 3)
+      branches <- Gen.listOfN(n, litRun(2))
+      pick <- Gen.chooseNum(0, n - 1)
+      opt <- Gen.oneOf("", "?")
     } yield Pat(
-      branches.map(_.re).mkString("(", "|", ")"),
-      Gen.delay(branches(pick).sample))
+      branches.map(_.re).mkString("(", "|", ")") + opt,
+      if (opt == "?") Gen.oneOf(Gen.const(""), branches(pick).sample)
+      else branches(pick).sample)
+
+  // big bounded repeats of multi-member classes: the capped-enumeration
+  // path (x[ab]{7}y) where the block must not bind to both neighbors
+  private val bigRepeat: Gen[Pat] =
+    for {
+      m <- Gen.chooseNum(5, 8)
+      cls <- Gen.oneOf(("[ab]", Gen.oneOf("a", "b")),
+        ("[abc]", Gen.oneOf("a", "b", "c")), ("a", Gen.const("a")))
+      body <- Gen.listOfN(m, cls._2)
+    } yield Pat(s"${cls._1}{$m}", Gen.const(body.mkString))
 
   private def atom(depth: Int): Gen[Pat] =
     if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom, escapeAtom)
@@ -87,6 +122,8 @@ class TrigramPropertySpec extends AnyFunSuite {
       1 -> dotAtom,
       1 -> classAtom,
       1 -> escapeAtom,
+      1 -> shortAltGroup,
+      1 -> bigRepeat,
       2 -> alternation(depth),
       // quantify only UNQUANTIFIED base atoms: nesting quantifiers over
       // single-char wildcards ((?:(?:\d)+)+) makes the java.util.regex
@@ -179,6 +216,71 @@ class TrigramPropertySpec extends AnyFunSuite {
         ("\\Qhttp://\\E[a-z]+\\Q.com\\E", "http://site.com")))
       assert(s.matches(re) &&
         satisfies(s, SegmentIndex.requiredTrigrams(re)), s"$re vs $s")
+  }
+
+  test("named / flagged / atomic groups are seen through; lookaround " +
+    "and x-flag groups stay Free") {
+    import TriReq._
+    // named capture participates in the exact-set product like (?:
+    assert(SegmentIndex.requiredTrigrams("(?<amt>foo|bar)baz") ==
+      AnyOf(Seq(Lit("foobaz"), Lit("barbaz"))))
+    // inline flags with a body parse the body ('i' is safe: both index
+    // and probe lowercase their trigrams)
+    assert(SegmentIndex.requiredTrigrams("(?i:foo)bar") == Lit("foobar"))
+    assert(SegmentIndex.requiredTrigrams("(?s:foo.bar)qux") ==
+      All(Seq(Lit("foo"), Lit("bar"), Lit("qux"))))
+    // atomic group: language ⊆ body's, body requirement is sound
+    assert(SegmentIndex.requiredTrigrams("(?>foo)bar") == Lit("foobar"))
+    // x-flag changes tokenization: whitespace/comments must NOT become
+    // literal requirements
+    assert(SegmentIndex.requiredTrigrams("(?x:f o o)bar") == Lit("bar"))
+    assert(satisfies("foobar", SegmentIndex.requiredTrigrams("(?x:f o o)bar")))
+    // lookbehind/lookahead remain requirement-free zones
+    assert(SegmentIndex.requiredTrigrams("(?<=foo)bar") == Lit("bar"))
+    assert(SegmentIndex.requiredTrigrams("(?=foo)bar") == Lit("bar"))
+    assert(satisfies("xbar", SegmentIndex.requiredTrigrams("(?<=x)bar")))
+  }
+
+  test("exact-set product: nested groups of sub-trigram literals compose " +
+    "into prunable requirements") {
+    import TriReq._
+    assert(SegmentIndex.requiredTrigrams("ab(cd|ef)gh") ==
+      AnyOf(Seq(Lit("abcdgh"), Lit("abefgh"))))
+    // two-level nesting
+    assert(SegmentIndex.requiredTrigrams("((a|b)(x|y))cd") match {
+      case AnyOf(xs) => xs.toSet == Set(
+        Lit("axcd"), Lit("aycd"), Lit("bxcd"), Lit("bycd"))
+      case _ => false
+    })
+    // optional group factorization: (ab)?cdef keeps cdef required and
+    // the dominated longer spelling is dropped
+    assert(SegmentIndex.requiredTrigrams("(ab)?cdef") == Lit("cdef"))
+    // an inexact branch poisons only the exactness, not the requirement
+    assert(SegmentIndex.requiredTrigrams("(abc|d+)efg") ==
+      Lit("efg"))
+    for ((re, s) <- Seq(
+        ("ab(cd|ef)gh", "xxabefghyy"), ("((a|b)(x|y))cd", "bycd"),
+        ("(ab)?cdef", "cdef"), ("(abc|d+)efg", "ddddefg"),
+        ("err(or|ors)? ", "err "))) {
+      assert(java.util.regex.Pattern.compile(re).matcher(s).find(),
+        s"$re should find in $s")
+      assert(satisfies(s, SegmentIndex.requiredTrigrams(re)), s"$re vs $s")
+    }
+  }
+
+  test("a capped repeat of a multi-member family must not bind to BOTH " +
+    "neighbors (regression: x[ab]{7}y vs xabababby)") {
+    // [ab]{7} caps at 4 enumerated copies; the enumerated block matches
+    // the FIRST copies of the real text, so it may merge with the
+    // preceding run but must break before the following one — merging
+    // both sides demands a contiguous block adjacent to r AND q that a
+    // 7-copy match need not contain
+    val s = "xabababby"
+    assert(s.matches("x[ab]{7}y"))
+    assert(satisfies(s, SegmentIndex.requiredTrigrams("x[ab]{7}y")),
+      s"requirement ${SegmentIndex.requiredTrigrams("x[ab]{7}y")}")
+    // single-member repeats stay fully merged (suffix-aligned, sound)
+    assert(satisfies("xaaaaaaay", SegmentIndex.requiredTrigrams("xa{7}y")))
   }
 
   test("operand-bearing escapes and nested classes never yield false requirements") {
