@@ -26,6 +26,49 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** Outcome of one policy pass: the post-policy file list (compacted
+    * outputs + untouched originals) and per-key actions for audit. */
+  case class PolicyResult(files: Seq[String],
+      compactedKeys: Seq[String], keptKeys: Seq[String])
+
+  /** Manifest-driven compaction POLICY — the ingest-loop half of the
+    * small-file story: the streaming collector lands one rollup segment
+    * per closed block per partition dir (the reference's hourly object
+    * layout, Commons.scala:160-177), and read latency decays as footer
+    * opens accumulate. This pass walks the landed file list grouped by
+    * `keyOf` (e.g. the date_int of the partition path) and rewrites ONLY
+    * the keys holding more than `maxFilesPerKey` files, leaving sparse
+    * keys untouched — compaction as threshold policy, not a bulk job.
+    *
+    * Deterministic: same file list + threshold + target → same actions,
+    * same binning (compact() is deterministic per key). Idempotent at
+    * the layout level: re-running over a compacted layout finds every
+    * key at or under the threshold and rewrites nothing. */
+  def applyPolicy(spark: SparkSession, files: Seq[String], outBase: String,
+      maxFilesPerKey: Int, targetBytes: Long,
+      keyOf: String => String): PolicyResult = {
+    require(maxFilesPerKey >= 1, s"maxFilesPerKey $maxFilesPerKey")
+    val byKey = files.groupBy(keyOf).toSeq.sortBy(_._1)
+    val (dense, sparse) = byKey.partition(_._2.size > maxFilesPerKey)
+    val compacted = dense.flatMap { case (key, fs) =>
+      val safe = key.replaceAll("[^A-Za-z0-9_=-]", "_")
+      val dir = s"$outBase/$safe"
+      compact(spark, fs, dir, targetBytes)
+      listParquet(new java.io.File(dir))
+    }
+    PolicyResult(
+      files = (compacted ++ sparse.flatMap(_._2)).sorted,
+      compactedKeys = dense.map(_._1),
+      keptKeys = sparse.map(_._1))
+  }
+
+  private def listParquet(dir: java.io.File): Seq[String] = {
+    val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    fs.filter(_.isDirectory).flatMap(listParquet) ++
+      fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath)
+  }
+
   /** One row per source file: (file, bytes, bin). */
   def plan(spark: SparkSession, files: Seq[String], targetBytes: Long)
       : DataFrame = {

@@ -286,6 +286,58 @@ object StreamingQueries {
         .map(_.getAbsolutePath)
   }
 
+  private val policyLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.operators.Compaction.PolicyResult]()
+
+  /** st23: the full ingest → threshold → compact → pruned-query loop —
+    * compaction wired in as POLICY, not a one-shot job. The streaming
+    * ingest (st4's build) lands ~one file per (date_int, hour) dir;
+    * [[graft.operators.Compaction.applyPolicy]] groups the landed files
+    * by DAY and rewrites only days holding more than 23 files (at
+    * sf0.01: every sealed 24-hour day compacts to one ~300 KB file, the
+    * 23-file trailing day is left as-landed — both policy branches
+    * exercised on real ingest output). A NEW manifest is then built over
+    * the post-policy layout and a time-pruned aggregate runs through it;
+    * the oracle recomputes the same rollup windows from raw events, so a
+    * policy pass that drops/duplicates rows, mis-bins, or breaks
+    * manifest pruning hash-mismatches. Read-latency before/after is
+    * recorded in PLANS.md (st22 measured 11× on the same layout). */
+  def st23_compaction_policy(s: SparkSession, dir: String): DataFrame = {
+    val base = rollupSegmentsBase(s, dir)
+    val segFiles = listParquet(new java.io.File(s"$base/segments")).sorted
+    def typedOut = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n_windows", LongType),
+        StructField("n_events", LongType),
+        StructField("total", DoubleType))))
+    if (segFiles.isEmpty) return typedOut
+    val dayOf = (f: String) => {
+      val m = "date_int=(\\d+)".r.findFirstMatchIn(f)
+      m.map(_.group(1)).getOrElse("unpartitioned")
+    }
+    val layout = policyLayouts.computeIfAbsent(base, { _ =>
+      graft.operators.Compaction.applyPolicy(s, segFiles,
+        s"$base/policy", maxFilesPerKey = 23, targetBytes = 4L << 20,
+        keyOf = dayOf)
+    })
+    // the post-policy manifest: the layout the NEXT query planner sees
+    val manifest = graft.sources.SegmentIndex.build(s, layout.files,
+      "ts", identity, Seq("event_type"), mergeSchema = false)
+    val listed = graft.sources.SegmentIndex
+      .prune(manifest, None, Set.empty, st11Start, st11End)
+    if (listed.isEmpty) return typedOut
+    s.read.parquet(listed: _*)
+      .where(col("ts") >= st11Start && col("ts") < st11End)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("rollup_count")).cast("long").as("n_events"),
+        sum(dec(col("rollup_sum"))).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
   /** Typed empty rollup frame — the legal answer when the watermark
     * sealed no windows; schema matches the segment read exactly. */
   private def emptyRollup(s: SparkSession): DataFrame =
@@ -1182,6 +1234,7 @@ object StreamingQueries {
     "st22_compacted_rollup" -> st22_compacted_rollup _,
     "st10_live_sealed_union" -> st10_live_sealed_union _,
     "st11_partition_pruned" -> st11_partition_pruned _,
+    "st23_compaction_policy" -> st23_compaction_policy _,
     "st5_session_window" -> st5_session_window _,
     "st6_sketch_segments" -> st6_sketch_segments _
   )
@@ -1332,6 +1385,22 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "st11_partition_pruned" ->
+      """WITH r AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS ts, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum,
+        |    count(*) AS rollup_count
+        |  FROM events
+        |  WHERE epoch_ms(ts) >= 1705298400000 AND epoch_ms(ts) < 1705320000000
+        |  GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_windows,
+        |  CAST(sum(rollup_count) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(rollup_sum AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // st23 runs the SAME pruned aggregate as st11 but over the
+    // post-policy layout (threshold-compacted days + as-landed trailing
+    // day), so it shares st11's oracle verbatim: any row lost, doubled,
+    // or mis-binned by the policy pass hash-mismatches here
+    "st23_compaction_policy" ->
       """WITH r AS (
         |  SELECT (epoch_ms(ts) // 60000) * 60000 AS ts, event_type,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rollup_sum,

@@ -133,6 +133,54 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 20)
   }
 
+  test("applyPolicy compacts only keys over the threshold, keeps the " +
+    "rest, preserves rows, and is idempotent at the layout level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpol").toString
+    // "day A": 5 landed files (dense); "day B": 2 files (sparse)
+    (0 until 5).foreach { i =>
+      Seq.tabulate(30)(j => (i.toLong * 100 + j, s"a$i-$j"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/land/date_int=20240101/h$i")
+    }
+    (0 until 2).foreach { i =>
+      Seq.tabulate(30)(j => (9000L + i * 100 + j, s"b$i-$j"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/land/date_int=20240102/h$i")
+    }
+    def walk(f: java.io.File): Seq[String] = {
+      val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      cs.filter(_.isDirectory).flatMap(walk) ++
+        cs.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath)
+    }
+    val landed = walk(new java.io.File(s"$dir/land")).sorted
+    val dayOf = (f: String) =>
+      "date_int=(\\d+)".r.findFirstMatchIn(f).get.group(1)
+    val res = Compaction.applyPolicy(spark, landed, s"$dir/out",
+      maxFilesPerKey = 3, targetBytes = Long.MaxValue, keyOf = dayOf)
+    assert(res.compactedKeys == Seq("20240101"))
+    assert(res.keptKeys == Seq("20240102"))
+    // dense day: 5 files -> 1; sparse day untouched (same 2 paths)
+    val sparseOriginals = landed.filter(_.contains("20240102"))
+    assert(sparseOriginals.forall(res.files.contains))
+    assert(res.files.size == 1 + 2, res.files)
+    // row parity across the whole post-policy layout
+    val before = spark.read.parquet(landed: _*)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    val after = spark.read.parquet(res.files: _*)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    assert(after.sameElements(before))
+    // idempotence: the post-policy layout is under threshold everywhere
+    val res2 = Compaction.applyPolicy(spark, res.files, s"$dir/out2",
+      maxFilesPerKey = 3, targetBytes = Long.MaxValue,
+      keyOf = f => "date_int=(\\d+)".r.findFirstMatchIn(f)
+        .map(_.group(1)).getOrElse("packed"))
+    assert(res2.compactedKeys.isEmpty)
+    assert(res2.files.sorted == res.files.sorted)
+  }
+
   test("compact handles a single bin and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1").toString
     val files = mkFiles(dir, 2)
