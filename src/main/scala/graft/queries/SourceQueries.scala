@@ -23,6 +23,7 @@ object SourceQueries {
     manifest(s, dir).count()
     docManifest(s, dir).count()
     zorderLayout(s, dir)
+    regionRoots(s, dir)
   }
 
   private def manifest(s: SparkSession, dir: String): DataFrame =
@@ -199,6 +200,69 @@ object SourceQueries {
       valueCol = col("value"), message = Some(col("props")))
   }
 
+  // ------------------------------------------------- multi-region fan-out
+
+  /** Per-(session, sf dir) regional roots: events sharded into three
+    * "regions" (user_id mod 3 — the reference shards a customer's
+    * telemetry across regional collectors), each region a separate
+    * segment dir with its OWN trigram/time manifest. Ingest-time
+    * artifact, built once. */
+  private val regionRootsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, DataFrame)]]()
+
+  private def regionRoots(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] =
+    regionRootsCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val base = graft.Tables.tmpDirFor("graft_regions", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val ev = graft.Tables.load(sess, d, "events")
+      (0 until 3).map { r =>
+        val root = s"$base/region$r"
+        ev.where(pmod(col("user_id"), lit(3)) === r)
+          .repartition(2)
+          .write.mode("overwrite").parquet(root)
+        val files = new java.io.File(root).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq
+        val mf = SegmentIndex.build(sess, files, "ts",
+          ts => expr("ts div 1000000"), Seq("event_type")).cache()
+        mf.count()
+        (root, mf)
+      }
+    })
+
+  /** The reference's multi-region fan-out (QueryApi.scala:311-349:
+    * makeRegionalCall POSTs the same query to every regional endpoint
+    * and concatenates the streams) as an ENGINE behavior: one AST
+    * evaluated over N regional telemetry roots. Spark-first shape: each
+    * region is a [[graft.sources.ManifestFileIndex]] relation (so the
+    * AST's time range and attribute filters prune each region's segment
+    * files independently, exactly the per-region worker behavior), the
+    * relations union by name into ONE logical plan — one shuffle, N
+    * pruned scans, no per-region re-aggregation pass. The oracle is the
+    * single-root equivalent over the undivided table: a region lost,
+    * double-counted, or mis-sharded hash-mismatches. */
+  def ast_multi_region(s: SparkSession, dir: String): DataFrame = {
+    val ast = AstJson.parseAstInput(
+      """{"baseExpressions": {"a": {
+        |  "dataset": "logs",
+        |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+        |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+        |}}}""".stripMargin)
+    val regional = regionRoots(s, dir).map { case (_, mf) =>
+      graft.sources.ManifestFileIndex.relation(
+        s, mf, "ts", _ / 1000000L, Set("event_type"))
+    }
+    val unioned = regional.reduce(_ unionByName _)
+    val tel = graft.engine.Telemetry.nanos(unioned, "ts",
+      valueCol = col("value"), message = Some(col("props")))
+    graft.engine.QueryEngine.evaluate(_ => tel, ast,
+        1704067200000L, 1706745600000L, 86400000L)
+      .select(col("step_ts"), col("group_key"),
+        round(col("value"), 6).as("value"))
+      .orderBy("step_ts", "group_key")
+  }
+
   // ------------------------------------------------- corpus text search
 
   /** Trigram manifest over the multi-file DOCUMENTS corpus — the same
@@ -292,6 +356,7 @@ object SourceQueries {
     "s7_regex_alternation" -> s7_regex_alternation _,
     "s28_regex_class_pruned" -> s28_regex_class_pruned _,
     "s30_regex_nested_pruned" -> s30_regex_nested_pruned _,
+    "ast_multi_region" -> ast_multi_region _,
     "s10_fileindex_scan" -> s10_fileindex_scan _,
     "ast_fileindex_chart" -> ast_fileindex_chart _
   )
@@ -354,6 +419,13 @@ object SourceQueries {
     "s30_regex_nested_pruned" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE regexp_matches(event_type, '(si(gn|ng)up|er(ro|or)r)', 'i')
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // the single-root equivalent of the 3-region federated evaluation
+    "ast_multi_region" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS step_ts,
+        |  event_type AS group_key, round(sum(value), 6) AS value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY step_ts, group_key
+        |ORDER BY step_ts, group_key""".stripMargin
   )
 }

@@ -149,6 +149,36 @@ class ManifestFileIndexSpec extends AnyFunSuite {
     assert(p.contains("ManifestFileIndex"), s"scan not using the index:\n$p")
   }
 
+  test("multi-region union: each region's scan prunes by its OWN " +
+    "manifest, and the federated result equals the single-root scan") {
+    import spark.implicits._
+    // two "regions", each with a matching and a non-matching segment
+    val dir = java.nio.file.Files.createTempDirectory("graft_mreg").toString
+    val mfs = (0 until 2).map { r =>
+      Seq("svc-match", "svc-other").zipWithIndex.foreach { case (svc, i) =>
+        (0 until 100).map(t =>
+            ((r * 1000 + t).toLong * 1000000L, svc, t.toDouble))
+          .toDF("ts", "service", "value")
+          .coalesce(1).write.parquet(s"$dir/region$r/seg$i")
+      }
+      val files = new java.io.File(s"$dir/region$r").listFiles
+        .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSeq
+      SegmentIndex.build(spark, files, "ts",
+        ts => expr("ts div 1000000"), Seq("service"))
+    }
+    val federated = mfs.map(m => ManifestFileIndex.relation(
+        spark, m, "ts", _ / 1000000L, Set("service")))
+      .reduce(_ unionByName _)
+      .where(col("service") === "svc-match")
+      .groupBy(col("service")).agg(count(lit(1)).as("n"))
+    // 4 segments total, 2 match: each region's index skipped its
+    // non-matching segment independently
+    assert(filesRead(federated) == 2L)
+    assert(federated.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("svc-match", 200L)))
+  }
+
   test("the JSON-AST path over the FileIndex relation skips segments") {
     // the AST entry's own time range must reach the scan through the
     // whole QueryEngine pipeline and prune the 4-file events layout
