@@ -1765,22 +1765,72 @@ object PipelineQueries {
   def d14_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
       col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
-    val withBuckets = base.withColumn("bucket",
-        array(expr("n_chars div 50"), expr("(n_chars + 25) div 50")))
-      .withColumn("bucket", explode(col("bucket")))
-    val a = withBuckets.select(col("lang"), col("bucket"),
-      col("doc_id").as("id_a"), col("n_chars").as("n_a"),
-      col("prefix").as("pfx_a"))
-    val b = withBuckets.select(col("lang"), col("bucket"),
-      col("doc_id").as("id_b"), col("n_chars").as("n_b"),
-      col("prefix").as("pfx_b"))
-    a.join(b, Seq("lang", "bucket"))
-      .where(col("id_a") < col("id_b") &&
-        abs(col("n_a") - col("n_b")) <= 24)
+    // PassJoin segment blocking (Li/Deng/Feng, VLDB'11) over the
+    // equal-length 40-char prefixes: ed(a,b) <= K with K+1 segments of b
+    // leaves at least one segment untouched by any edit, so it occurs
+    // EXACTLY in a at a start shifted by at most K. Candidates = pairs
+    // sharing an aligned segment — CONTENT-based blocking, so candidate
+    // count tracks true near-duplicate density instead of (lang, length)
+    // block sizes squared. The sf1 soak caught the old length-bucket
+    // blocking at slope 1.94 (305 s): every block grows with the corpus
+    // and pairs grow with its square; segment blocks only grow where
+    // text actually repeats. (sf0.1→sf1 after this rewrite: see PLANS.)
+    val L = 40
+    val K = 10
+    val nSeg = K + 1
+    val segBounds = (0 until nSeg).map { i =>
+      val st = i * L / nSeg
+      (i, st, (i + 1) * L / nSeg - st)
+    }
+    val long = base.where(length(col("prefix")) === L)
+    // pigeonhole needs the fixed-length layout; prefixes under 40 chars
+    // (doc shorter than the prefix window) fall back to the dense
+    // same-lang pairing — bounded by the short-doc count, usually zero
+    val short = base.where(length(col("prefix")) < L)
+
+    val segExprs = array(segBounds.map { case (i, st, ln) =>
+      struct(lit(i).as("i"),
+        substring(col("prefix"), st + 1, ln).as("s"))
+    }: _*)
+    val segs = long.select(col("doc_id").as("id_x"), col("lang"),
+        col("n_chars").as("n_x"), explode(segExprs).as("seg"))
+      .select(col("id_x"), col("lang"), col("n_x"),
+        col("seg.i").as("i"), col("seg.s").as("s"))
+    val probeExprs = array((for {
+      (i, st, ln) <- segBounds
+      o <- -K to K
+      p = st + o
+      if p >= 0 && p + ln <= L
+    } yield struct(lit(i).as("i"),
+      substring(col("prefix"), p + 1, ln).as("s"))): _*)
+    val probes = long.select(col("doc_id").as("id_y"), col("lang"),
+        col("n_chars").as("n_y"), explode(probeExprs).as("pr"))
+      .select(col("id_y"), col("lang"), col("n_y"),
+        col("pr.i").as("i"), col("pr.s").as("s"))
+      .distinct() // window substrings repeat; shrink the join input
+    val candLong = segs.join(probes, Seq("lang", "i", "s"))
+      .where(col("id_x") =!= col("id_y") &&
+        abs(col("n_x") - col("n_y")) <= 24)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val candShort = short.select(col("doc_id").as("id_x"), col("lang"),
+        col("n_chars").as("n_x"))
+      .join(base.select(col("doc_id").as("id_y"), col("lang"),
+        col("n_chars").as("n_y")), Seq("lang"))
+      .where(col("id_x") =!= col("id_y") &&
+        abs(col("n_x") - col("n_y")) <= 24)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val cands = candLong.unionByName(candShort).distinct()
+    cands
+      .join(base.select(col("doc_id").as("id_a"),
+        col("prefix").as("pfx_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"),
+        col("prefix").as("pfx_b")), "id_b")
       .withColumn("dist",
         levenshtein(col("pfx_a"), col("pfx_b"), 10).cast("long"))
       .where(col("dist") >= 0 && col("dist") <= 10)
-      .select(col("id_a"), col("id_b"), col("dist")).distinct()
+      .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
   }
 

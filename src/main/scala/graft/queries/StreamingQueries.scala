@@ -286,9 +286,12 @@ object StreamingQueries {
         .map(_.getAbsolutePath)
   }
 
+  // post-policy layout AND its manifest: both are ingest-time artifacts
+  // (the policy pass ends by publishing the manifest the next planner
+  // reads), so neither belongs in the per-query path
   private val policyLayouts =
     new java.util.concurrent.ConcurrentHashMap[String,
-      graft.operators.Compaction.PolicyResult]()
+      (graft.operators.Compaction.PolicyResult, DataFrame)]()
 
   /** st23: the full ingest → threshold → compact → pruned-query loop —
     * compaction wired in as POLICY, not a one-shot job. The streaming
@@ -318,14 +321,16 @@ object StreamingQueries {
       val m = "date_int=(\\d+)".r.findFirstMatchIn(f)
       m.map(_.group(1)).getOrElse("unpartitioned")
     }
-    val layout = policyLayouts.computeIfAbsent(base, { _ =>
-      graft.operators.Compaction.applyPolicy(s, segFiles,
+    val (_, manifest) = policyLayouts.computeIfAbsent(base, { _ =>
+      val layout = graft.operators.Compaction.applyPolicy(s, segFiles,
         s"$base/policy", maxFilesPerKey = 23, targetBytes = 4L << 20,
         keyOf = dayOf)
+      // the post-policy manifest: the layout the NEXT query planner sees
+      val mf = graft.sources.SegmentIndex.build(s, layout.files,
+        "ts", identity, Seq("event_type"), mergeSchema = false).cache()
+      mf.count()
+      (layout, mf)
     })
-    // the post-policy manifest: the layout the NEXT query planner sees
-    val manifest = graft.sources.SegmentIndex.build(s, layout.files,
-      "ts", identity, Seq("event_type"), mergeSchema = false)
     val listed = graft.sources.SegmentIndex
       .prune(manifest, None, Set.empty, st11Start, st11End)
     if (listed.isEmpty) return typedOut

@@ -169,19 +169,60 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
-  test("d14's two-shifted-grid length blocking covers every |Δn| <= 24 " +
-    "pair and no |Δn| >= 75 (bucketWidth + shift) pair") {
-    def buckets(n: Int): Set[Long] = Set(n / 50L, (n + 25) / 50L)
-    for (n1 <- 0 to 700; d <- 0 to 24)
-      assert(buckets(n1).intersect(buckets(n1 + d)).nonEmpty,
-        s"pair ($n1, ${n1 + d}) missed by the grids")
-    // sanity: the grids don't degenerate into matching everything —
-    // a base-grid bucket of one doc can coincide with the shifted-grid
-    // bucket of a doc up to 74 chars away (the |Δn| <= 24 join filter
-    // discards those), but beyond bucketWidth + shift no pair collides
-    for (n1 <- 0 to 700; d <- 75 to 90)
-      assert(buckets(n1).intersect(buckets(n1 + d)).isEmpty,
-        s"pair ($n1, ${n1 + d}) spuriously blocked together")
+  test("d14's PassJoin segment blocking is COMPLETE: any 40-char pair " +
+    "within 10 edits shares an aligned segment (randomized edits)") {
+    // the pigeonhole d14 relies on: 11 segments, <= 10 edits, so some
+    // segment of s survives untouched and appears in t at a start
+    // shifted by at most the net insertions/deletions (<= 10)
+    val L = 40
+    val K = 10
+    val nSeg = K + 1
+    val segBounds = (0 until nSeg).map { i =>
+      val st = i * L / nSeg
+      (st, (i + 1) * L / nSeg - st)
+    }
+    def blocked(sStr: String, t: String): Boolean =
+      segBounds.exists { case (st, ln) =>
+        val seg = sStr.substring(st, st + ln)
+        (math.max(0, st - K) to math.min(L - ln, st + K)).exists(p =>
+          t.substring(p, p + ln) == seg)
+      }
+    val rnd = new scala.util.Random(11)
+    var checked = 0
+    for (_ <- 0 until 2000) {
+      val s = Array.fill(L)(('a' + rnd.nextInt(6)).toChar)
+      var t = s.toBuffer
+      var ops = 0
+      val nOps = rnd.nextInt(K + 1)
+      for (_ <- 0 until nOps) {
+        rnd.nextInt(3) match {
+          case 0 => t(rnd.nextInt(t.length)) =
+            ('a' + rnd.nextInt(6)).toChar
+          case 1 => t.insert(rnd.nextInt(t.length + 1),
+            ('a' + rnd.nextInt(6)).toChar)
+          case 2 if t.nonEmpty => t.remove(rnd.nextInt(t.length))
+          case _ =>
+        }
+        ops += 1
+      }
+      // restore length 40 with counted edits; keep only ed <= K cases
+      while (t.length < L) { t.append(('a' + rnd.nextInt(6)).toChar); ops += 1 }
+      while (t.length > L) { t.remove(t.length - 1); ops += 1 }
+      if (ops <= K) {
+        assert(blocked(new String(s), t.mkString),
+          s"missed pair within $ops edits: ${new String(s)} vs ${t.mkString}")
+        checked += 1
+      }
+    }
+    assert(checked > 500)
+    // and the blocking is not vacuous: two unrelated random strings
+    // from a larger alphabet almost never share an aligned segment
+    val misses = (0 until 200).count { _ =>
+      val a = Array.fill(L)(('a' + rnd.nextInt(26)).toChar)
+      val b = Array.fill(L)(('a' + rnd.nextInt(26)).toChar)
+      !blocked(new String(a), new String(b))
+    }
+    assert(misses > 190, s"blocking matched $misses/200 random pairs")
   }
 
   test("lshPlan: fewest bands meeting the recall floor; the classic " +

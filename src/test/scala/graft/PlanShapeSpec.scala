@@ -634,7 +634,7 @@ class PlanShapeSpec extends AnyFunSuite {
       s"blocklist filter must broadcast, never shuffle the corpus:\n$p")
   }
 
-  test("d14_fuzzy_join: candidates join on (lang, bucket) equi-keys — " +
+  test("d14_fuzzy_join: candidates join on (lang, segment) equi-keys — " +
     "never a cartesian/BNL product") {
     val p = plan(PipelineQueries.queries("d14_fuzzy_join")(spark, dir))
     assert(!p.contains("CartesianProduct") &&
