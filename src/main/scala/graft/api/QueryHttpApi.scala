@@ -1,0 +1,263 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+
+import graft.ast.{AstJson, BaseExpr, Filter, Ops, BinaryClause}
+import graft.engine.{QueryEngine, ReplaySequencer, Telemetry}
+import graft.functions.TimeRange
+
+/** The HTTP/SSE transport shell over [[graft.engine.QueryEngine]] — the
+  * reference's query-api route surface (QueryApi.scala:57-401) served
+  * from the JDK's built-in HTTP server, so a reference client can point
+  * at this engine unchanged:
+  *
+  *  - `POST /api/v1/graph?s=&e=[&timeseriesOnly=]` — SSE stream of
+  *    `{"id","type":"timeseries","message":{timestamp,tags,value,label}}`
+  *    events (QueryEngineV2.scala:400-417), auto-exemplar
+  *    `type:"event"` payloads beside every log/trace chart expression
+  *    (QueryApi.scala:236-270, QueryEngineV2.scala:545-552), terminated
+  *    by `{"type":"done"}` (SSEMessage.scala:30). When segment spans
+  *    are registered, delivery is INCREMENTAL: sealed replay groups
+  *    stream group-at-a-time through
+  *    [[QueryEngine.evaluateIncremental]], flushed per batch — the SSE
+  *    half of O4/T6.
+  *  - `POST /api/v1/tags/{dataset}?tagName=&s=&e=&limit=` — SSE of tag
+  *    payloads (`message = {tag: value}` / name→count for the name
+  *    query), default limit 1000 (QueryApi.scala:99-175).
+  *  - `POST /api/v1/cardinality?s=&e=` — SSE of
+  *    `{"message": <estimate>}` strings (QueryApi.scala:71-95).
+  *  - `GET /api/v1/scopeTags`, `/api/v1/functionSpecs`,
+  *    `/api/v1/metricMetadata` — plain JSON; `GET /ready` — 200.
+  *
+  * Time strings (`s`,`e` = `"e-1h"`, `"now"`, epoch ms, ISO) resolve
+  * via [[TimeRange.resolve]]; the step mirrors the reference's
+  * duration ladder ([[TimeRange.autoStepMillis]],
+  * QueryApi.scala:297-309). Transport only: every data-plane behavior
+  * lives in the engine and is oracle-checked there.
+  */
+final class QueryHttpApi(
+    tables: String => Telemetry,
+    segments: Seq[ReplaySequencer.SegmentSpan] = Nil,
+    minGroupSize: Int = 4,
+    metricNameColumn: String = "event_type",
+    now: () => java.time.Instant = () => java.time.Instant.now()) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/ready", exchange => {
+      exchange.sendResponseHeaders(200, -1); exchange.close()
+    })
+    server.createContext("/api/v1/scopeTags", json { _ =>
+      mapper.writeValueAsString(
+        QueryEngine.scopeTags.toArray)
+    })
+    server.createContext("/api/v1/functionSpecs", json { _ =>
+      mapper.writeValueAsString(
+        graft.plans.GraftExtensions.functions.map(_._1).sorted.toArray)
+    })
+    server.createContext("/api/v1/metricMetadata", json { _ =>
+      val rows = QueryEngine.metricMetadata(
+        tables("metrics"), metricNameColumn).collect()
+      mapper.writeValueAsString(rows.map(r => java.util.Map.of(
+        "metricName", r.getString(0), "metricType", r.getString(1))))
+    })
+    server.createContext("/api/v1/graph", sse(handleGraph))
+    server.createContext("/api/v1/tags", sse(handleTags))
+    server.createContext("/api/v1/cardinality", sse(handleCardinality))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------ plumbing
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def timeRange(p: Map[String, String]): (Long, Long) =
+    TimeRange.resolve(p.getOrElse("s", "e-1h"), p.getOrElse("e", "now"),
+      now())
+
+  private def json(f: HttpExchange => String)
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    try {
+      val bytes = f(ex).getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } catch {
+      case e: Exception =>
+        val msg = String.valueOf(e.getMessage)
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+    } finally ex.close()
+  }
+
+  /** SSE endpoint shell: chunked text/event-stream, handler emits
+    * events through `emit`, then the done sentinel; a pre-stream error
+    * becomes a 400 like the reference (QueryApi.scala:283-288). */
+  private def sse(f: (HttpExchange, String => Unit) => Unit)
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    // headers go out on the FIRST event, so parse/plan errors (which
+    // all happen before any emit) can still answer 400 like the
+    // reference (QueryApi.scala:283-288)
+    var streaming = false
+    def emit(jsonStr: String): Unit = {
+      if (!streaming) {
+        ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+        ex.sendResponseHeaders(200, 0) // 0 = chunked
+        streaming = true
+      }
+      ex.getResponseBody.write(("data: " + jsonStr + "\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+      ex.getResponseBody.flush() // per-event flush = incremental delivery
+    }
+    try {
+      ex.setAttribute("body", body(ex)) // read before responding
+      f(ex, emit)
+      emit("""{"type":"done"}""")
+    } catch {
+      case e: Exception if !streaming =>
+        val msg = String.valueOf(e.getMessage)
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+      case _: Exception => () // mid-stream: the truncated stream (no
+        // done sentinel) is the error signal, as in SSE generally
+    } finally ex.close()
+  }
+
+  private def payload(id: String, tpe: String,
+      message: java.util.Map[String, AnyRef]): String =
+    mapper.writeValueAsString(java.util.Map.of(
+      "id", id, "type", tpe, "message", message))
+
+  // ------------------------------------------------------------- routes
+
+  private def handleGraph(ex: HttpExchange, emit: String => Unit): Unit = {
+    val p = params(ex)
+    val (startMs, endMs) = timeRange(p)
+    val stepMs = TimeRange.autoStepMillis(startMs, endMs)
+    val ast = AstJson.parseAstInput(
+      ex.getAttribute("body").asInstanceOf[String])
+    val groupBys = ast.baseExpressions.values.flatMap(_.chart)
+      .flatMap(_.groupBys).toList.distinct
+
+    def tagsOf(groupKey: String): java.util.Map[String, AnyRef] = {
+      val m = new java.util.LinkedHashMap[String, AnyRef]()
+      val parts = groupKey.split(":", -1)
+      if (groupBys.nonEmpty && parts.length == groupBys.length)
+        groupBys.zip(parts).foreach { case (k, v) => m.put(k, v) }
+      else if (groupKey.nonEmpty) m.put("group", groupKey)
+      m
+    }
+    def emitChartRow(r: Row): Unit = {
+      val m = new java.util.LinkedHashMap[String, AnyRef]()
+      m.put("timestamp", Long.box(r.getLong(r.fieldIndex("step_ts"))))
+      m.put("tags", tagsOf(r.getString(r.fieldIndex("group_key"))))
+      m.put("value", Double.box(r.getDouble(r.fieldIndex("value"))))
+      m.put("label", r.getString(r.fieldIndex("label")))
+      emit(payload("_", "timeseries", m))
+    }
+
+    if (segments.nonEmpty) {
+      // incremental: sealed replay groups stream group-at-a-time; the
+      // lazy iterator runs each group's pruned job as the socket drains
+      QueryEngine.streamRows(QueryEngine.evaluateIncremental(
+          tables, ast, startMs, endMs, stepMs, segments, minGroupSize))
+        .foreach { case (_, _, r) => emitChartRow(r) }
+    } else {
+      QueryEngine.evaluate(tables, ast, startMs, endMs, stepMs)
+        .collect().foreach(emitChartRow)
+    }
+
+    // auto-exemplars beside every returning log/trace chart expression
+    if (!p.get("timeseriesOnly").exists(_.toBoolean)) {
+      ast.baseExpressions.toList.sortBy(_._1).foreach { case (id, b) =>
+        if (b.returnResults && b.chart.nonEmpty &&
+            (b.dataset == "logs" || b.dataset == "traces")) {
+          QueryEngine.exemplars(tables(b.dataset), b, startMs, endMs)
+            .collect().foreach { r =>
+              val m = new java.util.LinkedHashMap[String, AnyRef]()
+              r.schema.fields.zipWithIndex.foreach { case (f2, i) =>
+                m.put(f2.name,
+                  if (r.isNullAt(i)) null
+                  else r.get(i).asInstanceOf[AnyRef])
+              }
+              emit(payload(id, "event", m))
+            }
+        }
+      }
+    }
+  }
+
+  private def handleTags(ex: HttpExchange, emit: String => Unit): Unit = {
+    val p = params(ex)
+    val (startMs, endMs) = timeRange(p)
+    val dataset = ex.getRequestURI.getPath.stripPrefix("/api/v1/tags")
+      .stripPrefix("/") match { case "" => "logs"; case d => d }
+    val q = ex.getAttribute("body").asInstanceOf[String]
+    val expr =
+      if (q.trim.nonEmpty) AstJson.parseBaseExpr(q)
+      else BaseExpr(id = "_", dataset = dataset,
+        filter = Filter("event_type", Nil, Ops.EXISTS))
+    val limit = p.get("limit").map(_.toInt).getOrElse(1000)
+    val tel = tables(dataset)
+    p.get("tagName") match {
+      case Some(tag) =>
+        QueryEngine.tagValues(tel, expr, tag, startMs, endMs, limit)
+          .collect().foreach { r =>
+            emit(payload("_", "data", java.util.Map.of(
+              tag, r.getString(r.fieldIndex("tagValue")))))
+          }
+      case None =>
+        QueryEngine.tagNames(tel, expr, startMs, endMs, limit)
+          .collect().foreach { r =>
+            emit(payload("_", "data",
+              java.util.Map.of("name", r.getString(0))))
+          }
+    }
+  }
+
+  private def handleCardinality(ex: HttpExchange,
+      emit: String => Unit): Unit = {
+    val p = params(ex)
+    val (startMs, endMs) = timeRange(p)
+    val expr = AstJson.parseBaseExpr(
+      ex.getAttribute("body").asInstanceOf[String])
+    val groupBys = expr.chart.map(_.groupBys).getOrElse(Nil)
+    val tel = tables(expr.dataset)
+    if (segments.nonEmpty) {
+      // running estimate per replay group, the reference's converging
+      // cardinality stream (QueryEngineV2.scala:599-668)
+      QueryEngine.cardinalityIncremental(tel, expr, groupBys,
+          startMs, endMs, TimeRange.autoStepMillis(startMs, endMs),
+          segments, minGroupSize)
+        .foreach { case (_, est) =>
+          emit(s"""{"message": ${math.rint(est).toLong}}""")
+        }
+    } else {
+      val est = QueryEngine.cardinality(tel, expr, groupBys,
+        startMs, endMs).head().getLong(0)
+      emit(s"""{"message": $est}""")
+    }
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.QueryHttpApi
+import graft.engine.{QueryEngine, ReplaySequencer, Telemetry}
+
+/** The HTTP/SSE transport shell: a reference client's wire contract —
+  * SSE framing (`data: {...}\r\n\r\n`), the timeseries/event/done
+  * payload shapes, tag/cardinality streams, and the JSON side routes —
+  * all served over the same engine calls the oracles pin. */
+class HttpApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private val base = 1704067200000L // 2024-01-01T00:00:00Z
+  private val hour = 3600000L
+
+  private lazy val events = {
+    (0 until 480).map { i =>
+      ((base + i * 6L * 60000L) * 1000000L,
+        if (i % 3 == 0) "click" else "view",
+        (i % 50) / 2.0, s"""{"k": $i}""")
+    }.toDF("ts", "event_type", "value", "props")
+  }
+  private lazy val tel = Telemetry.nanos(events, "ts",
+    valueCol = col("value"), message = Some(col("props")))
+
+  private val chartAst =
+    """{"baseExpressions": {"a": {
+      |  "dataset": "logs",
+      |  "filter": {"k": "event_type", "v": ["click", "view"], "op": "in"},
+      |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+      |}}}""".stripMargin
+
+  private def withApi(segments: Seq[ReplaySequencer.SegmentSpan] = Nil)(
+      f: Int => Unit): Unit = {
+    val api = new QueryHttpApi(_ => tel, segments = segments,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    try f(port) finally api.stop()
+  }
+
+  private def http(port: Int, method: String, path: String,
+      body: String = ""): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body.nonEmpty || method == "POST") {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = if (is == null) ""
+      else new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    (code, text)
+  }
+
+  /** Parse an SSE body into its `data:` JSON events (wire framing
+    * asserted here: every event is `data: {json}\r\n\r\n`). */
+  private def sseEvents(bodyText: String): Seq[JsonNode] = {
+    val chunks = bodyText.split("\r\n\r\n").filter(_.nonEmpty)
+    chunks.map { c =>
+      assert(c.startsWith("data: "), s"bad SSE frame: $c")
+      mapper.readTree(c.stripPrefix("data: "))
+    }.toSeq
+  }
+
+  test("GET /ready answers 200; scopeTags/functionSpecs serve JSON") {
+    withApi() { port =>
+      assert(http(port, "GET", "/ready")._1 == 200)
+      val (c1, scopes) = http(port, "GET", "/api/v1/scopeTags")
+      assert(c1 == 200)
+      val arr = mapper.readTree(scopes)
+      assert(arr.isArray &&
+        (0 until arr.size).map(arr.get(_).asText()).toSet ==
+          QueryEngine.scopeTags.toSet)
+      val (c2, fns) = http(port, "GET", "/api/v1/functionSpecs")
+      assert(c2 == 200)
+      assert(mapper.readTree(fns).size ==
+        graft.plans.GraftExtensions.functions.size)
+    }
+  }
+
+  test("POST /api/v1/graph streams timeseries events that equal the " +
+    "engine evaluation, then exemplar events, then done") {
+    withApi() { port =>
+      val s = base.toString
+      val e = (base + 48 * hour).toString
+      val (code, bodyText) = http(port, "POST",
+        s"/api/v1/graph?s=$s&e=$e", chartAst)
+      assert(code == 200)
+      val events0 = sseEvents(bodyText)
+      assert(events0.last.get("type").asText() == "done")
+      val ts = events0.filter(n =>
+        Option(n.get("type")).exists(_.asText() == "timeseries"))
+      val ex = events0.filter(n =>
+        Option(n.get("type")).exists(_.asText() == "event"))
+      assert(ts.nonEmpty)
+      // 48h window → the reference step ladder picks 20m for ≤ 3d
+      val stepMs = graft.functions.TimeRange.autoStepMillis(
+        base, base + 48 * hour)
+      val expected = QueryEngine.evaluate(_ => tel,
+          graft.ast.AstJson.parseAstInput(chartAst),
+          base, base + 48 * hour, stepMs)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2))
+      val got = ts.map { n =>
+        val m = n.get("message")
+        (m.get("timestamp").asLong(),
+          m.get("tags").get("event_type").asText(),
+          m.get("value").asDouble(), m.get("label").asText())
+      }.sortBy(t => (t._1, t._2))
+      assert(got == expected.toSeq)
+      // auto-exemplars beside the log chart expression: raw event rows
+      assert(ex.nonEmpty)
+      assert(ex.forall(_.get("id").asText() == "a"))
+      assert(ex.head.get("message").has("event_type"))
+      // timeseriesOnly=true suppresses them
+      val (_, noEx) = http(port, "POST",
+        s"/api/v1/graph?s=$s&e=$e&timeseriesOnly=true", chartAst)
+      assert(!sseEvents(noEx).exists(n =>
+        Option(n.get("type")).exists(_.asText() == "event")))
+    }
+  }
+
+  test("graph over registered segments delivers incrementally and " +
+    "concatenates to the same series") {
+    val span = ReplaySequencer.SegmentSpan("s", base, base + 48 * hour)
+    withApi(Seq(span)) { port =>
+      val (code, bodyText) = http(port, "POST",
+        s"/api/v1/graph?s=$base&e=${base + 48 * hour}&timeseriesOnly=true",
+        chartAst)
+      assert(code == 200)
+      val ts = sseEvents(bodyText).filter(n =>
+        Option(n.get("type")).exists(_.asText() == "timeseries"))
+      val stepMs = graft.functions.TimeRange.autoStepMillis(
+        base, base + 48 * hour)
+      val expected = QueryEngine.evaluate(_ => tel,
+          graft.ast.AstJson.parseAstInput(chartAst),
+          base, base + 48 * hour, stepMs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val got = ts.map { n =>
+        val m = n.get("message")
+        (m.get("timestamp").asLong(),
+          m.get("tags").get("event_type").asText(),
+          m.get("value").asDouble())
+      }
+      // replay order: timestamps non-decreasing across sealed groups
+      assert(got.map(_._1).sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _ => true
+      })
+      assert(got.sortBy(t => (t._1, t._2)) == expected.toSeq)
+    }
+  }
+
+  test("POST /api/v1/tags/{dataset} streams tag values (and names " +
+    "without tagName); limit caps the stream") {
+    withApi() { port =>
+      val (code, bodyText) = http(port, "POST",
+        s"/api/v1/tags/logs?tagName=event_type&s=$base&e=${base + 48 * hour}")
+      assert(code == 200)
+      val vals = sseEvents(bodyText).filter(_.has("message"))
+        .filter(n => Option(n.get("type")).exists(_.asText() == "data"))
+        .map(_.get("message").get("event_type").asText())
+      assert(vals.toSet == Set("click", "view"))
+      val (_, names) = http(port, "POST",
+        s"/api/v1/tags/logs?s=$base&e=${base + 48 * hour}")
+      val nameList = sseEvents(names)
+        .filter(n => Option(n.get("type")).exists(_.asText() == "data"))
+        .map(_.get("message").get("name").asText())
+      assert(nameList.contains("event_type"))
+      val (_, capped) = http(port, "POST",
+        s"/api/v1/tags/logs?tagName=event_type&limit=1&s=$base&e=${base + 48 * hour}")
+      assert(sseEvents(capped).count(n =>
+        Option(n.get("type")).exists(_.asText() == "data")) == 1)
+    }
+  }
+
+  test("POST /api/v1/cardinality streams the estimate; malformed AST " +
+    "answers 400 before the stream starts") {
+    withApi() { port =>
+      val bodyAst =
+        """{"dataset": "logs",
+          |  "filter": {"k": "event_type", "v": [], "op": "exists"},
+          |  "chart": {"aggregation": "sum", "groupBys": ["event_type"]}
+          |}""".stripMargin
+      val (code, text) = http(port, "POST",
+        s"/api/v1/cardinality?s=$base&e=${base + 48 * hour}", bodyAst)
+      assert(code == 200)
+      val msgs = sseEvents(text).filter(_.has("message"))
+      assert(msgs.map(_.get("message").asLong()) == Seq(2L))
+      val (bad, _) = http(port, "POST",
+        s"/api/v1/cardinality?s=$base&e=${base + 48 * hour}", "{nope")
+      assert(bad == 400)
+    }
+  }
+}
