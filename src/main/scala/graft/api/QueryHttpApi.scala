@@ -45,10 +45,15 @@ final class QueryHttpApi(
     segments: Seq[ReplaySequencer.SegmentSpan] = Nil,
     minGroupSize: Int = 4,
     metricNameColumn: String = "event_type",
+    heartbeatMillis: Long = 1000,
     now: () => java.time.Instant = () => java.time.Instant.now()) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+  private val heartbeater =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-sse-heartbeat"); t.setDaemon(true); t
+    })
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -77,7 +82,10 @@ final class QueryHttpApi(
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    heartbeater.shutdownNow()
+  }
 
   // ------------------------------------------------------------ plumbing
 
@@ -120,18 +128,36 @@ final class QueryHttpApi(
     // all happen before any emit) can still answer 400 like the
     // reference (QueryApi.scala:283-288)
     var streaming = false
+    val lock = new Object // heartbeat thread and handler share the socket
+    @volatile var lastWrite = System.nanoTime()
+    def raw(jsonStr: String): Unit = lock.synchronized {
+      lastWrite = System.nanoTime()
+      ex.getResponseBody.write(("data: " + jsonStr + "\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+      ex.getResponseBody.flush() // per-event flush = incremental delivery
+    }
     def emit(jsonStr: String): Unit = {
       if (!streaming) {
         ex.getResponseHeaders.add("Content-Type", "text/event-stream")
         ex.sendResponseHeaders(200, 0) // 0 = chunked
         streaming = true
       }
-      ex.getResponseBody.write(("data: " + jsonStr + "\r\n\r\n")
-        .getBytes(StandardCharsets.UTF_8))
-      ex.getResponseBody.flush() // per-event flush = incremental delivery
+      raw(jsonStr)
     }
+    // T5 keep-alive (reference Commons.scala:501 keepAlive(1s,
+    // Heartbeat)): while a replay group's job runs, the client still
+    // sees bytes — only AFTER the headers are committed, so the 400
+    // path never races
+    var hb: java.util.concurrent.ScheduledFuture[_] = null
     try {
       ex.setAttribute("body", body(ex)) // read before responding
+      hb = heartbeater.scheduleAtFixedRate(() => {
+        if (streaming &&
+            (System.nanoTime() - lastWrite) / 1000000 >= heartbeatMillis)
+          try raw("""{"type":"heartbeat"}""")
+          catch { case _: Exception => () } // client went away
+      }, heartbeatMillis, heartbeatMillis,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
       f(ex, emit)
       emit("""{"type":"done"}""")
     } catch {
@@ -142,7 +168,10 @@ final class QueryHttpApi(
         ex.getResponseBody.write(msg)
       case _: Exception => () // mid-stream: the truncated stream (no
         // done sentinel) is the error signal, as in SSE generally
-    } finally ex.close()
+    } finally {
+      if (hb != null) hb.cancel(false)
+      lock.synchronized(ex.close())
+    }
   }
 
   private def payload(id: String, tpe: String,

@@ -188,6 +188,36 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("heartbeat frames keep the stream alive between replay-group " +
+    "jobs and parsers skip them (T5)") {
+    // 50 ms heartbeat + 8 single-interval replay groups: every group is
+    // its own Spark job (>> 50 ms), so heartbeats appear between events
+    val span = ReplaySequencer.SegmentSpan("s", base, base + 48 * hour)
+    val api = new QueryHttpApi(_ => tel, segments = Seq(span),
+      minGroupSize = 1, heartbeatMillis = 50,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    try {
+      val (code, bodyText) = http(port, "POST",
+        s"/api/v1/graph?s=$base&e=${base + 48 * hour}&timeseriesOnly=true",
+        chartAst)
+      assert(code == 200)
+      val evs = sseEvents(bodyText)
+      assert(evs.exists(n =>
+        Option(n.get("type")).exists(_.asText() == "heartbeat")))
+      assert(evs.last.get("type").asText() == "done")
+      // data events are unaffected by interleaved heartbeats
+      val ts = evs.filter(n =>
+        Option(n.get("type")).exists(_.asText() == "timeseries"))
+      val stepMs = graft.functions.TimeRange.autoStepMillis(
+        base, base + 48 * hour)
+      val nExpected = QueryEngine.evaluate(_ => tel,
+        graft.ast.AstJson.parseAstInput(chartAst),
+        base, base + 48 * hour, stepMs).count()
+      assert(ts.size.toLong == nExpected)
+    } finally api.stop()
+  }
+
   test("POST /api/v1/cardinality streams the estimate; malformed AST " +
     "answers 400 before the stream starts") {
     withApi() { port =>
