@@ -210,17 +210,32 @@ object SourceQueries {
   private val regionRootsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[(String, DataFrame)]]()
 
+  // the DISK artifact builds once per sf dir (marker + lock): the cache
+  // above is per-session for plan reuse, but concurrent sessions (FAIR
+  // multi-tenant runs use newSession() per request) must never
+  // overwrite the shared region files another session is mid-read on
+  private val regionBuildLock = new Object
+
   private def regionRoots(s: SparkSession, dir: String)
       : Seq[(String, DataFrame)] =
     regionRootsCache.computeIfAbsent((s, dir), { case (sess, d) =>
       val base = graft.Tables.tmpDirFor("graft_regions", d)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val ev = graft.Tables.load(sess, d, "events")
+      regionBuildLock.synchronized {
+        val marker = new java.io.File(base, "_built")
+        if (!marker.exists()) {
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(base))
+          val ev = graft.Tables.load(sess, d, "events")
+          (0 until 3).foreach { r =>
+            ev.where(pmod(col("user_id"), lit(3)) === r)
+              .repartition(2)
+              .write.mode("overwrite").parquet(s"$base/region$r")
+          }
+          marker.createNewFile()
+        }
+      }
       (0 until 3).map { r =>
         val root = s"$base/region$r"
-        ev.where(pmod(col("user_id"), lit(3)) === r)
-          .repartition(2)
-          .write.mode("overwrite").parquet(root)
         val files = new java.io.File(root).listFiles()
           .filter(_.getName.endsWith(".parquet"))
           .map(_.getAbsolutePath).toSeq
