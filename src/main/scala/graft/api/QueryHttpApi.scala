@@ -78,6 +78,14 @@ final class QueryHttpApi(
     server.createContext("/api/v1/graph", sse(handleGraph))
     server.createContext("/api/v1/tags", sse(handleTags))
     server.createContext("/api/v1/cardinality", sse(handleCardinality))
+    // one pooled thread per in-flight request (the default is a single
+    // dispatcher thread — one slow SSE stream would serialize every
+    // other request); job groups are thread-local, so each request's
+    // Spark work stays attributable and cancellable
+    server.setExecutor(java.util.concurrent.Executors
+      .newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+      }))
     server.start()
     server.getAddress.getPort
   }
@@ -130,6 +138,19 @@ final class QueryHttpApi(
     var streaming = false
     val lock = new Object // heartbeat thread and handler share the socket
     @volatile var lastWrite = System.nanoTime()
+    // per-request Spark job group (thread-local, inherited by every job
+    // this handler launches) so an abandoned stream can be CANCELLED —
+    // the reference tears the Akka stream down on disconnect; here a
+    // disconnect must stop the remaining replay groups' cluster work,
+    // not just the writes
+    val qid = "graft-sse-" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val sc = org.apache.spark.sql.SparkSession.getDefaultSession
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .map(_.sparkContext)
+    def cancel(): Unit =
+      sc.foreach(c => try c.cancelJobGroup(qid)
+      catch { case _: Exception => () })
     def raw(jsonStr: String): Unit = lock.synchronized {
       lastWrite = System.nanoTime()
       ex.getResponseBody.write(("data: " + jsonStr + "\r\n\r\n")
@@ -147,15 +168,19 @@ final class QueryHttpApi(
     // T5 keep-alive (reference Commons.scala:501 keepAlive(1s,
     // Heartbeat)): while a replay group's job runs, the client still
     // sees bytes — only AFTER the headers are committed, so the 400
-    // path never races
+    // path never races. The heartbeat doubles as the DISCONNECT
+    // detector: a failed keep-alive write cancels the job group within
+    // one interval, even while a long job is still running
     var hb: java.util.concurrent.ScheduledFuture[_] = null
     try {
       ex.setAttribute("body", body(ex)) // read before responding
+      sc.foreach(_.setJobGroup(qid, s"sse ${ex.getRequestURI.getPath}",
+        interruptOnCancel = true))
       hb = heartbeater.scheduleAtFixedRate(() => {
         if (streaming &&
             (System.nanoTime() - lastWrite) / 1000000 >= heartbeatMillis)
           try raw("""{"type":"heartbeat"}""")
-          catch { case _: Exception => () } // client went away
+          catch { case _: Exception => cancel() } // client went away
       }, heartbeatMillis, heartbeatMillis,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       f(ex, emit)
@@ -166,10 +191,13 @@ final class QueryHttpApi(
           .getBytes(StandardCharsets.UTF_8)
         ex.sendResponseHeaders(400, msg.length)
         ex.getResponseBody.write(msg)
-      case _: Exception => () // mid-stream: the truncated stream (no
-        // done sentinel) is the error signal, as in SSE generally
+      case _: Exception =>
+        // mid-stream: the truncated stream (no done sentinel) is the
+        // error signal, as in SSE generally; stop the remaining work
+        cancel()
     } finally {
       if (hb != null) hb.cancel(false)
+      sc.foreach(_.clearJobGroup())
       lock.synchronized(ex.close())
     }
   }

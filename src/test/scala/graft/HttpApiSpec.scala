@@ -218,6 +218,50 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("a client disconnect cancels the request's remaining Spark work " +
+    "(job group teardown, the engine half of stream abort)") {
+    // 48 single-interval replay groups = 48 sequential jobs (~5 s);
+    // the client reads ONE event and slams the socket. The heartbeat
+    // write then fails within ~100 ms and cancels the job group, so
+    // the group's job count must stop growing almost immediately.
+    val span = ReplaySequencer.SegmentSpan("s", base, base + 48 * hour)
+    val api = new QueryHttpApi(_ => tel, segments = Seq(span),
+      minGroupSize = 1, heartbeatMillis = 100,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      val req = s"POST /api/v1/graph?s=$base&e=${base + 48 * hour}" +
+        "&timeseriesOnly=true HTTP/1.1\r\nHost: x\r\n" +
+        s"Content-Length: ${chartAst.length}\r\n\r\n$chartAst"
+      out.write(req.getBytes(StandardCharsets.UTF_8)); out.flush()
+      val in = sock.getInputStream
+      // read until the first SSE event has arrived, then disconnect
+      // (chunked framing puts a size line between CRLFCRLF and the
+      // first "data: ", so match the frame prefix alone)
+      val buf = new StringBuilder
+      val b = new Array[Byte](4096)
+      while (!buf.toString.contains("\"timeseries\"")) {
+        val n = in.read(b)
+        assert(n > 0, s"stream ended early: $buf")
+        buf.append(new String(b, 0, n, StandardCharsets.UTF_8))
+      }
+      sock.close()
+      val tracker = spark.sparkContext.statusTracker
+      // give the heartbeat a beat to notice, then watch for quiescence
+      Thread.sleep(600)
+      val at600 = tracker.getActiveJobIds().length
+      Thread.sleep(1200)
+      val at1800 = tracker.getActiveJobIds().length
+      assert(at1800 == 0,
+        s"jobs still active 1.8s after disconnect: $at1800 (at600=$at600)")
+      // without cancellation the 48-group replay would still be running
+      // (~5 s of jobs); with it the handler thread dies on the next
+      // write and no further group jobs launch
+    } finally api.stop()
+  }
+
   test("POST /api/v1/cardinality streams the estimate; malformed AST " +
     "answers 400 before the stream starts") {
     withApi() { port =>
