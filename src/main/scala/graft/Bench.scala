@@ -43,12 +43,47 @@ object Bench {
   private final case class SuiteResult(
       results: Seq[(String, Double)],
       dispersion: Seq[(String, Double)],
-      errors: Seq[(String, String)])
+      errors: Seq[(String, String)],
+      shuffleMb: Seq[(String, Double)] = Nil,
+      spillMb: Seq[(String, Double)] = Nil,
+      execMemMb: Seq[(String, Double)] = Nil)
+
+  /** Accumulates per-task metrics between reset() and snapshot().
+    * Shuffle bytes are the quantity that actually prices a plan at
+    * 100 TB (time at sf0.1 is mostly the job floor); spill > 0 means a
+    * partition no longer fits execution memory — both are plan
+    * properties the wall-clock medians can't show. exec-mem is the sum
+    * of per-task peak execution memory (the aggregate footprint a
+    * cluster must provision for the query's tasks). */
+  private final class StageMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val read = new AtomicLong
+    private val write = new AtomicLong
+    private val spill = new AtomicLong
+    private val mem = new AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.remoteBytesRead +
+          m.shuffleReadMetrics.localBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        mem.addAndGet(m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = { read.set(0); write.set(0); spill.set(0); mem.set(0) }
+    /** (shuffle read+write, spill, exec-mem) in bytes since reset(). */
+    def snapshot(): (Long, Long, Long) =
+      (read.get + write.get, spill.get, mem.get)
+  }
 
   /** One warm-up + `iters` timed medians for every selected query at
     * `sfDir`. GC between runs is deliberate (see scaladoc). */
   private def runSuite(spark: SparkSession, sfDir: String,
-      only: Option[Set[String]], iters: Int): SuiteResult = {
+      only: Option[Set[String]], iters: Int,
+      captureMetrics: Boolean = false): SuiteResult = {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
       catch { case e: Throwable =>
@@ -57,8 +92,16 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir) // ingest-time artifacts, built once
     catch { case e: Throwable =>
       System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
+    val listener = if (captureMetrics) {
+      val l = new StageMetricsListener
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val dispersion = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val execMemMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -86,12 +129,28 @@ object Bench {
         // a failing query is reported once and not retried — its single
         // failed wall-time stands so `total` still reflects the spent time
         val warm = once()
+        listener.foreach { l =>
+          org.apache.spark.GraftListenerBridge
+            .flushListeners(spark.sparkContext)
+          l.reset()
+        }
         val times: Seq[Double] =
           if (!warm._1) Seq(warm._2)
           else {
             val timed = Seq.fill(iters)(once()).filter(_._1).map(_._2)
             if (timed.isEmpty) Seq(warm._2) else timed
           }
+        listener.foreach { l =>
+          org.apache.spark.GraftListenerBridge
+            .flushListeners(spark.sparkContext)
+          val (sh, sp, mem) = l.snapshot()
+          // per-iteration average over the timed runs (metrics are plan
+          // properties; averaging absorbs AQE run-to-run variance)
+          val n = math.max(times.size, 1).toDouble * 1024 * 1024
+          shuffleMb(name) = math.rint(sh / n * 10) / 10
+          spillMb(name) = math.rint(sp / n * 10) / 10
+          execMemMb(name) = math.rint(mem / n * 10) / 10
+        }
         val sorted = times.sorted
         val median = sorted(sorted.size / 2)
         dispersion(name) =
@@ -99,7 +158,9 @@ object Bench {
           else 0.0
         name -> median
       }
-    SuiteResult(results, dispersion.toSeq, errors.toSeq)
+    listener.foreach(spark.sparkContext.removeSparkListener)
+    SuiteResult(results, dispersion.toSeq, errors.toSeq,
+      shuffleMb.toSeq, spillMb.toSeq, execMemMb.toSeq)
   }
 
   /** Scale factor parsed from a testdata dir name (`…/sf0.1` → 0.1). */
@@ -125,7 +186,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
       .max(1)
-    val main = runSuite(spark, sfDir, only, iters)
+    val main = runSuite(spark, sfDir, only, iters, captureMetrics = true)
 
     // ---- slope pass: the same suite at a smaller SF of the same data.
     // Auto-derived (sf0.1 → sibling sf0.01) unless pinned/disabled via
@@ -179,6 +240,13 @@ object Bench {
       main.dispersion.map { case (k, v) => k -> v.toString },
       quoteValues = false)
     val errs = JsonOut.obj(main.errors, quoteValues = true)
+    val shuf = JsonOut.obj(
+      main.shuffleMb.map { case (k, v) => k -> v.toString }, quoteValues = false)
+    val spl = JsonOut.obj(
+      main.spillMb.filter(_._2 > 0).map { case (k, v) => k -> v.toString },
+      quoteValues = false)
+    val mem = JsonOut.obj(
+      main.execMemMb.map { case (k, v) => k -> v.toString }, quoteValues = false)
     val total = if (main.results.nonEmpty) main.results.map(_._2).sum else 0.0
     val slopeFields = slope match {
       case None => ""
@@ -188,7 +256,7 @@ object Bench {
         val fl = superlinear.map(n => "\"" + n + "\"").mkString("[", ",", "]")
         s""","slope":$sj,"slope_sf":"$d","slope_ratio":$ratio,"superlinear":$fl"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs$slopeFields,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs,"shuffle_mb":$shuf,"spill_mb":$spl,"exec_mem_mb":$mem$slopeFields,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
     // machine parse in round 1 — also write the bare JSON line to a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
@@ -201,6 +269,10 @@ object Bench {
     if (superlinear.nonEmpty)
       System.err.println("BENCH SUPERLINEAR (slope > 1.5 at >= 0.75 s): " +
         superlinear.mkString(", "))
+    val spillers = main.spillMb.filter(_._2 > 0)
+    if (spillers.nonEmpty)
+      System.err.println("BENCH SPILL (partitions exceeded exec memory): " +
+        spillers.map { case (n, v) => s"$n=${v}MB" }.mkString(", "))
     spark.stop()
   }
 }

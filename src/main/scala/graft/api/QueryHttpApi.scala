@@ -174,8 +174,15 @@ final class QueryHttpApi(
     var hb: java.util.concurrent.ScheduledFuture[_] = null
     try {
       ex.setAttribute("body", body(ex)) // read before responding
-      sc.foreach(_.setJobGroup(qid, s"sse ${ex.getRequestURI.getPath}",
-        interruptOnCancel = true))
+      sc.foreach { c =>
+        c.setJobGroup(qid, s"sse ${ex.getRequestURI.getPath}",
+          interruptOnCancel = true)
+        // own FAIR pool per request (weight-1 on-demand pools, same
+        // posture ConcurrentBench measures): one heavy query fair-shares
+        // the cluster instead of starving every other stream. Inert
+        // under the default FIFO scheduler.
+        c.setLocalProperty("spark.scheduler.pool", qid)
+      }
       hb = heartbeater.scheduleAtFixedRate(() => {
         if (streaming &&
             (System.nanoTime() - lastWrite) / 1000000 >= heartbeatMillis)
@@ -197,7 +204,10 @@ final class QueryHttpApi(
         cancel()
     } finally {
       if (hb != null) hb.cancel(false)
-      sc.foreach(_.clearJobGroup())
+      sc.foreach { c =>
+        c.clearJobGroup()
+        c.setLocalProperty("spark.scheduler.pool", null)
+      }
       lock.synchronized(ex.close())
     }
   }
@@ -233,6 +243,24 @@ final class QueryHttpApi(
       m.put("value", Double.box(r.getDouble(r.fieldIndex("value"))))
       m.put("label", r.getString(r.fieldIndex("label")))
       emit(payload("_", "timeseries", m))
+    }
+
+    if (p.get("explain").exists(_.toBoolean)) {
+      // plan-only mode: one "explain" event with the formatted physical
+      // plan (pushdown/pruning/codegen spans visible to the operator)
+      // and the replay-group count the incremental path would run —
+      // nothing executes, so this answers in planning time even when
+      // the window covers months of segments
+      val df = QueryEngine.evaluate(tables, ast, startMs, endMs, stepMs)
+      val m = new java.util.LinkedHashMap[String, AnyRef]()
+      m.put("stepMs", Long.box(stepMs))
+      if (segments.nonEmpty)
+        m.put("replayGroups", Int.box(ReplaySequencer.sequence(
+          segments, startMs, endMs, stepMs, minGroupSize).size))
+      m.put("plan",
+        org.apache.spark.sql.GraftColumnBridge.explainString(df))
+      emit(payload("_", "explain", m))
+      return
     }
 
     if (segments.nonEmpty) {

@@ -21,6 +21,12 @@ object GraftColumnBridge {
       spark.asInstanceOf[classic.SparkSession],
       execution.datasources.LogicalRelation(relation, isStreaming = false))
 
+  /** Formatted plan text of a DataFrame without executing it —
+    * `queryExecution`/`ExplainMode` live behind the classic API. */
+  def explainString(df: DataFrame, mode: String = "formatted"): String =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .explainString(execution.ExplainMode.fromString(mode))
+
   /** Register a function into an ALREADY-RUNNING session's registry
     * (SparkSessionExtensions only apply to sessions built after
     * withExtensions; this covers the getOrCreate-reuse case). */

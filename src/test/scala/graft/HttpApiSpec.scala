@@ -89,6 +89,33 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /api/v1/graph?explain=true answers the formatted plan and " +
+    "replay-group count without executing the query") {
+    val span = ReplaySequencer.SegmentSpan("s", base, base + 48 * hour)
+    val api = new QueryHttpApi(_ => tel, segments = Seq(span),
+      minGroupSize = 4,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    try {
+      val (code, bodyText) = http(port, "POST",
+        s"/api/v1/graph?s=$base&e=${base + 48 * hour}&explain=true",
+        chartAst)
+      assert(code == 200)
+      val evs = sseEvents(bodyText)
+      assert(evs.map(_.get("type").asText()) == Seq("explain", "done"))
+      val m = evs.head.get("message")
+      val plan = m.get("plan").asText()
+      // the formatted plan carries the chart shape: step bucketing and
+      // the partial/final aggregate pair
+      assert(plan.contains("HashAggregate"), plan.take(400))
+      assert(m.get("stepMs").asLong() ==
+        graft.functions.TimeRange.autoStepMillis(base, base + 48 * hour))
+      assert(m.get("replayGroups").asInt() ==
+        ReplaySequencer.sequence(Seq(span), base, base + 48 * hour,
+          m.get("stepMs").asLong(), 4).size)
+    } finally api.stop()
+  }
+
   test("POST /api/v1/graph streams timeseries events that equal the " +
     "engine evaluation, then exemplar events, then done") {
     withApi() { port =>
