@@ -39,6 +39,17 @@ import graft.functions.TimeRange
   * duration ladder ([[TimeRange.autoStepMillis]],
   * QueryApi.scala:297-309). Transport only: every data-plane behavior
   * lives in the engine and is oracle-checked there.
+  *
+  * Multi-tenant scoping: the reference runs every route inside
+  * `auth { customerId => … }` (QueryApi.scala:73,101) and keys storage
+  * by customer/collector (Commons.scala:160-177). When `tenants` is
+  * non-empty, every /api route requires `Authorization: Bearer <key>`;
+  * the key resolves (via `authenticate`) to a customerId whose
+  * [[QueryHttpApi.Tenant]] carries its OWN table provider and segment
+  * registry — queries, pruning, and replay sequencing all scope to that
+  * tenant's data. Missing/unknown credentials → 401 before any stream
+  * starts. With `tenants` empty the shell is single-tenant (no auth),
+  * the embedded-test posture.
   */
 final class QueryHttpApi(
     tables: String => Telemetry,
@@ -46,7 +57,12 @@ final class QueryHttpApi(
     minGroupSize: Int = 4,
     metricNameColumn: String = "event_type",
     heartbeatMillis: Long = 1000,
-    now: () => java.time.Instant = () => java.time.Instant.now()) {
+    now: () => java.time.Instant = () => java.time.Instant.now(),
+    tenants: Map[String, QueryHttpApi.Tenant] = Map.empty,
+    authenticate: HttpExchange => Option[String] = QueryHttpApi.bearerAuth,
+    writeStallMillis: Long = 15000) {
+
+  import QueryHttpApi.{Tenant, Unauthorized}
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -54,6 +70,21 @@ final class QueryHttpApi(
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-sse-heartbeat"); t.setDaemon(true); t
     })
+  // heartbeat WRITES run here, never on the scheduler thread: one
+  // stalled client (full socket buffer) must not wedge the shared timer
+  // and silence keep-alives/disconnect-detection for every other stream
+  private val hbWriters = java.util.concurrent.Executors
+    .newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-sse-hb-write"); t.setDaemon(true); t
+    })
+
+  /** The per-request tenant scope: single-tenant when no registry, else
+    * Bearer key → customerId → that tenant's tables+segments, 401
+    * otherwise (thrown pre-stream, so the client sees a real status). */
+  private def scope(ex: HttpExchange): Tenant =
+    if (tenants.isEmpty) Tenant(tables, segments)
+    else authenticate(ex).flatMap(tenants.get)
+      .getOrElse(throw new Unauthorized)
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -61,17 +92,17 @@ final class QueryHttpApi(
     server.createContext("/ready", exchange => {
       exchange.sendResponseHeaders(200, -1); exchange.close()
     })
-    server.createContext("/api/v1/scopeTags", json { _ =>
+    server.createContext("/api/v1/scopeTags", json { (_, _) =>
       mapper.writeValueAsString(
         QueryEngine.scopeTags.toArray)
     })
-    server.createContext("/api/v1/functionSpecs", json { _ =>
+    server.createContext("/api/v1/functionSpecs", json { (_, _) =>
       mapper.writeValueAsString(
         graft.plans.GraftExtensions.functions.map(_._1).sorted.toArray)
     })
-    server.createContext("/api/v1/metricMetadata", json { _ =>
+    server.createContext("/api/v1/metricMetadata", json { (_, tenant) =>
       val rows = QueryEngine.metricMetadata(
-        tables("metrics"), metricNameColumn).collect()
+        tenant.tables("metrics"), metricNameColumn).collect()
       mapper.writeValueAsString(rows.map(r => java.util.Map.of(
         "metricName", r.getString(0), "metricType", r.getString(1))))
     })
@@ -93,6 +124,7 @@ final class QueryHttpApi(
   def stop(): Unit = {
     if (server != null) server.stop(0)
     heartbeater.shutdownNow()
+    hbWriters.shutdownNow()
   }
 
   // ------------------------------------------------------------ plumbing
@@ -111,14 +143,15 @@ final class QueryHttpApi(
     TimeRange.resolve(p.getOrElse("s", "e-1h"), p.getOrElse("e", "now"),
       now())
 
-  private def json(f: HttpExchange => String)
+  private def json(f: (HttpExchange, Tenant) => String)
       : com.sun.net.httpserver.HttpHandler = { ex =>
     try {
-      val bytes = f(ex).getBytes(StandardCharsets.UTF_8)
+      val bytes = f(ex, scope(ex)).getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)
     } catch {
+      case _: Unauthorized => ex.sendResponseHeaders(401, -1)
       case e: Exception =>
         val msg = String.valueOf(e.getMessage)
           .getBytes(StandardCharsets.UTF_8)
@@ -129,15 +162,28 @@ final class QueryHttpApi(
 
   /** SSE endpoint shell: chunked text/event-stream, handler emits
     * events through `emit`, then the done sentinel; a pre-stream error
-    * becomes a 400 like the reference (QueryApi.scala:283-288). */
-  private def sse(f: (HttpExchange, String => Unit) => Unit)
+    * becomes a 400 like the reference (QueryApi.scala:283-288), a
+    * missing/unknown credential a 401. */
+  private def sse(f: (HttpExchange, Tenant, String => Unit) => Unit)
       : com.sun.net.httpserver.HttpHandler = { ex =>
     // headers go out on the FIRST event, so parse/plan errors (which
     // all happen before any emit) can still answer 400 like the
-    // reference (QueryApi.scala:283-288)
-    var streaming = false
-    val lock = new Object // heartbeat thread and handler share the socket
+    // reference (QueryApi.scala:283-288). `streaming` is written by the
+    // handler thread and read by the heartbeat scheduler — volatile so
+    // the scheduler reliably observes the stream going live.
+    @volatile var streaming = false
+    // heartbeat/handler share the socket; ReentrantLock (not
+    // synchronized) so state stays inspectable from the scheduler
+    val lock = new java.util.concurrent.locks.ReentrantLock()
     @volatile var lastWrite = System.nanoTime()
+    // nanoTime when a socket write BEGAN; 0 = no write in flight. The
+    // scheduler uses it as a write deadline: a client that stopped
+    // reading leaves some thread blocked on a full socket buffer —
+    // after writeStallMillis the scheduler force-closes the exchange
+    // (breaking the blocked write) and cancels the job group, instead
+    // of letting the stall wedge heartbeats for every other stream.
+    @volatile var writeStart = 0L
+    val hbPending = new java.util.concurrent.atomic.AtomicBoolean(false)
     // per-request Spark job group (thread-local, inherited by every job
     // this handler launches) so an abandoned stream can be CANCELLED —
     // the reference tears the Akka stream down on disconnect; here a
@@ -151,11 +197,18 @@ final class QueryHttpApi(
     def cancel(): Unit =
       sc.foreach(c => try c.cancelJobGroup(qid)
       catch { case _: Exception => () })
-    def raw(jsonStr: String): Unit = lock.synchronized {
-      lastWrite = System.nanoTime()
-      ex.getResponseBody.write(("data: " + jsonStr + "\r\n\r\n")
-        .getBytes(StandardCharsets.UTF_8))
-      ex.getResponseBody.flush() // per-event flush = incremental delivery
+    def raw(jsonStr: String): Unit = {
+      lock.lock()
+      try {
+        writeStart = System.nanoTime()
+        ex.getResponseBody.write(("data: " + jsonStr + "\r\n\r\n")
+          .getBytes(StandardCharsets.UTF_8))
+        ex.getResponseBody.flush() // per-event flush = incremental delivery
+        lastWrite = System.nanoTime()
+      } finally {
+        writeStart = 0L
+        lock.unlock()
+      }
     }
     def emit(jsonStr: String): Unit = {
       if (!streaming) {
@@ -173,6 +226,7 @@ final class QueryHttpApi(
     // one interval, even while a long job is still running
     var hb: java.util.concurrent.ScheduledFuture[_] = null
     try {
+      val tenant = scope(ex) // 401 before any header commits
       ex.setAttribute("body", body(ex)) // read before responding
       sc.foreach { c =>
         c.setJobGroup(qid, s"sse ${ex.getRequestURI.getPath}",
@@ -183,16 +237,33 @@ final class QueryHttpApi(
         // under the default FIFO scheduler.
         c.setLocalProperty("spark.scheduler.pool", qid)
       }
+      // The scheduler tick NEVER touches the socket — it watches the
+      // write deadline and dispatches due heartbeats to hbWriters, so a
+      // stalled stream can only wedge its own writer thread (and the
+      // deadline breaks even that by force-closing the exchange).
       hb = heartbeater.scheduleAtFixedRate(() => {
-        if (streaming &&
-            (System.nanoTime() - lastWrite) / 1000000 >= heartbeatMillis)
-          try raw("""{"type":"heartbeat"}""")
-          catch { case _: Exception => cancel() } // client went away
+        val ws = writeStart
+        if (ws != 0 &&
+            (System.nanoTime() - ws) / 1000000 >= writeStallMillis) {
+          cancel() // client stopped reading: stop the cluster work...
+          try ex.close() // ...and break the thread blocked in write()
+          catch { case _: Exception => () }
+        } else if (streaming && ws == 0 &&
+            (System.nanoTime() - lastWrite) / 1000000 >= heartbeatMillis &&
+            hbPending.compareAndSet(false, true)) {
+          hbWriters.execute(() => {
+            try raw("""{"type":"heartbeat"}""")
+            catch { case _: Exception => cancel() } // client went away
+            finally hbPending.set(false)
+          })
+        }
       }, heartbeatMillis, heartbeatMillis,
         java.util.concurrent.TimeUnit.MILLISECONDS)
-      f(ex, emit)
+      f(ex, tenant, emit)
       emit("""{"type":"done"}""")
     } catch {
+      case _: Unauthorized =>
+        ex.sendResponseHeaders(401, -1)
       case e: Exception if !streaming =>
         val msg = String.valueOf(e.getMessage)
           .getBytes(StandardCharsets.UTF_8)
@@ -208,7 +279,8 @@ final class QueryHttpApi(
         c.clearJobGroup()
         c.setLocalProperty("spark.scheduler.pool", null)
       }
-      lock.synchronized(ex.close())
+      lock.lock()
+      try ex.close() finally lock.unlock()
     }
   }
 
@@ -219,7 +291,10 @@ final class QueryHttpApi(
 
   // ------------------------------------------------------------- routes
 
-  private def handleGraph(ex: HttpExchange, emit: String => Unit): Unit = {
+  private def handleGraph(ex: HttpExchange, tenant: Tenant,
+      emit: String => Unit): Unit = {
+    val tables = tenant.tables
+    val segments = tenant.segments
     val p = params(ex)
     val (startMs, endMs) = timeRange(p)
     val stepMs = TimeRange.autoStepMillis(startMs, endMs)
@@ -270,31 +345,49 @@ final class QueryHttpApi(
           tables, ast, startMs, endMs, stepMs, segments, minGroupSize))
         .foreach { case (_, _, r) => emitChartRow(r) }
     } else {
+      // batch path drains through toLocalIterator like the incremental
+      // one — one partition in flight, never the whole chart buffered on
+      // the driver (a year at 1h step × a high-cardinality groupBy would
+      // otherwise sit in driver memory before the first byte goes out)
+      import scala.jdk.CollectionConverters._
       QueryEngine.evaluate(tables, ast, startMs, endMs, stepMs)
-        .collect().foreach(emitChartRow)
+        .toLocalIterator().asScala.foreach(emitChartRow)
     }
 
     // auto-exemplars beside every returning log/trace chart expression
     if (!p.get("timeseriesOnly").exists(_.toBoolean)) {
+      import scala.jdk.CollectionConverters._
+      def emitExemplar(id: String)(r: Row): Unit = {
+        val m = new java.util.LinkedHashMap[String, AnyRef]()
+        r.schema.fields.zipWithIndex.foreach { case (f2, i) =>
+          m.put(f2.name,
+            if (r.isNullAt(i)) null
+            else r.get(i).asInstanceOf[AnyRef])
+        }
+        emit(payload(id, "event", m))
+      }
       ast.baseExpressions.toList.sortBy(_._1).foreach { case (id, b) =>
         if (b.returnResults && b.chart.nonEmpty &&
             (b.dataset == "logs" || b.dataset == "traces")) {
-          QueryEngine.exemplars(tables(b.dataset), b, startMs, endMs)
-            .collect().foreach { r =>
-              val m = new java.util.LinkedHashMap[String, AnyRef]()
-              r.schema.fields.zipWithIndex.foreach { case (f2, i) =>
-                m.put(f2.name,
-                  if (r.isNullAt(i)) null
-                  else r.get(i).asInstanceOf[AnyRef])
+          if (segments.nonEmpty)
+            // per-replay-group exemplar frames, flushed as each group's
+            // pruned job completes (QueryEngineV2.scala:493-543)
+            QueryEngine.exemplarsIncremental(tables(b.dataset), b,
+                startMs, endMs, stepMs, segments, minGroupSize)
+              .foreach { case (_, df) =>
+                df.toLocalIterator().asScala.foreach(emitExemplar(id))
               }
-              emit(payload(id, "event", m))
-            }
+          else
+            QueryEngine.exemplars(tables(b.dataset), b, startMs, endMs)
+              .toLocalIterator().asScala.foreach(emitExemplar(id))
         }
       }
     }
   }
 
-  private def handleTags(ex: HttpExchange, emit: String => Unit): Unit = {
+  private def handleTags(ex: HttpExchange, tenant: Tenant,
+      emit: String => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
     val p = params(ex)
     val (startMs, endMs) = timeRange(p)
     val dataset = ex.getRequestURI.getPath.stripPrefix("/api/v1/tags")
@@ -305,31 +398,48 @@ final class QueryHttpApi(
       else BaseExpr(id = "_", dataset = dataset,
         filter = Filter("event_type", Nil, Ops.EXISTS))
     val limit = p.get("limit").map(_.toInt).getOrElse(1000)
-    val tel = tables(dataset)
+    val tel = tenant.tables(dataset)
     p.get("tagName") match {
+      case Some(tag) if tenant.segments.nonEmpty =>
+        // replay-group incremental delivery: each group flushes only the
+        // values NOT seen in any earlier group (first-seen dedup at the
+        // coordinator, QueryEngineV2.scala:419-491), so a dropdown fills
+        // from the first group while the rest of the window replays
+        var sent = 0
+        val it = QueryEngine.tagValuesIncremental(tel, expr, tag,
+          startMs, endMs, TimeRange.autoStepMillis(startMs, endMs),
+          tenant.segments, minGroupSize)
+        while (sent < limit && it.hasNext) {
+          val (_, fresh) = it.next()
+          fresh.take(limit - sent).foreach { v =>
+            emit(payload("_", "data", java.util.Map.of(tag, v)))
+            sent += 1
+          }
+        }
       case Some(tag) =>
         QueryEngine.tagValues(tel, expr, tag, startMs, endMs, limit)
-          .collect().foreach { r =>
+          .toLocalIterator().asScala.foreach { r =>
             emit(payload("_", "data", java.util.Map.of(
               tag, r.getString(r.fieldIndex("tagValue")))))
           }
       case None =>
         QueryEngine.tagNames(tel, expr, startMs, endMs, limit)
-          .collect().foreach { r =>
+          .toLocalIterator().asScala.foreach { r =>
             emit(payload("_", "data",
               java.util.Map.of("name", r.getString(0))))
           }
     }
   }
 
-  private def handleCardinality(ex: HttpExchange,
+  private def handleCardinality(ex: HttpExchange, tenant: Tenant,
       emit: String => Unit): Unit = {
+    val segments = tenant.segments
     val p = params(ex)
     val (startMs, endMs) = timeRange(p)
     val expr = AstJson.parseBaseExpr(
       ex.getAttribute("body").asInstanceOf[String])
     val groupBys = expr.chart.map(_.groupBys).getOrElse(Nil)
-    val tel = tables(expr.dataset)
+    val tel = tenant.tables(expr.dataset)
     if (segments.nonEmpty) {
       // running estimate per replay group, the reference's converging
       // cardinality stream (QueryEngineV2.scala:599-668)
@@ -345,4 +455,29 @@ final class QueryHttpApi(
       emit(s"""{"message": $est}""")
     }
   }
+}
+
+object QueryHttpApi {
+
+  /** One tenant's data scope: its table provider and its registered
+    * sealed-segment replay spans. The reference keys both by
+    * customer/collector in the storage layout (Commons.scala:160-177);
+    * here each customerId maps to its own Tenant, so every route —
+    * queries, pruning, replay sequencing, metadata — sees only that
+    * tenant's data. */
+  case class Tenant(tables: String => Telemetry,
+      segments: Seq[ReplaySequencer.SegmentSpan] = Nil)
+
+  /** Default credential extractor: `Authorization: Bearer <key>`, the
+    * key doubling as the tenant registry lookup (swap in a real
+    * token-validation function for production auth). */
+  def bearerAuth(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.stripPrefix("Bearer ").trim)
+      .filter(_.nonEmpty)
+
+  /** Pre-stream auth failure → 401, mirroring the reference's
+    * `auth { customerId => … }` reject path (QueryApi.scala:73,101). */
+  private[api] final class Unauthorized extends Exception("unauthorized")
 }

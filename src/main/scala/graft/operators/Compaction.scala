@@ -50,9 +50,27 @@ object Compaction {
     require(maxFilesPerKey >= 1, s"maxFilesPerKey $maxFilesPerKey")
     val byKey = files.groupBy(keyOf).toSeq.sortBy(_._1)
     val (dense, sparse) = byKey.partition(_._2.size > maxFilesPerKey)
+    // Sanitizing can collapse distinct raw keys ('2024/01' and '2024_01'
+    // both → '2024_01'), which would make the second compact() overwrite
+    // the first key's output dir. Disambiguate colliding keys with a hash
+    // of the RAW key so every dense key gets its own directory.
+    val safeDir: Map[String, String] = {
+      val base = dense.map { case (k, _) =>
+        k -> k.replaceAll("[^A-Za-z0-9_=-]", "_")
+      }
+      val collided = base.groupBy(_._2).filter(_._2.size > 1)
+        .values.flatten.map(_._1).toSet
+      val out = base.map { case (k, s) =>
+        if (collided(k))
+          k -> f"$s-${scala.util.hashing.MurmurHash3.stringHash(k) & 0xffffffffL}%08x"
+        else k -> s
+      }.toMap
+      require(out.values.toSeq.distinct.size == out.size,
+        s"compaction key sanitization still collides: $out")
+      out
+    }
     val compacted = dense.flatMap { case (key, fs) =>
-      val safe = key.replaceAll("[^A-Za-z0-9_=-]", "_")
-      val dir = s"$outBase/$safe"
+      val dir = s"$outBase/${safeDir(key)}"
       compact(spark, fs, dir, targetBytes)
       listParquet(new java.io.File(dir))
     }

@@ -181,6 +181,42 @@ class CompactionSpec extends AnyFunSuite {
     assert(res2.files.sorted == res.files.sorted)
   }
 
+  test("applyPolicy keeps distinct raw keys in distinct output dirs even " +
+    "when sanitization collides ('2024/01' vs '2024_01')") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccol").toString
+    // two DENSE keys whose sanitized names collapse to the same string;
+    // without disambiguation the second compact() overwrites the first
+    // key's dir — silent row loss in the post-policy layout
+    val keys = Seq("2024/01", "2024_01")
+    keys.zipWithIndex.foreach { case (_, k) =>
+      (0 until 3).foreach { i =>
+        Seq.tabulate(20)(j => (k * 1000L + i * 100 + j, s"k$k-$i-$j"))
+          .toDF("id", "payload")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/land/k$k/h$i")
+      }
+    }
+    def walk(f: java.io.File): Seq[String] = {
+      val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      cs.filter(_.isDirectory).flatMap(walk) ++
+        cs.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath)
+    }
+    val landed = walk(new java.io.File(s"$dir/land")).sorted
+    val keyOf = (f: String) =>
+      keys("/k(\\d)/".r.findFirstMatchIn(f).get.group(1).toInt)
+    val res = Compaction.applyPolicy(spark, landed, s"$dir/out",
+      maxFilesPerKey = 2, targetBytes = Long.MaxValue, keyOf = keyOf)
+    assert(res.compactedKeys.sorted == keys.sorted)
+    // every listed file exists and row parity holds across the layout
+    assert(res.files.forall(f => new java.io.File(f).isFile), res.files)
+    val before = spark.read.parquet(landed: _*)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    val after = spark.read.parquet(res.files: _*)
+      .select("id", "payload").as[(Long, String)].collect().sorted
+    assert(after.sameElements(before))
+  }
+
   test("compact handles a single bin and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("graft_c1").toString
     val files = mkFiles(dir, 2)

@@ -289,6 +289,92 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("tag values over registered segments stream incrementally with " +
+    "first-seen dedup: each value arrives once, in replay-group order") {
+    // "early" occurs in EVERY hour, "late" only after hour 24; forward
+    // replay (single-interval groups) must emit "early" from the first
+    // group and "late" exactly once when its first group completes —
+    // never re-emitting "early" from later groups
+    val ev2 = (0 until 480).map { i =>
+      ((base + i * 6L * 60000L) * 1000000L,
+        if (i >= 240 && i % 7 == 0) "late" else "early", 1.0)
+    }.toDF("ts", "event_type", "value")
+    val tel2 = Telemetry.nanos(ev2, "ts", valueCol = col("value"))
+    val span = ReplaySequencer.SegmentSpan("s", base, base + 48 * hour)
+    val api = new QueryHttpApi(_ => tel2, segments = Seq(span),
+      minGroupSize = 1,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    try {
+      val (code, bodyText) = http(port, "POST",
+        s"/api/v1/tags/logs?tagName=event_type&s=$base&e=${base + 48 * hour}")
+      assert(code == 200)
+      val vals = sseEvents(bodyText)
+        .filter(n => Option(n.get("type")).exists(_.asText() == "data"))
+        .map(_.get("message").get("event_type").asText())
+      assert(vals == Seq("early", "late")) // once each, first-seen order
+      // limit caps ACROSS groups, not per group
+      val (_, capped) = http(port, "POST",
+        s"/api/v1/tags/logs?tagName=event_type&limit=1&s=$base&e=${base + 48 * hour}")
+      assert(sseEvents(capped).count(n =>
+        Option(n.get("type")).exists(_.asText() == "data")) == 1)
+    } finally api.stop()
+  }
+
+  test("multi-tenant: Bearer key scopes every route to that tenant's " +
+    "tables and segments; missing/unknown credentials answer 401") {
+    val evA = (0 until 48).map(i =>
+      ((base + i * hour) * 1000000L, "alpha_only", 1.0))
+      .toDF("ts", "event_type", "value")
+    val evB = (0 until 48).map(i =>
+      ((base + i * hour) * 1000000L, "beta_only", 2.0))
+      .toDF("ts", "event_type", "value")
+    val telA = Telemetry.nanos(evA, "ts", valueCol = col("value"))
+    val telB = Telemetry.nanos(evB, "ts", valueCol = col("value"))
+    // tenant B registers segments; tenant A registers none — A's replay
+    // sequencing must not see B's spans (isolation in BOTH dimensions)
+    val spanB = ReplaySequencer.SegmentSpan("b", base, base + 48 * hour)
+    val api = new QueryHttpApi(_ => tel,
+      tenants = Map(
+        "cust-a" -> QueryHttpApi.Tenant(_ => telA),
+        "cust-b" -> QueryHttpApi.Tenant(_ => telB, Seq(spanB))),
+      minGroupSize = 1,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    def authed(key: Option[String], path: String): (Int, String) = {
+      val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      key.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("".getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      (code, if (is == null) ""
+        else new String(is.readAllBytes(), StandardCharsets.UTF_8))
+    }
+    try {
+      val path = s"/api/v1/tags/logs?tagName=event_type&s=$base&e=${base + 48 * hour}"
+      // no credential / unknown credential → 401, nothing streams
+      assert(authed(None, path)._1 == 401)
+      assert(authed(Some("nope"), path)._1 == 401)
+      // each tenant sees ONLY its own tag values
+      def valsFor(key: String): Seq[String] = {
+        val (code, text) = authed(Some(key), path)
+        assert(code == 200)
+        sseEvents(text)
+          .filter(n => Option(n.get("type")).exists(_.asText() == "data"))
+          .map(_.get("message").get("event_type").asText())
+      }
+      assert(valsFor("cust-a") == Seq("alpha_only"))
+      assert(valsFor("cust-b") == Seq("beta_only"))
+      // JSON routes gate too
+      val conn = new URI(s"http://127.0.0.1:$port/api/v1/scopeTags").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 401)
+    } finally api.stop()
+  }
+
   test("POST /api/v1/cardinality streams the estimate; malformed AST " +
     "answers 400 before the stream starts") {
     withApi() { port =>
