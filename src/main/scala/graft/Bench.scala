@@ -134,19 +134,26 @@ object Bench {
             .flushListeners(spark.sparkContext)
           l.reset()
         }
-        val times: Seq[Double] =
-          if (!warm._1) Seq(warm._2)
+        // track EXECUTED timed iterations separately from the successful
+        // ones kept in `times`: failed iterations still ran Spark jobs
+        // whose metrics accumulated in the listener, so dividing by
+        // times.size would inflate per-iteration metrics for partially-
+        // failing queries (and report phantom metrics on the warm-only
+        // fallback, where zero timed runs executed)
+        val (times: Seq[Double], executedTimed: Int) =
+          if (!warm._1) (Seq(warm._2), 0)
           else {
-            val timed = Seq.fill(iters)(once()).filter(_._1).map(_._2)
-            if (timed.isEmpty) Seq(warm._2) else timed
+            val all = Seq.fill(iters)(once())
+            val timed = all.filter(_._1).map(_._2)
+            (if (timed.isEmpty) Seq(warm._2) else timed, all.size)
           }
         listener.foreach { l =>
           org.apache.spark.GraftListenerBridge
             .flushListeners(spark.sparkContext)
           val (sh, sp, mem) = l.snapshot()
-          // per-iteration average over the timed runs (metrics are plan
+          // per-iteration average over the executed runs (metrics are plan
           // properties; averaging absorbs AQE run-to-run variance)
-          val n = math.max(times.size, 1).toDouble * 1024 * 1024
+          val n = math.max(executedTimed, 1).toDouble * 1024 * 1024
           shuffleMb(name) = math.rint(sh / n * 10) / 10
           spillMb(name) = math.rint(sp / n * 10) / 10
           execMemMb(name) = math.rint(mem / n * 10) / 10

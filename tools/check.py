@@ -66,19 +66,38 @@ def main():
             print(f"FAIL {name}: no spark output"); nfail += 1; continue
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({len(spark_df)} rows)"); nskip += 1; continue
+        # the timeout callback checks a per-query done flag under a lock:
+        # a timer firing between execute() returning and cancel() must not
+        # interrupt the idle connection (which would abort the NEXT
+        # oracle's execute and record a spurious FAIL for a healthy query)
         timer = None
-        timed_out = []
+        lk = threading.Lock()
+        state = {"done": False, "timed_out": False}
+        def on_timeout():
+            with lk:
+                if not state["done"]:
+                    state["timed_out"] = True
+                    con.interrupt()
         if timeout > 0:
-            timer = threading.Timer(timeout, lambda: (timed_out.append(1), con.interrupt()))
+            timer = threading.Timer(timeout, on_timeout)
             timer.start()
         try:
             odf = con.execute(oracle[name]).df()
         except Exception as e:
+            with lk:
+                state["done"] = True
             if timer: timer.cancel()
-            if timed_out:
+            if state["timed_out"]:
                 print(f"SKIP {name}: oracle timeout >{timeout}s"); nskip += 1; continue
             print(f"FAIL {name}: oracle error {e}"); nfail += 1; continue
+        with lk:
+            state["done"] = True
         if timer: timer.cancel()
+        if state["timed_out"]:
+            # interrupt landed after the result was already produced —
+            # absorb any pending interrupt so the next execute is clean
+            try: con.execute("SELECT 1")
+            except Exception: pass
         err = compare(spark_df, odf, name)
         if err:
             print(f"FAIL {name}: {err}"); nfail += 1
