@@ -863,7 +863,7 @@ object Dedup {
       var labels = edges.groupBy(col("u"))
         .agg(min(col("v")).as("_mn"))
         .select(col("u").as("id"), least(col("_mn"), col("u")).as("label"))
-        .localCheckpoint()
+        .transform(Lineage.cut(_))
       var iters = 0
       var converged = false
       while (!converged && iters < maxIters) {
@@ -885,7 +885,7 @@ object Dedup {
           .agg(min(col("label")).as("label"),
                max(when(col("own"), col("label"))).as("_old"))
           .withColumn("_changed", col("label") < col("_old"))
-          .localCheckpoint()
+          .transform(Lineage.cut(_))
         converged = next.where(col("_changed")).isEmpty // scan of checkpoint
         labels = next.select(col("id"), col("label"))
         iters += 1
@@ -940,7 +940,7 @@ object Dedup {
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .transform(Lineage.cut(_))
     var sig: (BigDecimal, Long) = edgeSig(edges)
     var iters = 0
     var converged = edges.isEmpty
@@ -966,7 +966,7 @@ object Dedup {
         .union(minsS.select(col("u").as("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(Lineage.cut(_))
       val nextSig = edgeSig(small)
       converged = nextSig == sig
       sig = nextSig

@@ -62,13 +62,13 @@ object Graphs {
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
     // edges ⋈ out-degree once, outside the loop: the per-round join then
     // carries (src, dst, _deg) against the rank frame
-    val withDeg = edges.join(outDeg, Seq("src")).localCheckpoint(eager = false)
+    val withDeg = edges.join(outDeg, Seq("src")).transform(Lineage.cut(_, eager = false))
 
     var ranks = nodes.select(col("id"), lit(init).as("rank_units"))
     var i = 0
     while (i < iterations) {
       ranks = round(nodes, withDeg, ranks, teleport, dampingPermille)
-        .localCheckpoint(eager = false)
+        .transform(Lineage.cut(_, eager = false))
       i += 1
     }
     ranks.select(col("id"), col("rank_units"),
@@ -152,7 +152,7 @@ object Graphs {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 100,
       s"maxHops $maxHops out of range [1, 100]")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val e = edges.select(col("src"), col("dst")).transform(Lineage.cut(_, eager = false))
     var visited = sources.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
     var frontier = visited
@@ -165,8 +165,8 @@ object Graphs {
         // keep only NEWLY reached nodes: dist already found is ≤ current
         .join(visited.select(col("id").as("_seen")),
           col("id") === col("_seen"), "left_anti")
-        .localCheckpoint(eager = false)
-      visited = visited.unionByName(next).localCheckpoint(eager = false)
+        .transform(Lineage.cut(_, eager = false))
+      visited = visited.unionByName(next).transform(Lineage.cut(_, eager = false))
       frontier = next
       i += 1
     }

@@ -156,6 +156,39 @@ class GraphsRetrievalSplitsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ BFS
 
+  test("iterative loops under spark.graft.checkpointDir use reliable " +
+    "checkpoint() and produce identical results (fleet-safe lineage cut)") {
+    // default posture: localCheckpoint (executor-pinned, not fault-
+    // tolerant). With the dir set, Lineage.cut switches every loop round
+    // to reliable checkpoint() — same results, RDD files materialized in
+    // the dir (the evidence the durable path actually ran).
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L to 9L).toDF("id")
+    val src = Seq(0L).toDF("id")
+    val bfsLocal = Graphs.bfsHops(edges, src, maxHops = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val prLocal = Graphs.pageRank(nodes, edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(graft.operators.Lineage.CheckpointDirKey, dir)
+    try {
+      val bfsDurable = Graphs.bfsHops(edges, src, maxHops = 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val prDurable = Graphs.pageRank(nodes, edges, iterations = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(bfsDurable.sameElements(bfsLocal))
+      assert(prDurable.sameElements(prLocal))
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        cs ++ cs.filter(_.isDirectory).flatMap(walk)
+      }
+      assert(walk(new java.io.File(dir)).exists(_.getName.startsWith("rdd-")),
+        s"no reliable checkpoint files under $dir")
+    } finally {
+      spark.conf.unset(graft.operators.Lineage.CheckpointDirKey)
+    }
+  }
+
   test("bfsHops: path graph distances from one source") {
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
     val src = Seq(0L).toDF("id")
