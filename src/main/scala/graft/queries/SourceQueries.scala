@@ -146,6 +146,27 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  /** U2 on POSITIVE LOOKAHEAD: `(?=X)` is zero-width but X is a
+    * required match starting at that position, so X's required trigrams
+    * prune soundly even when the CONSUMING part of the regex is
+    * requirement-free (`(?=.*signup).*` skips every segment without
+    * signup's trigrams). Negative lookahead/lookbehind stay conservative
+    * (no-prune). File-skipping proven in SegmentIndexSpec; result
+    * equivalence here vs the full table (pruning is sound; the oracle
+    * spells the predicate without lookahead — DuckDB's RE2 has none —
+    * as the equivalent contains test). */
+  def s31_regex_lookahead_pruned(s: SparkSession, dir: String): DataFrame = {
+    val re = "(?=.*signup).*"
+    val clause = Filter("event_type", List(re), Ops.REGEX)
+    val df = SegmentIndex.scan(s, manifest(s, dir), Some(clause),
+        Set("event_type"), Long.MinValue, Long.MaxValue)
+      .getOrElse(return typedEmpty(s, "event_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double"))
+    df.where(col("event_type").rlike(s"(?i)$re"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** S3/S4 deluxe: plan-time segment skipping through the custom
     * Catalyst FileIndex — the query is a plain WHERE over the relation;
     * Catalyst pushes the predicates and [[graft.sources.ManifestFileIndex]]
@@ -371,6 +392,7 @@ object SourceQueries {
     "s7_regex_alternation" -> s7_regex_alternation _,
     "s28_regex_class_pruned" -> s28_regex_class_pruned _,
     "s30_regex_nested_pruned" -> s30_regex_nested_pruned _,
+    "s31_regex_lookahead_pruned" -> s31_regex_lookahead_pruned _,
     "ast_multi_region" -> ast_multi_region _,
     "s10_fileindex_scan" -> s10_fileindex_scan _,
     "ast_fileindex_chart" -> ast_fileindex_chart _
@@ -434,6 +456,12 @@ object SourceQueries {
     "s30_regex_nested_pruned" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE regexp_matches(event_type, '(si(gn|ng)up|er(ro|or)r)', 'i')
+        |ORDER BY event_id""".stripMargin,
+    // lookahead-free spelling of (?i)(?=.*signup).* (RE2 has no
+    // lookaround): find-anywhere of 'signup', case-insensitive
+    "s31_regex_lookahead_pruned" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE regexp_matches(event_type, 'signup', 'i')
         |ORDER BY event_id""".stripMargin,
     // the single-root equivalent of the 3-region federated evaluation
     "ast_multi_region" ->

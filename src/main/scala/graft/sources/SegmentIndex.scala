@@ -221,6 +221,16 @@ object SegmentIndex {
           // atomic group: its language ⊆ the body's, so the body's
           // requirement is sound and its exact set a sound superset
           case '>' => body(open + 3)
+          // positive lookahead (?=X): zero-width, but X must MATCH
+          // starting at this position, so any document matching the
+          // overall regex contains a match of X — X's required trigrams
+          // prune soundly. Zero-width means it consumes nothing: never
+          // exact, never joins a literal run. Negative lookahead/NOT
+          // and lookbehind stay conservative (skipBalanced → Free), the
+          // reference planner's posture (NLPUtils.scala:54-153).
+          case '=' =>
+            val (f, k) = body(open + 3)
+            (Frag(f.req, None), k)
           // named capture (?<name>…) — but NOT lookbehind (?<= / (?<!
           case '<' if open + 3 < n && regex.charAt(open + 3) != '=' &&
               regex.charAt(open + 3) != '!' =>

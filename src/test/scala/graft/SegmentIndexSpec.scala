@@ -250,6 +250,27 @@ class SegmentIndexSpec extends AnyFunSuite {
       .length == 3)
   }
 
+  test("positive lookahead plans its inner trigrams; negative/lookbehind " +
+    "degrade soundly to all segments") {
+    // (?=.*payment): the inner pattern is a required match, so only
+    // seg2 (the one carrying "payment" trigrams) survives even though
+    // the consuming part of the regex is requirement-free
+    val ahead = Filter("service", List("(?=.*payment).*"), Ops.REGEX)
+    val f1 = SegmentIndex.prune(manifest, Some(ahead), indexed, 0L, 10000L)
+    assert(f1.length == 1 && f1.head.contains("seg2"), f1)
+    // lookahead ANDed with consumed text: intersection of requirements
+    val both = Filter("service", List("(?=.*-svc)payment.*"), Ops.REGEX)
+    val f2 = SegmentIndex.prune(manifest, Some(both), indexed, 0L, 10000L)
+    assert(f2.length == 1 && f2.head.contains("seg2"), f2)
+    // negative lookahead and lookbehind carry no requirement (sound)
+    val neg = Filter("service", List("(?!payment).*"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(neg), indexed, 0L, 10000L)
+      .length == 3)
+    val behind = Filter("service", List("(?<=payment).*"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(behind), indexed, 0L, 10000L)
+      .length == 3)
+  }
+
   test("prune-to-zero-files returns a TYPED empty frame from every entry") {
     // A corpus whose segments can never match the entries' predicates:
     // no trigram of "click"/"pur"/"has"/"purchase"/"signup" in any

@@ -115,6 +115,23 @@ class TrigramPropertySpec extends AnyFunSuite {
       body <- Gen.listOfN(m, cls._2)
     } yield Pat(s"${cls._1}{$m}", Gen.const(body.mkString))
 
+  // lookaround spellings: positive lookahead plans its inner trigrams
+  // (the zero-width prefix is then CONSUMED by the following atoms, so
+  // samples satisfy both); negative lookahead and lookbehind stay
+  // requirement-free ('z' is outside the sample alphabet, so (?!zz…)
+  // and (?<!zz…) never reject a generated string)
+  private val lookaroundAtom: Gen[Pat] = Gen.oneOf(
+    for { p <- litRun(4); t <- litRun(3) } yield
+      Pat(s"(?=${p.re})${p.re}${t.re}", Gen.const(p.re + t.re)),
+    for { p <- litRun(3); c <- litChar } yield
+      Pat(s"(?=${p.re}.)${p.re}$c", Gen.const(p.re + c)),
+    // lookahead over an alternation of the following text's prefix
+    for { p <- litRun(3); q <- litRun(3); t <- litRun(2) } yield
+      Pat(s"(?=${p.re}|${q.re})${p.re}${t.re}",
+        Gen.const(p.re + t.re)),
+    for { t <- litRun(4) } yield Pat(s"(?!zz)${t.re}", Gen.const(t.re)),
+    for { t <- litRun(4) } yield Pat(s"${t.re}(?<!zz)", Gen.const(t.re)))
+
   private def atom(depth: Int): Gen[Pat] =
     if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom, escapeAtom)
     else Gen.frequency(
@@ -124,6 +141,7 @@ class TrigramPropertySpec extends AnyFunSuite {
       1 -> escapeAtom,
       1 -> shortAltGroup,
       1 -> bigRepeat,
+      1 -> lookaroundAtom,
       2 -> alternation(depth),
       // quantify only UNQUANTIFIED base atoms: nesting quantifiers over
       // single-char wildcards ((?:(?:\d)+)+) makes the java.util.regex
@@ -235,10 +253,20 @@ class TrigramPropertySpec extends AnyFunSuite {
     // literal requirements
     assert(SegmentIndex.requiredTrigrams("(?x:f o o)bar") == Lit("bar"))
     assert(satisfies("foobar", SegmentIndex.requiredTrigrams("(?x:f o o)bar")))
-    // lookbehind/lookahead remain requirement-free zones
+    // lookbehind and negative lookahead remain requirement-free zones
     assert(SegmentIndex.requiredTrigrams("(?<=foo)bar") == Lit("bar"))
-    assert(SegmentIndex.requiredTrigrams("(?=foo)bar") == Lit("bar"))
+    assert(SegmentIndex.requiredTrigrams("(?!foo)bar") == Lit("bar"))
     assert(satisfies("xbar", SegmentIndex.requiredTrigrams("(?<=x)bar")))
+    // POSITIVE lookahead: the inner pattern is a required match whose
+    // trigrams prune; zero-width, so it never joins a literal run
+    assert(SegmentIndex.requiredTrigrams("(?=foo)bar") ==
+      All(Seq(Lit("foo"), Lit("bar"))))
+    assert(SegmentIndex.requiredTrigrams("(?=\\d+px)qux") == Lit("qux"))
+    // quantified lookahead: optional → no requirement from it
+    assert(SegmentIndex.requiredTrigrams("(?:(?=foo))?bar") == Lit("bar"))
+    // inexact inner alternation still contributes its AnyOf
+    assert(SegmentIndex.requiredTrigrams("(?=foo|buzz)barn") ==
+      All(Seq(AnyOf(Seq(Lit("foo"), Lit("buzz"))), Lit("barn"))))
   }
 
   test("exact-set product: nested groups of sub-trigram literals compose " +
