@@ -393,10 +393,18 @@ final class QueryHttpApi(
     val dataset = ex.getRequestURI.getPath.stripPrefix("/api/v1/tags")
       .stripPrefix("/") match { case "" => "logs"; case d => d }
     val q = ex.getAttribute("body").asInstanceOf[String]
+    // the reference's tag route takes the same full-AST payload as
+    // /graph (QueryApi.scala:99-175) — accept both that wrapper (first
+    // expression by id) and a bare BaseExpr body
     val expr =
-      if (q.trim.nonEmpty) AstJson.parseBaseExpr(q)
-      else BaseExpr(id = "_", dataset = dataset,
-        filter = Filter("event_type", Nil, Ops.EXISTS))
+      if (q.trim.isEmpty)
+        BaseExpr(id = "_", dataset = dataset,
+          filter = Filter("event_type", Nil, Ops.EXISTS))
+      else if (mapper.readTree(q).has("baseExpressions"))
+        AstJson.parseAstInput(q).baseExpressions.toList.sortBy(_._1)
+          .headOption.map(_._2).getOrElse(
+            throw new IllegalArgumentException("empty baseExpressions"))
+      else AstJson.parseBaseExpr(q)
     val limit = p.get("limit").map(_.toInt).getOrElse(1000)
     val tel = tenant.tables(dataset)
     p.get("tagName") match {
