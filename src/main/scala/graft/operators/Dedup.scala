@@ -286,6 +286,35 @@ object Dedup {
         sequence(lit(0), greatest(size(tokensCol), lit(w)) - w),
         i => concat_ws(" ", slice(tokensCol, i + 1, lit(w)))))
 
+  /** Exact n-gram DECONTAMINATION — the train/test-overlap scrub every
+    * LLM curation pipeline runs before training (Brown et al. 2020
+    * appendix C's 13-gram overlap; Gopher/MassiveText's train-test
+    * leakage filter): flag every training document sharing at least one
+    * w-token shingle with the evaluation corpus, returning
+    * (id, n_hits = distinct shared shingles) for the contaminated docs.
+    *
+    * 100 TB shape: the EVAL side is benchmark-sized (thousands of docs),
+    * so its distinct-shingle set builds in one small aggregation and
+    * BROADCASTS; the training corpus then takes a single map-side pass
+    * (explode distinct shingles → broadcast hash semi-join) and a
+    * partially-aggregated count keyed by doc id — the only shuffle
+    * carries (id) rows for MATCHED shingles, never text. Train-side
+    * shingles are per-doc distinct, so n_hits counts distinct overlaps
+    * without a second dedup. */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"shingle width $w must be >= 1")
+    val evalShingles = evalDocs
+      .select(explode(wordShingles(tokens(col(evalTextCol)), w)).as("_g"))
+      .distinct()
+    train
+      .select(col(idCol),
+        explode(wordShingles(tokens(col(textCol)), w)).as("_g"))
+      .join(broadcast(evalShingles), "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Distinct character n-grams of a string column. */
   def charNgrams(textCol: Column, n: Int): Column =
     array_distinct(

@@ -889,6 +889,24 @@ object PipelineQueries {
         col("n_dup_chunks"), col("dup_chars"))
       .orderBy("doc_id")
 
+  // d18: exact n-gram decontamination (train/test-overlap scrub, Brown
+  // et al. 2020 app. C) — eval corpus = every 11th doc (a benchmark-
+  // sized slice), train = the rest; a train doc is contaminated iff it
+  // shares an 8-token shingle with ANY eval doc (the corpus's planted
+  // near-dup structure crosses the slice boundary, so hits exist at
+  // every SF). Scale shape in Dedup.decontaminate: eval shingle set
+  // broadcasts, train side is one map pass + per-doc count — no text
+  // shuffles. The oracle replays the same whitespace tokens, truncated-
+  // shingle rule, and distinct-overlap count.
+  def d18_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminate(
+        d.where(col("doc_id") % 11 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 11 === 0), "text", w = 8)
+      .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   // t7: PII redaction — the synthetic corpus is PII-free, so the entry
   // plants deterministic PII (email / IP / SSN-shaped / phone-shaped
   // strings derived from doc_id) and scrubs it with the codegen'd
@@ -1655,6 +1673,9 @@ object PipelineQueries {
   // with id tie-break — the replayable order both engines agree on.
   def s24_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the two unpartitioned windows below rank each leg's TOP-K output
+    // (k=20 rows), not the corpus — WindowExec's single-partition
+    // warning is about a 20-row frame, bounded at any corpus size
     val terms = Seq("join", "filter", "scan")
     val lex = Retrieval.bm25(docs(s, dir), "doc_id", "text", terms, k = 20)
       .select(col("id"),
@@ -2185,6 +2206,7 @@ object PipelineQueries {
     "t22_c4_line_clean" -> t22_c4_line_clean _,
     "t23_log_templates" -> t23_log_templates _,
     "d17_cdc_chunks" -> d17_cdc_chunks _,
+    "d18_decontaminate" -> d18_decontaminate _,
     "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
     "t12_bpe_stats" -> t12_bpe_stats _,
     "m1_multimodal_features" -> m1_multimodal_features _,
@@ -2852,6 +2874,24 @@ object PipelineQueries {
         |FROM pairs WHERE prev IS NOT NULL
         |ORDER BY media_id, frame_idx""".stripMargin,
     "t7_pii_redact" -> t7OracleSql,
+    // d18: same whitespace tokens, same truncated-shingle rule (a doc
+    // shorter than 8 tokens yields its one truncated shingle), distinct
+    // shared shingles per contaminated train doc
+    "d18_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+        |    for i in range(1, greatest(len(t), 8) - 6)]) AS grams
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh
+        |       WHERE doc_id % 11 = 0),
+        |tr AS (SELECT doc_id, unnest(grams) AS g FROM sh
+        |       WHERE doc_id % 11 <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     // t22: replay the planted line structure and all four C4 rules
     "d17_cdc_chunks" ->
       """WITH d AS (

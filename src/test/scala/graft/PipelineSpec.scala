@@ -958,4 +958,33 @@ class PipelineSpec extends AnyFunSuite {
       ("boot in <num>ms", 2L, "boot in 17ms"),
       ("halt code <num>", 1L, "halt code 9")))
   }
+
+  test("decontaminate flags exactly the train docs sharing a w-shingle " +
+    "with the eval corpus, counting distinct overlaps") {
+    // eval doc 0; train: 1 = exact dup (every shingle shared), 2 = near
+    // dup (prefix shingles shared), 3/4 = clean, 5 = near dup with an
+    // earlier edit (fewer shared shingles than 2)
+    val ev = corpus.where(col("doc_id") === 0L)
+    val tr = corpus.where(col("doc_id") =!= 0L)
+    val got = Dedup.decontaminate(tr, "doc_id", "text", ev, "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc0 has 14 tokens -> 7 distinct 8-shingles
+    assert(got(1L) == 7L) // exact dup: all 7
+    // doc2 changes the LAST token: offsets 0..5 avoid it -> 6 shared
+    assert(got(2L) == 6L)
+    // doc5 changes "jumps" (token index 4): shingle offset i covers
+    // tokens i..i+7, so offsets 0..4 all contain the edit; offsets 5
+    // and 6 survive -> 2 shared
+    assert(got(5L) == 2L)
+    assert(!got.contains(3L) && !got.contains(4L))
+    // a doc shorter than w contributes its truncated shingle: an exact
+    // short dup in both corpora is flagged with one hit
+    val shortEv = Seq((10L, "tiny text")).toDF("doc_id", "text")
+    val shortTr = Seq((11L, "tiny text"), (12L, "other words"))
+      .toDF("doc_id", "text")
+    val short = Dedup.decontaminate(shortTr, "doc_id", "text",
+        shortEv, "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short == Map(11L -> 1L))
+  }
 }
