@@ -29,6 +29,32 @@ object ConcurrentBench {
     "f1_eq", "a1_step_agg", "a5_percentile", "ast_chart_sum",
     "ast_formula_ratio", "e15_xml_extract", "o1_topk", "u3_set_ops")
 
+  /** Attributes executor task time + JVM GC time to the job GROUP that
+    * launched each task, so the concurrent pass can separate "the same
+    * work fair-shared across fewer effective cores" (task_ms flat, wall
+    * inflates — amortizes at scale) from "each task got slower under
+    * contention" (task_ms itself inflates — a real defect). */
+  private final class GroupMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import scala.collection.concurrent.TrieMap
+    private val stageToGroup = TrieMap[Int, String]()
+    val taskMs = TrieMap[String, Long]()
+    val gcMs = TrieMap[String, Long]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = Option(js.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null) js.stageIds.foreach(sid => stageToGroup(sid) = g)
+    }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      for (g <- stageToGroup.get(te.stageId);
+           m <- Option(te.taskMetrics)) {
+        taskMs.updateWith(g)(v => Some(v.getOrElse(0L) + m.executorRunTime))
+        gcMs.updateWith(g)(v => Some(v.getOrElse(0L) + m.jvmGCTime))
+      }
+  }
+
   private def hashOf(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     df.collect().map(_.toString).sorted
@@ -54,12 +80,17 @@ object ConcurrentBench {
       catch { case _: Throwable => }
     }
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))
+    val listener = new GroupMetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
-    // serial pass: warm-up + timed, canonical result hash per query
+    // serial pass: warm-up + timed, canonical result hash per query;
+    // each timed run under a "s:<name>" job group for task attribution
     val serial = qs.map { case (n, fn) =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+      spark.sparkContext.setJobGroup(s"s:$n", n, interruptOnCancel = false)
       val t0 = System.nanoTime()
       val h = hashOf(fn(spark, sfDir))
+      spark.sparkContext.clearJobGroup()
       n -> ((System.nanoTime() - t0) / 1e9, h)
     }.toMap
 
@@ -75,7 +106,7 @@ object ConcurrentBench {
         override def run(): Unit = {
           val sess = spark.newSession()
           sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
-          sess.sparkContext.setJobGroup(s"q$i", n, interruptOnCancel = true)
+          sess.sparkContext.setJobGroup(s"c:$n", n, interruptOnCancel = true)
           start.await()
           val t0 = System.nanoTime()
           // per-query capture (like Bench.runSuite): one failing query
@@ -97,6 +128,9 @@ object ConcurrentBench {
     val concurrentWall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
+    // settle async listener delivery before reading the attribution maps
+    org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+
     val rows = names.map { n =>
       val (st, sh) = serial(n)
       val (ct, ch) = results.get(n)
@@ -107,7 +141,16 @@ object ConcurrentBench {
     val serialTotal = rows.map(_._2).sum
     def f(d: Double) = math.rint(d * 1000) / 1000
     val qj = graft.JsonOut.obj(rows.map { case (n, st, ct, infl, _) =>
-      n -> s"""{"serial":${f(st)},"concurrent":${f(ct)},"inflation":${f(infl)}}"""
+      // task_inflation: executor task-time ratio concurrent/serial. ≈1
+      // with wall inflation >1 = fair-share queueing (fixed cores split
+      // N ways — amortizes on a real cluster); >>1 = per-task slowdown
+      // (GC/memory contention), the defect class worth chasing.
+      val sMs = listener.taskMs.getOrElse(s"s:$n", 0L)
+      val cMs = listener.taskMs.getOrElse(s"c:$n", 0L)
+      val tInfl = if (sMs > 0) f(cMs.toDouble / sMs) else 0.0
+      n -> (s"""{"serial":${f(st)},"concurrent":${f(ct)},"inflation":${f(infl)},""" +
+        s""""serial_task_ms":$sMs,"conc_task_ms":$cMs,"task_inflation":$tInfl,""" +
+        s""""conc_gc_ms":${listener.gcMs.getOrElse(s"c:$n", 0L)}}""")
     }, quoteValues = false)
     val line = s"""{"metric":"concurrent","threads":$threads,"stable":$stable,""" +
       s""""serial_total":${f(serialTotal)},"concurrent_wall":${f(concurrentWall)},""" +
