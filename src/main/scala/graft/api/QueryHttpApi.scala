@@ -444,8 +444,15 @@ final class QueryHttpApi(
     val segments = tenant.segments
     val p = params(ex)
     val (startMs, endMs) = timeRange(p)
-    val expr = AstJson.parseBaseExpr(
-      ex.getAttribute("body").asInstanceOf[String])
+    // same payload flexibility as the tags route: full-AST wrapper
+    // (first expression by id, the reference's shape) or bare BaseExpr
+    val q = ex.getAttribute("body").asInstanceOf[String]
+    val expr =
+      if (mapper.readTree(q).has("baseExpressions"))
+        AstJson.parseAstInput(q).baseExpressions.toList.sortBy(_._1)
+          .headOption.map(_._2).getOrElse(
+            throw new IllegalArgumentException("empty baseExpressions"))
+      else AstJson.parseBaseExpr(q)
     val groupBys = expr.chart.map(_.groupBys).getOrElse(Nil)
     val tel = tenant.tables(expr.dataset)
     if (segments.nonEmpty) {
