@@ -232,11 +232,19 @@ object Bench {
         }
         if (ss.isEmpty) None else Some((d, ratio, ss))
       }
+    // Entries whose CONTRACT is quadratic: exact all-pairs oracle
+    // baselines kept invocable at test scale behind loud size gates
+    // (knnGraphExact's maxExactRows). Their slope is ~2 by definition —
+    // reported in the slope map (and below, so the exemption is visible)
+    // but excluded from the regression flag, which exists to catch
+    // operators whose contract is SUBquadratic going quadratic (d14).
+    val quadraticByContract = Set("s8_knn_graph")
     // super-linear flags: exponent > 1.5 AND the big run is non-trivial
     // (a 0.2 s entry 3× a 0.05 s floor is overhead, not a scale risk)
     val superlinear = slope.map(_._3).getOrElse(Nil)
       .filter { case (n, s) =>
-        s > 1.5 && main.results.toMap.getOrElse(n, 0.0) >= 0.75 }
+        s > 1.5 && main.results.toMap.getOrElse(n, 0.0) >= 0.75 &&
+          !quadraticByContract.contains(n) }
       .map(_._1)
 
     // full escaping (JsonOut): a Spark error message containing an ANSI
@@ -261,7 +269,10 @@ object Bench {
         val sj = JsonOut.obj(ss.map { case (k, v) => k -> v.toString },
           quoteValues = false)
         val fl = superlinear.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-        s""","slope":$sj,"slope_sf":"$d","slope_ratio":$ratio,"superlinear":$fl"""
+        val qbc = quadraticByContract.filter(ss.toMap.contains).toSeq.sorted
+          .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+        s""","slope":$sj,"slope_sf":"$d","slope_ratio":$ratio,""" +
+          s""""superlinear":$fl,"quadratic_by_contract":$qbc"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs,"shuffle_mb":$shuf,"spill_mb":$spl,"exec_mem_mb":$mem$slopeFields,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's

@@ -66,21 +66,23 @@ object PipelineQueries {
   // pair determinism stays asserted in DedupSpec.
   def d3_simhash(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
-    // the planted-family scheme (i, i+1e5, i+2e5) and the mod-100000
-    // congruence filter both assume organic ids stay below the offset;
-    // a larger corpus must fail LOUDLY, not silently emit duplicate ids
-    // and admit organic pairs into the 75-row oracle
+    // planted-family offset: the smallest power of 10 strictly above
+    // every organic id (min 1e5, the historical value for the small
+    // SFs), so planted ids never collide with organic ones and the
+    // mod-offset congruence admits no organic pair AT ANY SCALE — a
+    // d-digit max id is always < 10^d, so 10^digits is strictly greater
+    // (the fixed 1e5 offset failed loudly at the sf1 soak's 904999 max).
+    // The oracle derives the identical offset in SQL.
     val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-    require(maxId < 100000L,
-      s"d3_simhash planted-family offsets assume doc_id < 100000; " +
-        s"corpus max is $maxId — raise the offsets for this scale")
+    val off = math.max(100000L,
+      BigInt(10).pow(maxId.toString.length).toLong)
     val base = d.where(col("doc_id") < 25)
-    val fam1 = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    val fam2 = base.select((col("doc_id") + 200000L).as("doc_id"),
+    val fam1 = base.select((col("doc_id") + off).as("doc_id"), col("text"))
+    val fam2 = base.select((col("doc_id") + 2 * off).as("doc_id"),
       concat(col("text"), lit(" "), col("text")).as("text"))
     Dedup.simhashNearDuplicates(d.union(fam1).union(fam2),
         "doc_id", "text", maxHamming = 3)
-      .where(pmod(col("id_a"), lit(100000L)) === pmod(col("id_b"), lit(100000L)))
+      .where(pmod(col("id_a"), lit(off)) === pmod(col("id_b"), lit(off)))
       .orderBy("id_a", "id_b")
   }
 
@@ -899,10 +901,16 @@ object PipelineQueries {
   // shuffles. The oracle replays the same whitespace tokens, truncated-
   // shingle rule, and distinct-overlap count.
   def d18_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // eval slice BOUNDED (id < 10000 ∧ ≡0 mod 11): a benchmark doesn't
+    // grow with the training corpus, and the operator's broadcast
+    // contract needs the eval shingle set benchmark-sized — the first
+    // sf1 soak measured the unbounded slice at 28 s (a ~3M-shingle
+    // broadcast); bounded it stays a few hundred docs at any SF
     val d = docs(s, dir)
+    val isEval = col("doc_id") % 11 === 0 && col("doc_id") < 10000
     Dedup.decontaminate(
-        d.where(col("doc_id") % 11 =!= 0), "doc_id", "text",
-        d.where(col("doc_id") % 11 === 0), "text", w = 8)
+        d.where(!isEval), "doc_id", "text",
+        d.where(isEval), "text", w = 8)
       .select(col("doc_id"), col("n_hits").cast("long").as("n_hits"))
       .orderBy("doc_id")
   }
@@ -2886,9 +2894,9 @@ object PipelineQueries {
         |    for i in range(1, greatest(len(t), 8) - 6)]) AS grams
         |  FROM tok),
         |ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh
-        |       WHERE doc_id % 11 = 0),
+        |       WHERE doc_id % 11 = 0 AND doc_id < 10000),
         |tr AS (SELECT doc_id, unnest(grams) AS g FROM sh
-        |       WHERE doc_id % 11 <> 0)
+        |       WHERE NOT (doc_id % 11 = 0 AND doc_id < 10000))
         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM tr JOIN ev USING (g)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
@@ -2998,16 +3006,23 @@ object PipelineQueries {
     // d3: planted families only — see d3_simhash for the hamming-0 proof.
     // 25 families x 3 pairs, all analytic; organic ids never satisfy the
     // mod-100000 congruence filter.
+    // the offset replays the Spark side's rule: smallest power of 10
+    // strictly above max(doc_id), floored at 1e5 (string length is the
+    // exact digit count — no log10 float edge at exact powers)
     "d3_simhash" ->
-      """SELECT id_a, id_b, hamming FROM (
-        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-        |    CAST(0 AS INTEGER) AS hamming FROM documents WHERE doc_id < 25
+      """WITH m AS (
+        |  SELECT greatest(100000, CAST(power(10,
+        |    length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT)) AS off
+        |  FROM documents)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT doc_id AS id_a, doc_id + off AS id_b,
+        |    CAST(0 AS INTEGER) AS hamming FROM documents, m WHERE doc_id < 25
         |  UNION ALL
-        |  SELECT doc_id, doc_id + 200000, CAST(0 AS INTEGER)
-        |  FROM documents WHERE doc_id < 25
+        |  SELECT doc_id, doc_id + 2 * off, CAST(0 AS INTEGER)
+        |  FROM documents, m WHERE doc_id < 25
         |  UNION ALL
-        |  SELECT doc_id + 100000, doc_id + 200000, CAST(0 AS INTEGER)
-        |  FROM documents WHERE doc_id < 25
+        |  SELECT doc_id + off, doc_id + 2 * off, CAST(0 AS INTEGER)
+        |  FROM documents, m WHERE doc_id < 25
         |) ORDER BY id_a, id_b""".stripMargin,
     // t2_fingerprint: hash-group structure replayed by grouping on the
     // raw text — equal iff content_hash is deterministic+injective on
