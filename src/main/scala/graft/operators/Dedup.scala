@@ -304,13 +304,56 @@ object Dedup {
   def decontaminate(train: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String, w: Int): DataFrame = {
     require(w >= 1, s"shingle width $w must be >= 1")
+    // both sides shingle through the SAME 64-bit window hash, so the
+    // probe stream carries longs, never reassembled w-token text (the
+    // first sf1 soak measured the concat_ws string path at 26 s for a
+    // 35M-shingle corpus — ~10× the bytes of the token stream itself);
+    // a hash collision admits a false hit with probability
+    // ~ n_train · n_eval / 2^64 — irrelevant beside the sampling noise
+    // of any real contamination threshold
+    // Window hash = XOR over in-window positions j of the j-th token
+    // hash rotated by 7j bits: pure bit ops (no ANSI overflow),
+    // position-sensitive via the per-slot rotation. Two expression-DAG
+    // hazards shaped this spelling (Catalyst expressions are TREES — a
+    // subexpression referenced twice is EVALUATED twice):
+    //  1. a foldLeft that rotates the accumulator references it twice
+    //     per level → 2^w evaluations of the base (measured: minutes
+    //     per partition at w=8);
+    //  2. the token-hash array must be a MATERIALIZED column before the
+    //     window transform — inlined, each of the w try_element_at
+    //     calls re-runs the whole O(len) token-hash transform, turning
+    //     the pass O(len²·w).
+    // try_element_at past the end (the truncated final-window rule,
+    // ANSI-safe) is null → zero, so a short doc's one truncated shingle
+    // hashes deterministically from its available tokens.
+    def shingleHashesOf(thCol: Column): Column =
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(thCol), lit(w)) - w),
+        i => (0 until w).map { j =>
+          val e = coalesce(try_element_at(thCol, i + j + 1), lit(0L))
+          if (j == 0) e
+          else shiftleft(e, 7 * j)
+            .bitwiseOR(shiftrightunsigned(e, 64 - 7 * j))
+        }.reduce(_.bitwiseXOR(_))))
+    def tokenHashes(textCol: Column): Column =
+      transform(tokens(textCol), t => xxhash64(t))
     val evalShingles = evalDocs
-      .select(explode(wordShingles(tokens(col(evalTextCol)), w)).as("_g"))
+      .select(tokenHashes(col(evalTextCol)).as("_th"))
+      .repartition(4) // projection barrier (see below) + a little spread
+      .select(explode(shingleHashesOf(col("_th"))).as("_h"))
       .distinct()
+    // the probe side carries all the shingling + join work — spread it
+    // even when the source arrives in one small file (knnGraphExact's
+    // posture): a single-partition probe serializes the whole pass. The
+    // repartition doubles as the projection barrier that keeps _th
+    // materialized (CollapseProject would otherwise be free to inline
+    // it back into the consuming transform).
+    val parts = train.sparkSession.sessionState.conf.numShufflePartitions
     train
-      .select(col(idCol),
-        explode(wordShingles(tokens(col(textCol)), w)).as("_g"))
-      .join(broadcast(evalShingles), "_g")
+      .select(col(idCol), tokenHashes(col(textCol)).as("_th"))
+      .repartition(parts, col(idCol))
+      .select(col(idCol), explode(shingleHashesOf(col("_th"))).as("_h"))
+      .join(broadcast(evalShingles), "_h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
