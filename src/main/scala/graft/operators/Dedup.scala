@@ -290,8 +290,11 @@ object Dedup {
     * LLM curation pipeline runs before training (Brown et al. 2020
     * appendix C's 13-gram overlap; Gopher/MassiveText's train-test
     * leakage filter): flag every training document sharing at least one
-    * w-token shingle with the evaluation corpus, returning
+    * w-TOKEN shingle with the evaluation corpus, returning
     * (id, n_hits = distinct shared shingles) for the contaminated docs.
+    * The word-level sibling of [[TextAnalysis.contamination]] (char
+    * n-grams): token shingles are the canonical GPT-3 form and ignore
+    * intra-word edits; char grams catch sub-token mutations.
     *
     * 100 TB shape: the EVAL side is benchmark-sized (thousands of docs),
     * so its distinct-shingle set builds in one small aggregation and

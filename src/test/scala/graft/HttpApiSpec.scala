@@ -375,6 +375,47 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("two concurrent SSE streams both progress to done with " +
+    "heartbeats — one stream cannot starve or wedge the other") {
+    // 48 single-interval replay groups each (= 48 sequential jobs per
+    // stream) + 50 ms heartbeats: the pooled dispatcher, per-request
+    // FAIR pools, and the shared heartbeat scheduler (writes dispatched
+    // off-thread) must service both sockets side by side
+    val span = ReplaySequencer.SegmentSpan("s", base, base + 48 * hour)
+    val api = new QueryHttpApi(_ => tel, segments = Seq(span),
+      minGroupSize = 1, heartbeatMillis = 50,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour))
+    val port = api.start(0)
+    try {
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Seq[JsonNode]]()
+      val threads = (0 until 2).map { i =>
+        new Thread(() => {
+          val (code, text) = http(port, "POST",
+            s"/api/v1/graph?s=$base&e=${base + 48 * hour}&timeseriesOnly=true",
+            chartAst)
+          assert(code == 200)
+          results.put(i, sseEvents(text))
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      val stepMs = graft.functions.TimeRange.autoStepMillis(
+        base, base + 48 * hour)
+      val nExpected = QueryEngine.evaluate(_ => tel,
+        graft.ast.AstJson.parseAstInput(chartAst),
+        base, base + 48 * hour, stepMs).count()
+      (0 until 2).foreach { i =>
+        val evs = results.get(i)
+        assert(evs != null, s"stream $i did not complete")
+        assert(evs.last.get("type").asText() == "done")
+        assert(evs.count(n => Option(n.get("type"))
+          .exists(_.asText() == "timeseries")).toLong == nExpected)
+        assert(evs.exists(n => Option(n.get("type"))
+          .exists(_.asText() == "heartbeat")), s"stream $i: no heartbeat")
+      }
+    } finally api.stop()
+  }
+
   test("POST /api/v1/cardinality streams the estimate; malformed AST " +
     "answers 400 before the stream starts") {
     withApi() { port =>
