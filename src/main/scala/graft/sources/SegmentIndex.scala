@@ -226,10 +226,16 @@ object SegmentIndex {
           // overall regex contains a match of X — X's required trigrams
           // prune soundly. Zero-width means it consumes nothing: never
           // exact, never joins a literal run. Negative lookahead/NOT
-          // and lookbehind stay conservative (skipBalanced → Free), the
-          // reference planner's posture (NLPUtils.scala:54-153).
+          // stay conservative (skipBalanced → Free), the reference
+          // planner's posture (NLPUtils.scala:54-153).
           case '=' =>
             val (f, k) = body(open + 3)
+            (Frag(f.req, None), k)
+          // positive lookbehind (?<=X): same argument ending at this
+          // position — X matched somewhere in the document, so its
+          // required trigrams prune; (?<! stays Free
+          case '<' if open + 3 < n && regex.charAt(open + 3) == '=' =>
+            val (f, k) = body(open + 4)
             (Frag(f.req, None), k)
           // named capture (?<name>…) — but NOT lookbehind (?<= / (?<!
           case '<' if open + 3 < n && regex.charAt(open + 3) != '=' &&

@@ -262,12 +262,17 @@ class SegmentIndexSpec extends AnyFunSuite {
     val both = Filter("service", List("(?=.*-svc)payment.*"), Ops.REGEX)
     val f2 = SegmentIndex.prune(manifest, Some(both), indexed, 0L, 10000L)
     assert(f2.length == 1 && f2.head.contains("seg2"), f2)
-    // negative lookahead and lookbehind carry no requirement (sound)
+    // positive lookbehind plans its inner trigrams too (the match ended
+    // at this position, so it IS in the document)
+    val behind = Filter("service", List("(?<=payment).*"), Ops.REGEX)
+    val f3 = SegmentIndex.prune(manifest, Some(behind), indexed, 0L, 10000L)
+    assert(f3.length == 1 && f3.head.contains("seg2"), f3)
+    // NEGATIVE lookaround carries no requirement (sound)
     val neg = Filter("service", List("(?!payment).*"), Ops.REGEX)
     assert(SegmentIndex.prune(manifest, Some(neg), indexed, 0L, 10000L)
       .length == 3)
-    val behind = Filter("service", List("(?<=payment).*"), Ops.REGEX)
-    assert(SegmentIndex.prune(manifest, Some(behind), indexed, 0L, 10000L)
+    val negB = Filter("service", List("(?<!payment).*"), Ops.REGEX)
+    assert(SegmentIndex.prune(manifest, Some(negB), indexed, 0L, 10000L)
       .length == 3)
   }
 

@@ -130,7 +130,10 @@ class TrigramPropertySpec extends AnyFunSuite {
       Pat(s"(?=${p.re}|${q.re})${p.re}${t.re}",
         Gen.const(p.re + t.re)),
     for { t <- litRun(4) } yield Pat(s"(?!zz)${t.re}", Gen.const(t.re)),
-    for { t <- litRun(4) } yield Pat(s"${t.re}(?<!zz)", Gen.const(t.re)))
+    for { t <- litRun(4) } yield Pat(s"${t.re}(?<!zz)", Gen.const(t.re)),
+    // positive lookbehind re-asserting the text just consumed
+    for { p <- litRun(4); t <- litRun(3) } yield
+      Pat(s"${p.re}(?<=${p.re})${t.re}", Gen.const(p.re + t.re)))
 
   private def atom(depth: Int): Gen[Pat] =
     if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom, escapeAtom)
@@ -253,9 +256,13 @@ class TrigramPropertySpec extends AnyFunSuite {
     // literal requirements
     assert(SegmentIndex.requiredTrigrams("(?x:f o o)bar") == Lit("bar"))
     assert(satisfies("foobar", SegmentIndex.requiredTrigrams("(?x:f o o)bar")))
-    // lookbehind and negative lookahead remain requirement-free zones
-    assert(SegmentIndex.requiredTrigrams("(?<=foo)bar") == Lit("bar"))
+    // NEGATIVE lookaround remains a requirement-free zone
     assert(SegmentIndex.requiredTrigrams("(?!foo)bar") == Lit("bar"))
+    assert(SegmentIndex.requiredTrigrams("(?<!foo)bar") == Lit("bar"))
+    // positive lookbehind: the inner match ended here, so it's in the
+    // document — its trigrams are required (short inner → no trigram)
+    assert(SegmentIndex.requiredTrigrams("(?<=foo)bar") ==
+      All(Seq(Lit("foo"), Lit("bar"))))
     assert(satisfies("xbar", SegmentIndex.requiredTrigrams("(?<=x)bar")))
     // POSITIVE lookahead: the inner pattern is a required match whose
     // trigrams prune; zero-width, so it never joins a literal run
