@@ -90,6 +90,17 @@ class AstSpec extends AnyFunSuite {
     assert(QuantityParser.parseQuantity("2h", DataTypes.DURATION).contains(7.2e12))
     assert(QuantityParser.parseQuantity("3kb", DataTypes.DATA_SIZE).contains(3000.0))
     assert(QuantityParser.parseQuantity("1mib", DataTypes.DATA_SIZE).contains(131072.0))
+    // the reference's own golden cases (QuantityParserTest.scala:27-51)
+    assert(QuantityParser.parseQuantity("30s", DataTypes.DURATION).contains(3.0e10))
+    assert(QuantityParser.parseQuantity("2m", DataTypes.DURATION).contains(1.2e11))
+    assert(QuantityParser.parseQuantity("1h", DataTypes.DURATION).contains(3.6e12))
+    assert(QuantityParser.parseQuantity("100b", DataTypes.DATA_SIZE).contains(100.0))
+    assert(QuantityParser.parseQuantity("2kb", DataTypes.DATA_SIZE).contains(2000.0))
+    assert(QuantityParser.parseQuantity("1mb", DataTypes.DATA_SIZE).contains(1e6))
+    assert(QuantityParser.parseQuantity("invalid", DataTypes.DURATION).isEmpty)
+    assert(QuantityParser.parseQuantity("", DataTypes.DURATION).isEmpty)
+    assert(QuantityParser.parseQuantity("nounit", DataTypes.DURATION).isEmpty)
+    assert(QuantityParser.parseQuantity("123", DataTypes.DATA_SIZE).isEmpty)
     assert(QuantityParser.normalize("42", DataTypes.NUMBER) == 42.0)
     // unparseable thresholds are NaN → the filter compiler matches
     // NOTHING (a 0.0 default silently turned `x > bogus` into `x > 0`)
