@@ -331,6 +331,24 @@ object Similarity {
       .select("id_a", "id_b", "score", "rank")
   }
 
+  /** Density-scaled hyperplane count for [[knnGraph]]/[[annTopK]]
+    * blocking: bits = max(`floor`, ⌈log2(n / targetOccupancy)⌉), so
+    * expected block occupancy — and with it the per-block quadratic
+    * candidate term — stays ~constant as the corpus grows (the fixed-
+    * bits entries pin their planted-recall oracles, so they keep their
+    * pinned parameters; a production index derives bits from the
+    * corpus count with THIS rule and buys back recall with `tables`,
+    * the standard multi-probe trade). One tiny count job. */
+  def autoBits(df: DataFrame, targetOccupancy: Int = 64,
+      floor: Int = 8): Int = {
+    require(targetOccupancy >= 1 && floor >= 1 && floor <= 30,
+      s"bad autoBits params ($targetOccupancy, $floor)")
+    val n = df.count()
+    val needed = math.ceil(
+      math.log(math.max(n.toDouble / targetOccupancy, 1.0)) / math.log(2)).toInt
+    math.max(floor, needed)
+  }
+
   // -------------------------------------------------- int8 quantization
 
   /** Quantize an embedding column: struct(q: binary, scale: double) —

@@ -217,6 +217,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(g((3L, 1)) == 2L)
   }
 
+  test("autoBits scales hyperplane count with corpus density and keeps " +
+    "expected block occupancy ~constant") {
+    import org.apache.spark.sql.functions.{col => c}
+    // log-growth: 10x the corpus adds ~log2(10) = 3-4 bits
+    val small = spark.range(1000).toDF("id")
+    val big = spark.range(10000).toDF("id")
+    val bSmall = Similarity.autoBits(small, targetOccupancy = 16)
+    val bBig = Similarity.autoBits(big, targetOccupancy = 16)
+    assert(bSmall == math.max(8, 6)) // ceil(log2(1000/16)) = 6 -> floor 8
+    assert(bBig == 10)               // ceil(log2(10000/16)) = 10
+    // occupancy bound holds on real vectors: with autoBits the MEAN
+    // bucket occupancy stays near target as n grows 8x
+    def occupancy(n: Int): Double = {
+      val vs = spark.range(n).selectExpr("id as vec_id",
+        "array(cast(sin(id) as float), cast(cos(id * 0.7) as float), " +
+        "cast(sin(id * 1.3) as float), cast(cos(id * 2.1) as float)) as embedding")
+      val bits = Similarity.autoBits(vs, targetOccupancy = 32, floor = 4)
+      vs.select(Similarity.hyperplaneBucket(c("embedding"), bits, 4).as("b"))
+        .groupBy("b").count()
+        .agg(org.apache.spark.sql.functions.avg("count")).head().getDouble(0)
+    }
+    val o1 = occupancy(2000)
+    val o8 = occupancy(16000)
+    // 8x the data, same order of occupancy (hash spread is not uniform
+    // on structured vectors, so allow a wide band — fixed bits would
+    // grow occupancy 8x)
+    assert(o8 < o1 * 4, s"occupancy grew superlinearly: $o1 -> $o8")
+    intercept[IllegalArgumentException](
+      Similarity.autoBits(small, targetOccupancy = 0))
+  }
+
   test("exact twins refuse oversized inputs loudly (scale guard)") {
     val eNd = intercept[IllegalArgumentException] {
       Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
