@@ -331,6 +331,39 @@ object Similarity {
       .select("id_a", "id_b", "score", "rank")
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR /
+    * contrastive fine-tuning data step): for every query vector, the
+    * top-k most-similar corpus items that are NOT its labeled positives
+    * — the near-boundary negatives that actually teach the ranker.
+    * `positives` carries (qIdCol, idCol) label pairs; the query itself
+    * is excluded implicitly when present among its positives.
+    *
+    * 100 TB shape: the query set is a training batch (1e3–1e6 rows) —
+    * it BROADCASTS, as does the positive-label list; the corpus streams
+    * once map-side (broadcast nested-loop score against every query),
+    * the labeled pairs drop in the same pass via a broadcast anti-join,
+    * and WindowGroupLimit caps candidates to k per query BEFORE the
+    * single (qid)-keyed shuffle — in-flight rows ∝ queries·k, never
+    * queries·corpus. Output: (qid, id, score, rank). */
+  def hardNegatives(queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      positives: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val q = broadcast(
+      queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv")))
+    val pos = broadcast(
+      positives.select(col(qIdCol).as("qid"), col(idCol).as("id")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(q)
+      .join(pos, Seq("qid", "id"), "left_anti")
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "score", "rank")
+  }
+
   /** Density-scaled hyperplane count for [[knnGraph]]/[[annTopK]]
     * blocking: bits = max(`floor`, ⌈log2(n / targetOccupancy)⌉), so
     * expected block occupancy — and with it the per-block quadratic

@@ -363,6 +363,25 @@ object PipelineQueries {
         col("rank").cast("long").as("rank"))
       .orderBy("id_a", "rank")
 
+  // s32: hard-negative mining (DPR-style training-data step) — each
+  // query (vec_ids 0..19, their own vectors) labels itself and its
+  // successor as positives; the miner returns the top-3 most-similar
+  // REMAINING corpus vectors per query. Queries + labels broadcast,
+  // corpus streams once, WindowGroupLimit caps to k before the one
+  // (qid) shuffle. The oracle brute-forces the same exclusion.
+  def s32_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pos = q.select(col("qid"), col("qid").as("vec_id"))
+      .union(q.select(col("qid"), (col("qid") + 1).as("vec_id")))
+    Similarity.hardNegatives(q, "qid", "qv", e, "vec_id", "embedding",
+        pos, k = 3)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   def s1_ann_bruteforce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         queryVec(s, dir), k = 20)
@@ -2199,6 +2218,7 @@ object PipelineQueries {
     "s18_kmeans" -> s18_kmeans _,
     "s19_mips" -> s19_mips _,
     "s8_knn_graph" -> s8_knn_graph _,
+    "s32_hard_negatives" -> s32_hard_negatives _,
     "s16_knn_graph_lsh" -> s16_knn_graph_lsh _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
@@ -3659,6 +3679,21 @@ object PipelineQueries {
         |  FROM p)
         |SELECT id_a, id_b, round(score, 6) AS score, rank
         |FROM r WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
+    // brute-force replay of the mined negatives with the same
+    // (self, successor) positive exclusion
+    "s32_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.qid, v.vec_id AS id,
+        |    list_cosine_similarity(v.e, q.qe) AS score
+        |  FROM q JOIN v ON v.vec_id != q.qid AND v.vec_id != q.qid + 1),
+        |r AS (
+        |  SELECT qid, id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, id) AS rank
+        |  FROM s)
+        |SELECT qid, id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // every gated node's rank-1 neighbor is its planted twin at a
     // cosine the oracle replays from the perturbation arithmetic
     "s16_knn_graph_lsh" ->

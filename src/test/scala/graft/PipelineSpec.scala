@@ -217,6 +217,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(g((3L, 1)) == 2L)
   }
 
+  test("hardNegatives excludes labeled positives and ranks the rest " +
+    "by cosine") {
+    // query = vec 0 (1,0,0,0); positives = itself and vec 1 -> the
+    // mined negatives are 4 (cos .707), 2 (cos 0), 3 (cos -1)
+    val q = vecs.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pos = Seq((0L, 0L), (0L, 1L)).toDF("qid", "vec_id")
+    val got = Similarity.hardNegatives(q, "qid", "qv",
+        vecs, "vec_id", "embedding", pos, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((4L, 1), (2L, 2), (3L, 3)))
+    // k smaller than the candidate pool truncates
+    assert(Similarity.hardNegatives(q, "qid", "qv", vecs, "vec_id",
+      "embedding", pos, k = 1).count() == 1)
+  }
+
   test("autoBits scales hyperplane count with corpus density and keeps " +
     "expected block occupancy ~constant") {
     import org.apache.spark.sql.functions.{col => c}
