@@ -164,7 +164,7 @@ final class QueryHttpApi(
     * events through `emit`, then the done sentinel; a pre-stream error
     * becomes a 400 like the reference (QueryApi.scala:283-288), a
     * missing/unknown credential a 401. */
-  private def sse(f: (HttpExchange, Tenant, String => Unit) => Unit)
+  private[api] def sse(f: (HttpExchange, Tenant, String => Unit) => Unit)
       : com.sun.net.httpserver.HttpHandler = { ex =>
     // headers go out on the FIRST event, so parse/plan errors (which
     // all happen before any emit) can still answer 400 like the
