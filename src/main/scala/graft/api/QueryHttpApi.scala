@@ -274,13 +274,21 @@ final class QueryHttpApi(
         // error signal, as in SSE generally; stop the remaining work
         cancel()
     } finally {
+      // Close FIRST, lock-free, and only then cancel the watchdog. If a
+      // heartbeat write is parked on a stalled socket it HOLDS the write
+      // lock; close() is precisely what breaks that parked write (the
+      // scheduler's deadline path already closes lock-free for the same
+      // reason). Taking the lock here — or cancelling the watchdog that
+      // would eventually force-close — before closing would deadlock
+      // this handler thread behind the parked writer whenever the
+      // handler unwinds via a mid-stream exception before the write
+      // deadline elapses.
+      try ex.close() catch { case _: Exception => () }
       if (hb != null) hb.cancel(false)
       sc.foreach { c =>
         c.clearJobGroup()
         c.setLocalProperty("spark.scheduler.pool", null)
       }
-      lock.lock()
-      try ex.close() finally lock.unlock()
     }
   }
 
@@ -393,9 +401,16 @@ final class QueryHttpApi(
     val dataset = ex.getRequestURI.getPath.stripPrefix("/api/v1/tags")
       .stripPrefix("/") match { case "" => "logs"; case d => d }
     val q = ex.getAttribute("body").asInstanceOf[String]
-    // the reference's tag route takes the same full-AST payload as
-    // /graph (QueryApi.scala:99-175) — accept both that wrapper (first
-    // expression by id) and a bare BaseExpr body
+    // The reference's tag route parses a BARE BaseExpr only —
+    // ASTUtils.toBaseExpr (ASTUtils.scala:290) reads top-level
+    // id/dataset/filter and would reject a `baseExpressions` wrapper.
+    // Accepting the wrapper here is a deliberate LENIENT EXTENSION (not
+    // parity): dashboards tend to re-POST the /graph payload verbatim,
+    // and rejecting it buys nothing. When a wrapper arrives we scope
+    // tags to its first expression by id — tag discovery needs ONE
+    // filter context, ids order deterministically, and silently merging
+    // several expressions' filters would answer a question nobody
+    // asked; the other expressions are intentionally ignored.
     val expr =
       if (q.trim.isEmpty)
         BaseExpr(id = "_", dataset = dataset,
@@ -444,8 +459,10 @@ final class QueryHttpApi(
     val segments = tenant.segments
     val p = params(ex)
     val (startMs, endMs) = timeRange(p)
-    // same payload flexibility as the tags route: full-AST wrapper
-    // (first expression by id, the reference's shape) or bare BaseExpr
+    // Same LENIENT EXTENSION as the tags route (see handleTags): the
+    // reference accepts only a bare BaseExpr here; we additionally
+    // accept the /graph-style `baseExpressions` wrapper and scope to
+    // its first expression by id, ignoring the rest.
     val q = ex.getAttribute("body").asInstanceOf[String]
     val expr =
       if (mapper.readTree(q).has("baseExpressions"))

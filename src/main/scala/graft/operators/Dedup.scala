@@ -929,6 +929,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
+    val scope = Lineage.scope(pairs.sparkSession)
     try {
       // Seed with the one-hop minimum (node set + first propagation round
       // fused into one groupBy) instead of the identity labeling — for
@@ -938,7 +939,8 @@ object Dedup {
       var labels = edges.groupBy(col("u"))
         .agg(min(col("v")).as("_mn"))
         .select(col("u").as("id"), least(col("_mn"), col("u")).as("label"))
-        .transform(Lineage.cut(_))
+        .transform(scope.cut(_))
+      var labelsCut = labels // the cut frame backing `labels`
       var iters = 0
       var converged = false
       while (!converged && iters < maxIters) {
@@ -960,8 +962,10 @@ object Dedup {
           .agg(min(col("label")).as("label"),
                max(when(col("own"), col("label"))).as("_old"))
           .withColumn("_changed", col("label") < col("_old"))
-          .transform(Lineage.cut(_))
+          .transform(scope.cut(_))
         converged = next.where(col("_changed")).isEmpty // scan of checkpoint
+        scope.free(labelsCut) // superseded round, next is materialized
+        labelsCut = next
         labels = next.select(col("id"), col("label"))
         iters += 1
       }
@@ -969,8 +973,9 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds " +
           "(pointer jumping needs ~log2(diameter) rounds) — raise maxIters")
+      scope.handOff(labelsCut)
       labels.select(col("id"), col("label").as("cluster"))
-    } finally edges.unpersist()
+    } finally { scope.close(); edges.unpersist() }
   }
 
   /** Connected components by alternating large-star/small-star rounds
@@ -1011,11 +1016,14 @@ object Dedup {
     // native id type throughout (string/UUID ids order lexicographically
     // — any total order serves the star algorithms); a long cast would
     // throw under ANSI or null every edge out silently
-    var edges = pairs
+    val scope = Lineage.scope(s)
+    var edges: DataFrame = null
+    try {
+    edges = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .transform(Lineage.cut(_))
+      .transform(scope.cut(_))
     var sig: (BigDecimal, Long) = edgeSig(edges)
     var iters = 0
     var converged = edges.isEmpty
@@ -1041,16 +1049,19 @@ object Dedup {
         .union(minsS.select(col("u").as("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
         .distinct()
-        .transform(Lineage.cut(_))
+        .transform(scope.cut(_))
       val nextSig = edgeSig(small)
       converged = nextSig == sig
       sig = nextSig
+      scope.free(edges) // superseded round, small is materialized
       edges = small
       iters += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds")
+    scope.handOff(edges) // the star forest backs the returned labeling
+    } finally scope.close() // frees every non-handed-off round
     // structural fixpoint check before labeling: a star forest has no
     // edge whose target is another edge's source (depth ≤ 1). Guards the
     // astronomically-unlikely multiset-hash collision between successive

@@ -60,19 +60,27 @@ object Graphs {
     val teleport = init * (1000L - dampingPermille) / 1000L
 
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
-    // edges ⋈ out-degree once, outside the loop: the per-round join then
-    // carries (src, dst, _deg) against the rank frame
-    val withDeg = edges.join(outDeg, Seq("src")).transform(Lineage.cut(_, eager = false))
+    val scope = Lineage.scope(nodes.sparkSession)
+    try {
+      // edges ⋈ out-degree once, outside the loop: the per-round join
+      // then carries (src, dst, _deg) against the rank frame. Pinned in
+      // the scope for the whole loop; freed by close().
+      val withDeg = edges.join(outDeg, Seq("src"))
+        .transform(scope.cut(_, eager = false))
 
-    var ranks = nodes.select(col("id"), lit(init).as("rank_units"))
-    var i = 0
-    while (i < iterations) {
-      ranks = round(nodes, withDeg, ranks, teleport, dampingPermille)
-        .transform(Lineage.cut(_, eager = false))
-      i += 1
-    }
-    ranks.select(col("id"), col("rank_units"),
-      (col("rank_units").cast("double") / Scale.toDouble).as("rank"))
+      var ranks = nodes.select(col("id"), lit(init).as("rank_units"))
+      var i = 0
+      while (i < iterations) {
+        val next = round(nodes, withDeg, ranks, teleport, dampingPermille)
+          .transform(scope.cut(_, eager = false))
+        scope.free(ranks) // superseded round's checkpoint files
+        ranks = next
+        i += 1
+      }
+      scope.handOff(ranks) // result-backing checkpoint outlives the scope
+        .select(col("id"), col("rank_units"),
+          (col("rank_units").cast("double") / Scale.toDouble).as("rank"))
+    } finally scope.close()
   }
 
   /** Exact per-node triangle counts via degree-ordered edge orientation
@@ -152,25 +160,36 @@ object Graphs {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 100,
       s"maxHops $maxHops out of range [1, 100]")
-    val e = edges.select(col("src"), col("dst")).transform(Lineage.cut(_, eager = false))
-    var visited = sources.select(col("id")).distinct()
-      .select(col("id"), lit(0L).as("dist"))
-    var frontier = visited
-    var i = 0
-    while (i < maxHops) {
-      val next = frontier.withColumnRenamed("id", "src")
-        .join(e, Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        // keep only NEWLY reached nodes: dist already found is ≤ current
-        .join(visited.select(col("id").as("_seen")),
-          col("id") === col("_seen"), "left_anti")
-        .transform(Lineage.cut(_, eager = false))
-      visited = visited.unionByName(next).transform(Lineage.cut(_, eager = false))
-      frontier = next
-      i += 1
-    }
-    visited
+    val scope = Lineage.scope(edges.sparkSession)
+    try {
+      // edge list pinned for the whole loop; freed by close()
+      val e = edges.select(col("src"), col("dst"))
+        .transform(scope.cut(_, eager = false))
+      var visited = sources.select(col("id")).distinct()
+        .select(col("id"), lit(0L).as("dist"))
+      var frontier = visited
+      var i = 0
+      while (i < maxHops) {
+        val next = frontier.withColumnRenamed("id", "src")
+          .join(e, Seq("src"))
+          .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          // keep only NEWLY reached nodes: dist already found is ≤ current
+          .join(visited.select(col("id").as("_seen")),
+            col("id") === col("_seen"), "left_anti")
+          .transform(scope.cut(_, eager = false))
+        val nextVisited = visited.unionByName(next)
+          .transform(scope.cut(_, eager = false))
+        // both supersessions are safe to free only after nextVisited is
+        // materialized — which scope.cut forces in reliable mode
+        scope.free(visited)
+        scope.free(frontier)
+        visited = nextVisited
+        frontier = next
+        i += 1
+      }
+      scope.handOff(visited)
+    } finally scope.close()
   }
 
   /** One PageRank round, un-checkpointed — also the plan-shape test

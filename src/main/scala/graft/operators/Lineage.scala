@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 
 /** Lineage truncation for iterative dataflow loops (PageRank, BFS,
   * connected components): without a per-round cut the logical plan grows
@@ -22,6 +24,19 @@ import org.apache.spark.sql.DataFrame
   *
   * The cut is a plan-shape property, not a semantics change: results are
   * identical either way (pinned by GraphsSpec's checkpoint-dir test).
+  *
+  * CLEANUP: reliable checkpoints write `rdd-N` directories that Spark
+  * never deletes by default (`spark.cleaner.referenceTracking
+  * .cleanCheckpoints` is false, and even when true the cleanup waits on
+  * driver GC — and the flag is read once at SparkContext construction,
+  * so a library cannot turn it on after the fact). An O(log n)-round
+  * loop over a 100 TB frame would otherwise leave O(log n) copies of
+  * the data in durable storage PER RUN. Iterative operators therefore
+  * run their loops inside a [[Lineage.Scope]], which deletes each
+  * round's checkpoint as soon as the round that supersedes it is
+  * materialized, and defers the final (result-backing) checkpoint to
+  * application end — bounding durable checkpoint storage at O(1) frames
+  * per live loop instead of O(rounds) per run, forever.
   */
 object Lineage {
 
@@ -45,5 +60,99 @@ object Lineage {
       case None =>
         df.localCheckpoint(eager = eager)
     }
+  }
+
+  /** Checkpoint bookkeeping for one iterative loop. [[Scope.cut]] like
+    * [[Lineage.cut]] but recording each reliable checkpoint's storage
+    * path; the loop calls [[Scope.free]] on a frame the moment the
+    * round superseding it is materialized (its files are deleted there
+    * and then), [[Scope.handOff]] on the frame it returns (deletion
+    * deferred to application end, when the result can no longer be
+    * recomputed anyway), and [[Scope.close]] deletes whatever is left
+    * (loop-pinned frames like an edge list). In localCheckpoint mode
+    * every call is a pass-through — executor blocks are reclaimed by
+    * the ContextCleaner when the RDD is GC'd, no files exist. */
+  final class Scope private[Lineage] (spark: SparkSession)
+      extends AutoCloseable {
+    private val reliable =
+      spark.conf.getOption(CheckpointDirKey).exists(_.nonEmpty)
+    // keyed by reference identity: free/handOff receive the exact frame
+    // cut() returned, and two cuts are never the same object
+    private val files =
+      new java.util.IdentityHashMap[DataFrame, String]()
+
+    /** Cut `df`'s lineage. In reliable mode the checkpoint is forced
+      * eager even when the caller defers: safe deletion of the frame
+      * this one supersedes requires THIS frame's files to exist first
+      * (and a deferred reliable checkpoint would re-run the whole round
+      * computation at materialization time anyway). */
+    def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
+      val out = Lineage.cut(df, eager = eager || reliable)
+      if (reliable)
+        GraftColumnBridge.checkpointFile(out)
+          .foreach(p => files.put(out, p))
+      out
+    }
+
+    /** Delete `df`'s checkpoint files now — callable only once the
+      * round superseding `df` is materialized. No-op for frames this
+      * scope did not cut (seeds, locally-checkpointed frames). */
+    def free(df: DataFrame): Unit = {
+      val p = files.remove(df)
+      if (p != null) delete(spark, p)
+    }
+
+    /** Mark `df` as the loop's RESULT: its checkpoint outlives the
+      * scope and is deleted at application end instead. Returns `df`. */
+    def handOff(df: DataFrame): DataFrame = {
+      val p = files.remove(df)
+      if (p != null) deleteOnAppEnd(spark, p)
+      df
+    }
+
+    /** Delete every checkpoint still owned by the scope (loop-pinned
+      * frames; all rounds when the loop threw). */
+    override def close(): Unit = {
+      files.values.forEach(p => delete(spark, p))
+      files.clear()
+    }
+  }
+
+  /** Open a checkpoint-cleanup scope for one iterative loop. */
+  def scope(spark: SparkSession): Scope = new Scope(spark)
+
+  private def delete(spark: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case _: Exception => () } // cleanup is best-effort
+
+  // result-backing checkpoints, deleted when their application ends
+  private val appEnd =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkContext, java.util.Set[String]]()
+
+  private def deleteOnAppEnd(spark: SparkSession, path: String): Unit = {
+    val sc = spark.sparkContext
+    appEnd.computeIfAbsent(sc, c => {
+      val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      c.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            e: SparkListenerApplicationEnd): Unit = {
+          s.forEach(p => delete(spark, p))
+          s.clear()
+          appEnd.remove(c)
+        }
+      })
+      s
+    }).add(path)
+  }
+
+  /** How many result-backing checkpoints are pending application-end
+    * deletion (test/inspection seam). */
+  private[graft] def pendingAppEnd(spark: SparkSession): Int = {
+    val s = appEnd.get(spark.sparkContext)
+    if (s == null) 0 else s.size()
   }
 }

@@ -27,6 +27,17 @@ object GraftColumnBridge {
     df.asInstanceOf[classic.Dataset[Row]].queryExecution
       .explainString(execution.ExplainMode.fromString(mode))
 
+  /** Checkpoint directory of a reliably-checkpointed DataFrame — the
+    * `LogicalRDD` that `Dataset.checkpoint` returns wraps the
+    * checkpointed RDD, whose `getCheckpointFile` is the on-storage
+    * `rdd-N` path. None for non-checkpoint frames and local
+    * checkpoints (block-backed, no files to clean). */
+  def checkpointFile(df: DataFrame): Option[String] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case r: execution.LogicalRDD => r.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** Register a function into an ALREADY-RUNNING session's registry
     * (SparkSessionExtensions only apply to sessions built after
     * withExtensions; this covers the getOrCreate-reuse case). */

@@ -178,12 +178,37 @@ class GraphsRetrievalSplitsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(bfsDurable.sameElements(bfsLocal))
       assert(prDurable.sameElements(prLocal))
-      def walk(f: java.io.File): Seq[java.io.File] = {
-        val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-        cs ++ cs.filter(_.isDirectory).flatMap(walk)
+      def rddDirs(): Seq[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] = {
+          val cs = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          cs ++ cs.filter(_.isDirectory).flatMap(walk)
+        }
+        walk(new java.io.File(dir)).filter(_.isDirectory)
+          .map(_.getName).filter(_.startsWith("rdd-"))
       }
-      assert(walk(new java.io.File(dir)).exists(_.getName.startsWith("rdd-")),
-        s"no reliable checkpoint files under $dir")
+      assert(rddDirs().nonEmpty, s"no reliable checkpoint files under $dir")
+      // CLEANUP (ADVICE r9): superseded rounds are deleted as the loop
+      // progresses; only the RESULT-backing checkpoints survive the
+      // scope (deleted at application end). bfs(9 hops) cuts 19 frames
+      // and pageRank(3 iters) 4 — without cleanup 23 rdd-* dirs would
+      // remain; with it exactly one per loop.
+      assert(rddDirs().size == 2,
+        s"expected 2 surviving checkpoints (one per loop result), " +
+        s"got ${rddDirs().size}: ${rddDirs().sorted}")
+      assert(graft.operators.Lineage.pendingAppEnd(spark) >= 2,
+        "result checkpoints not registered for application-end deletion")
+      // connected components under the durable dir: same contract
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+      val cc = graft.operators.Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(cc.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
+      assert(rddDirs().size == 3, // one more surviving result checkpoint
+        s"CC left intermediate checkpoints: ${rddDirs().sorted}")
+      val ccStar = graft.operators.Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(ccStar.toSeq == cc.toSeq)
+      assert(rddDirs().size == 4,
+        s"star CC left intermediate checkpoints: ${rddDirs().sorted}")
     } finally {
       spark.conf.unset(graft.operators.Lineage.CheckpointDirKey)
     }

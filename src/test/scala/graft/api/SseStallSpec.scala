@@ -96,6 +96,41 @@ class SseStallSpec extends AnyFunSuite {
     api.stop()
   }
 
+  test("teardown with a heartbeat parked on the stalled socket does not " +
+    "deadlock: the handler's own failure closes the exchange lock-free") {
+    // ADVICE r9 (QueryHttpApi:277): a heartbeat write parked on a full
+    // socket buffer HOLDS the write lock. If the handler then unwinds
+    // via an unrelated mid-stream exception BEFORE the write-stall
+    // deadline elapses, a teardown that (a) cancels the watchdog that
+    // would have force-closed and then (b) waits on the lock to close
+    // deadlocks forever behind the parked writer. The fix closes the
+    // exchange FIRST, lock-free — close() is what breaks the parked
+    // write. writeStallMillis is set far beyond the assertion window so
+    // only the teardown path (not the watchdog) can pass this test.
+    val api = new QueryHttpApi(
+      _ => null.asInstanceOf[Telemetry],
+      heartbeatMillis = 25, writeStallMillis = 600000)
+    val ex = new StallingExchange(allow = 1) // emit ok; heartbeat parks
+    val handlerDone = new CountDownLatch(1)
+    val handler = api.sse { (_, _, emit) =>
+      emit("""{"n":1}""") // commit headers; stream is live
+      // wait for a heartbeat to fire and park on the stalled socket
+      assert(ex.writeBlocked.await(10, TimeUnit.SECONDS),
+        "heartbeat write never parked")
+      throw new RuntimeException("mid-stream engine failure")
+    }
+    val t = new Thread(() => {
+      try handler.handle(ex) finally handlerDone.countDown()
+    })
+    t.start()
+    assert(handlerDone.await(5, TimeUnit.SECONDS),
+      "handler wedged in teardown behind the parked heartbeat write")
+    assert(ex.closed.await(1, TimeUnit.SECONDS),
+      "exchange never closed")
+    t.join(5000)
+    api.stop()
+  }
+
   test("a healthy stream under the same shell completes with done and " +
     "is untouched by the deadline") {
     val api = new QueryHttpApi(
