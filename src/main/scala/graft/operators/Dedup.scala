@@ -1127,14 +1127,27 @@ object Dedup {
     * model) should be re-blocked with [[embeddingNearDuplicates]]'s
     * hyperplane bits inside the cluster. Recall is bounded by the
     * clustering: a near-dup pair split across cluster boundaries is not
-    * compared — the paper's accepted trade for O(N²/k). */
+    * compared — the paper's accepted trade for O(N²/k). `probes` > 1
+    * buys that recall back: each vector lists its `probes` nearest
+    * clusters (index-side multi-probe), so a boundary-straddling pair
+    * still meets in a shared cluster; work scales by ~probes², drops
+    * stay exact-cosine-verified (precision unchanged). The reported
+    * `cluster` is always the nearest one. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+      cents: Array[Array[Double]], threshold: Double,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes $probes must be >= 1")
     val withC = df.select(col(idCol).as("id"),
         Similarity.toDoubleVec(col(vecCol)).as("v"))
       .withColumn("cluster", Similarity.ivfAssign(col("v"), cents))
-    val a = withC.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withC.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    val probed =
+      if (probes == 1) withC
+      else df.select(col(idCol).as("id"),
+          Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .withColumn("cluster",
+          explode(Similarity.ivfAssignTop(col("v"), cents, probes)))
+    val a = probed.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = probed.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     val drops = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b") &&
         Similarity.cosine(col("v_a"), col("v_b")) >= threshold)

@@ -210,6 +210,39 @@ object Similarity {
     greatest(scored.toIndexedSeq: _*).getField("cluster")
   }
 
+  /** The `probes` nearest centroids per vector (descending score) — the
+    * index-side multi-probe companion of [[ivfAssign]]: a vector sitting
+    * near a cluster boundary lists BOTH clusters, so boundary-straddling
+    * near-duplicate pairs still meet in at least one shared cluster
+    * (recall buy-back for [[graft.operators.Dedup.semanticDedup]], the
+    * same trade [[ivfTopK]]'s nProbe makes query-side). probes=1 ranks
+    * identically to [[ivfAssign]] (max by (score, cluster)). */
+  def ivfAssignTop(vecCol: Column, cents: Array[Array[Double]],
+      probes: Int): Column = {
+    require(cents.nonEmpty, "no centroids")
+    require(probes >= 1 && probes <= cents.length,
+      s"probes $probes out of range [1, ${cents.length}]")
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        dot(vecCol, litVec(c.toIndexedSeq)).as("score"),
+        lit(i).as("cluster"))
+    }.toIndexedSeq: _*)
+    transform(slice(sort_array(scored, asc = false), 1, probes),
+      s => s.getField("cluster"))
+  }
+
+  /** Density-scaled centroid count for [[ivfCentroids]]/semanticDedup:
+    * k = max(floor, ⌈n / targetOccupancy⌉), so expected cluster size —
+    * and the per-cluster quadratic pair term — stays ~constant as the
+    * corpus grows. The k-means analogue of [[autoBits]]. */
+  def autoClusters(df: DataFrame, targetOccupancy: Int = 128,
+      floor: Int = 16): Int = {
+    require(targetOccupancy >= 1 && floor >= 1,
+      s"bad autoClusters params ($targetOccupancy, $floor)")
+    val n = df.count()
+    math.max(floor, math.ceil(n.toDouble / targetOccupancy).toInt)
+  }
+
   /** IVF ANN top-k: restrict the exact scan to the nProbe clusters whose
     * centroids are nearest the query. Coverage/recall is tunable with
     * (k centroids, nProbe); scan cost drops to ~nProbe/k of the corpus. */

@@ -155,13 +155,21 @@ object PipelineQueries {
     * aliasing "vec_id" would lateral-resolve the seed to the new id
     * instead of the input column. Any change here must be mirrored in
     * the d5_embedding_lsh / s16_knn_graph_lsh oracle SQL. */
-  private def withPlantedTwins(s: SparkSession, dir: String): DataFrame = {
+  private def withPlantedTwins(s: SparkSession, dir: String): DataFrame =
+    withPlantedTwinsAt(s, dir, 100000L)
+
+  /** Same planting at a caller-chosen id offset. The autoBits twins
+    * (s33/d19/s34) run in the sf1 soak, whose ten copies occupy vec_ids
+    * up to ~1e6 (`vec_id + copy·1e5` in tools/gen_sf1.py) — the default
+    * 1e5 offset collides with copy 1 there, so they plant at 1e7. */
+  private def withPlantedTwinsAt(s: SparkSession, dir: String,
+      offset: Long): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     val planted = e.where(col("vec_id") < 25)
       .select(col("vec_id").as("src_id"),
         perturbedVec(col("embedding"), col("vec_id")).as("embedding"))
-      .select((col("src_id") + 100000L).as("vec_id"), col("embedding"))
+      .select((col("src_id") + offset).as("vec_id"), col("embedding"))
     e.unionByName(planted)
   }
 
@@ -353,6 +361,108 @@ object PipelineQueries {
       .where((col("id_a") < 25 || col("id_a") >= 100000L) && col("rank") === 1)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy("id_a")
+  }
+
+  // --------------------------- density-scaled (autoBits) soak twins
+  //
+  // s33/d19/s34 are s16/d5_lsh/s12's twins through the DENSITY-SCALED
+  // parameter seams (Similarity.autoBits / autoClusters): the pinned
+  // entries keep their oracle parameters forever, so at the sf1 soak
+  // (10x corpus) their block/cluster occupancy — and the per-block
+  // quadratic candidate term — grows 10x (the r9 1.17–1.35 slope
+  // band). The twins derive bits/k from the corpus count, holding
+  // expected occupancy constant, and buy the per-pair recall back with
+  // OR-amplified tables / index-side multi-probe. At sf0.01/sf0.1 the
+  // derived parameters land on the floors (8 bits / 16 clusters —
+  // plans identical to the pinned twins), so the DuckDB oracles pin
+  // correctness; at the soak the parameters grow and the slope should
+  // flatten toward ~1. Planted recall is REQUIRED in-entry, so a
+  // recall regression fails loudly even where no oracle runs.
+
+  /** One extra OR-amplified table per bit above the 8-bit floor: each
+    * bit multiplies a fixed-angle pair's per-table collision odds by
+    * p≈0.975 (cos 0.997), and one added table restores the OR-union
+    * 1−(1−p^bits)^t above its floor value. */
+  private def tablesFor(bits: Int): Int = 4 + math.max(0, bits - 8)
+
+  /** Planted-recall gates run ONCE per (entry, dataset) per process:
+    * the gate re-executes the operator to count recovered plants, and
+    * running it inside every bench iteration would either double the
+    * measured work or (persisted) turn the timed iterations into cache
+    * reads. One check per process is the correctness contract; the
+    * timed plan stays the pure operator. A failed gate re-arms so a
+    * retry re-checks. */
+  private val recallGates =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def gateOnce(key: String)(check: => Unit): Unit =
+    if (recallGates.add(key)) {
+      try check
+      catch { case t: Throwable => recallGates.remove(key); throw t }
+    }
+
+  def s33_knn_graph_auto(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedTwinsAt(s, dir, 10000000L)
+    val bits = Similarity.autoBits(corpus, targetOccupancy = 64)
+    val g = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 1,
+        bits = bits, tables = tablesFor(bits))
+      .where((col("id_a") < 25 || col("id_a") >= 10000000L) &&
+        col("rank") === 1)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+    gateOnce(dir + "#s33") {
+      val recovered = g.where(
+        (col("id_a") < 25 && col("id_b") === col("id_a") + 10000000L) ||
+        (col("id_a") >= 10000000L &&
+          col("id_b") === col("id_a") - 10000000L))
+        .count()
+      require(recovered == 50, s"autoBits kNN graph planted recall " +
+        s"$recovered/50 (bits=$bits tables=${tablesFor(bits)})")
+    }
+    g.orderBy("id_a")
+  }
+
+  def d19_embedding_neardup_auto(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedTwinsAt(s, dir, 10000000L)
+    val bits = Similarity.autoBits(corpus, targetOccupancy = 64)
+    val pairs = Dedup.embeddingNearDuplicates(corpus, "vec_id",
+        "embedding", threshold = 0.9, lshBits = bits,
+        lshTables = tablesFor(bits))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    gateOnce(dir + "#d19") {
+      val planted = pairs.where(col("id_a") < 25 &&
+        col("id_b") === col("id_a") + 10000000L).count()
+      require(planted == 25, s"autoBits near-dup planted recall " +
+        s"$planted/25 (bits=$bits tables=${tablesFor(bits)})")
+    }
+    pairs.orderBy("id_a", "id_b")
+  }
+
+  // s34: SemDeDup through autoClusters (k tracks corpus density) +
+  // index-side multi-probe (probes=2 — a boundary-straddling twin pair
+  // still meets in a shared cluster). At threshold 0.9 no ORGANIC pair
+  // qualifies at any sf (organic cosines top out ~0.52), so the exact
+  // survivor set is closed-form: the corpus minus the planted copies —
+  // the oracle is the embeddings id list itself, and any recall miss
+  // (a surviving planted copy) or precision bug (a dropped organic id)
+  // breaks the hash.
+  private val autoCents = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  def s34_semantic_dedup_auto(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedTwinsAt(s, dir, 10000000L)
+    val k = Similarity.autoClusters(corpus, targetOccupancy = 128)
+    val cents = autoCents.computeIfAbsent(dir, { _ =>
+      Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = k)
+    })
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding", cents,
+        threshold = 0.9, probes = 2)
+      .select(col("id").as("vec_id"))
+    gateOnce(dir + "#s34") {
+      val survivingPlanted = out.where(col("vec_id") >= 10000000L).count()
+      require(survivingPlanted == 0, s"autoClusters semantic dedup " +
+        s"missed $survivingPlanted/25 planted copies (k=$k, probes=2)")
+    }
+    out.orderBy("vec_id")
   }
 
   // exact kNN graph (top-5 neighbors per vector) via broadcast
@@ -2220,6 +2330,9 @@ object PipelineQueries {
     "s8_knn_graph" -> s8_knn_graph _,
     "s32_hard_negatives" -> s32_hard_negatives _,
     "s16_knn_graph_lsh" -> s16_knn_graph_lsh _,
+    "s33_knn_graph_auto" -> s33_knn_graph_auto _,
+    "d19_embedding_neardup_auto" -> d19_embedding_neardup_auto _,
+    "s34_semantic_dedup_auto" -> s34_semantic_dedup_auto _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
@@ -3710,6 +3823,45 @@ object PipelineQueries {
         |  SELECT pid AS id_a, vec_id AS id_b,
         |    round(list_cosine_similarity(e, pe), 6) AS score FROM planted)
         |SELECT id_a, id_b, score FROM twin_edges ORDER BY id_a""".stripMargin,
+    // s33: s16's known answer at the collision-free 1e7 offset — at
+    // sf0.01 autoBits lands on the same 8-bit floor, so the auto twin
+    // must recover the identical 50 twin edges
+    "s33_knn_graph_auto" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id, vec_id + 10000000 AS pid, e,
+        |    list_transform(range(1, len(e) + 1),
+        |      j -> e[j] + 0.005 * ((vec_id * 31 + j) % 7 - 3)) AS pe
+        |  FROM base WHERE vec_id < 25),
+        |twin_edges AS (
+        |  SELECT vec_id AS id_a, pid AS id_b,
+        |    round(list_cosine_similarity(e, pe), 6) AS score FROM planted
+        |  UNION ALL
+        |  SELECT pid AS id_a, vec_id AS id_b,
+        |    round(list_cosine_similarity(e, pe), 6) AS score FROM planted)
+        |SELECT id_a, id_b, score FROM twin_edges ORDER BY id_a""".stripMargin,
+    // d19: d5_embedding_lsh's pair set at the 1e7 offset (organic pairs
+    // never reach 0.9, so the >=0.9 pair list is exactly the 25 twins)
+    "d19_embedding_neardup_auto" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 10000000 AS pid,
+        |    list_transform(range(1, len(e) + 1),
+        |      j -> e[j] + 0.005 * ((vec_id * 31 + j) % 7 - 3)) AS pe
+        |  FROM base WHERE vec_id < 25),
+        |v AS (SELECT vec_id, e FROM base
+        |      UNION ALL SELECT pid AS vec_id, pe AS e FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // s34: at threshold 0.9 the exact survivor set is closed-form — the
+    // organic corpus (every planted copy has its lower-id twin at
+    // cosine ~0.997; no organic pair reaches 0.9). A recall miss adds a
+    // >=1e7 row; a precision bug removes an organic one.
+    "s34_semantic_dedup_auto" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

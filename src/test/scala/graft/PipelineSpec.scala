@@ -347,6 +347,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(exactSurv.subsetOf(surv))
   }
 
+  test("semanticDedup probes=2 recovers a cluster-boundary near-dup pair " +
+    "that probes=1 misses (index-side multi-probe recall buy-back)") {
+    // two fixed centroids; a near-identical pair straddling the boundary:
+    // a's nearest centroid is c0, b's is c1, cosine(a,b) ~ 0.99995
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(1.00f, 0.99f)), (2L, Array(0.99f, 1.00f)),
+      (50L, Array(1f, 0f)), (60L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val single = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+      threshold = 0.95).select("id").as[Long].collect().toSet
+    assert(single === Set(1L, 2L, 50L, 60L),
+      "probes=1 must MISS the straddling pair (the documented trade)")
+    val multi = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+      threshold = 0.95, probes = 2).select("id").as[Long].collect().toSet
+    assert(multi === Set(1L, 50L, 60L),
+      "probes=2 must drop the higher id of the straddling pair")
+    // reported cluster stays the NEAREST one under multi-probe
+    val clusters = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+      threshold = 0.95, probes = 2)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(clusters(50L) === 0 && clusters(60L) === 1 && clusters(1L) === 0)
+  }
+
+  test("ivfAssignTop ranks clusters like ivfAssign and autoClusters " +
+    "tracks corpus density") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq((1L, Array(0.9f, 0.5f)), (2L, Array(-0.9f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.ivfAssignTop(
+          Similarity.toDoubleVec(col("embedding")), cents, 2).as("top"),
+        Similarity.ivfAssign(
+          Similarity.toDoubleVec(col("embedding")), cents).as("nearest"))
+      .as[(Long, Seq[Int], Int)].collect()
+      .map { case (k, t, n) => k -> ((t, n)) }.toMap
+    assert(got(1L)._1 === Seq(0, 1) && got(1L)._2 === 0)
+    assert(got(2L)._1 === Seq(2, 1) && got(2L)._2 === 2)
+    val small = Seq.tabulate(64)(i => (i.toLong, Array(1f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.autoClusters(small, targetOccupancy = 128) === 16,
+      "floor binds below the density point")
+    assert(Similarity.autoClusters(small, targetOccupancy = 2,
+      floor = 4) === 32, "k = ceil(n / occupancy) above the floor")
+  }
+
   test("detectFormat reads real magic bytes; byteEntropy is bounded and exact on known input") {
     import graft.operators.Multimodal
     val media = Multimodal.syntheticMediaTable(corpus, "doc_id", "text")
