@@ -380,8 +380,20 @@ object Similarity {
     * queries·corpus. Output: (qid, id, score, rank). */
   def hardNegatives(queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      positives: DataFrame, k: Int): DataFrame = {
+      positives: DataFrame, k: Int,
+      maxQueryRows: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
+    // LOUD broadcast-contract gate (the knnGraphExact posture): the
+    // exact path is queries × corpus work behind a full-query-set
+    // broadcast — the right shape for a training batch, a multi-GB
+    // broadcast and an accidental cartesian for a corpus-scale query
+    // set. One tiny count; the scale path is [[hardNegativesBlocked]].
+    val nq = queries.count()
+    require(nq <= maxQueryRows,
+      s"hardNegatives broadcasts the query set and scores queries x " +
+        s"corpus exactly; capped at $maxQueryRows query rows, got $nq. " +
+        "Use hardNegativesBlocked (LSH candidate generation) for " +
+        "corpus-scale query sets, or raise maxQueryRows deliberately.")
     val q = broadcast(
       queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv")))
     val pos = broadcast(
@@ -390,6 +402,50 @@ object Similarity {
       .crossJoin(q)
       .join(pos, Seq("qid", "id"), "left_anti")
       .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "score", "rank")
+  }
+
+  /** [[hardNegatives]] for corpus-scale query sets: candidate
+    * generation through the same OR-amplified hyperplane blocking as
+    * [[knnGraph]], so NOTHING broadcasts — queries and corpus hash into
+    * the same per-table buckets and candidates are the bucket-join
+    * collisions (shuffle ∝ colliding pairs, quadratic only within a
+    * block). Each candidate is exact-cosine-scored, labeled positives
+    * drop via anti-join, and WindowGroupLimit caps to k per query
+    * before the final shuffle — precision is exact; recall is the LSH
+    * trade, 1−(1−p^bits)^tables per (query, neighbor) pair, bought
+    * back with `tables` (and `bits` from [[autoBits]] at scale). The
+    * mining regime is exactly where that trade is strong: hard
+    * negatives are by definition the HIGH-similarity corpus items,
+    * whose collision probability is the highest. */
+  def hardNegativesBlocked(queries: DataFrame, qIdCol: String,
+      qVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,
+      positives: DataFrame, k: Int, bits: Int = 12, dim: Int = 64,
+      tables: Int = 4): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(bits >= 1 && tables >= 1, s"bad LSH params ($bits, $tables)")
+    def blocked(df: DataFrame, id: String, vec: String,
+        idAs: String, vecAs: String): DataFrame =
+      df.select(col(id).as(idAs), col(vec).as(vecAs),
+          posexplode(array((0 until tables).map(t =>
+            hyperplaneBucket(col(vec), bits, dim, t)): _*))
+            .as(Seq("t", "block")))
+        .select(col("t"), col("block"), col(idAs), col(vecAs))
+    val q = blocked(queries, qIdCol, qVecCol, "qid", "qv")
+    val c = blocked(corpus, idCol, vecCol, "id", "v")
+    // a pair colliding in several tables scores identically each time —
+    // the max-aggregate dedups it with the same (qid,id)-keyed shuffle
+    // a distinct would need
+    val scored = c.join(q, Seq("t", "block"))
+      .select(col("qid"), col("id"),
+        cosine(col("v"), col("qv")).as("score"))
+      .groupBy("qid", "id").agg(max(col("score")).as("score"))
+      .join(positives.select(col(qIdCol).as("qid"), col(idCol).as("id")),
+        Seq("qid", "id"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("score"), col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -492,6 +492,28 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  // s35: s32's corpus-scale twin — hard-negative mining with LSH
+  // candidate generation instead of a broadcast query set (nothing
+  // broadcasts; candidates are bucket-join collisions). The planted
+  // structure makes the answer exact-closed-form: queries are the 25
+  // planted twins (ids >= 1e7), each labels ITSELF positive (it sits in
+  // the corpus at cosine 1.0), so its top-1 hard negative is its source
+  // vector at cosine ~0.997 — far above the organic ceiling (~0.52) and
+  // the regime where LSH collision odds are strongest. The 8-bit /
+  // 4-table blocking must recover every (twin -> src) pair or the
+  // oracle hash fails: recall@1 is pinned at 100%.
+  def s35_hard_negatives_blocked(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedTwinsAt(s, dir, 10000000L)
+    val q = corpus.where(col("vec_id") >= 10000000L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pos = q.select(col("qid"), col("qid").as("vec_id"))
+    Similarity.hardNegativesBlocked(q, "qid", "qv", corpus, "vec_id",
+        "embedding", pos, k = 1, bits = 8, tables = 4)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid")
+  }
+
   def s1_ann_bruteforce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         queryVec(s, dir), k = 20)
@@ -2331,6 +2353,7 @@ object PipelineQueries {
     "s32_hard_negatives" -> s32_hard_negatives _,
     "s16_knn_graph_lsh" -> s16_knn_graph_lsh _,
     "s33_knn_graph_auto" -> s33_knn_graph_auto _,
+    "s35_hard_negatives_blocked" -> s35_hard_negatives_blocked _,
     "d19_embedding_neardup_auto" -> d19_embedding_neardup_auto _,
     "s34_semantic_dedup_auto" -> s34_semantic_dedup_auto _,
     "s9_sql_cosine" -> s9_sql_cosine _,
@@ -3840,6 +3863,19 @@ object PipelineQueries {
         |  SELECT pid AS id_a, vec_id AS id_b,
         |    round(list_cosine_similarity(e, pe), 6) AS score FROM planted)
         |SELECT id_a, id_b, score FROM twin_edges ORDER BY id_a""".stripMargin,
+    // s35: each planted twin's top-1 non-positive neighbor is its source
+    // (cosine ~0.997 vs organic <=0.52) — exact closed form
+    "s35_hard_negatives_blocked" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id, vec_id + 10000000 AS pid, e,
+        |    list_transform(range(1, len(e) + 1),
+        |      j -> e[j] + 0.005 * ((vec_id * 31 + j) % 7 - 3)) AS pe
+        |  FROM base WHERE vec_id < 25)
+        |SELECT pid AS qid, vec_id AS id,
+        |  round(list_cosine_similarity(pe, e), 6) AS score,
+        |  CAST(1 AS BIGINT) AS rank
+        |FROM planted ORDER BY qid""".stripMargin,
     // d19: d5_embedding_lsh's pair set at the 1e7 offset (organic pairs
     // never reach 0.9, so the >=0.9 pair list is exactly the 25 twins)
     "d19_embedding_neardup_auto" ->

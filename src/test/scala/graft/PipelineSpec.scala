@@ -347,6 +347,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(exactSurv.subsetOf(surv))
   }
 
+  test("hardNegatives enforces its broadcast contract; the blocked " +
+    "variant agrees with the exact path on planted structure") {
+    // 30 corpus vectors around 3 orthogonal bases + 3 queries equal to
+    // the bases; each query labels its own exact copy positive, so the
+    // top-1 hard negative is the nearest jittered sibling — high
+    // cosine, the regime LSH collision odds are strongest in
+    def jig(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.02f * ((i + d) % 3 - 1) }
+    val bases = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f))
+    val corpus = bases.zipWithIndex.flatMap { case (b, g) =>
+      (0 until 10).map(i => (g * 100L + i, if (i == 0) b else jig(b, i)))
+    }.toDF("vec_id", "embedding")
+    val q = bases.zipWithIndex
+      .map { case (b, g) => (g * 100L, b) }.toDF("qid", "qv")
+    val pos = q.select(col("qid"), col("qid").as("vec_id"))
+    val exact = Similarity.hardNegatives(q, "qid", "qv", corpus,
+        "vec_id", "embedding", pos, k = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val blocked = Similarity.hardNegativesBlocked(q, "qid", "qv", corpus,
+        "vec_id", "embedding", pos, k = 2, bits = 6, dim = 4, tables = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(exact === blocked,
+      "blocked candidate generation must recover the exact top-k here")
+    assert(exact.size === 6 && exact.forall { case (qid, id, _) =>
+      id / 100 == qid / 100 && id != qid }, // same family, not self
+      s"unexpected hard negatives: $exact")
+    // the contract gate: a corpus-scale query set fails loudly and
+    // points at the blocked alternative
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(corpus.toDF("qid", "qv"), "qid", "qv",
+        corpus, "vec_id", "embedding", pos, k = 1, maxQueryRows = 10)
+    }
+    assert(e.getMessage.contains("hardNegativesBlocked"))
+  }
+
   test("semanticDedup probes=2 recovers a cluster-boundary near-dup pair " +
     "that probes=1 misses (index-side multi-probe recall buy-back)") {
     // two fixed centroids; a near-identical pair straddling the boundary:
