@@ -60,6 +60,7 @@ final class QueryHttpApi(
     now: () => java.time.Instant = () => java.time.Instant.now(),
     tenants: Map[String, QueryHttpApi.Tenant] = Map.empty,
     authenticate: HttpExchange => Option[String] = QueryHttpApi.bearerAuth,
+    verifier: String => Option[String] = Some(_),
     writeStallMillis: Long = 15000) {
 
   import QueryHttpApi.{Tenant, Unauthorized}
@@ -79,11 +80,16 @@ final class QueryHttpApi(
     })
 
   /** The per-request tenant scope: single-tenant when no registry, else
-    * Bearer key → customerId → that tenant's tables+segments, 401
-    * otherwise (thrown pre-stream, so the client sees a real status). */
+    * Bearer credential → `verifier` → customerId → that tenant's
+    * tables+segments, 401 otherwise (thrown pre-stream, so the client
+    * sees a real status). The default verifier is the identity
+    * (credential IS the customerId — the static-registry posture);
+    * production plugs [[SignedToken.verifier]], the reference's
+    * JWT-validation twin (AuthToken.scala:17-40), so expiry and forged
+    * signatures reject before the tenant lookup. */
   private def scope(ex: HttpExchange): Tenant =
     if (tenants.isEmpty) Tenant(tables, segments)
-    else authenticate(ex).flatMap(tenants.get)
+    else authenticate(ex).flatMap(verifier).flatMap(tenants.get)
       .getOrElse(throw new Unauthorized)
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */

@@ -375,6 +375,75 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("signed-token auth: valid HMAC token scopes to its tenant; " +
+    "expired and forged tokens answer 401") {
+    val evA = (0 until 48).map(i =>
+      ((base + i * hour) * 1000000L, "alpha_only", 1.0))
+      .toDF("ts", "event_type", "value")
+    val telA = Telemetry.nanos(evA, "ts", valueCol = col("value"))
+    val secret = "test-secret-key".getBytes(StandardCharsets.UTF_8)
+    // controllable clock: issue at t0, verify "later"
+    var clock = java.time.Instant.ofEpochSecond(1700000000L)
+    val tokens = new graft.api.SignedToken(secret, issuer = "graft",
+      ttlSeconds = 60, now = () => clock)
+    val api = new QueryHttpApi(_ => tel,
+      tenants = Map("cust-a" -> QueryHttpApi.Tenant(_ => telA)),
+      minGroupSize = 1,
+      now = () => java.time.Instant.ofEpochMilli(base + 48 * hour),
+      verifier = tokens.verifier)
+    val port = api.start(0)
+    def authed(key: Option[String], path: String): (Int, String) = {
+      val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      key.foreach(k => conn.setRequestProperty("Authorization", s"Bearer $k"))
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("".getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      (code, if (is == null) ""
+        else new String(is.readAllBytes(), StandardCharsets.UTF_8))
+    }
+    try {
+      val path = s"/api/v1/tags/logs?tagName=event_type&s=$base&e=${base + 48 * hour}"
+      val valid = tokens.issue("cust-a")
+      // the raw customerId is NOT a credential under a real verifier
+      assert(authed(Some("cust-a"), path)._1 == 401)
+      // valid signed token → scoped tenant data
+      val (code, text) = authed(Some(valid), path)
+      assert(code == 200)
+      assert(sseEvents(text)
+        .filter(n => Option(n.get("type")).exists(_.asText() == "data"))
+        .map(_.get("message").get("event_type").asText()) ==
+        Seq("alpha_only"))
+      // forged signature (valid shape, wrong key) → 401
+      val forged = new graft.api.SignedToken(
+        "wrong-key".getBytes(StandardCharsets.UTF_8), issuer = "graft",
+        ttlSeconds = 60, now = () => clock).issue("cust-a")
+      assert(authed(Some(forged), path)._1 == 401)
+      // tampered payload (claim swap, original signature) → 401
+      val Array(h, p, sig) = valid.split('.')
+      val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+      val dec = java.util.Base64.getUrlDecoder
+      val swapped = enc.encodeToString(
+        new String(dec.decode(p), StandardCharsets.UTF_8)
+          .replace("cust-a", "cust-x")
+          .getBytes(StandardCharsets.UTF_8))
+      assert(authed(Some(s"$h.$swapped.$sig"), path)._1 == 401)
+      // alg-none downgrade → 401
+      val noneHdr = enc.encodeToString(
+        """{"alg":"none","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
+      assert(authed(Some(s"$noneHdr.$p."), path)._1 == 401)
+      // token for an unknown tenant verifies but resolves no scope → 401
+      assert(authed(Some(tokens.issue("cust-z")), path)._1 == 401)
+      // expiry: same token, clock advanced past ttl → 401
+      clock = clock.plusSeconds(61)
+      assert(authed(Some(valid), path)._1 == 401)
+      // a re-issued token under the advanced clock works again
+      assert(authed(Some(tokens.issue("cust-a")), path)._1 == 200)
+    } finally api.stop()
+  }
+
   test("two concurrent SSE streams both progress to done with " +
     "heartbeats — one stream cannot starve or wedge the other") {
     // 48 single-interval replay groups each (= 48 sequential jobs per
