@@ -27,14 +27,21 @@ object Tables {
       s"${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
         Integer.toHexString(dir.hashCode)).getAbsolutePath
 
-  // DataFrames are immutable logical plans — memoize per (session, path) so
-  // repeated loads reuse one relation (no re-listing / schema re-inference
-  // per query).
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // DataFrames are immutable logical plans — memoize per (CONTEXT, path)
+  // so repeated loads reuse one relation (no re-listing / schema
+  // re-inference per query). Keyed by SparkContext, not SparkSession:
+  // sessions created with newSession() (one per concurrent request in
+  // the FAIR multi-tenant posture) share the context, its CacheManager,
+  // and therefore this plan — keying by session would make every
+  // concurrent request re-list and re-infer inside its timed window.
+  // A stopped context still invalidates (a new context is a new key).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
+    cache.computeIfAbsent((spark.sparkContext, s"$sfDir/$name.parquet"), {
+      case (_, path) =>
+      val s = spark
       // The engine's canonical event-time representation is epoch-nanos
       // LongType (the reference's telemetry timestamps are nanos —
       // reference core Commons.scala TIMESTAMP handling). The

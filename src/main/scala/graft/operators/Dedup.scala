@@ -1132,20 +1132,41 @@ object Dedup {
     * clusters (index-side multi-probe), so a boundary-straddling pair
     * still meets in a shared cluster; work scales by ~probes², drops
     * stay exact-cosine-verified (precision unchanged). The reported
-    * `cluster` is always the nearest one. */
+    * `cluster` is always the nearest one.
+    *
+    * `assignBits` > 0 switches the ASSIGNMENT itself to LSH-bucketed
+    * candidate scoring ([[Similarity.ivfAssignTopLsh]]) — required once
+    * k scales with the corpus ([[Similarity.autoClusters]]): flat
+    * assignment is O(N·k·dim), which with k ∝ N is the quadratic term
+    * (measured superlinear in the sf10 soak); bucketed assignment holds
+    * per-row candidate count ~constant at bits ≈ log2(k/occupancy).
+    * Rows whose buckets match no centroid stay unclustered (cluster
+    * −1): never dropped, never drop others — an assignment recall
+    * trade, not a precision one. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], threshold: Double,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, assignBits: Int = 0,
+      assignTables: Int = 4): DataFrame = {
     require(probes >= 1, s"probes $probes must be >= 1")
-    val withC = df.select(col(idCol).as("id"),
-        Similarity.toDoubleVec(col(vecCol)).as("v"))
-      .withColumn("cluster", Similarity.ivfAssign(col("v"), cents))
-    val probed =
-      if (probes == 1) withC
-      else df.select(col(idCol).as("id"),
-          Similarity.toDoubleVec(col(vecCol)).as("v"))
-        .withColumn("cluster",
-          explode(Similarity.ivfAssignTop(col("v"), cents, probes)))
+    val vecs = df.select(col(idCol).as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    val (withC, probed) =
+      if (assignBits > 0) {
+        val top = Similarity.ivfAssignTopLsh(df, idCol, vecCol, cents,
+          probes, assignBits, tables = assignTables)
+        val joined = vecs.join(top, Seq("id"), "left")
+        (joined.select(col("id"), col("v"),
+          coalesce(element_at(col("clusters"), 1), lit(-1)).as("cluster")),
+         joined.select(col("id"), col("v"),
+           explode(col("clusters")).as("cluster")))
+      } else {
+        val near = vecs
+          .withColumn("cluster", Similarity.ivfAssign(col("v"), cents))
+        (near,
+         if (probes == 1) near
+         else vecs.withColumn("cluster",
+           explode(Similarity.ivfAssignTop(col("v"), cents, probes))))
+      }
     val a = probed.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = probed.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     val drops = a.join(b, Seq("cluster"))

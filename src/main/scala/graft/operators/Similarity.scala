@@ -231,6 +231,64 @@ object Similarity {
       s => s.getField("cluster"))
   }
 
+  /** Approximate nearest-centroid assignment for LARGE centroid counts —
+    * the piece that keeps SemDeDup/IVF assignment from going quadratic
+    * when k scales with the corpus ([[autoClusters]]): flat [[ivfAssign]]
+    * scores every centroid per row (O(n·k·dim) total — with k ∝ n that
+    * is O(n²·dim), measured superlinear at the sf10 soak), while here
+    * rows and centroids hash into the same hyperplane buckets
+    * ([[hyperplaneBucket]], `tables` independent banks) and each row
+    * scores ONLY the centroids sharing a bucket — O(n·dim·(tables·bits
+    * + candidates)) with candidates ≈ tables·k/2^bits, held constant by
+    * choosing bits ≈ log2(k/occupancy).
+    *
+    * Returns (id, clusters ARRAY<int>) — the row's top `probes`
+    * candidate clusters by dot score (nearest first; ties by lower
+    * cluster id, matching [[ivfAssignTop]]'s order on the candidates it
+    * sees). Rows whose buckets contain no centroid are ABSENT from the
+    * output — callers left-join and treat them as unclustered (SemDeDup:
+    * never dropped, never drop others). Approximation costs RECALL (a
+    * pair assigned to
+    * different clusters is not compared); every downstream drop remains
+    * exact-cosine-verified. The centroid side is k·tables rows —
+    * broadcast. */
+  def ivfAssignTopLsh(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], probes: Int, bits: Int,
+      dim: Int = 64, tables: Int = 4): DataFrame = {
+    require(cents.nonEmpty, "no centroids")
+    require(probes >= 1 && bits >= 1 && tables >= 1,
+      s"bad params (probes=$probes, bits=$bits, tables=$tables)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cvec")
+    def explodeBuckets(d: DataFrame, vec: String): DataFrame =
+      d.select(col("*"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneBucket(col(vec), bits, dim, t)): _*))
+          .as(Seq("t", "block")))
+    val cb = broadcast(explodeBuckets(centDf, "cvec"))
+    val rows = explodeBuckets(
+      df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
+    // dedup multi-table collisions and rank candidates in one pass: the
+    // (id, cluster) max-score aggregate and the per-id window share the
+    // same hash partitioning on id
+    val cand = rows.join(cb, Seq("t", "block"))
+      .select(col("id"), col("cluster"), dot(col("v"), col("cvec")).as("s"))
+      .groupBy("id", "cluster").agg(max(col("s")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("s"), col("cluster"))
+    cand.withColumn("r", row_number().over(w))
+      .where(col("r") <= probes)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("r"), col("cluster"))))
+        .as("rc"))
+      .select(col("id"),
+        transform(col("rc"), x => x.getField("cluster")).as("clusters"))
+    // rows whose buckets matched no centroid are ABSENT — callers
+    // left-join and treat them as unclustered
+  }
+
   /** Density-scaled centroid count for [[ivfCentroids]]/semanticDedup:
     * k = max(floor, ⌈n / targetOccupancy⌉), so expected cluster size —
     * and the per-cluster quadratic pair term — stays ~constant as the

@@ -454,13 +454,23 @@ object PipelineQueries {
     val cents = autoCents.computeIfAbsent(dir, { _ =>
       Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = k)
     })
+    // assignment goes LSH-bucketed with k (flat assignment is O(n·k) —
+    // the quadratic term once k tracks the corpus; bits hold ~16
+    // candidate centroids per bucket, 8 OR-tables + 3 probes buy the
+    // pair-level assignment recall back: a near-identical pair misses
+    // only when its per-table bucket sets diverge enough that the two
+    // top-3 candidate lists are disjoint)
+    val assignBits = math.max(1,
+      math.ceil(math.log(k / 16.0) / math.log(2)).toInt)
     val out = Dedup.semanticDedup(corpus, "vec_id", "embedding", cents,
-        threshold = 0.9, probes = 2)
+        threshold = 0.9, probes = 4, assignBits = assignBits,
+        assignTables = 8)
       .select(col("id").as("vec_id"))
     gateOnce(dir + "#s34") {
       val survivingPlanted = out.where(col("vec_id") >= 10000000L).count()
       require(survivingPlanted == 0, s"autoClusters semantic dedup " +
-        s"missed $survivingPlanted/25 planted copies (k=$k, probes=2)")
+        s"missed $survivingPlanted/25 planted copies " +
+        s"(k=$k, bits=$assignBits, tables=8, probes=4)")
     }
     out.orderBy("vec_id")
   }
@@ -2250,11 +2260,15 @@ object PipelineQueries {
   // corpus equi-join (dedup verification, enrichment, incremental
   // batches) from a full corpus shuffle into a local per-bucket merge —
   // the single biggest lever the README's cluster posture names.
+  // keyed by context: newSession() shares the catalog (saveAsTable
+  // registers in the shared external catalog), so concurrent requests
+  // must reuse the bucketed tables, not race to rebuild them
   private val j9Built = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, String)]()
+    (org.apache.spark.SparkContext, String), (String, String)]()
 
   private def j9TablesFor(s: SparkSession, dir: String): (String, String) =
-    j9Built.computeIfAbsent((s, dir), { case (ss, d) =>
+    j9Built.computeIfAbsent((s.sparkContext, dir), { case (_, d) =>
+      val ss = s
       val sfx = Integer.toHexString(d.hashCode)
       val corpusT = s"graft_j9_corpus_$sfx"
       val batchT = s"graft_j9_batch_$sfx"

@@ -12,11 +12,13 @@ import graft.sources.SegmentIndex
   * asserted in SegmentIndexSpec on segments with disjoint contents. */
 object SourceQueries {
 
-  // keyed by (session, dir) like Tables.load: a cached DataFrame is bound
-  // to the session that built it — keying by dir alone would hand a later
-  // session a plan on a possibly-stopped predecessor
+  // keyed by (CONTEXT, dir) like Tables.load: newSession() requests (the
+  // FAIR multi-tenant posture) share the context and must reuse the
+  // cached manifest instead of rebuilding it inside their timed window;
+  // keying by dir alone would hand a later context a plan on a
+  // possibly-stopped predecessor
   private val manifests = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (org.apache.spark.SparkContext, String), DataFrame]()
 
   /** Pre-build the segment dirs + manifests (ingest-time artifacts). */
   private[graft] def prepare(s: SparkSession, dir: String): Unit = {
@@ -27,7 +29,8 @@ object SourceQueries {
   }
 
   private def manifest(s: SparkSession, dir: String): DataFrame =
-    manifests.computeIfAbsent((s, dir), { case (sess, d) =>
+    manifests.computeIfAbsent((s.sparkContext, dir), { case (_, d) =>
+      val sess = s
       val segDir = StreamingQueries.streamDir(sess, d)
       val files = new java.io.File(segDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
@@ -229,17 +232,20 @@ object SourceQueries {
     * segment dir with its OWN trigram/time manifest. Ingest-time
     * artifact, built once. */
   private val regionRootsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, DataFrame)]]()
+    (org.apache.spark.SparkContext, String), Seq[(String, DataFrame)]]()
 
   // the DISK artifact builds once per sf dir (marker + lock): the cache
-  // above is per-session for plan reuse, but concurrent sessions (FAIR
-  // multi-tenant runs use newSession() per request) must never
-  // overwrite the shared region files another session is mid-read on
+  // above is per-CONTEXT for plan reuse (newSession() requests share it —
+  // rebuilding three regional manifests inside a concurrent request's
+  // timed window was the r9 ast_multi_region 5x task-inflation), and
+  // concurrent sessions must never overwrite the shared region files
+  // another session is mid-read on
   private val regionBuildLock = new Object
 
   private def regionRoots(s: SparkSession, dir: String)
       : Seq[(String, DataFrame)] =
-    regionRootsCache.computeIfAbsent((s, dir), { case (sess, d) =>
+    regionRootsCache.computeIfAbsent((s.sparkContext, dir), { case (_, d) =>
+      val sess = s
       val base = graft.Tables.tmpDirFor("graft_regions", d)
       regionBuildLock.synchronized {
         val marker = new java.io.File(base, "_built")
@@ -307,10 +313,11 @@ object SourceQueries {
     * 100 TB) should open only segments whose fingerprint set can match.
     * doc_id stands in for the time axis (id-range bounds prune too). */
   private val docManifests = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (org.apache.spark.SparkContext, String), DataFrame]()
 
   private def docManifest(s: SparkSession, dir: String): DataFrame =
-    docManifests.computeIfAbsent((s, dir), { case (sess, d) =>
+    docManifests.computeIfAbsent((s.sparkContext, dir), { case (_, d) =>
+      val sess = s
       val segDir = StreamingQueries.docStreamDir(sess, d)
       val files = new java.io.File(segDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq

@@ -83,50 +83,78 @@ object ConcurrentBench {
     val listener = new GroupMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
+    // Both passes run SPARK_GRAFT_CONC_ITERS times (default 3) and
+    // report per-query MEDIANS: a single 0.3 s-scale concurrent
+    // measurement carries scheduling noise bigger than the effects this
+    // bench exists to detect (observed: the same query 1.8x one run,
+    // 3.2x the next, zero GC either time).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_CONC_ITERS", "3").toInt
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
     // serial pass: warm-up + timed, canonical result hash per query;
     // each timed run under a "s:<name>" job group for task attribution
     val serial = qs.map { case (n, fn) =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
       spark.sparkContext.setJobGroup(s"s:$n", n, interruptOnCancel = false)
-      val t0 = System.nanoTime()
-      val h = hashOf(fn(spark, sfDir))
+      var h = ""
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        h = hashOf(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
       spark.sparkContext.clearJobGroup()
-      n -> ((System.nanoTime() - t0) / 1e9, h)
+      n -> ((median(ts), h))
     }.toMap
 
     // concurrent pass: each query on its own thread, own FAIR pool, own
     // job group. newSession() per thread isolates session state (configs,
     // temp views) while sharing the context — the multi-tenant shape.
-    val pool = Executors.newFixedThreadPool(threads)
-    val start = new CountDownLatch(1)
+    val concTimes = new java.util.concurrent.ConcurrentHashMap[
+      String, List[Double]]()
     val results = new java.util.concurrent.ConcurrentHashMap[String, (Double, String)]()
-    val cw0 = System.nanoTime()
-    val futures = qs.zipWithIndex.map { case ((n, fn), i) =>
-      pool.submit(new Runnable {
-        override def run(): Unit = {
-          val sess = spark.newSession()
-          sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
-          sess.sparkContext.setJobGroup(s"c:$n", n, interruptOnCancel = true)
-          start.await()
-          val t0 = System.nanoTime()
-          // per-query capture (like Bench.runSuite): one failing query
-          // must not kill the whole pass — mark it unstable instead
-          try {
-            val h = hashOf(fn(sess, sfDir))
-            results.put(n, ((System.nanoTime() - t0) / 1e9, h))
-          } catch {
-            case e: Throwable =>
-              results.put(n,
-                ((System.nanoTime() - t0) / 1e9, s"ERROR:${e.getClass.getSimpleName}"))
+    var concurrentWall = 0.0
+    (1 to iters).foreach { _ =>
+      val pool = Executors.newFixedThreadPool(threads)
+      val start = new CountDownLatch(1)
+      val futures = qs.zipWithIndex.map { case ((n, fn), i) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val sess = spark.newSession()
+            sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
+            sess.sparkContext.setJobGroup(s"c:$n", n, interruptOnCancel = true)
+            start.await()
+            val t0 = System.nanoTime()
+            // per-query capture (like Bench.runSuite): one failing query
+            // must not kill the whole pass — mark it unstable instead
+            try {
+              val h = hashOf(fn(sess, sfDir))
+              results.put(n, ((System.nanoTime() - t0) / 1e9, h))
+            } catch {
+              case e: Throwable =>
+                results.put(n,
+                  ((System.nanoTime() - t0) / 1e9, s"ERROR:${e.getClass.getSimpleName}"))
+            }
           }
-        }
-      })
+        })
+      }
+      start.countDown()
+      val t0 = System.nanoTime()
+      futures.foreach(_.get(600, TimeUnit.SECONDS))
+      concurrentWall = math.min(
+        if (concurrentWall == 0) Double.MaxValue else concurrentWall,
+        (System.nanoTime() - t0) / 1e9)
+      pool.shutdown()
+      names.foreach { n =>
+        val r = results.get(n)
+        if (r != null) concTimes.merge(n, List(r._1), _ ++ _)
+      }
     }
-    start.countDown()
-    val t0 = System.nanoTime()
-    futures.foreach(_.get(600, TimeUnit.SECONDS))
-    val concurrentWall = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
+    // medians across passes; hash/error from the last pass
+    names.foreach { n =>
+      val r = results.get(n)
+      if (r != null)
+        results.put(n, (median(concTimes.get(n)), r._2))
+    }
 
     // settle async listener delivery before reading the attribution maps
     org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)

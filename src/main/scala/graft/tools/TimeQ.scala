@@ -9,15 +9,16 @@ object TimeQ {
       .config("spark.driver.memory", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_ITERS", "3").toInt
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[timeq] $n $sfDir median=${ts.sorted.apply(1)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[timeq] $n $sfDir median=${ts.sorted.apply(ts.size / 2)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

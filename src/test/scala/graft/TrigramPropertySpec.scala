@@ -135,6 +135,39 @@ class TrigramPropertySpec extends AnyFunSuite {
     for { p <- litRun(4); t <- litRun(3) } yield
       Pat(s"${p.re}(?<=${p.re})${t.re}", Gen.const(p.re + t.re)))
 
+  // lookaround NESTED INSIDE an alternation branch (the r9 verdict's
+  // composition case, e.g. `(a(?=b)|c)d`): the planner must treat the
+  // lookahead's requirement as branch-local — AND-ing it into the OTHER
+  // branch would wrongly prune strings that take that branch. Samples
+  // exercise both branches; in `(p(?=t)|q)t` branch 1's lookahead is
+  // satisfied by the following tail, branch 2 never sees it.
+  private val nestedLookaroundAlt: Gen[Pat] = Gen.oneOf(
+    for { p <- litRun(3); q <- litRun(3); t <- litRun(3);
+          first <- Gen.oneOf(true, false) } yield
+      Pat(s"(${p.re}(?=${t.re})|${q.re})${t.re}",
+        Gen.const((if (first) p.re else q.re) + t.re)),
+    // negative lookaround inside one branch (never rejects: 'z' is
+    // outside the sample alphabet) — must not poison the alternation
+    for { p <- litRun(3); q <- litRun(3); t <- litRun(2);
+          first <- Gen.oneOf(true, false) } yield
+      Pat(s"(${p.re}(?!zz)|${q.re})${t.re}",
+        Gen.const((if (first) p.re else q.re) + t.re)),
+    // lookbehind re-asserting its own branch's text
+    for { p <- litRun(3); q <- litRun(3); t <- litRun(2);
+          first <- Gen.oneOf(true, false) } yield
+      Pat(s"(${p.re}(?<=${p.re})|${q.re})${t.re}",
+        Gen.const((if (first) p.re else q.re) + t.re)),
+    // optional group around a lookahead-carrying alternation: the whole
+    // group contributes NO requirement (it can match empty)
+    for { p <- litRun(3); q <- litRun(3); t <- litRun(3);
+          mode <- Gen.chooseNum(0, 2) } yield
+      Pat(s"((?=${p.re})${p.re}|${q.re})?${t.re}",
+        Gen.const(mode match {
+          case 0 => t.re         // group skipped entirely
+          case 1 => q.re + t.re  // branch 2
+          case _ => p.re + t.re  // branch 1, lookahead self-satisfied
+        })))
+
   private def atom(depth: Int): Gen[Pat] =
     if (depth <= 0) Gen.oneOf(litRun(6), dotAtom, classAtom, escapeAtom)
     else Gen.frequency(
@@ -145,6 +178,7 @@ class TrigramPropertySpec extends AnyFunSuite {
       1 -> shortAltGroup,
       1 -> bigRepeat,
       1 -> lookaroundAtom,
+      1 -> nestedLookaroundAlt,
       2 -> alternation(depth),
       // quantify only UNQUANTIFIED base atoms: nesting quantifiers over
       // single-char wildcards ((?:(?:\d)+)+) makes the java.util.regex
