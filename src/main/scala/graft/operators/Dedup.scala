@@ -188,10 +188,28 @@ object Dedup {
     val txt = coalesce(col(textCol), lit(""))
     val base = df.select(col(idCol).as("id"),
       length(txt).cast("long").as("doc_len"), txt.as("_t"))
+    // Spill-aware partitioning: the decision stream carries ~one (id,
+    // pos, hash) row PER CHARACTER, so its row count is the corpus's
+    // character count — a fixed shuffle width puts corpus/width rows in
+    // every groupBy hash map and window buffer, and scales per-task
+    // memory linearly with the corpus (the sf10 soak OOM'd a 24 GB heap
+    // at 32 partitions ≈ 16M rows each). Size the width from one cheap
+    // pruned length scan: ~8M decision rows (~160 MB) per partition,
+    // constant at any corpus size. Explicit repartition also pins both
+    // consumers of `wins` (the dup test and the seed join) to the same
+    // h-partitioning, so the join needs no second exchange of the
+    // stream.
+    val totalChars = Option(
+      df.select(sum(length(txt)).cast("long")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      (totalChars / 8000000L + 1).toInt)
     val wins = base.where(col("doc_len") >= windowChars)
       .select(col("id"),
         posexplode(graft.functions.RollingHashWindows(col("_t"), windowChars))
           .as(Seq("pos", "h")))
+      .repartition(parts, col("h"))
     // windows shared by >= 2 distinct documents (min id ≠ max id ⟺ two
     // distinct ids — min/max partial-aggregate map-side, where a
     // count_distinct would carry a per-window id set through the
@@ -202,6 +220,7 @@ object Dedup {
       .where(col("_lo") =!= col("_hi"))
       .select(col("h"))
     val seeds = wins.join(dupH, "h").select(col("id"), col("pos"))
+      .repartition(parts, col("id")) // per-doc window buffers stay bounded
     // merge seed intervals [pos, pos+W) per document: a seed starts a
     // new span iff it begins strictly after every earlier seed ends
     val byId = org.apache.spark.sql.expressions.Window
