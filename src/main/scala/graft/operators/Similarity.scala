@@ -145,9 +145,21 @@ object Similarity {
     * init. At 100 TB the sample stays bounded (maxSample), the index is a
     * few KB, and assignment is a per-row scan — no shuffle. */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxSample: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
+      maxSample: Int = 0, iters: Int = 5): Array[Array[Double]] = {
+    // maxSample = 0 derives the training-sample budget from k:
+    // max(2048, 32·k) — the standard ~tens-of-points-per-centroid
+    // training floor (FAISS warns below ~39·k). A fixed 2048 is fine
+    // for the k≤64 callers (and keeps them byte-identical), but
+    // density-scaled k (autoClusters at a 100× corpus → k in the
+    // thousands) would train ~1 point per centroid — a degenerate
+    // codebook that silently costs SemDeDup recall. The sample stays a
+    // driver-side plan constant (32·k × dim doubles ≈ 25 MB at
+    // k=1563/dim=64).
+    val budget =
+      if (maxSample > 0) maxSample
+      else math.min(math.max(2048, 32 * k), 1 << 17)
     val n = df.count()
-    val rate = math.max(1L, n / maxSample)
+    val rate = math.max(1L, n / budget)
     // hash gate, NOT id arithmetic: strided/block-allocated ids can all
     // satisfy `id % rate == 0` and collect the whole corpus; the hash
     // makes the kept fraction ~1/rate for ANY id distribution, so the
@@ -170,20 +182,34 @@ object Similarity {
     var cents = Array.tabulate(math.min(k, pts.length))(i =>
       pts((i * 2654435761L % pts.length).toInt.abs).clone())
     for (_ <- 1 to iters) {
+      // assignment is the O(sample·k·dim) term — each point's argmax is
+      // independent, so it parallelizes across driver cores with plain
+      // disjoint array writes (deterministic: same argmax either way);
+      // the centroid update below is O(sample·dim), sequential
+      val assign = new Array[Int](pts.length)
+      val centsNow = cents
+      java.util.stream.IntStream.range(0, pts.length).parallel()
+        .forEach { pi =>
+          val p = pts(pi)
+          var best = 0; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < centsNow.length) {
+            var d = 0.0; var i = 0
+            while (i < p.length) { d += p(i) * centsNow(c)(i); i += 1 }
+            if (d > bestDot) { bestDot = d; best = c }
+            c += 1
+          }
+          assign(pi) = best
+        }
       val sums = Array.fill(cents.length)(new Array[Double](pts.head.length))
       val counts = new Array[Int](cents.length)
-      pts.foreach { p =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
+      var pi = 0
+      while (pi < pts.length) {
+        val p = pts(pi); val best = assign(pi)
         var i = 0
         while (i < p.length) { sums(best)(i) += p(i); i += 1 }
         counts(best) += 1
+        pi += 1
       }
       cents = cents.indices.map { c =>
         if (counts(c) == 0) cents(c) else normalize(sums(c))
