@@ -70,7 +70,18 @@ object FilterCompiler {
       case Ops.IN => c.isin(f.v: _*)
       case Ops.NOT_IN => !c.isin(f.v: _*)
       case Ops.REGEX => c.rlike(s"(?i)$headV")
-      case Ops.CONTAINS => c.rlike(s"(?i).*$headV.*")
+      // Reference spelling is `regexp_matches(col, '.*v.*', 'i')`
+      // (BaseExpr.scala:500-501) — but the reference runs RE2
+      // (linear-time) and rlike runs java.util.regex, where the greedy
+      // `.*` wrappers retry failing rows from every start offset:
+      // O(len²) per row, ~25× on long text columns (measured at the
+      // sf10 soak). Under find() semantics the wrappers never change
+      // the MATCH SET (`.*v.*` finds a match iff `v` does, for any
+      // inner pattern — lookarounds consult the input, not the
+      // wrappers' consumption), so the engine compiles the bare
+      // pattern. The value stays a regex fragment, as in the
+      // reference.
+      case Ops.CONTAINS => c.rlike(s"(?i)$headV")
       // an unparseable threshold (normalize → NaN) must match NOTHING for
       // every comparison: Spark orders NaN above all numbers, so a bare
       // `x < NaN` would be TRUE for every castable row (gt/ge only

