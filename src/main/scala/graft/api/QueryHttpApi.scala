@@ -280,17 +280,24 @@ final class QueryHttpApi(
         // error signal, as in SSE generally; stop the remaining work
         cancel()
     } finally {
-      // Close FIRST, lock-free, and only then cancel the watchdog. If a
-      // heartbeat write is parked on a stalled socket it HOLDS the write
-      // lock; close() is precisely what breaks that parked write (the
-      // scheduler's deadline path already closes lock-free for the same
-      // reason). Taking the lock here — or cancelling the watchdog that
-      // would eventually force-close — before closing would deadlock
-      // this handler thread behind the parked writer whenever the
-      // handler unwinds via a mid-stream exception before the write
-      // deadline elapses.
-      try ex.close() catch { case _: Exception => () }
+      // Teardown: stop scheduling new heartbeats, then close the
+      // exchange UNDER the write lock when it can be acquired quickly —
+      // a healthy in-flight heartbeat raw() holds the lock for
+      // microseconds, and close()'s terminal chunk must not interleave
+      // with its write on the non-thread-safe chunked stream. Fall back
+      // to a LOCK-FREE close only when the lock doesn't come in time:
+      // that means a writer is parked on a stalled socket (it holds the
+      // lock until the write deadline), and close() is precisely what
+      // breaks that parked write — blocking on the lock here would
+      // deadlock this handler thread behind the parked writer whenever
+      // it unwinds via a mid-stream exception before the deadline.
       if (hb != null) hb.cancel(false)
+      val locked =
+        try lock.tryLock(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false }
+      try ex.close() catch { case _: Exception => () }
+      finally if (locked) lock.unlock()
       sc.foreach { c =>
         c.clearJobGroup()
         c.setLocalProperty("spark.scheduler.pool", null)

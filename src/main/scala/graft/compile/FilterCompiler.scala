@@ -10,8 +10,10 @@ import graft.functions.QuantityParser
   * Semantics match the reference's SQL generation
   * (reference BaseExpr.scala:433-513):
   *  - regex/contains are case-insensitive find-anywhere (`'i'` flag);
-  *    contains embeds the value in `.*v.*`, so regex metacharacters stay
-  *    active, as in the reference;
+  *    contains compiles the BARE pattern (match-set identical to the
+  *    reference's `.*v.*` spelling under find() semantics, but linear-time
+  *    under java.util.regex where the greedy `.*` wrapper is O(len²));
+  *    regex metacharacters stay active, as in the reference;
   *  - gt/ge/lt/le normalize duration/datasize/number literals at plan time
   *    and compare via try_cast-to-double (null on garbage → row dropped,
   *    DuckDB try_cast parity);

@@ -45,6 +45,10 @@ object SketchExpressions {
   def srpCode64(nanosCol: Column): Column =
     GraftColumnBridge.column(SrpCode64(GraftColumnBridge.expression(nanosCol)))
 
+  def jlProjectMicros(nanosCol: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      JlProjectMicros(GraftColumnBridge.expression(nanosCol), k))
+
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -422,6 +426,93 @@ case class SrpCode64(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "srp_code64"
+}
+
+/** k-dim Johnson–Lindenstrauss ±1 projection of an exact-integer
+  * nano-unit vector, rounded to 6-dp doubles (the s21 contract): out(j)
+  * = micro(Σ_i nanos(i)·s(j,i)) / 1e6 with the same never-stored sign
+  * matrix as [[SrpCode64]], s(j,i) = ((j·31 + i·17) mod 97 mod 2)·2 − 1,
+  * and micro(x) = half-away-from-zero rounding of x/1000 in pure longs
+  * — identical values to a DECIMAL(27,9)-accumulating oracle.
+  *
+  * All k dot products run in ONE pass over the vector per row. The
+  * equivalent per-dim `aggregate(zip_with(…, transform(sequence(…))))`
+  * regenerates the sign sequence through interpreted higher-order
+  * lambdas with per-element boxing — measured ~7× slower than DuckDB at
+  * sf1 and NOT shrinking with scale (the one perf-weak r10 entry);
+  * this expression is a plain codegen-friendly scalar, so the whole
+  * projection stays inside WholeStageCodegen. */
+case class JlProjectMicros(child: Expression, k: Int)
+    extends UnaryExpression with ComputeUnaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(DoubleType, _) if k >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1, got $k")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> or array<double> input, " +
+        s"got ${t.sql}")
+  }
+
+  private lazy val fromDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** Exact 9-dp HALF_UP (away-from-zero) rounding of a float-origin
+    * double to nano units, in pure double/long arithmetic: v·1e9 is
+    * EXACT for float-width mantissas (24 + 21 = 45 bits < 53), so the
+    * tie test against the half-integer boundary is exact too —
+    * value-identical to `round(round(v, 9) * 1e9)` (Spark) and to a
+    * DECIMAL(27,9) oracle, without a per-element BigDecimal. */
+  private def nanosOf(v: Double): Long = {
+    val x = v * 1e9
+    val f = math.floor(x)
+    val r = x - f
+    val n = if (r > 0.5) f + 1 else if (r < 0.5) f else if (x > 0) f + 1 else f
+    n.toLong
+  }
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Long](k)
+    val dbl = fromDouble
+    var i = 0
+    while (i < n) {
+      val v =
+        if (arr.isNullAt(i)) 0L
+        else if (dbl) nanosOf(arr.getDouble(i))
+        else arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        // s(j,i) = ((31j + 17i) mod 97 mod 2)*2 - 1 — operands stay far
+        // under Long range (|nanos| <= ~1e10 per element, n <= ~1e4)
+        val sgn = ((31L * j + 17L * i) % 97 % 2) * 2 - 1
+        sums(j) += v * sgn
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val s = sums(j)
+      // integer half-away-from-zero to micro units; /1e6 then yields
+      // the double nearest the 6-dp decimal (t14/s21 replay contract)
+      val micro = if (s >= 0) (s + 500L) / 1000L else -((-s + 500L) / 1000L)
+      out(j) = micro / 1e6
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectMicros =
+    copy(child = newChild)
+
+  override def prettyName: String = "jl_project_micros"
 }
 
 /** Base for float/double array pairwise math: reads both children as

@@ -1161,18 +1161,26 @@ object Dedup {
     * per-row candidate count ~constant at bits ≈ log2(k/occupancy).
     * Rows whose buckets match no centroid stay unclustered (cluster
     * −1): never dropped, never drop others — an assignment recall
-    * trade, not a precision one. */
+    * trade, not a precision one.
+    *
+    * `assignDim` is the hyperplane width for bucketed assignment; 0
+    * (default) infers the full vector width from the trained centroids
+    * — hyperplanes drawn over a prefix of wide embeddings (the old
+    * hard-coded 64) silently bucket on a projection, the assignment
+    * analog of [[embeddingNearDuplicates]]'s lshDim hazard. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], threshold: Double,
       probes: Int = 1, assignBits: Int = 0,
-      assignTables: Int = 4): DataFrame = {
+      assignTables: Int = 4, assignDim: Int = 0): DataFrame = {
     require(probes >= 1, s"probes $probes must be >= 1")
+    require(assignDim >= 0, s"assignDim $assignDim must be >= 0")
     val vecs = df.select(col(idCol).as("id"),
       Similarity.toDoubleVec(col(vecCol)).as("v"))
     val (withC, probed) =
       if (assignBits > 0) {
+        val dim = if (assignDim > 0) assignDim else cents.head.length
         val top = Similarity.ivfAssignTopLsh(df, idCol, vecCol, cents,
-          probes, assignBits, tables = assignTables)
+          probes, assignBits, dim = dim, tables = assignTables)
         val joined = vecs.join(top, Seq("id"), "left")
         (joined.select(col("id"), col("v"),
           coalesce(element_at(col("clusters"), 1), lit(-1)).as("cluster")),

@@ -103,10 +103,22 @@ object Lineage {
     }
 
     /** Mark `df` as the loop's RESULT: its checkpoint outlives the
-      * scope and is deleted at application end instead. Returns `df`. */
+      * scope and is deleted at application end instead. Returns `df`.
+      *
+      * Long-lived-process caveat: in a process that never ends its
+      * application (the HTTP API posture), app-end deferral means one
+      * durable checkpoint accumulates PER CALL of an iterative
+      * operator — O(requests) storage, not the per-loop O(1) frames
+      * this scope guarantees while a loop runs. Such callers must call
+      * [[Lineage.release]] on the result once it is consumed (written,
+      * collected, streamed out) — it deletes the files immediately and
+      * drops the app-end registration. */
     def handOff(df: DataFrame): DataFrame = {
       val p = files.remove(df)
-      if (p != null) deleteOnAppEnd(spark, p)
+      if (p != null) {
+        deleteOnAppEnd(spark, p)
+        resultFiles.put(df, p)
+      }
       df
     }
 
@@ -154,5 +166,44 @@ object Lineage {
   private[graft] def pendingAppEnd(spark: SparkSession): Int = {
     val s = appEnd.get(spark.sparkContext)
     if (s == null) 0 else s.size()
+  }
+
+  // handed-off results' checkpoint paths, keyed by the exact frame
+  // handOff returned, so long-lived callers can free a consumed result.
+  // Weak keys: an unreferenced result frame must not pin itself (its
+  // files still go at app end via the appEnd set).
+  private val resultFiles =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Free a handed-off loop result's checkpoint NOW — for long-lived
+    * processes (e.g. a query API) where app-end deferral would
+    * accumulate one durable checkpoint per request. `df` must be the
+    * exact frame [[Scope.handOff]] returned, already consumed by the
+    * caller (re-running it afterwards would recompute the whole loop).
+    * No-op for frames that were never handed off or already freed. */
+  def release(spark: SparkSession, df: DataFrame): Unit = {
+    val p = resultFiles.remove(df)
+    if (p != null) {
+      val s = appEnd.get(spark.sparkContext)
+      if (s != null) s.remove(p)
+      delete(spark, p)
+    }
+  }
+
+  /** Free EVERY pending result checkpoint — the request-boundary hook
+    * for long-lived processes: once a request's iterative results are
+    * fully consumed (and no other request's loop result is still live),
+    * this reclaims all app-end-deferred storage at once. Operators that
+    * derive their returned frame AFTER handOff make the exact-frame
+    * [[release]] unreachable from outside; this is the usable
+    * alternative. */
+  def releaseAll(spark: SparkSession): Unit = {
+    val s = appEnd.get(spark.sparkContext)
+    if (s != null) {
+      s.forEach(p => delete(spark, p))
+      s.clear()
+    }
+    resultFiles.clear()
   }
 }

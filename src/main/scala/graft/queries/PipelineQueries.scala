@@ -1239,33 +1239,30 @@ object PipelineQueries {
   // decimals, so sums are order-independent. The rounded terms are
   // carried as SCALED LONGS (nano-units) rather than DECIMAL(27,9):
   // round(v·sgn, 9) = sgn·round(v, 9) (HALF_UP is sign-symmetric), so
-  // the per-element round happens ONCE (k-independent) and the 8
-  // projections are pure long multiply-adds — the decimal version paid
-  // 8 BigDecimal casts+adds per element inside an interpreted lambda.
-  // The final round(S, 6) is integer half-away-from-zero on nanos;
-  // micro/1e6 and CAST(round(DECIMAL, 6) AS DOUBLE) agree exactly
-  // (both are the double nearest the same 6-dp decimal), so the DuckDB
-  // oracle's decimal formulation is unchanged.
+  // the per-element round happens ONCE (k-independent). All 8 dot
+  // products then run in one compiled pass per row
+  // (functions.JlProjectMicros) — the per-dim interpreted
+  // aggregate/zip_with/sequence formulation regenerated the sign
+  // sequence through boxed lambdas, 8×dim expression evaluations per
+  // row, and was the one >2×-vs-oracle entry whose gap GREW with scale
+  // (r10 verdict: 5.9× at sf0.1 → 6.9× at sf1). The expression's
+  // integer micro rounding and /1e6 agree exactly with the oracle's
+  // CAST(round(DECIMAL, 6) AS DOUBLE), so the DuckDB formulation is
+  // unchanged. The 8 element_at projections share one JlProjectMicros
+  // subtree, evaluated once per row by codegen subexpression
+  // elimination (verified in the generated code).
   def s21_random_projection(s: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val e = embs(s, dir).select(col("vec_id"),
-      transform(col("embedding").cast("array<double>"),
-        v => round(round(v, 9) * lit(1e9), 0).cast("long")).as("nanos"))
-    val projCols = (0 until k).map { j =>
-      val nanoSum = aggregate(
-        zip_with(
-          col("nanos"),
-          transform(sequence(lit(0), size(col("nanos")) - 1),
-            i => (pmod(lit(j) * 31 + i * 17, lit(97)) % 2 * 2 - 1)
-              .cast("long")),
-          (v, sgn) => v * sgn),
-        lit(0L),
-        (acc, x) => acc + x)
-      val micro = when(nanoSum >= 0, floor((nanoSum + lit(500L)) / lit(1000.0)))
-        .otherwise(-floor((-nanoSum + lit(500L)) / lit(1000.0)))
-      (micro / lit(1e6)).as(s"p$j")
-    }
-    e.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+    // the round-9-to-nanos conversion happens INSIDE the expression
+    // (exact tie-correct double→long, see JlProjectMicros.nanosOf): a
+    // transform(...) HOF here would run 64 interpreted boxed lambda
+    // evaluations per row — the exact cost class this entry sheds
+    val proj = graft.functions.SketchExpressions.jlProjectMicros(
+      col("embedding").cast("array<double>"), k)
+    embs(s, dir)
+      .select(col("vec_id") +:
+        (0 until k).map(j => element_at(proj, j + 1).as(s"p$j")): _*)
+      .orderBy("vec_id")
   }
 
   // s29: embedding near-dup via 64-bit sign-random-projection codes —

@@ -42,19 +42,56 @@ object SourceQueries {
     // artifact dir keyed by a (name, size, mtime) signature of the
     // source segments: regenerated testdata or rewritten segment dirs
     // must NEVER be served a stale index (pruning with wrong
-    // fingerprints silently drops rows)
-    val sig = java.lang.Integer.toHexString(files.sorted.map { f =>
-      val x = new java.io.File(f)
-      s"$f:${x.length}:${x.lastModified}"
-    }.mkString("|").hashCode)
+    // fingerprints silently drops rows). The signature is a 128-bit
+    // SHA-256 prefix, not String.hashCode — a 32-bit collision's failure
+    // mode is exactly the silent-stale-index hazard the key exists to
+    // prevent.
+    val sig = artifactSignature(files)
     val out = graft.Tables.tmpDirFor(s"${prefix}_$sig", d)
     manifestBuildLock.synchronized {
-      if (!new java.io.File(out, "_SUCCESS").exists())
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
         build().write.mode("overwrite").parquet(out)
+        // superseded signatures (regenerated testdata between rounds)
+        // otherwise accumulate one orphan dir per rewrite, forever
+        dropSupersededArtifacts(prefix, out)
+      }
     }
     s.read.parquet(out).cache()
   }
   private val manifestBuildLock = new Object
+
+  /** 128-bit (name, size, mtime) signature of a segment file set. */
+  private[graft] def artifactSignature(files: Seq[String]): String = {
+    val src = files.sorted.map { f =>
+      val x = new java.io.File(f)
+      s"$f:${x.length}:${x.lastModified}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"$b%02x").mkString
+  }
+
+  /** Delete sibling artifact dirs for the same (prefix, source dir) whose
+    * signature differs from the live one. Sibling names share the live
+    * dir's `<prefix>_` head and `_<sanitized-dir>_<dirhash>` tail with a
+    * different signature in between. */
+  private def dropSupersededArtifacts(prefix: String, liveDir: String): Unit = {
+    val live = new java.io.File(liveDir)
+    val name = live.getName
+    // tail = everything after "<prefix>_<32-hex-sig>"
+    val head = s"${prefix}_"
+    if (!name.startsWith(head) || name.length < head.length + 32) return
+    val tail = name.substring(head.length + 32)
+    Option(live.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != name &&
+        f.getName.startsWith(head) && f.getName.endsWith(tail) &&
+        f.getName.length == name.length)
+      .foreach(deleteRecursively)
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   private def manifest(s: SparkSession, dir: String): DataFrame =
     manifests.computeIfAbsent((s.sparkContext, dir), { case (_, d) =>

@@ -109,11 +109,19 @@ object ConcurrentBench {
     // concurrent pass: each query on its own thread, own FAIR pool, own
     // job group. newSession() per thread isolates session state (configs,
     // temp views) while sharing the context — the multi-tenant shape.
+    // per-pass results map (fresh each iteration: a thread that dies
+    // before put() must read as MISSING for that pass, not silently
+    // reuse the prior pass's entry); times and hashes accumulate per
+    // query across passes so the median can be paired with an
+    // any-pass-errored flag
     val concTimes = new java.util.concurrent.ConcurrentHashMap[
       String, List[Double]]()
-    val results = new java.util.concurrent.ConcurrentHashMap[String, (Double, String)]()
+    val concHashes = new java.util.concurrent.ConcurrentHashMap[
+      String, List[String]]()
     var concurrentWall = 0.0
     (1 to iters).foreach { _ =>
+      val results = new java.util.concurrent.ConcurrentHashMap[
+        String, (Double, String)]()
       val pool = Executors.newFixedThreadPool(threads)
       val start = new CountDownLatch(1)
       val futures = qs.zipWithIndex.map { case ((n, fn), i) =>
@@ -146,14 +154,11 @@ object ConcurrentBench {
       pool.shutdown()
       names.foreach { n =>
         val r = results.get(n)
-        if (r != null) concTimes.merge(n, List(r._1), _ ++ _)
+        if (r != null) {
+          concTimes.merge(n, List(r._1), _ ++ _)
+          concHashes.merge(n, List(r._2), _ ++ _)
+        } else concHashes.merge(n, List("ERROR:NoResult"), _ ++ _)
       }
-    }
-    // medians across passes; hash/error from the last pass
-    names.foreach { n =>
-      val r = results.get(n)
-      if (r != null)
-        results.put(n, (median(concTimes.get(n)), r._2))
     }
 
     // settle async listener delivery before reading the attribution maps
@@ -161,9 +166,16 @@ object ConcurrentBench {
 
     val rows = names.map { n =>
       val (st, sh) = serial(n)
-      val (ct, ch) = results.get(n)
-      (n, st, ct, if (st > 0) ct / st else 0.0,
-        sh == ch && !ch.startsWith("ERROR:"))
+      val ts = concTimes.getOrDefault(n, Nil)
+      val hs = concHashes.getOrDefault(n, Nil)
+      val ct = if (ts.nonEmpty) median(ts) else Double.NaN
+      // stable = every pass produced the serial hash; ANY errored or
+      // missing pass marks the query unstable even if other passes
+      // succeeded (the median alone would hide a flaky failure)
+      val stableQ = hs.nonEmpty && hs.forall(h =>
+        h == sh && !h.startsWith("ERROR:"))
+      (n, st, ct,
+        if (st > 0 && !ct.isNaN) ct / st else 0.0, stableQ)
     }
     val stable = rows.forall(_._5)
     val serialTotal = rows.map(_._2).sum

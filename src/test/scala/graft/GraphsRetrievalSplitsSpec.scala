@@ -209,6 +209,12 @@ class GraphsRetrievalSplitsSpec extends AnyFunSuite {
       assert(ccStar.toSeq == cc.toSeq)
       assert(rddDirs().size == 4,
         s"star CC left intermediate checkpoints: ${rddDirs().sorted}")
+      // long-lived-process hook (ADVICE r10): a server that never ends
+      // its application reclaims consumed results at request boundaries
+      graft.operators.Lineage.releaseAll(spark)
+      assert(rddDirs().isEmpty,
+        s"releaseAll left checkpoints: ${rddDirs().sorted}")
+      assert(graft.operators.Lineage.pendingAppEnd(spark) == 0)
     } finally {
       spark.conf.unset(graft.operators.Lineage.CheckpointDirKey)
     }

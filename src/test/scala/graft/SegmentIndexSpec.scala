@@ -329,4 +329,22 @@ class SegmentIndexSpec extends AnyFunSuite {
       .select("ts", "service", "level", "value").orderBy("ts").collect()
     assert(pruned.sameElements(full))
   }
+
+  test("manifest artifact signature rotates on a one-byte file change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toFile
+    val f = new java.io.File(dir, "seg.parquet")
+    java.nio.file.Files.write(f.toPath, "abc".getBytes)
+    val sig1 = graft.queries.SourceQueries.artifactSignature(Seq(f.getPath))
+    assert(sig1.length == 32 && sig1.matches("[0-9a-f]{32}"),
+      s"128-bit hex signature expected, got $sig1")
+    // same length, different mtime (a rewrite normally bumps mtime)
+    java.nio.file.Files.write(f.toPath, "abd".getBytes)
+    f.setLastModified(f.lastModified + 1000)
+    val sig2 = graft.queries.SourceQueries.artifactSignature(Seq(f.getPath))
+    assert(sig1 != sig2, "signature must rotate when a source file changes")
+    // one-byte length change alone also rotates
+    java.nio.file.Files.write(f.toPath, "abcd".getBytes)
+    val sig3 = graft.queries.SourceQueries.artifactSignature(Seq(f.getPath))
+    assert(sig3 != sig2 && sig3 != sig1)
+  }
 }

@@ -131,6 +131,57 @@ class SseStallSpec extends AnyFunSuite {
     api.stop()
   }
 
+  test("teardown does not interleave close with an ACTIVELY-writing " +
+    "heartbeat: close serializes behind the in-flight write") {
+    // ADVICE r10: the deadlock fix closed lock-free on EVERY path. A
+    // heartbeat mid-raw() that is actively writing (holding the lock,
+    // not parked) can then race close()'s terminal chunk on the
+    // non-thread-safe chunked stream. The teardown must take the lock
+    // when it comes quickly (healthy writer) and go lock-free only on
+    // timeout (parked writer). Writes here are SLOW (150 ms) but finish;
+    // the exchange records whether close() landed inside one.
+    @volatile var writing = false
+    @volatile var closedDuringWrite = false
+    val hbWriteStarted = new CountDownLatch(2) // frame 1 + one heartbeat
+    val ex = new StallingExchange(allow = Int.MaxValue) {
+      private val slow: OutputStream = new OutputStream {
+        override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          writing = true
+          hbWriteStarted.countDown()
+          Thread.sleep(150)
+          writing = false
+        }
+      }
+      override def getResponseBody: OutputStream = slow
+      override def close(): Unit = {
+        if (writing) closedDuringWrite = true
+        super.close()
+      }
+    }
+    val api = new QueryHttpApi(
+      _ => null.asInstanceOf[Telemetry],
+      heartbeatMillis = 25, writeStallMillis = 600000)
+    val handlerDone = new CountDownLatch(1)
+    val handler = api.sse { (_, _, emit) =>
+      emit("""{"n":1}""") // slow but completes; commits headers
+      // a heartbeat is now mid-write; unwind while it holds the lock
+      assert(hbWriteStarted.await(10, TimeUnit.SECONDS),
+        "heartbeat write never started")
+      throw new RuntimeException("mid-stream engine failure")
+    }
+    val t = new Thread(() => {
+      try handler.handle(ex) finally handlerDone.countDown()
+    })
+    t.start()
+    assert(handlerDone.await(10, TimeUnit.SECONDS), "handler never unwound")
+    assert(ex.closed.await(1, TimeUnit.SECONDS), "exchange never closed")
+    assert(!closedDuringWrite,
+      "close() interleaved with an active (non-parked) heartbeat write")
+    t.join(5000)
+    api.stop()
+  }
+
   test("a healthy stream under the same shell completes with done and " +
     "is untouched by the deadline") {
     val api = new QueryHttpApi(
