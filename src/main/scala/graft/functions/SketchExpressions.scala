@@ -49,6 +49,44 @@ object SketchExpressions {
     GraftColumnBridge.column(
       JlProjectMicros(GraftColumnBridge.expression(nanosCol), k))
 
+  def srpCodeWide(vecCol: Column, width: Int): Column =
+    GraftColumnBridge.column(
+      SrpCodeWide(GraftColumnBridge.expression(vecCol), width))
+
+  def bitChunks(wordsCol: Column, width: Int, nChunks: Int): Column =
+    GraftColumnBridge.column(
+      BitChunks(GraftColumnBridge.expression(wordsCol), width, nChunks))
+
+  def hammingWords(a: Column, b: Column): Column =
+    GraftColumnBridge.column(HammingWords(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def firstAgreeChunk(a: Column, b: Column, width: Int, nChunks: Int): Column =
+    GraftColumnBridge.column(FirstAgreeChunk(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      width, nChunks))
+
+  /** Exact 9-dp HALF_UP (away-from-zero) rounding of a double to
+    * nano-unit longs, value-identical to Spark's `round(v, 9) * 1e9`
+    * and a DECIMAL(27,9) oracle. Float-origin doubles (parquet `float`
+    * columns cast up — every embedding element) take a pure-arithmetic
+    * path: v·1e9 is EXACT for float-width mantissas (24 + 21 = 45 bits
+    * < 53), so boundary ties are exact and HALF_UP is a plain
+    * comparison. Full-width doubles (derived values) fall back to the
+    * BigDecimal semantics `round` itself uses — the fast product can
+    * land on the wrong side of a tie when fl(v·1e9) loses bits. */
+  private[functions] def nanosOf(v: Double): Long =
+    if (v.toFloat.toDouble == v) {
+      val x = v * 1e9
+      val f = math.floor(x)
+      val r = x - f
+      (if (r > 0.5) f + 1 else if (r < 0.5) f
+       else if (x > 0) f + 1 else f).toLong
+    } else
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
@@ -461,20 +499,6 @@ case class JlProjectMicros(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  /** Exact 9-dp HALF_UP (away-from-zero) rounding of a float-origin
-    * double to nano units, in pure double/long arithmetic: v·1e9 is
-    * EXACT for float-width mantissas (24 + 21 = 45 bits < 53), so the
-    * tie test against the half-integer boundary is exact too —
-    * value-identical to `round(round(v, 9) * 1e9)` (Spark) and to a
-    * DECIMAL(27,9) oracle, without a per-element BigDecimal. */
-  private def nanosOf(v: Double): Long = {
-    val x = v * 1e9
-    val f = math.floor(x)
-    val r = x - f
-    val n = if (r > 0.5) f + 1 else if (r < 0.5) f else if (x > 0) f + 1 else f
-    n.toLong
-  }
-
   override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -484,7 +508,7 @@ case class JlProjectMicros(child: Expression, k: Int)
     while (i < n) {
       val v =
         if (arr.isNullAt(i)) 0L
-        else if (dbl) nanosOf(arr.getDouble(i))
+        else if (dbl) SketchExpressions.nanosOf(arr.getDouble(i))
         else arr.getLong(i)
       var j = 0
       while (j < k) {
@@ -513,6 +537,246 @@ case class JlProjectMicros(child: Expression, k: Int)
     copy(child = newChild)
 
   override def prettyName: String = "jl_project_micros"
+}
+
+/** `width`-bit sign-random-projection code as packed little-endian
+  * 64-bit words (word q carries global bits [64q, 64q+64), bit j at
+  * position j−64q): the arbitrary-width generalization of
+  * [[SrpCode64]], same never-stored sign matrix s(j,i) = ((j·31 +
+  * i·17) mod 97 mod 2)·2 − 1 with j now ranging to width−1 — word 0 of
+  * a wide code equals [[SrpCode64]]'s long exactly. Input is
+  * array<double> (round-9-to-nanos inlined via
+  * [[SketchExpressions.nanosOf]], exact vs a DECIMAL oracle) or the
+  * pre-converted nano-unit array<long>. Signature WIDTH is the
+  * density-scaling lever for banded hamming joins: per-chunk key space
+  * 2^(width/chunks) must stay ahead of the corpus, or bucket occupancy
+  * — and the within-bucket candidate term — grows linearly with n
+  * (the s29 sf10 creep). */
+case class SrpCodeWide(child: Expression, width: Int)
+    extends UnaryExpression with ComputeUnaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(DoubleType, _)
+        if width >= 1 && width <= 1024 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName width $width out of range [1, 1024]")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> or array<double> input, " +
+        s"got ${t.sql}")
+  }
+
+  private lazy val fromDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Long](n)
+    val dbl = fromDouble
+    var i = 0
+    while (i < n) {
+      v(i) =
+        if (arr.isNullAt(i)) 0L
+        else if (dbl) SketchExpressions.nanosOf(arr.getDouble(i))
+        else arr.getLong(i)
+      i += 1
+    }
+    val words = new Array[Long]((width + 63) / 64)
+    var j = 0
+    while (j < width) {
+      var sum = 0L
+      var i2 = 0
+      while (i2 < n) {
+        val sgn = ((31L * j + 17L * i2) % 97 % 2) * 2 - 1
+        sum += v(i2) * sgn
+        i2 += 1
+      }
+      if (sum > 0) words(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpCodeWide =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_code_wide"
+}
+
+/** Split a packed `width`-bit signature (array of little-endian 64-bit
+  * words, [[SrpCodeWide]] layout) into `nChunks` contiguous bit chunks
+  * for pigeonhole banding: chunk b covers bits [b·(width/nChunks),
+  * …) with the last chunk absorbing the remainder; keys extract across
+  * word boundaries. A pair within hamming radius nChunks−1 agrees on
+  * at least one chunk — full recall by construction. */
+case class BitChunks(child: Expression, width: Int, nChunks: Int)
+    extends UnaryExpression with ComputeUnaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _)
+        if nChunks >= 1 && width >= nChunks && width / nChunks <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs 1 <= nChunks <= width and chunk width <= 63 " +
+        s"bits (keys are signed longs), got width=$width nChunks=$nChunks")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def bitsAt(words: ArrayData, start: Int, len: Int): Long = {
+    // little-endian across words: bit g of the signature is word g/64,
+    // position g%64
+    val w0 = start >> 6
+    val off = start & 63
+    val lo = (words.getLong(w0) >>> off)
+    val hi =
+      if (off + len <= 64 || w0 + 1 >= words.numElements()) 0L
+      else words.getLong(w0 + 1) << (64 - off)
+    (lo | hi) & (if (len == 64) -1L else (1L << len) - 1)
+  }
+
+  override def compute(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val base = width / nChunks
+    val out = new Array[Long](nChunks)
+    var b = 0
+    while (b < nChunks) {
+      val start = b * base
+      val len = if (b == nChunks - 1) width - start else base
+      // last chunk may exceed 63 bits when the remainder piles up; fold
+      // the overflow in with XOR so the key stays one signed long while
+      // still depending on every bit (a fold can only MERGE buckets —
+      // recall is unaffected, candidates grow negligibly)
+      out(b) =
+        if (len <= 63) bitsAt(words, start, len)
+        else {
+          var k = 0L
+          var s = start
+          var rem = len
+          while (rem > 0) {
+            val take = math.min(63, rem)
+            k ^= bitsAt(words, s, take)
+            s += take
+            rem -= take
+          }
+          k
+        }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BitChunks =
+    copy(child = newChild)
+
+  override def prettyName: String = "bit_chunks"
+}
+
+/** Index of the FIRST chunk (see [[BitChunks]]) on which two packed
+  * `width`-bit signatures agree, −1 if none: the distinct-free dedup
+  * key for banded hamming self-joins — a pair found in band b is kept
+  * iff b is its first agreeing band, so each pair survives exactly
+  * once without shuffling the candidate set through a distinct. */
+case class FirstAgreeChunk(left: Expression, right: Expression,
+    width: Int, nChunks: Int)
+    extends BinaryExpression with ComputeBinaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _))
+          if nChunks >= 1 && width >= nChunks =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs 1 <= nChunks <= width, " +
+            s"got width=$width nChunks=$nChunks")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  private def word(a: ArrayData, q: Int): Long =
+    if (q < a.numElements() && !a.isNullAt(q)) a.getLong(q) else 0L
+
+  override def compute(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val base = width / nChunks
+    var c = 0
+    while (c < nChunks) {
+      val start = c * base
+      val end = if (c == nChunks - 1) width else start + base
+      // chunk-equal iff no differing bit in [start, end)
+      var agree = true
+      var g = start
+      while (agree && g < end) {
+        val q = g >> 6
+        val off = g & 63
+        val take = math.min(64 - off, end - g)
+        val mask =
+          if (take == 64) -1L else ((1L << take) - 1) << off
+        if (((word(a, q) ^ word(b, q)) & mask) != 0L) agree = false
+        g += take
+      }
+      if (agree) return c.toLong
+      c += 1
+    }
+    -1L
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstAgreeChunk =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "first_agree_chunk"
+}
+
+/** Hamming distance between two equal-width packed bit signatures
+  * ([[SrpCodeWide]] layout): Σ bitCount(a(q) XOR b(q)). Extra words on
+  * either side count all their set bits (differing-width inputs are a
+  * caller bug that surfaces as distance, never silently truncates). */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression with ComputeBinaryCodegen {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def compute(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.max(na, nb)
+    var d = 0L
+    var q = 0
+    while (q < n) {
+      val wa = if (q < na && !a.isNullAt(q)) a.getLong(q) else 0L
+      val wb = if (q < nb && !b.isNullAt(q)) b.getLong(q) else 0L
+      d += java.lang.Long.bitCount(wa ^ wb)
+      q += 1
+    }
+    d
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingWords =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hamming_words"
 }
 
 /** Base for float/double array pairwise math: reads both children as

@@ -634,11 +634,6 @@ object Dedup {
   def simhash(tokensCol: Column): Column =
     graft.functions.SketchExpressions.simhash64(tokensCol)
 
-  // shiftright with a non-literal bit count (functions.shiftright takes
-  // Int literals only; the SQL operator accepts expressions)
-  private def shiftright_dyn(e: Column, bits: Column): Column =
-    call_function("shiftright", e, bits)
-
   /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding
     * on maxHamming+1 disjoint bit chunks of the 64-bit hash: a pair
     * within distance maxHamming has fewer differing bits than chunks, so
@@ -664,22 +659,95 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming $maxHamming out of range (banding needs maxHamming+1 " +
         "chunks of >= 2 bits each)")
+    // delegate to the wide-signature join (identical chunk layout at
+    // width 64: base = 64/(k+1) bits, last chunk absorbs the remainder;
+    // identical output absent maxBucket capping). The wide plan shape —
+    // signatures carried through banding, codegen self-join,
+    // first-agreeing-band dedup instead of a candidate-wide distinct —
+    // is ~6× faster where near-dup structure makes candidates dense.
+    // hamming stays int for the 64-bit contract.
+    hammingNearDuplicatesWide(
+      df.select(col(idCol).as("id"), array(col(sigCol)).as("sig")),
+      "id", "sig", 64, maxHamming, maxBucket)
+      .withColumn("hamming", col("hamming").cast("int"))
+  }
+
+  /** Density-scaled parameters for a banded SRP hamming near-dup join:
+    * smallest width multiple m ∈ [1, 3] of 64 bits whose per-chunk key
+    * space 2^(64m / (radius64·m + 1)) covers 4× the corpus, radius
+    * scaled with width (E[hamming] at a fixed angle is ∝ width, so the
+    * 64-bit radius contract maps to radius64·m at 64m bits). Returns
+    * (width, maxHamming).
+    *
+    * Why width is the lever: [[hammingNearDuplicates64]]'s fixed 64-bit
+    * signature pigeonholes into maxHamming+1 chunks of 64/(k+1) bits —
+    * a FIXED key space, so per-chunk bucket occupancy and the
+    * within-bucket candidate term grow linearly with the corpus (the
+    * highest non-exempt sf10 slope in the r10 soak, 0.88). Widening the
+    * signature widens every chunk: at m=2 (128-bit, 7 chunks of 18
+    * bits) the random-collision term drops 2.3×, at m=3 (192-bit, 10 ×
+    * 19 bits) 3.2× — the same density-scaling lesson as
+    * [[graft.operators.Similarity.autoBits]] for hyperplane LSH, with
+    * recall still STRUCTURAL (pigeonhole), never probabilistic. The
+    * ladder caps at m=3: beyond it the chunk count (radius64·m+1) grows
+    * as fast as the width, so per-chunk bits saturate near
+    * 64/radius64·(1) ≈ 21 and more width buys nothing — at corpus sizes
+    * past 2^21 the banding needs a coarser radius or a pre-partitioning
+    * key on top, not more bits. */
+  def autoSrpParams(n: Long, radius64: Int = 3): (Int, Int) = {
+    require(n >= 0 && radius64 >= 1, s"bad autoSrpParams($n, $radius64)")
+    val m = (1 to 3).find { m =>
+      val chunkBits = 64 * m / (radius64 * m + 1)
+      chunkBits <= 62 && (1L << chunkBits) >= 4L * n
+    }.getOrElse(3)
+    (64 * m, radius64 * m)
+  }
+
+  /** Hamming-≤maxHamming self-join over a packed wide signature column
+    * (array<long> words, [[graft.functions.SrpCodeWide]] layout) —
+    * [[hammingNearDuplicates64]] generalized to any width: maxHamming+1
+    * contiguous bit chunks, pigeonhole full recall at the radius,
+    * candidates ∝ bucket sizes. Width/radius come from
+    * [[autoSrpParams]] when scaling with corpus density.
+    *
+    * Plan shape (differs from [[hammingNearDuplicates64]] on purpose):
+    * signatures are CARRIED THROUGH the banding (they're w/64 longs —
+    * shuffling them costs less than re-joining them onto the candidate
+    * set), pairs materialize in a codegen shuffle self-join on (band,
+    * band_key), and multi-band duplicates are killed by the
+    * FIRST-AGREEING-BAND filter instead of a distinct — near-dup
+    * results are ~dense (structural clusters make candidate volume ~50×
+    * the banded row count at sf1), so the old collect_list + interpreted
+    * pair-explode + candidate-wide distinct shuffle was the dominant
+    * cost of the whole operator. A pair whose first-agreeing bucket
+    * overflowed `maxBucket` is dropped even if a later band kept it —
+    * the cap is an explicit skew guard for mode-collapsed signatures
+    * (raise it or re-block upstream), not a result contract. */
+  def hammingNearDuplicatesWide(df: DataFrame, idCol: String,
+      sigCol: String, width: Int, maxHamming: Int,
+      maxBucket: Int = 1000): DataFrame = {
     val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
-    val lastWidth = 64 - chunkBits * (nChunks - 1)
-    val stdMask = (1L << chunkBits) - 1
-    val lastMask = if (lastWidth == 64) -1L else (1L << lastWidth) - 1
-    val withSim = df.select(col(idCol).as("id"), col(sigCol).as("sh"))
-    val banded = withSim.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(nChunks - 1)),
-          b => shiftright_dyn(col("sh"), b * chunkBits).bitwiseAND(
-            when(b === nChunks - 1, lit(lastMask)).otherwise(lit(stdMask)))))
-      .as(Seq("band", "band_key")))
-    val pairs = bucketPairs(banded, maxBucket)
-    val simA = withSim.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val simB = withSim.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    pairs.join(simA, "id_a").join(simB, "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    require(maxHamming >= 0 && width >= nChunks,
+      s"width $width cannot band into $nChunks chunks")
+    val fns = graft.functions.SketchExpressions
+    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"),
+      posexplode(fns.bitChunks(col(sigCol), width, nChunks))
+        .as(Seq("band", "band_key")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
+    val capped = banded
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val a = capped.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b") &&
+        fns.firstAgreeChunk(col("sig_a"), col("sig_b"),
+          width, nChunks) === col("band"))
+      .withColumn("hamming", fns.hammingWords(col("sig_a"), col("sig_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

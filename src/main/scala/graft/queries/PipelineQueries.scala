@@ -1288,6 +1288,51 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // s36: s29's density-scaled twin — signature width (and with it the
+  // hamming radius: E[hamming] at a fixed angle ∝ width) tracks corpus
+  // size via Dedup.autoSrpParams, so the per-chunk key space stays
+  // ahead of n and the within-bucket candidate term stops growing (the
+  // s29 fixed-64-bit creep, sf10 slope 0.88 — the same lesson
+  // Similarity.autoBits applied to hyperplane LSH). At the sf0.01
+  // verification floor the rule selects (64, 3), so the oracle is
+  // PINNED to s29's exact semantics there; the rule itself is mirrored
+  // in the oracle SQL (CASE over count(*)), so a testdata-size change
+  // moves both sides together. Recall here is STRUCTURAL (chunk
+  // pigeonhole), not probabilistic — the in-entry gate therefore
+  // checks the banded join against directly-computed pairwise hamming
+  // on a fixed id subset: a chunk-extraction or bucketing bug surfaces
+  // as a missing pair, at every scale the soak runs.
+  def s36_srp_neardup_auto(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (w, h) = Dedup.autoSrpParams(e.count())
+    val packed = e.select(col("vec_id"),
+      graft.functions.SketchExpressions.srpCodeWide(
+        col("embedding").cast("array<double>"), w).as("sig"))
+    val pairs =
+      Dedup.hammingNearDuplicatesWide(packed, "vec_id", "sig", w, h)
+    gateOnce(dir + "#s36") {
+      val sub = packed.where(col("vec_id") < 50).cache()
+      val direct = sub.select(col("vec_id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(
+          sub.select(col("vec_id").as("id_b"), col("sig").as("sig_b")))
+        .where(col("id_a") < col("id_b"))
+        .where(graft.functions.SketchExpressions
+          .hammingWords(col("sig_a"), col("sig_b")) <= h)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = pairs.where(col("id_a") < 50 && col("id_b") < 50)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      sub.unpersist()
+      require(found == direct, s"banded hamming recall gap at " +
+        s"(w=$w, h=$h): missing ${(direct -- found).take(5)}, " +
+        s"spurious ${(found -- direct).take(5)}")
+    }
+    pairs.select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   // s20: inverted-index build + conjunctive retrieval — the posting-list
   // structure every corpus-scale term query stands on. The index (term →
   // sorted doc postings + df) is materialized ONCE per dataset as a
@@ -2345,6 +2390,7 @@ object PipelineQueries {
     "s20_inverted_index" -> s20_inverted_index _,
     "s21_random_projection" -> s21_random_projection _,
     "s29_srp_hamming_neardup" -> s29_srp_hamming_neardup _,
+    "s36_srp_neardup_auto" -> s36_srp_neardup_auto _,
     "t8_chunking" -> t8_chunking _,
     "t9_vocab_df" -> t9_vocab_df _,
     "t13_lm_score" -> t13_lm_score _,
@@ -3600,6 +3646,37 @@ object PipelineQueries {
         |  CAST(mismatches(a.h, b.h) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.vec_id < b.vec_id
         |WHERE mismatches(a.h, b.h) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // s36: s29 with the density-scaled (width, radius) rule mirrored in
+    // SQL — m from count(*) exactly as Dedup.autoSrpParams (4n against
+    // per-chunk key spaces 2^16 / 2^18, capped at m=3), width 64m,
+    // radius 3m. At the sf0.01 floor m=1, so this degenerates to s29's
+    // exact brute force.
+    "s36_srp_neardup_auto" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |par AS (
+        |  SELECT CASE WHEN 4 * count(*) <= 65536 THEN 1
+        |              WHEN 4 * count(*) <= 262144 THEN 2
+        |              ELSE 3 END AS m
+        |  FROM e),
+        |proj AS (
+        |  SELECT e.vec_id, j.v AS j,
+        |    list_sum(list_transform(range(0, len(e.v)),
+        |      i -> CAST(round(e.v[i + 1]
+        |        * ((CAST(j.v AS BIGINT) * 31 + i * 17) % 97 % 2 * 2 - 1), 9)
+        |        AS DECIMAL(27, 9)))) AS s
+        |  FROM e, par,
+        |    LATERAL (SELECT unnest(range(0, 64 * par.m)) AS v) j),
+        |bits AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS h
+        |  FROM proj GROUP BY vec_id)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(mismatches(a.h, b.h) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.vec_id < b.vec_id, par
+        |WHERE mismatches(a.h, b.h) <= 3 * par.m
         |ORDER BY id_a, id_b""".stripMargin,
     // s20: the conjunctive query over the materialized index equals the
     // direct corpus predicate — distinct (doc, term) pairs, keep docs
