@@ -174,33 +174,46 @@ object Similarity {
       .sortBy(_.get(0).toString)
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty training sample")
-    def normalize(v: Array[Double]): Array[Double] = {
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      if (nrm == 0) v else v.map(_ / nrm)
-    }
-    val pts = sample.map(normalize)
+    lloyd(sample, k, iters, parallel = true)
+  }
+
+  private def normalizeVec(v: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    if (nrm == 0) v else v.map(_ / nrm)
+  }
+
+  /** Seeded spherical k-means over an in-memory sample (the shared
+    * training loop of [[ivfCentroids]] and the per-super-cluster groups
+    * of [[ivfCentroidsHierarchical]]). `parallel` toggles the
+    * driver-core IntStream over the O(sample·k·dim) assignment — the
+    * result is deterministic either way (disjoint writes, same argmax);
+    * executor-side callers keep it sequential so one group doesn't
+    * oversubscribe its task's core. */
+  private[operators] def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int, parallel: Boolean): Array[Array[Double]] = {
+    val pts = sample.map(normalizeVec)
     var cents = Array.tabulate(math.min(k, pts.length))(i =>
       pts((i * 2654435761L % pts.length).toInt.abs).clone())
     for (_ <- 1 to iters) {
       // assignment is the O(sample·k·dim) term — each point's argmax is
-      // independent, so it parallelizes across driver cores with plain
-      // disjoint array writes (deterministic: same argmax either way);
-      // the centroid update below is O(sample·dim), sequential
+      // independent, so it parallelizes with plain disjoint array
+      // writes; the centroid update below is O(sample·dim), sequential
       val assign = new Array[Int](pts.length)
       val centsNow = cents
-      java.util.stream.IntStream.range(0, pts.length).parallel()
-        .forEach { pi =>
-          val p = pts(pi)
-          var best = 0; var bestDot = Double.NegativeInfinity
-          var c = 0
-          while (c < centsNow.length) {
-            var d = 0.0; var i = 0
-            while (i < p.length) { d += p(i) * centsNow(c)(i); i += 1 }
-            if (d > bestDot) { bestDot = d; best = c }
-            c += 1
-          }
-          assign(pi) = best
+      val body: java.util.function.IntConsumer = { pi =>
+        val p = pts(pi)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < centsNow.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * centsNow(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
         }
+        assign(pi) = best
+      }
+      val range = java.util.stream.IntStream.range(0, pts.length)
+      if (parallel) range.parallel().forEach(body) else range.forEach(body)
       val sums = Array.fill(cents.length)(new Array[Double](pts.head.length))
       val counts = new Array[Int](cents.length)
       var pi = 0
@@ -212,7 +225,7 @@ object Similarity {
         pi += 1
       }
       cents = cents.indices.map { c =>
-        if (counts(c) == 0) cents(c) else normalize(sums(c))
+        if (counts(c) == 0) cents(c) else normalizeVec(sums(c))
       }.toArray
     }
     cents
@@ -276,24 +289,65 @@ object Similarity {
     * never dropped, never drop others). Approximation costs RECALL (a
     * pair assigned to
     * different clusters is not compared); every downstream drop remains
-    * exact-cosine-verified. The centroid side is k·tables rows —
-    * broadcast. */
+    * exact-cosine-verified.
+    *
+    * The centroid side is k·tables bucket rows. Up to
+    * `maxBroadcastCentroidRows` (default 2^17 ≈ 67 MB of vector payload
+    * at dim 64) it is broadcast — one hash build, zero shuffle of the
+    * row side's join. Past the bound (autoClusters at 10⁹–10¹⁰
+    * embeddings yields k ~ 10⁷–10⁸; broadcasting GBs to every executor
+    * is infeasible) the route flips to a SHUFFLED HASH JOIN on (t,
+    * block): both sides hash-partition by bucket — the centroid side's
+    * shards build per-partition tables, nothing is replicated, and the
+    * candidate scoring itself is unchanged. The centroid frame is
+    * parallelized off the driver in that regime rather than planned as
+    * a single local relation. */
   def ivfAssignTopLsh(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], probes: Int, bits: Int,
-      dim: Int = 64, tables: Int = 4): DataFrame = {
+      dim: Int = 64, tables: Int = 4,
+      maxBroadcastCentroidRows: Long = 1L << 17): DataFrame = {
     require(cents.nonEmpty, "no centroids")
-    require(probes >= 1 && bits >= 1 && tables >= 1,
-      s"bad params (probes=$probes, bits=$bits, tables=$tables)")
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = cents.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cvec")
+    val small = cents.length.toLong * tables <= maxBroadcastCentroidRows
+    val centSeq = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+    val centDf =
+      if (small) centSeq.toDF("cluster", "cvec")
+      else spark.createDataFrame(
+        spark.sparkContext.parallelize(centSeq,
+          math.max(1, spark.sparkContext.defaultParallelism))
+          .map { case (i, c) => org.apache.spark.sql.Row(i, c) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
+    ivfAssignTopLshFrame(df, idCol, vecCol, centDf, probes, bits, dim,
+      tables, broadcastCentroids = small)
+  }
+
+  /** [[ivfAssignTopLsh]] over a centroid FRAME (cluster int, cvec
+    * array<double>) — the shape [[ivfCentroidsHierarchical]] produces
+    * and the only one that exists at k past driver-array scale. */
+  def ivfAssignTopLshFrame(df: DataFrame, idCol: String, vecCol: String,
+      centDf: DataFrame, probes: Int, bits: Int,
+      dim: Int = 64, tables: Int = 4,
+      broadcastCentroids: Boolean = true): DataFrame = {
+    require(probes >= 1 && bits >= 1 && tables >= 1,
+      s"bad params (probes=$probes, bits=$bits, tables=$tables)")
     def explodeBuckets(d: DataFrame, vec: String): DataFrame =
       d.select(col("*"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneBucket(col(vec), bits, dim, t)): _*))
           .as(Seq("t", "block")))
-    val cb = broadcast(explodeBuckets(centDf, "cvec"))
+    val cb0 = explodeBuckets(
+      centDf.select(col("cluster"), toDoubleVec(col("cvec")).as("cvec")),
+      "cvec")
+    // shuffle_hash (not sort-merge) on the big-k path: the centroid
+    // shards stay hash tables per partition, no sort of the row side
+    val cb = if (broadcastCentroids) broadcast(cb0) else cb0.hint("shuffle_hash")
     val rows = explodeBuckets(
       df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
     // dedup multi-table collisions and rank candidates in one pass: the
@@ -313,6 +367,53 @@ object Similarity {
         transform(col("rc"), x => x.getField("cluster")).as("clusters"))
     // rows whose buckets matched no centroid are ABSENT — callers
     // left-join and treat them as unclustered
+  }
+
+  /** Two-level IVF training for centroid counts past the driver-sample
+    * bound: [[ivfCentroids]]' single driver sample caps at 2^17 points,
+    * which silently floors training quality at k ≳ 4k (≪ the 32·k
+    * budget) — and at autoClusters-at-100TB k the codebook itself
+    * outgrows a driver array. Level 1 trains ⌈√k⌉ SUPER-centroids from
+    * one driver sample (√k is always driver-sized) and assigns every
+    * row its super-cluster as a plan constant ([[ivfAssign]] — √k
+    * broadcast scan terms). Level 2 hash-gates a 32·⌈k/√k⌉-expected
+    * sample PER super-cluster and trains each group's sub-centroids in
+    * its own reducer (sorted by id before seeding, so the codebook is
+    * layout-independent like ivfCentroids'). Output: (cluster, cvec)
+    * frame with cluster = super·ksub + sub — feed straight to
+    * [[ivfAssignTopLshFrame]]; no stage holds more than one group's
+    * sample in memory, no driver state beyond the √k supers. */
+  def ivfCentroidsHierarchical(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ksup = math.ceil(math.sqrt(k.toDouble)).toInt
+    val ksub = math.ceil(k.toDouble / ksup).toInt
+    val sup = ivfCentroids(df, idCol, vecCol, ksup, iters = iters)
+    val n = df.count()
+    // expected 32·ksub training points per super-cluster, gated by row
+    // hash BEFORE grouping (per-group exact budgets would need a
+    // per-group count — an extra shuffle for no training benefit)
+    val rate = math.max(1L, n / math.min(n, 32L * k))
+    val sampled = df
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .where(pmod(xxhash64(col("id")), lit(rate)) === 0)
+      .withColumn("sup", ivfAssign(col("v"), sup))
+    sampled.select(col("id").cast("string").as("id"), col("v"), col("sup"))
+      .as[(String, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (supId: Int, it: Iterator[(String, Seq[Double], Int)]) =>
+        // sorted by id string like ivfCentroids' driver sample — the
+        // codebook must not depend on shuffle arrival order
+        val pts = it.toArray.sortBy(_._1).map(_._2.toArray)
+        if (pts.isEmpty) Iterator.empty
+        else lloyd(pts, ksub, iters, parallel = false)
+          .iterator.zipWithIndex.map { case (c, sub) =>
+            (supId * ksub + sub, c.toSeq)
+          }
+      }
+      .toDF("cluster", "cvec")
   }
 
   /** Density-scaled centroid count for [[ivfCentroids]]/semanticDedup:
