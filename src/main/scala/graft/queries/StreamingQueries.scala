@@ -636,6 +636,56 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** st14 on RocksDB + changelog checkpointing — the DOCUMENTED DEFAULT
+    * for unbounded-key streaming state (watermark dedup holds one state
+    * row per key inside the delay window; a hot key space grows that
+    * without bound). tools.StateSize r10: the HDFS-backed provider's
+    * memory tracks rows linearly (st14 2.8→20.8 MB across a 10× soak —
+    * it keeps every key on the executor heap and is the first thing to
+    * OOM), while RocksDB holds a flat block-cache bound and spills to
+    * local SSD, checkpointing per-batch changelogs instead of full
+    * snapshots. Same plan, same oracle as st14 — the swap is pure
+    * configuration. Provider-selection rule in PLANS.md: bounded final
+    * state (watermarked joins/windows) → either provider; unbounded or
+    * hot key space (dedup keys, map state, big sessions) → RocksDB +
+    * changelog. */
+  def st24_dedup_rocksdb_state(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val chg = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    s.conf.set(chg, "true")
+    try {
+      val plan = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(streamDir(s, dir))
+        .select(col("event_type"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+        .withWatermark("t", "60 days")
+        .dropDuplicatesWithinWatermark("event_type", "user_id")
+        .drop("t")
+      val q = withStatePartitions(s, 8) {
+        plan.writeStream
+          .format("memory").queryName("st24_dedup_rocksdb_state")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table("st24_dedup_rocksdb_state")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .orderBy("event_type")
+  }
+
   /** Stream-static join: the micro-batch stream enriched against a
     * static dimension table on every batch — Spark broadcasts the
     * static side into each micro-batch with no state. The synthetic
@@ -1230,6 +1280,7 @@ object StreamingQueries {
     "st12_stream_stream_join" -> st12_stream_stream_join _,
     "st13_stream_outer_join" -> st13_stream_outer_join _,
     "st14_dedup_bounded_state" -> st14_dedup_bounded_state _,
+    "st24_dedup_rocksdb_state" -> st24_dedup_rocksdb_state _,
     "st7_stream_dedup" -> st7_stream_dedup _,
     "st16_rocksdb_state" -> st16_rocksdb_state _,
     "st8_stream_static_join" -> st8_stream_static_join _,
@@ -1352,6 +1403,10 @@ object StreamingQueries {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // bounded-state dedup converges to the same exact distinct as st7
     "st14_dedup_bounded_state" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // st24 = st14 on RocksDB + changelog: same answer by construction
+    "st24_dedup_rocksdb_state" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "st8_stream_static_join" ->

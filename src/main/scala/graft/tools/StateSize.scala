@@ -18,7 +18,8 @@ object StateSize {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("st13_stream_outer_join", "st14_dedup_bounded_state",
-        "st16_rocksdb_state", "st19_timer_sessions", "st20_map_state")
+        "st24_dedup_rocksdb_state", "st16_rocksdb_state",
+        "st19_timer_sessions", "st20_map_state")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
