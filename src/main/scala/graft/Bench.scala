@@ -280,6 +280,15 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line) finally w.close()
+    // ALSO persist into the repo: the round-10 full per-query output
+    // survived only in /tmp (the committed driver artifact kept a
+    // 2000-char tail) — one reboot from being unrecoverable. The
+    // round checklist renames this to BENCH_r<N>_full.json; even
+    // uncommitted, the end-of-round auto-commit picks it up.
+    if (new java.io.File("build.sbt").exists()) {
+      val w2 = new java.io.PrintWriter("BENCH_latest_full.json", "UTF-8")
+      try w2.println(line) finally w2.close()
+    }
     println(line)
     if (main.errors.nonEmpty)
       System.err.println(s"BENCH ERRORS (${main.errors.size}): " +

@@ -66,6 +66,10 @@ object SketchExpressions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
       width, nChunks))
 
+  def weightedNanoSum(tokensCol: Column, weights: Map[String, Double]): Column =
+    GraftColumnBridge.column(WeightedNanoSum(
+      GraftColumnBridge.expression(tokensCol), weights))
+
   /** Exact 9-dp HALF_UP (away-from-zero) rounding of a double to
     * nano-unit longs, value-identical to Spark's `round(v, 9) * 1e9`
     * and a DECIMAL(27,9) oracle. Float-origin doubles (parquet `float`
@@ -736,6 +740,57 @@ case class FirstAgreeChunk(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "first_agree_chunk"
+}
+
+/** Σ over tokens t of the exact 9-dp rounding of weight(t)/n — in NANO
+  * units (one long per row), where n is the token count and missing
+  * tokens weigh 0: the linear-classifier scoring loop (t15 / fastText
+  * shape) as one compiled pass. Value-identical to the
+  * `aggregate(toks, 0.0::DECIMAL(27,9), (acc, t) -> acc +
+  * round(coalesce(wmap[t], 0.0) / n, 9))` formulation (per-term round-9
+  * makes terms exact multiples of 1e-9, so the nano-long sum IS the
+  * decimal sum; [[SketchExpressions.nanosOf]]'s BigDecimal path matches
+  * `round`'s own semantics on the full-width quotient) — but the HOF
+  * version runs interpreted with a per-token BigDecimal cast+add AND an
+  * O(|vocab|) literal-map scan per lookup; this is a hash lookup and a
+  * long add inside whole-stage codegen. */
+case class WeightedNanoSum(child: Expression, weights: Map[String, Double])
+    extends UnaryExpression with StringArrayInput with ComputeUnaryCodegen {
+
+  override def dataType: DataType = LongType
+
+  // UTF8String-keyed view of the weight table: one conversion at plan
+  // time instead of a String decode per token per row
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      weights.size * 2)
+    weights.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Double.valueOf(v))
+    }
+    m
+  }
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = table.get(arr.getUTF8String(i))
+        if (w != null && w.doubleValue() != 0.0)
+          s += SketchExpressions.nanosOf(w.doubleValue() / n)
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WeightedNanoSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "weighted_nano_sum"
 }
 
 /** Hamming distance between two equal-width packed bit signatures

@@ -475,23 +475,22 @@ object TextAnalysis {
         val wt = math.rint(math.log(nRef / r.getLong(1)) * 1e6) / 1e6
         w -> (if (w < "m") wt else -wt)
       }.toMap
-    val wmap = typedLit(weights)
-    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+    // scoring loop is ONE compiled pass per row (WeightedNanoSum):
+    // per-token round-9 terms are exact multiples of 1e-9, so the
+    // nano-unit long sum equals the old DECIMAL(27,9) accumulation
+    // term-for-term (and /1e9 below is the same double the decimal
+    // cast produced) — the aggregate() HOF version ran interpreted
+    // with a BigDecimal add and an O(vocab) literal-map scan per token
     val toks = tokens(col(textCol))
     scored
       .select(col(idCol).as("id"), toks.as("_toks"),
         size(toks).cast("long").as("n_tok"))
       .select(col("id"), col("n_tok"),
-        aggregate(col("_toks"), lit(0).cast(dec),
-          // re-cast the running sum: decimal addition widens (27,9)+(27,9)
-          // to (28,9), which would no longer match the accumulator slot
-          (acc, t) => (acc + round(
-            coalesce(element_at(wmap, t), lit(0.0))
-              / col("n_tok").cast("double"), 9).cast(dec)).cast(dec))
-          .as("_raw"))
+        graft.functions.SketchExpressions
+          .weightedNanoSum(col("_toks"), weights).as("_nanos"))
       .select(col("id"), col("n_tok"),
         round(lit(1.0) / (lit(1.0)
-          + exp(-(lit(bias) + col("_raw").cast("double")))), 4).as("score"))
+          + exp(-(lit(bias) + col("_nanos") / lit(1e9)))), 4).as("score"))
       .withColumn("keep", col("score") >= 0.5)
   }
 
