@@ -34,4 +34,13 @@ if [ "${1:-}" = "--full" ]; then
   grep -q " 0 fail" /tmp/gate_check.log || { echo "GATE FAIL: oracle failures"; exit 1; }
 fi
 
+# round checklist: the driver's bench writes BENCH_latest_full.json into
+# the repo (Bench self-persists) — if one exists and is newer than the
+# last committed BENCH_r*_full.json, remind the round to commit it under
+# its round name so the full per-query artifact survives (r10's full
+# output lived only in /tmp and a reboot would have destroyed it)
+if [ -f BENCH_latest_full.json ]; then
+  echo "== gate: note — rename BENCH_latest_full.json to BENCH_r<N>_full.json and commit =="
+fi
+
 echo "== gate: PASS =="
