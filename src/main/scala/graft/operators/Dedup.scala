@@ -1262,6 +1262,43 @@ object Dedup {
          else vecs.withColumn("cluster",
            explode(Similarity.ivfAssignTop(col("v"), cents, probes))))
       }
+    clusterDrop(withC, probed, threshold)
+  }
+
+  /** [[semanticDedup]] over a centroid FRAME (cluster int, cvec
+    * array<double>) — the [[Similarity.ivfCentroidsHierarchical]]
+    * output shape, and the only one that exists once autoClusters-scale
+    * k outgrows a driver array. Assignment always goes through the
+    * LSH-bucketed path ([[Similarity.ivfAssignTopLshFrame]]); set
+    * `broadcastCentroids = false` past the broadcast bound. */
+  def semanticDedupFrame(df: DataFrame, idCol: String, vecCol: String,
+      centDf: DataFrame, threshold: Double, probes: Int,
+      assignBits: Int, assignTables: Int = 4, assignDim: Int = 0,
+      broadcastCentroids: Boolean = true): DataFrame = {
+    require(probes >= 1 && assignBits >= 1,
+      s"bad params (probes=$probes, assignBits=$assignBits)")
+    val vecs = df.select(col(idCol).as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+    // bounded plan-time peek: one centroid row fixes the hyperplane width
+    val dim = if (assignDim > 0) assignDim
+      else centDf.select(size(col("cvec"))).head().getInt(0)
+    val top = Similarity.ivfAssignTopLshFrame(df.select(
+        col(idCol).as("id"), col(vecCol).as("v")), "id", "v", centDf,
+      probes, assignBits, dim = dim, tables = assignTables,
+      broadcastCentroids = broadcastCentroids)
+    val joined = vecs.join(top, Seq("id"), "left")
+    val withC = joined.select(col("id"), col("v"),
+      coalesce(element_at(col("clusters"), 1), lit(-1)).as("cluster"))
+    val probed = joined.select(col("id"), col("v"),
+      explode(col("clusters")).as("cluster"))
+    clusterDrop(withC, probed, threshold)
+  }
+
+  /** Shared SemDeDup drop stage: within each probed cluster, drop every
+    * id with a lower-id member at cosine >= threshold; survivors keep
+    * their nearest cluster. */
+  private def clusterDrop(withC: DataFrame, probed: DataFrame,
+      threshold: Double): DataFrame = {
     val a = probed.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = probed.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     val drops = a.join(b, Seq("cluster"))

