@@ -70,6 +70,11 @@ object SketchExpressions {
     GraftColumnBridge.column(WeightedNanoSum(
       GraftColumnBridge.expression(tokensCol), weights))
 
+  def tokenNanoLookupSum(tokensCol: Column, nanos: Map[String, Long],
+      defaultNanos: Long): Column =
+    GraftColumnBridge.column(TokenNanoLookupSum(
+      GraftColumnBridge.expression(tokensCol), nanos, defaultNanos))
+
   /** Exact 9-dp HALF_UP (away-from-zero) rounding of a double to
     * nano-unit longs, value-identical to Spark's `round(v, 9) * 1e9`
     * and a DECIMAL(27,9) oracle. Float-origin doubles (parquet `float`
@@ -79,7 +84,7 @@ object SketchExpressions {
     * comparison. Full-width doubles (derived values) fall back to the
     * BigDecimal semantics `round` itself uses — the fast product can
     * land on the wrong side of a tie when fl(v·1e9) loses bits. */
-  private[functions] def nanosOf(v: Double): Long =
+  private[graft] def nanosOf(v: Double): Long =
     if (v.toFloat.toDouble == v) {
       val x = v * 1e9
       val f = math.floor(x)
@@ -791,6 +796,52 @@ case class WeightedNanoSum(child: Expression, weights: Map[String, Double])
     copy(child = newChild)
 
   override def prettyName: String = "weighted_nano_sum"
+}
+
+/** Σ over tokens t of a PRE-ROUNDED nano-long table value (default for
+  * out-of-vocabulary tokens) — the unigram-LM scoring loop (t13 / CCNet
+  * perplexity shape) as one compiled pass. The per-token term of the
+  * explode → join formulation, `round(-ln((c+1)/(N+V)), 9)` summed in
+  * DECIMAL(27,9), depends only on the token's reference count, so every
+  * distinct vocabulary entry's nano value is computed ONCE at plan time
+  * ([[SketchExpressions.nanosOf]] — the same round-9 ⇒ nano-longs-are-
+  * the-decimal-sum identity as [[WeightedNanoSum]]); scoring is then a
+  * hash lookup and a long add per token inside whole-stage codegen, with
+  * no (doc, token) explode and no shuffled join against the count table. */
+case class TokenNanoLookupSum(child: Expression, nanos: Map[String, Long],
+    defaultNanos: Long)
+    extends UnaryExpression with StringArrayInput with ComputeUnaryCodegen {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](nanos.size * 2)
+    nanos.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      // a null element scores as out-of-vocabulary — parity with the
+      // join path, where a null token misses the count table and
+      // coalesces to count 0
+      val v = if (arr.isNullAt(i)) null else table.get(arr.getUTF8String(i))
+      s += (if (v == null) defaultNanos else v.longValue())
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNanoLookupSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_nano_lookup_sum"
 }
 
 /** Hamming distance between two equal-width packed bit signatures

@@ -21,6 +21,53 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pack (id, pos) into one 64-bit long — `id·2^posBits + pos` — so the
+    * corpus-sized decision streams of the span/substring dedup passes
+    * shuffle ONE long where they shuffled (id long, pos int): ~25% fewer
+    * bytes per row, and min/max over the packed value recover the
+    * min/max ID per group (id occupies the high bits, so the packing is
+    * order-preserving on id). Domain is CHECKED per row (two compares in
+    * codegen — free beside the hashing): 0 ≤ pos < 2^posBits and
+    * 0 ≤ id < 2^(62-posBits); a violating row raises instead of silently
+    * aliasing two documents. At posBits = 24 that is 16M positions per
+    * document and 274G document ids — both past the 100 TB design point
+    * (per-document length is bounded by curation long before 16M chars;
+    * ids at 100 TB / ~2 KB per doc ≈ 2^36). */
+  private[graft] val PackPosBits = 24
+  private[graft] def packIdPos(id: Column, pos: Column): Column =
+    graft.functions.PackIdPos(id, pos, PackPosBits)
+  private[graft] def packedId(ip: Column): Column =
+    shiftright(ip, PackPosBits)
+  private[graft] def packedPos(ip: Column): Column =
+    ip.bitwiseAND(lit((1L << PackPosBits) - 1)).cast("int")
+
+  /** Estimated UNCOMPRESSED byte size of a frame, from plan-time
+    * statistics (no job): scan statistics report compressed parquet
+    * bytes, so scale by a conservative ×4 text-decompression factor.
+    * Used to size explode-amplified shuffles without the extra
+    * length-scan job the previous shape paid per query. */
+  private def statsBytes(df: DataFrame): Long = {
+    val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val capped = b.min(BigInt(Long.MaxValue / 8)).max(BigInt(0))
+    capped.toLong * 4
+  }
+
+  /** Spread a small under-parallel scan across the cluster before an
+    * explode that amplifies each row ~len×: when the source is smaller
+    * than what one scan split per core would give (tiny files — the
+    * whole sandbox corpus is one parquet split), one task would run the
+    * entire explode serially. At scale the scan already carries more
+    * splits than cores and this is the identity — no extra text shuffle
+    * on the 100 TB path. */
+  private def spreadIfUnderParallel(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (statsBytes(df) < maxSplit.toLong * math.max(1, cores / 2))
+      df.repartition(cores)
+    else df
+  }
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup: keep the minimum id per distinct content. One shuffle
@@ -124,32 +171,38 @@ object Dedup {
     // null text behaves like empty text: posexplode over a null token
     // array would emit no rows and the document would VANISH from the
     // per-document output instead of coming back as (id, 1, ·, "")
-    val toks = tokens(coalesce(col(textCol), lit("")))
-    val nSpans = floor((size(toks) + lit(spanTokens - 1)) / lit(spanTokens))
-      .cast("int")
-    val spans = df.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), nSpans - 1),
-        i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens)))))
-        .as(Seq("idx", "span")))
-    // first global occurrence per distinct span — narrow rows only
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("id"), col("idx"))
-    val keptIdx = spans
-      .select(col("id"), col("idx"), xxhash64(col("span")).as("h"))
-      .withColumn("_rn", row_number().over(w))
+    val txt = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("id"), txt.as("_t"))
+    // Decision stream: (span_hash, id·2^24 + idx) — ONE long beside the
+    // hash, hashed in a single O(len) walk per document
+    // (graft.functions.SpanHashes; the transform/slice/concat_ws
+    // spelling re-ran the O(len) split inside the lambda per span).
+    // First global occurrence per distinct span = min(packed) — a
+    // codegen HashAggregate with map-side partials (duplicate spans
+    // collapse BEFORE the shuffle), where the former
+    // row_number-over-(h; id, idx) window sorted the whole span stream.
+    val narrow = base.select(col("id"),
+        posexplode(graft.functions.SpanHashes(col("_t"), spanTokens))
+          .as(Seq("idx", "h")))
+      .select(col("h"), packIdPos(col("id"), col("idx")).as("ip"))
+    val keep = narrow.groupBy(col("h")).agg(min(col("ip")).as("w"))
+      .select(packedId(col("w")).as("id"), packedPos(col("w")).as("idx"))
       .groupBy(col("id"))
-      .agg(collect_list(when(col("_rn") === 1, col("idx"))).as("keep_idx"))
-    val perDoc = spans.groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("span")))).as("sp"))
-    perDoc.join(keptIdx, "id")
+      .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
+    // Reassembly: join the narrow keep lists back to the ORIGINAL text
+    // (one row per doc on both sides — at sandbox scale AQE broadcasts
+    // the keep frame and the text never shuffles at all) and rebuild the
+    // surviving text in one O(len) walk (graft.functions.SpanKept).
+    // A doc whose every span was seen earlier has no keep row → left
+    // join, n_kept = 0, text_kept = "".
+    base.join(keep, Seq("id"), "left")
       .select(col("id"),
-        size(col("sp")).cast("long").as("n_spans"),
-        size(col("keep_idx")).cast("long").as("n_kept"),
-        array_join(
-          transform(
-            filter(col("sp"), s => array_contains(col("keep_idx"), s.getField("idx"))),
-            s => s.getField("span")),
-          " ").as("text_kept"))
+        floor((size(tokens(col("_t"))) + lit(spanTokens - 1)) /
+          lit(spanTokens)).cast("long").as("n_spans"),
+        coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
+        graft.functions.SpanKept(col("_t"),
+          coalesce(col("keep_idx"), array().cast("array<int>")),
+          spanTokens).as("text_kept"))
   }
 
   /** Cross-document duplicated-SUBSTRING spans — the character-level
@@ -188,58 +241,57 @@ object Dedup {
     val txt = coalesce(col(textCol), lit(""))
     val base = df.select(col(idCol).as("id"),
       length(txt).cast("long").as("doc_len"), txt.as("_t"))
-    // Spill-aware partitioning: the decision stream carries ~one (id,
-    // pos, hash) row PER CHARACTER, so its row count is the corpus's
-    // character count — a fixed shuffle width puts corpus/width rows in
-    // every groupBy hash map and window buffer, and scales per-task
-    // memory linearly with the corpus (the sf10 soak OOM'd a 24 GB heap
-    // at 32 partitions ≈ 16M rows each). Size the width from one cheap
-    // pruned length scan: ~8M decision rows (~160 MB) per partition,
-    // constant at any corpus size. Explicit repartition also pins both
-    // consumers of `wins` (the dup test and the seed join) to the same
-    // h-partitioning, so the join needs no second exchange of the
-    // stream.
-    val totalChars = Option(
-      df.select(sum(length(txt)).cast("long")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Spill-aware partitioning: the decision stream carries ~one
+    // (hash, packed id·pos) row PER CHARACTER, so its row count is the
+    // corpus's character count — a fixed shuffle width puts corpus/width
+    // rows in every per-partition aggregation and scales per-task memory
+    // linearly with the corpus (the sf10 soak OOM'd a 24 GB heap at
+    // 32 partitions ≈ 16M rows each). Width comes from plan-time scan
+    // statistics (~8M decision rows per partition), not the extra
+    // length-scan JOB the previous shape paid per query.
     val parts = math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions,
-      (totalChars / 8000000L + 1).toInt)
-    val wins = base.where(col("doc_len") >= windowChars)
+      (statsBytes(base) / 8000000L + 1).toInt)
+    // ONE corpus-sized exchange, ONE consumer: the stream packs (id,
+    // pos) into a single long (16 B/row with the hash, vs 20 B as
+    // separate columns), and the dup test + seed emission FOLD into one
+    // window pass over the same exchange — min/max of the packing per
+    // hash decide "≥ 2 distinct documents" (id is the high bits, so
+    // min(ip)≫24 ≠ max(ip)≫24 ⟺ two distinct ids) and the filter keeps
+    // every occurrence of passing hashes as a seed. The previous
+    // join-back shape generated and exchanged the stream TWICE (the
+    // optimizer inferred an isnotnull filter above only the join
+    // branch, so the two reads of the repartition never canonicalized
+    // equal and exchange reuse silently failed); a groupBy(h) +
+    // collect_list fold would cross once too, but builds a mega-bucket
+    // (ubiquitous boilerplate window) as ONE in-memory list — the
+    // window formulation streams each hash group through a spillable
+    // buffer instead.
+    val wins = spreadIfUnderParallel(base.where(col("doc_len") >= windowChars))
       .select(col("id"),
         posexplode(graft.functions.RollingHashWindows(col("_t"), windowChars))
           .as(Seq("pos", "h")))
+      .select(col("h"), packIdPos(col("id"), col("pos")).as("ip"))
       .repartition(parts, col("h"))
-    // windows shared by >= 2 distinct documents (min id ≠ max id ⟺ two
-    // distinct ids — min/max partial-aggregate map-side, where a
-    // count_distinct would carry a per-window id set through the
-    // shuffle); both sides of the join are narrow (h, id, pos) / (h)
-    // rows co-partitioned on h
-    val dupH = wins.groupBy(col("h"))
-      .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
-      .where(col("_lo") =!= col("_hi"))
-      .select(col("h"))
-    val seeds = wins.join(dupH, "h").select(col("id"), col("pos"))
-      .repartition(parts, col("id")) // per-doc window buffers stay bounded
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val seeds = wins
+      .withColumn("_lo", min(col("ip")).over(byH))
+      .withColumn("_hi", max(col("ip")).over(byH))
+      .where(packedId(col("_lo")) =!= packedId(col("_hi")))
+      .select(packedId(col("ip")).as("id"), packedPos(col("ip")).as("pos"))
     // merge seed intervals [pos, pos+W) per document: a seed starts a
-    // new span iff it begins strictly after every earlier seed ends
-    val byId = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    val spans = seeds
-      .withColumn("_prev_end",
-        max(col("pos") + windowChars).over(
-          byId.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)))
-      .withColumn("_new",
-        when(col("_prev_end").isNull ||
-          col("pos") > col("_prev_end"), 1L).otherwise(0L))
-      .withColumn("_span", sum(col("_new")).over(byId))
-      .groupBy(col("id"), col("_span"))
-      .agg(min(col("pos")).as("_start"),
-        max(col("pos") + windowChars).as("_end"))
-    val perDoc = spans.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("_end") - col("_start")).as("dup_chars"))
+    // new span iff it begins strictly after every earlier seed ends.
+    // Seeds are already one narrow row per duplicated window, so the
+    // merge is a per-document sorted walk (MergeIntervals — one scalar
+    // O(n) pass) over a collected position list bounded by doc length,
+    // not a Sort + two running Windows + two HashAggregates over the
+    // seed stream.
+    val perDoc = seeds.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .select(col("id"),
+        graft.functions.MergeIntervals(col("_ps"), windowChars).as("_m"))
+      .select(col("id"), col("_m").getField("n_dup_spans").as("n_dup_spans"),
+        col("_m").getField("dup_chars").as("dup_chars"))
     base.select(col("id"), col("doc_len"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("doc_len"),

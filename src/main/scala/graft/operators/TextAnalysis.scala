@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Largest reference vocabulary compiled into a plan-constant
+    * token→nano table by [[lmScore]]/[[bigramLmScore]]; past this the
+    * explode → join dataflow takes over (the ivfAssignTopLsh
+    * size-gating rule applied to literal maps). 2^17 entries ≈ a few MB
+    * of plan — well under broadcast-table scale. */
+  private[graft] val LmVocabGate: Int = 1 << 17
+
   // --------------------------------------------------------------- tokens
 
   // the ONE corpus tokenizer — Dedup shares it, and several DuckDB
@@ -298,21 +305,53 @@ object TextAnalysis {
       .select(explode(tokens(col(refTextCol))).as("_w"))
       .groupBy(col("_w"))
       .agg(count(lit(1)).as("_c"))
-    val totals = refCounts.agg(
-      sum(col("_c")).cast("double").as("_n"),
-      count(lit(1)).cast("double").as("_v"))
-    val tok = scored.select(col(idCol).as("_id"),
-      explode(tokens(col(textCol))).as("_w"))
-    val nll = tok.join(refCounts, Seq("_w"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("_id"),
-        round(-log((coalesce(col("_c"), lit(0L)) + lit(1)).cast("double")
-          / (col("_n") + col("_v"))), 9).as("_nll"))
-    nll.groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        (sum(col("_nll").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
-          .cast("double") / count(lit(1))).as("avg_nll"))
-      .select(col("_id").as("id"), col("n_tok"), col("avg_nll"))
+    // Size-gated compiled path (the t15 lesson): the per-token term
+    // round(-ln((c+1)/(N+V)), 9) depends only on the token's reference
+    // count, so a plan-constant vocabulary compiles to a token→nano-long
+    // table scored in ONE codegen walk per document — no (doc, token)
+    // explode, no shuffled join, no per-doc aggregation. The limit probe
+    // collects at most gate+1 vocabulary rows: fewer means the probe IS
+    // the whole vocabulary (N = Σc over it). Reference corpora here are
+    // benchmark-sized (CCNet's KenLM side is a fixed reference, not the
+    // 100 TB side); a vocabulary past the gate falls back to the
+    // explode → join dataflow below, the same way ivfAssignTopLsh
+    // size-gates its centroid broadcast.
+    val probe = refCounts.limit(LmVocabGate + 1).collect()
+    if (probe.length <= LmVocabGate) {
+      val n = probe.iterator.map(_.getLong(1)).sum.toDouble
+      val denom = n + probe.length.toDouble
+      val table = probe.iterator.map { r =>
+        r.getString(0) -> graft.functions.SketchExpressions.nanosOf(
+          -math.log((r.getLong(1) + 1L).toDouble / denom))
+      }.toMap
+      val oov = graft.functions.SketchExpressions.nanosOf(
+        -math.log(1.0 / denom))
+      // null text drops out, matching the join path (explode of a null
+      // token array emits no rows, so the document never aggregates)
+      scored.where(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+        .select(col("id"), size(col("_toks")).cast("long").as("n_tok"),
+          graft.functions.SketchExpressions
+            .tokenNanoLookupSum(col("_toks"), table, oov).as("_nanos"))
+        .select(col("id"), col("n_tok"),
+          (col("_nanos") / lit(1e9) / col("n_tok")).as("avg_nll"))
+    } else {
+      val totals = refCounts.agg(
+        sum(col("_c")).cast("double").as("_n"),
+        count(lit(1)).cast("double").as("_v"))
+      val tok = scored.select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("_w"))
+      val nll = tok.join(refCounts, Seq("_w"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("_id"),
+          round(-log((coalesce(col("_c"), lit(0L)) + lit(1)).cast("double")
+            / (col("_n") + col("_v"))), 9).as("_nll"))
+      nll.groupBy(col("_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          (sum(col("_nll").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+            .cast("double") / count(lit(1))).as("avg_nll"))
+        .select(col("_id").as("id"), col("n_tok"), col("avg_nll"))
+    }
   }
 
   /** Interpolated bigram LM scoring — the n-gram upgrade of [[lmScore]]

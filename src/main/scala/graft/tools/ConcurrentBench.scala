@@ -67,7 +67,7 @@ object ConcurrentBench {
     val threads = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val names = if (args.length > 2) args.drop(2).toSeq else DefaultSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.LocalTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")

@@ -19,7 +19,7 @@ object RecallCheck {
     val sfDir = args(0)
     val threshold = if (args.length > 1) args(1).toDouble else 0.8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.LocalTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -21,7 +21,7 @@ object StateSize {
         "st24_dedup_rocksdb_state", "st16_rocksdb_state",
         "st19_timer_sessions", "st20_map_state")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.LocalTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val (sfDir, names) = (args(0), args.drop(1).toSeq)
-    val spark = SparkSession.builder().appName("graft-timeq")
+    val spark = graft.LocalTuning(SparkSession.builder()).appName("graft-timeq")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.driver.memory", "24g")

@@ -121,19 +121,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anti-join must shuffle hashes, never text: $keys")
   }
 
-  test("d8: span keep/drop decision is a window over the span HASH") {
+  test("d8: span keep/drop decision is a min-aggregate over the span HASH") {
     val p = plan(PipelineQueries.queries("d8_span_dedup")(spark, dir))
     // decision shuffle keyed on the 64-bit span hash (narrow rows)…
     assert("Exchange hashpartitioning\\(h#\\d+L".r.findFirstIn(p).isDefined,
       s"no span-hash decision exchange in:\n$p")
-    // …feeding a window partitioned by that hash
-    assert("Window \\[.*\\], \\[h#\\d+L\\]".r.findFirstIn(p).isDefined,
-      s"first-occurrence window must partition by span hash:\n$p")
-    // exactly three hash exchanges: decision (h), reassembly (id),
-    // decision-aggregate (id) — a fourth would mean span text is
+    // …feeding min(packed id·idx) — first global occurrence as a codegen
+    // HashAggregate with map-side partials, NOT a row_number window
+    // (which sorted the whole span stream; round-12 rewrite)
+    assert("min\\(ip#\\d+L\\)".r.findFirstIn(p).isDefined,
+      s"first-occurrence decision must be min over the packed id·idx:\n$p")
+    assert(!p.contains("row_number"),
+      s"span stream must not sort through a row_number window:\n$p")
+    // at most three hash exchanges: decision (h), keep-list aggregate
+    // (id), reassembly join (id) — a fourth would mean span text is
     // shuffling somewhere it should not
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 3, s"expected <=3 hash exchanges, found $exchanges:\n$p")
+    // span TEXT never enters an exchange: reassembly happens AFTER the
+    // join back to the original text column
+    assert(!"Exchange[^\\n]*span".r.findFirstIn(p).isDefined,
+      s"span text must not shuffle:\n$p")
   }
 
   test("t15: classifier scoring is map-only over the scored corpus") {
