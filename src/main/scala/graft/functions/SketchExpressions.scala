@@ -75,6 +75,13 @@ object SketchExpressions {
     GraftColumnBridge.column(TokenNanoLookupSum(
       GraftColumnBridge.expression(tokensCol), nanos, defaultNanos))
 
+  def bigramNanoSum(tokensCol: Column, uniCounts: Map[String, Long],
+      biCounts: Map[(String, String), Long], lambda: Double,
+      nTokens: Double, vocab: Double): Column =
+    GraftColumnBridge.column(BigramNanoSum(
+      GraftColumnBridge.expression(tokensCol), uniCounts, biCounts,
+      lambda, nTokens, vocab))
+
   /** Exact 9-dp HALF_UP (away-from-zero) rounding of a double to
     * nano-unit longs, value-identical to Spark's `round(v, 9) * 1e9`
     * and a DECIMAL(27,9) oracle. Float-origin doubles (parquet `float`
@@ -621,17 +628,19 @@ case class SrpCodeWide(child: Expression, width: Int)
   * for pigeonhole banding: chunk b covers bits [b·(width/nChunks),
   * …) with the last chunk absorbing the remainder; keys extract across
   * word boundaries. A pair within hamming radius nChunks−1 agrees on
-  * at least one chunk — full recall by construction. */
+  * at least one chunk — full recall by construction. Chunks wider than
+  * 63 bits (e.g. nChunks=1: one chunk = the whole signature, the
+  * maxHamming=0 exact-match band) XOR-fold into one signed long — a
+  * fold can only MERGE buckets, so recall is still structural. */
 case class BitChunks(child: Expression, width: Int, nChunks: Int)
     extends UnaryExpression with ComputeUnaryCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _)
-        if nChunks >= 1 && width >= nChunks && width / nChunks <= 63 =>
+    case ArrayType(LongType, _) if nChunks >= 1 && width >= nChunks =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs 1 <= nChunks <= width and chunk width <= 63 " +
-        s"bits (keys are signed longs), got width=$width nChunks=$nChunks")
+      s"$prettyName needs 1 <= nChunks <= width, " +
+        s"got width=$width nChunks=$nChunks")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint> input, got ${t.sql}")
   }
@@ -842,6 +851,100 @@ case class TokenNanoLookupSum(child: Expression, nanos: Map[String, Long],
     copy(child = newChild)
 
   override def prettyName: String = "token_nano_lookup_sum"
+}
+
+/** Σ over ADJACENT token pairs (w1, w2) of the round-9 nano-long of the
+  * interpolated bigram NLL
+  *   −ln( λ·(c(w1,w2)+1)/(c(w1)+V) + (1−λ)·(c(w2)+1)/(N+V) )
+  * — the bigram-LM scoring loop (t18) as one compiled pass, replacing
+  * the bigram explode + THREE shuffled count joins. Value-identical to
+  * that dataflow: the floating-point evaluation order matches the
+  * Column formulation term for term, and rounding goes through
+  * [[SketchExpressions.nanosOf]] (the same round-9 ⇒ nano-longs-are-
+  * the-decimal-sum identity as [[TokenNanoLookupSum]]).
+  *
+  * Reference bigrams pre-round at plan time (one nano per table entry);
+  * an UNSEEN pair's NLL depends only on (c(w1), c(w2)) — far fewer
+  * distinct values than distinct pairs — so those round-9 results are
+  * memoized at runtime in a shared map keyed by the packed count pair,
+  * bounded by |distinct count values|², not by corpus bigrams. */
+case class BigramNanoSum(child: Expression,
+    uniCounts: Map[String, Long], biCounts: Map[(String, String), Long],
+    lambda: Double, nTokens: Double, vocab: Double)
+    extends UnaryExpression with StringArrayInput with ComputeUnaryCodegen {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val uniTable: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](uniCounts.size * 2)
+    uniCounts.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  // two-level (w1 → (w2 → nano)) — no per-pair key allocation at runtime
+  @transient private lazy val biNano:
+      java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]] = {
+    val m = new java.util.HashMap[
+      UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
+    biCounts.foreach { case ((w1, w2), cb) =>
+      val c1 = uniCounts.getOrElse(w1, 0L)
+      val c2 = uniCounts.getOrElse(w2, 0L)
+      m.computeIfAbsent(UTF8String.fromString(w1),
+          _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+        .put(UTF8String.fromString(w2),
+          java.lang.Long.valueOf(nanoNll(cb, c1, c2)))
+    }
+    m
+  }
+
+  // unseen pairs: cb = 0, so the NLL is a function of (c1, c2) alone —
+  // memoized across rows AND tasks (the expression instance is shared)
+  @transient private lazy val unseenMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+
+  private def nanoNll(cb: Long, c1: Long, c2: Long): Long =
+    SketchExpressions.nanosOf(-math.log(
+      lambda * ((cb + 1L).toDouble / (c1.toDouble + vocab)) +
+        (1.0 - lambda) * ((c2 + 1L).toDouble / (nTokens + vocab))))
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n - 1) {
+      // a null token misses every count table — parity with the join
+      // path, where a null key matches nothing and coalesces to 0
+      val w1 = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val w2 = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      val inner = if (w1 == null) null else biNano.get(w1)
+      val hit = if (inner == null || w2 == null) null else inner.get(w2)
+      if (hit != null) s += hit.longValue()
+      else {
+        val u1 = if (w1 == null) null else uniTable.get(w1)
+        val u2 = if (w2 == null) null else uniTable.get(w2)
+        val c1 = if (u1 == null) 0L else u1.longValue()
+        val c2 = if (u2 == null) 0L else u2.longValue()
+        // the packed memo key is only injective below 2^31 per count —
+        // a web-scale reference's hot token can exceed that, so compute
+        // directly rather than risk a silent collision
+        s += (if (((c1 | c2) >>> 31) == 0L)
+          unseenMemo.computeIfAbsent(
+            java.lang.Long.valueOf((c1 << 32) | c2),
+            _ => java.lang.Long.valueOf(nanoNll(0L, c1, c2))).longValue()
+        else nanoNll(0L, c1, c2))
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramNanoSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "bigram_nano_sum"
 }
 
 /** Hamming distance between two equal-width packed bit signatures

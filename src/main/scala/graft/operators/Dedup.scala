@@ -258,15 +258,22 @@ object Dedup {
     // window pass over the same exchange — min/max of the packing per
     // hash decide "≥ 2 distinct documents" (id is the high bits, so
     // min(ip)≫24 ≠ max(ip)≫24 ⟺ two distinct ids) and the filter keeps
-    // every occurrence of passing hashes as a seed. The previous
-    // join-back shape generated and exchanged the stream TWICE (the
-    // optimizer inferred an isnotnull filter above only the join
-    // branch, so the two reads of the repartition never canonicalized
-    // equal and exchange reuse silently failed); a groupBy(h) +
-    // collect_list fold would cross once too, but builds a mega-bucket
-    // (ubiquitous boilerplate window) as ONE in-memory list — the
-    // window formulation streams each hash group through a spillable
-    // buffer instead.
+    // every occurrence of passing hashes as a seed. Two measured
+    // alternatives both lose (StageProfile, sf0.1):
+    // - join-back (groupBy(h) min/max → semi-join the stream): Catalyst
+    //   re-shapes it — the optimizer drops the left side's repartition
+    //   under the broadcast semi join and plans the aggregate branch
+    //   with its own exchanges, so the stream GENERATES TWICE (two
+    //   18 MB exchange writes, wall 1.7→2.6 s). The r11 isnotnull
+    //   asymmetry fix (PackIdPos non-nullable) is not enough: exchange
+    //   reuse loses to join-shape rewrites, not just inferred filters.
+    // - groupBy(h) + collect_list fold crosses once, but builds a
+    //   mega-bucket (ubiquitous boilerplate window) as ONE in-memory
+    //   list; the window formulation streams each hash group through a
+    //   spillable buffer instead. The window's per-group buffers price
+    //   ~12 µs/row on this near-unique key (~14 s task time per 1.1 M
+    //   rows, ~0.4 s wall at 32 threads) — the known cost of the
+    //   single-exchange guarantee, linear and spill-safe at scale.
     val wins = spreadIfUnderParallel(base.where(col("doc_len") >= windowChars))
       .select(col("id"),
         posexplode(graft.functions.RollingHashWindows(col("_t"), windowChars))
@@ -709,8 +716,10 @@ object Dedup {
   def hammingNearDuplicates64(df: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
-      s"maxHamming $maxHamming out of range (banding needs maxHamming+1 " +
-        "chunks of >= 2 bits each)")
+      s"maxHamming $maxHamming out of range [0, 31] (at radius 0 the " +
+        "single band is an exact-signature equi-key; past 31 the 2-bit " +
+        "chunks of a 64-bit code stop discriminating — use " +
+        "hammingNearDuplicatesWide with autoSrpParams instead)")
     // delegate to the wide-signature join (identical chunk layout at
     // width 64: base = 64/(k+1) bits, last chunk absorbs the remainder;
     // identical output absent maxBucket capping). The wide plan shape —

@@ -199,11 +199,27 @@ object Lineage {
     * [[release]] unreachable from outside; this is the usable
     * alternative. */
   def releaseAll(spark: SparkSession): Unit = {
-    val s = appEnd.get(spark.sparkContext)
+    val sc = spark.sparkContext
+    val s = appEnd.get(sc)
     if (s != null) {
-      s.forEach(p => delete(spark, p))
-      s.clear()
+      // remove each path as it is deleted (not forEach + clear): a path
+      // handed off CONCURRENTLY with this drain either wins the removeIf
+      // race (we delete it) or stays in the set for app-end cleanup —
+      // forEach+clear could drop it from the set without deleting it,
+      // leaking the checkpoint permanently.
+      s.removeIf { p => delete(spark, p); true }
     }
-    resultFiles.clear()
+    // only this context's hand-offs: resultFiles spans every live
+    // session, and clearing a foreign session's entries would disable
+    // its exact-frame release() while leaving its files on disk.
+    resultFiles.synchronized {
+      val it = resultFiles.entrySet().iterator()
+      while (it.hasNext) {
+        // a weak key can clear between hasNext and getKey — a null key's
+        // entry is already being reaped, leave it to the map
+        val k = it.next().getKey
+        if (k != null && (k.sparkSession.sparkContext eq sc)) it.remove()
+      }
+    }
   }
 }

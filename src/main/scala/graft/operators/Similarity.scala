@@ -516,19 +516,27 @@ object Similarity {
     * the block-join shuffle buys 1−(1−p^bits)^t recall per pair); a pair
     * colliding in several tables is deduplicated by the max-score
     * aggregate before ranking, so the graph itself is table-agnostic. */
+  /** The per-vector LSH block assignment [[knnGraph]] pairs within —
+    * exposed for floor attribution (tools.FloorProfile): this is the
+    * LINEAR term of the blocked kNN graph, the wall the pair term is
+    * measured against at each scale. */
+  private[graft] def knnBlocked(df: DataFrame, idCol: String,
+      vecCol: String, bits: Int, dim: Int, tables: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    if (tables == 1)
+      vecs.select(lit(0).as("t"), col("id"), col("v"),
+        hyperplaneBucket(col("v"), bits, dim).as("block"))
+    else vecs.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneBucket(col("v"), bits, dim, t)): _*))
+        .as(Seq("t", "block")))
+      .select(col("t"), col("id"), col("v"), col("block"))
+  }
+
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bits: Int = 12, dim: Int = 64, tables: Int = 1): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val blocked =
-      if (tables == 1)
-        vecs.select(lit(0).as("t"), col("id"), col("v"),
-          hyperplaneBucket(col("v"), bits, dim).as("block"))
-      else vecs.select(col("id"), col("v"),
-        posexplode(array((0 until tables).map(t =>
-          hyperplaneBucket(col("v"), bits, dim, t)): _*))
-          .as(Seq("t", "block")))
-        .select(col("t"), col("id"), col("v"), col("block"))
+    val blocked = knnBlocked(df, idCol, vecCol, bits, dim, tables)
     val a = blocked.select(col("t"), col("block"),
       col("id").as("id_a"), col("v").as("v_a"))
     val b = blocked.select(col("t"), col("block"),

@@ -300,7 +300,15 @@ object TextAnalysis {
     *
     * Output: (id, n_tok, avg_nll) per scored document. */
   def lmScore(scored: DataFrame, idCol: String, textCol: String,
-      reference: DataFrame, refTextCol: String): DataFrame = {
+      reference: DataFrame, refTextCol: String): DataFrame =
+    lmScoreGated(scored, idCol, textCol, reference, refTextCol, LmVocabGate)
+
+  /** [[lmScore]] with the vocabulary gate injectable — the test seam
+    * that exercises the explode → join fallback (gate = 0) against the
+    * compiled path on the same corpus. */
+  private[graft] def lmScoreGated(scored: DataFrame, idCol: String,
+      textCol: String, reference: DataFrame, refTextCol: String,
+      gate: Int): DataFrame = {
     val refCounts = reference
       .select(explode(tokens(col(refTextCol))).as("_w"))
       .groupBy(col("_w"))
@@ -316,8 +324,8 @@ object TextAnalysis {
     // 100 TB side); a vocabulary past the gate falls back to the
     // explode → join dataflow below, the same way ivfAssignTopLsh
     // size-gates its centroid broadcast.
-    val probe = refCounts.limit(LmVocabGate + 1).collect()
-    if (probe.length <= LmVocabGate) {
+    val probe = refCounts.limit(gate + 1).collect()
+    if (probe.length <= gate) {
       val n = probe.iterator.map(_.getLong(1)).sum.toDouble
       val denom = n + probe.length.toDouble
       val table = probe.iterator.map { r =>
@@ -372,7 +380,15 @@ object TextAnalysis {
     * Output: (id, n_pairs, avg_nll). */
   def bigramLmScore(scored: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
-      lambda: Double = 0.5): DataFrame = {
+      lambda: Double = 0.5): DataFrame =
+    bigramLmScoreGated(scored, idCol, textCol, reference, refTextCol,
+      lambda, LmVocabGate)
+
+  /** [[bigramLmScore]] with the table gate injectable (test seam — see
+    * [[lmScoreGated]]). */
+  private[graft] def bigramLmScoreGated(scored: DataFrame, idCol: String,
+      textCol: String, reference: DataFrame, refTextCol: String,
+      lambda: Double, gate: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 9)
     def bigrams(textCol: Column): Column = {
       val t = tokens(textCol)
@@ -390,6 +406,39 @@ object TextAnalysis {
       .select(explode(tokens(col(refTextCol))).as("_w"))
       .groupBy(col("_w"))
       .agg(count(lit(1)).as("_cu"))
+    // Size-gated compiled path (the t13/t15 lesson, extended to two
+    // tables): when both the unigram vocabulary and the bigram table fit
+    // the plan-constant gate, reference bigrams pre-round to nano-longs
+    // at plan time and scoring is one codegen walk over each document's
+    // token array (BigramNanoSum) — no bigram explode, no three shuffled
+    // count joins, no per-doc aggregation. The probes collect at most
+    // gate+1 rows each; the unigram probe doubles as (N, V). Larger
+    // references fall back to the explode → join dataflow below.
+    val uniProbe = refUni.limit(gate + 1).collect()
+    if (uniProbe.length <= gate) {
+      val biProbe = refBi.limit(gate + 1).collect()
+      if (biProbe.length <= gate) {
+        val nTok = uniProbe.iterator.map(_.getLong(1)).sum.toDouble
+        val vCnt = uniProbe.length.toDouble
+        val uni = uniProbe.iterator
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bi = biProbe.iterator
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        return scored.where(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+          .where(size(col("_toks")) >= 2)
+          .select(col("id"),
+            (size(col("_toks")) - 1).cast("long").as("n_pairs"),
+            graft.functions.SketchExpressions.bigramNanoSum(
+              col("_toks"), uni, bi, lambda, nTok, vCnt).as("_nanos"))
+          // the join path rounds the DECIMAL(27,9) sum to 6 places
+          // before the divide; on non-negative nano-longs that is
+          // (nanos + 500) div 1000 micros, then the same double divides
+          .select(col("id"), col("n_pairs"),
+            (expr("(_nanos + 500) div 1000") / lit(1e6)
+              / col("n_pairs")).as("avg_nll"))
+      }
+    }
     val totals = refUni.agg(
       sum(col("_cu")).cast("double").as("_n"),
       count(lit(1)).cast("double").as("_v"))

@@ -483,23 +483,39 @@ object PipelineQueries {
   // closed-form oracle as s34: at threshold 0.9 only planted twins
   // qualify, so survivors = the organic id list; a recall miss (a
   // surviving copy) or a precision bug (a dropped organic id) breaks
-  // the hash. The trained centroids are memoized as plain rows per
-  // dataset (k×dim doubles — context-free, tiny) so bench iterations
-  // time the dedup, not the trainer.
-  private val hierCents = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Int, Seq[Double])]]()
+  // the hash. The trained codebook is memoized as a per-dataset PARQUET
+  // artifact (the s20 inverted-index / trigram-manifest pattern), keyed
+  // by the SHA-256 (name, size, mtime) signature of the source table so
+  // regenerated testdata can never be served a stale codebook — bench
+  // iterations time the dedup, not the trainer, and the memo itself
+  // stays frame-native: no driver collect anywhere in the entry, which
+  // is the property the operator exists to demonstrate at k past
+  // driver-array scale.
+  private val hierCentDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val hierCentBuildLock = new Object
+
+  private def hierCentroidsDir(s: SparkSession, dir: String,
+      corpus: DataFrame, k: Int): String =
+    hierCentDirs.computeIfAbsent(dir, { d =>
+      val sig = SourceQueries.artifactSignature(
+        Seq(s"$d/embeddings.parquet"))
+      val out = Tables.tmpDirFor(s"graft_hiercents_$sig", d)
+      hierCentBuildLock.synchronized {
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          Similarity
+            .ivfCentroidsHierarchical(corpus, "vec_id", "embedding", k)
+            .write.mode("overwrite").parquet(out)
+        }
+      }
+      out
+    })
 
   def s37_semantic_dedup_hier(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val corpus = withPlantedTwinsAt(s, dir, 10000000L)
     val k = Similarity.autoClusters(corpus, targetOccupancy = 128)
-    val rows = hierCents.computeIfAbsent(dir, { _ =>
-      Similarity.ivfCentroidsHierarchical(corpus, "vec_id", "embedding", k)
-        .collect().map(r => (r.getInt(0),
-          r.getAs[scala.collection.Seq[Double]](1).toSeq))
-        .sortBy(_._1)
-    })
-    val centDf = rows.toSeq.toDF("cluster", "cvec")
+    val centDf = s.read.parquet(hierCentroidsDir(s, dir, corpus, k))
+      .select(col("cluster"), col("cvec"))
     val assignBits = math.max(1,
       math.ceil(math.log(k / 16.0) / math.log(2)).toInt)
     val out = Dedup.semanticDedupFrame(corpus, "vec_id", "embedding",
@@ -513,6 +529,46 @@ object PipelineQueries {
         s"(k=$k, bits=$assignBits, tables=8, probes=4)")
     }
     out.orderBy("vec_id")
+  }
+
+  /** Assignment-floor attribution probes (tools.FloorProfile): for each
+    * of the three linear-slope entries (s33/s34/s37) the ASSIGNMENT
+    * subplan alone, built with exactly the entry's parameters, so
+    * `full − assign` at each scale attributes the wall between the
+    * linear per-vector assignment term and the candidate-pair
+    * verification term. A slope ≈ 1 is the assignment floor only if the
+    * assignment probe carries it; a verification-side residual would
+    * instead indicate a hidden candidate blow-up. */
+  private[graft] def floorProbes(s: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = {
+    val corpus = withPlantedTwinsAt(s, dir, 10000000L)
+    val bits = Similarity.autoBits(corpus, targetOccupancy = 64)
+    val k = Similarity.autoClusters(corpus, targetOccupancy = 128)
+    val assignBits = math.max(1,
+      math.ceil(math.log(k / 16.0) / math.log(2)).toInt)
+    Seq(
+      "s33_assign" -> (() => Similarity.knnBlocked(corpus, "vec_id",
+        "embedding", bits, 64, tablesFor(bits))),
+      "s33_full" -> (() => s33_knn_graph_auto(s, dir)),
+      "s34_assign" -> (() => {
+        val cents = autoCents.computeIfAbsent(dir, { _ =>
+          Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = k)
+        })
+        Similarity.ivfAssignTopLsh(corpus, "vec_id", "embedding", cents,
+          probes = 4, bits = assignBits, dim = cents.head.length,
+          tables = 8)
+      }),
+      "s34_full" -> (() => s34_semantic_dedup_auto(s, dir)),
+      "s37_assign" -> (() => {
+        val centDf = s.read.parquet(hierCentroidsDir(s, dir, corpus, k))
+          .select(col("cluster"), col("cvec"))
+        val dim = centDf.select(size(col("cvec"))).head().getInt(0)
+        Similarity.ivfAssignTopLshFrame(
+          corpus.select(col("vec_id").as("id"), col("embedding").as("v")),
+          "id", "v", centDf, probes = 4, bits = assignBits, dim = dim,
+          tables = 8)
+      }),
+      "s37_full" -> (() => s37_semantic_dedup_hier(s, dir)))
   }
 
   // exact kNN graph (top-5 neighbors per vector) via broadcast
@@ -1340,18 +1396,29 @@ object PipelineQueries {
   // moves both sides together. Recall here is STRUCTURAL (chunk
   // pigeonhole), not probabilistic — the in-entry gate therefore
   // checks the banded join against directly-computed pairwise hamming
-  // on a fixed id subset: a chunk-extraction or bucketing bug surfaces
-  // as a missing pair, at every scale the soak runs.
+  // on TWO id subsets: the lowest 50 ids (dense in planted near-dup
+  // pairs — a chunk-extraction or bucketing bug surfaces as a missing
+  // pair at every scale the soak runs) UNIONED with ~50 hash-selected
+  // ids spread uniformly through the id space. The second subset is
+  // what makes maxBucket-cap loss OBSERVABLE: the cap's row_number
+  // orders by id, so low ids always rank inside the cap and can never
+  // witness a capped-out pair; a rank-uniform id can, so an overflowing
+  // bucket that silently drops pairs fails this gate at soak scale
+  // instead of shipping reduced recall.
   def s36_srp_neardup_auto(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val (w, h) = Dedup.autoSrpParams(e.count())
+    val n = e.count()
+    val (w, h) = Dedup.autoSrpParams(n)
     val packed = e.select(col("vec_id"),
       graft.functions.SketchExpressions.srpCodeWide(
         col("embedding").cast("array<double>"), w).as("sig"))
     val pairs =
       Dedup.hammingNearDuplicatesWide(packed, "vec_id", "sig", w, h)
     gateOnce(dir + "#s36") {
-      val sub = packed.where(col("vec_id") < 50).cache()
+      val stride = math.max(1L, n / 50)
+      def inGate(c: Column): Column =
+        c < 50 || pmod(xxhash64(c), lit(stride)) === 0
+      val sub = packed.where(inGate(col("vec_id"))).cache()
       val direct = sub.select(col("vec_id").as("id_a"), col("sig").as("sig_a"))
         .crossJoin(
           sub.select(col("vec_id").as("id_b"), col("sig").as("sig_b")))
@@ -1360,7 +1427,7 @@ object PipelineQueries {
           .hammingWords(col("sig_a"), col("sig_b")) <= h)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val found = pairs.where(col("id_a") < 50 && col("id_b") < 50)
+      val found = pairs.where(inGate(col("id_a")) && inGate(col("id_b")))
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       sub.unpersist()

@@ -74,7 +74,18 @@ object SourceQueries {
   /** Delete sibling artifact dirs for the same (prefix, source dir) whose
     * signature differs from the live one. Sibling names share the live
     * dir's `<prefix>_` head and `_<sanitized-dir>_<dirhash>` tail with a
-    * different signature in between. */
+    * different signature in between.
+    *
+    * Only siblings UNTOUCHED for [[supersededGraceMs]] are dropped: the
+    * artifact parent is the shared java.io.tmpdir, and the in-process
+    * build lock does not cover a second JVM (a concurrent test and bench
+    * run) that observed a different (size, mtime) snapshot of the same
+    * source dir — deleting its freshly-built index while one of its
+    * cached DataFrames is still lazily reading it causes transient read
+    * failures. A genuinely superseded signature means the source dir was
+    * rewritten, which happens between rounds (hours apart), so the grace
+    * window loses nothing; anything younger is plausibly live in another
+    * process and is left for that process's own next rewrite to reap. */
   private def dropSupersededArtifacts(prefix: String, liveDir: String): Unit = {
     val live = new java.io.File(liveDir)
     val name = live.getName
@@ -82,12 +93,15 @@ object SourceQueries {
     val head = s"${prefix}_"
     if (!name.startsWith(head) || name.length < head.length + 32) return
     val tail = name.substring(head.length + 32)
+    val cutoff = System.currentTimeMillis() - supersededGraceMs
     Option(live.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName != name &&
         f.getName.startsWith(head) && f.getName.endsWith(tail) &&
-        f.getName.length == name.length)
+        f.getName.length == name.length &&
+        f.lastModified() < cutoff)
       .foreach(deleteRecursively)
   }
+  private[graft] val supersededGraceMs: Long = 60L * 60 * 1000
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -567,14 +567,7 @@ object StreamingQueries {
     * it is set/restored around the one start() that must bind it. */
   def st16_rocksdb_state(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val chg = "spark.sql.streaming.stateStore.rocksdb." +
-      "changelogCheckpointing.enabled"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    s.conf.set(chg, "true")
-    try {
+    withRocksDbStateStore(s, changelog = true) {
       val plan = s.readStream
         .schema(eventsSchema)
         .option("maxFilesPerTrigger", "2")
@@ -591,11 +584,31 @@ object StreamingQueries {
           .start()
       }
       q.awaitTermination()
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
     s.table("st16_rocksdb_state").orderBy("event_type")
+  }
+
+  /** Run `body` with the RocksDB state-store provider (and optionally
+    * per-batch changelog checkpointing) bound, restoring BOTH keys to
+    * their prior values afterwards. The provider conf is session-wide
+    * and binds at `start()` — leaving either key set would make every
+    * later streaming entry's provider depend on execution order. */
+  private def withRocksDbStateStore[A](s: SparkSession,
+      changelog: Boolean = false)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val chg = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prev = s.conf.getOption(key)
+    val prevChg = s.conf.getOption(chg)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    if (changelog) s.conf.set(chg, "true")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => s.conf.set(k, x)
+      case None => s.conf.unset(k)
+    }
+    try body
+    finally { restore(key, prev); restore(chg, prevChg) }
   }
 
   /** st7's production-correct sibling: exact dedup with BOUNDED state.
@@ -651,14 +664,7 @@ object StreamingQueries {
     * changelog. */
   def st24_dedup_rocksdb_state(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val chg = "spark.sql.streaming.stateStore.rocksdb." +
-      "changelogCheckpointing.enabled"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    s.conf.set(chg, "true")
-    try {
+    withRocksDbStateStore(s, changelog = true) {
       val plan = s.readStream
         .schema(eventsSchema)
         .option("maxFilesPerTrigger", "2")
@@ -676,9 +682,6 @@ object StreamingQueries {
           .start()
       }
       q.awaitTermination()
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
     s.table("st24_dedup_rocksdb_state")
       .groupBy(col("event_type"))
@@ -729,6 +732,14 @@ object StreamingQueries {
     * the join semantics, is the only thing that changes at 100 TB. */
   def st12_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the replay's micro-batch count: wall time here is dominated by
+    // per-trigger machinery (state-store commits, checkpoint I/O), which
+    // is ceil(files / maxFilesPerTrigger) + 1 no-data batch per side. A
+    // testdata regeneration that changed the file layout would silently
+    // change what the bench measures — fail loudly instead.
+    val nSrc = listParquet(new java.io.File(streamDir(s, dir))).size
+    require(nSrc == 4, s"st12 expects the 4-file stream layout " +
+      s"(2 triggers/side at maxFilesPerTrigger=2), got $nSrc files")
     def side(tpe: String, idAs: String, tAs: String) = s.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "2")
@@ -819,6 +830,14 @@ object StreamingQueries {
     * the batch LEFT JOIN the oracle runs. */
   def st13_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the replay's micro-batch count (see st12): 4 main files + 3
+    // watermark sentinels = 4 triggers/side at maxFilesPerTrigger=2.
+    // The per-trigger fixed cost is recorded in PLANS.md; this require
+    // keeps a testdata or sentinel-layout change from silently changing
+    // what the bench times.
+    val nSrc = listParquet(new java.io.File(sentinelStreamDir(s, dir))).size
+    require(nSrc == 7, s"st13 expects the 4+3-sentinel stream layout " +
+      s"(4 triggers/side at maxFilesPerTrigger=2), got $nSrc files")
     def side(tpe: String, idAs: String, tAs: String) = s.readStream
       .schema(eventsSchema)
       // 2 files per trigger with THREE sentinels (see sentinelStreamDir):

@@ -215,7 +215,7 @@ object SegmentIndex {
         (Frag(Free, None), k)
       }
       if (open + 1 < n && regex.charAt(open + 1) == '?') {
-        val c2 = if (open + 2 < n) regex.charAt(open + 2) else ' '
+        val c2 = if (open + 2 < n) regex.charAt(open + 2) else '\u0000'
         c2 match {
           case ':' => body(open + 3)
           // atomic group: its language ⊆ the body's, so the body's

@@ -663,7 +663,7 @@ class PipelineSpec extends AnyFunSuite {
     // payloads no JDK reader accepts (or a recognized-magic corrupt RIFF
     // body) decode to None, never a task-killing exception
     assert(Multimodal.JavaSoundCodec.decodeAudio("not audio".getBytes).isEmpty)
-    val corrupt = "RIFF    WAVEjunk".getBytes("US-ASCII")
+    val corrupt = "RIFF\u0000\u0000\u0000\u0000WAVEjunk".getBytes("US-ASCII")
     assert(Multimodal.JavaSoundCodec.decodeAudio(corrupt).isEmpty)
   }
 
@@ -742,7 +742,7 @@ class PipelineSpec extends AnyFunSuite {
     // malformed payloads decode to None, never a task-killing exception
     assert(Multimodal.RiffVideoCodec.decodeVideo("not a video".getBytes).isEmpty)
     assert(Multimodal.RiffVideoCodec
-      .decodeVideo("RIFF    AVI junk".getBytes).isEmpty)
+      .decodeVideo("RIFF\u0000\u0000\u0000\u0000AVI junk".getBytes).isEmpty)
   }
 
   test("corrupt media headers decode to None, never task-killing exceptions") {
@@ -861,6 +861,40 @@ class PipelineSpec extends AnyFunSuite {
     val floor = -math.log(1.0 / (nTotal + vocab))
     assert(math.abs(m(11L) - floor) < 1e-6,
       s"OOV doc should sit at the smoothing floor $floor, got ${m(11L)}")
+  }
+
+  test("lmScore / bigramLmScore: compiled plan-constant path is " +
+    "value-identical to the explode+join fallback (gate seam)") {
+    import spark.implicits._
+    val ref = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the dog sleeps near the quiet river all day"),
+      (2L, "a fox and a dog play near the river")).toDF("doc_id", "text")
+    val scored = Seq(
+      (10L, "the fox jumps over the dog and the dog jumps back"),
+      (11L, "zx9 qw7 blorp vmme kkjq zzt"),
+      (12L, "one"), // single token: no bigram evidence, drops from t18
+      (13L, "near the river the fox sleeps"),
+      (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ta = graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    // exact equality, not approx: both paths must produce the SAME
+    // round-9/round-6 doubles or the verify hash compare would split
+    assert(rows(ta.lmScoreGated(scored, "doc_id", "text", ref, "text",
+        gate = 1 << 17)) ==
+      rows(ta.lmScoreGated(scored, "doc_id", "text", ref, "text",
+        gate = 0)))
+    assert(rows(ta.bigramLmScoreGated(scored, "doc_id", "text", ref,
+        "text", lambda = 0.5, gate = 1 << 17)) ==
+      rows(ta.bigramLmScoreGated(scored, "doc_id", "text", ref, "text",
+        lambda = 0.5, gate = 0)))
+    // and an asymmetric lambda to catch a swapped interpolation term
+    assert(rows(ta.bigramLmScoreGated(scored, "doc_id", "text", ref,
+        "text", lambda = 0.7, gate = 1 << 17)) ==
+      rows(ta.bigramLmScoreGated(scored, "doc_id", "text", ref, "text",
+        lambda = 0.7, gate = 0)))
   }
 
   test("chunkByTokens: windows tile the token stream with the overlap") {

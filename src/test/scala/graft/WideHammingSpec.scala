@@ -145,4 +145,29 @@ class WideHammingSpec extends AnyFunSuite {
     assert(got == exp,
       s"missing ${(exp -- got).take(5)}, spurious ${(got -- exp).take(5)}")
   }
+
+  test("maxHamming=0: single full-width band is an exact-signature " +
+    "equi-join (the >63-bit chunk XOR-folds; firstAgreeChunk kills " +
+    "fold collisions)") {
+    // duplicate signatures → exact pairs; distinct ones → none
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L), (5L, 10L))
+      .toDF("id", "sh")
+    val got = Dedup.hammingNearDuplicates64(df, "id", "sh", maxHamming = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // wide variant at 128 bits: the single chunk folds two words.
+    // ids 1/2 are identical; id 3 is a GENUINE fold collision with them:
+    // bit 0 set (fold window [0,63) → key 1) vs bit 63 set (fold window
+    // [63,126) → key 1) — same bucket, different bits, must NOT pair.
+    val wide = Seq(
+      (1L, Seq(1L, 0L)), (2L, Seq(1L, 0L)),
+      (3L, Seq(java.lang.Long.MIN_VALUE, 0L)),
+      (4L, Seq(11L, 23L)))
+      .toDF("id", "sig")
+    val gotW = Dedup.hammingNearDuplicatesWide(wide, "id", "sig", 128, 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotW == Set((1L, 2L)))
+  }
 }
