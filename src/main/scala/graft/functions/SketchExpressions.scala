@@ -929,12 +929,23 @@ case class BigramNanoSum(child: Expression,
         val c2 = if (u2 == null) 0L else u2.longValue()
         // the packed memo key is only injective below 2^31 per count —
         // a web-scale reference's hot token can exceed that, so compute
-        // directly rather than risk a silent collision
-        s += (if (((c1 | c2) >>> 31) == 0L)
-          unseenMemo.computeIfAbsent(
-            java.lang.Long.valueOf((c1 << 32) | c2),
-            _ => java.lang.Long.valueOf(nanoNll(0L, c1, c2))).longValue()
-        else nanoNll(0L, c1, c2))
+        // directly rather than risk a silent collision. The memo is
+        // also size-capped: distinct (c1, c2) pairs are usually few
+        // (count VALUES, not tokens), but a diverse corpus against a
+        // near-gate vocabulary could otherwise grow an executor-lifetime
+        // map without bound — past the cap, hits still win and misses
+        // compute directly.
+        val memoizable = ((c1 | c2) >>> 31) == 0L
+        val key = if (memoizable) java.lang.Long.valueOf((c1 << 32) | c2)
+          else null
+        val cached = if (memoizable) unseenMemo.get(key) else null
+        s += (if (cached != null) cached.longValue()
+        else {
+          val v = nanoNll(0L, c1, c2)
+          if (memoizable && unseenMemo.size < BigramNanoSum.MemoCap)
+            unseenMemo.put(key, java.lang.Long.valueOf(v))
+          v
+        })
       }
       i += 1
     }
@@ -945,6 +956,12 @@ case class BigramNanoSum(child: Expression,
     copy(child = newChild)
 
   override def prettyName: String = "bigram_nano_sum"
+}
+
+object BigramNanoSum {
+  /** Unseen-pair memo entry cap (~48 MB worst case of boxed
+    * entries) — a backstop, not a tuning knob. */
+  private[functions] val MemoCap: Int = 1 << 20
 }
 
 /** Hamming distance between two equal-width packed bit signatures

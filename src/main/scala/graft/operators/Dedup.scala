@@ -43,13 +43,19 @@ object Dedup {
 
   /** Estimated UNCOMPRESSED byte size of a frame, from plan-time
     * statistics (no job): scan statistics report compressed parquet
-    * bytes, so scale by a conservative ×4 text-decompression factor.
-    * Used to size explode-amplified shuffles without the extra
-    * length-scan job the previous shape paid per query. */
-  private def statsBytes(df: DataFrame): Long = {
+    * bytes, so scale by a ×8 text-decompression factor (measured on
+    * this corpus family: snappy parquet under-reports characters ~2.4×
+    * at sf10 even before column-level encoding; boilerplate-heavy
+    * corpora compress harder, and an UNDER-estimate here under-sizes a
+    * spill-aware shuffle — err high). None when the plan carries no
+    * usable statistics (sources without stats report the
+    * Long.MaxValue-ish sentinel): sizing from a sentinel wrapped to a
+    * ~935M-partition repartition; callers must fall back to a real
+    * count instead. */
+  private def statsBytes(df: DataFrame): Option[Long] = {
     val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val capped = b.min(BigInt(Long.MaxValue / 8)).max(BigInt(0))
-    capped.toLong * 4
+    if (b <= 0 || b >= BigInt(Long.MaxValue / 64)) None
+    else Some(b.toLong * 8)
   }
 
   /** Spread a small under-parallel scan across the cluster before an
@@ -63,7 +69,9 @@ object Dedup {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    if (statsBytes(df) < maxSplit.toLong * math.max(1, cores / 2))
+    // unknown statistics (None) count as "not small": never add a text
+    // shuffle on the say-so of a sentinel
+    if (statsBytes(df).exists(_ < maxSplit.toLong * math.max(1, cores / 2)))
       df.repartition(cores)
     else df
   }
@@ -197,8 +205,12 @@ object Dedup {
     // join, n_kept = 0, text_kept = "".
     base.join(keep, Seq("id"), "left")
       .select(col("id"),
-        floor((size(tokens(col("_t"))) + lit(spanTokens - 1)) /
-          lit(spanTokens)).cast("long").as("n_spans"),
+        // n_spans = ceil(tokens/k) = the SpanHashes element count — a
+        // hash walk with no per-token array, where size(tokens(_t))
+        // re-ran the O(len) regex split and allocated every token
+        // string just to count them
+        size(graft.functions.SpanHashes(col("_t"), spanTokens))
+          .cast("long").as("n_spans"),
         coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
         graft.functions.SpanKept(col("_t"),
           coalesce(col("keep_idx"), array().cast("array<int>")),
@@ -244,14 +256,22 @@ object Dedup {
     // Spill-aware partitioning: the decision stream carries ~one
     // (hash, packed id·pos) row PER CHARACTER, so its row count is the
     // corpus's character count — a fixed shuffle width puts corpus/width
-    // rows in every per-partition aggregation and scales per-task memory
+    // rows in every per-partition sort and scales per-task memory
     // linearly with the corpus (the sf10 soak OOM'd a 24 GB heap at
-    // 32 partitions ≈ 16M rows each). Width comes from plan-time scan
-    // statistics (~8M decision rows per partition), not the extra
-    // length-scan JOB the previous shape paid per query.
-    val parts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions,
-      (statsBytes(base) / 8000000L + 1).toInt)
+    // 32 partitions ≈ 16M rows each, pre-window shape). Width comes
+    // from plan-time scan statistics (target ~4M decision rows per
+    // partition — 2× headroom against the compression-factor error bar
+    // in statsBytes), not the extra length-scan JOB the previous shape
+    // paid per query; a source WITHOUT statistics pays that one exact
+    // sum(doc_len) job rather than sizing from a sentinel. Clamped to
+    // 2^20 partitions (a 4-PB-of-text ceiling) so a stats anomaly can
+    // never wrap Int or swamp the scheduler.
+    val minParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val streamBytes = statsBytes(base).getOrElse(
+      base.agg(coalesce(sum(col("doc_len")), lit(0L)))
+        .collect()(0).getLong(0))
+    val parts = math.min(1L << 20,
+      math.max(minParts.toLong, streamBytes / 4000000L + 1)).toInt
     // ONE corpus-sized exchange, ONE consumer: the stream packs (id,
     // pos) into a single long (16 B/row with the hash, vs 20 B as
     // separate columns), and the dup test + seed emission FOLD into one
@@ -752,9 +772,14 @@ object Dedup {
     * recall still STRUCTURAL (pigeonhole), never probabilistic. The
     * ladder caps at m=3: beyond it the chunk count (radius64·m+1) grows
     * as fast as the width, so per-chunk bits saturate near
-    * 64/radius64·(1) ≈ 21 and more width buys nothing — at corpus sizes
-    * past 2^21 the banding needs a coarser radius or a pre-partitioning
-    * key on top, not more bits. */
+    * 64/radius64·(1) ≈ 21 and more width buys little — measured r12:
+    * an m=5 (320-bit, 16 × 20-bit chunks) extension made the sf10 soak
+    * SLOWER (29 → 50 s), because on a clique-heavy corpus every true
+    * pair regenerates once per agreeing band before the first-agree
+    * filter, and 16 bands × wider rows outweigh the 2× keyspace.
+    * Width fights RANDOM collisions only; dense identical-signature
+    * cliques are collapsed before banding instead (see
+    * [[hammingNearDuplicatesWide]]). */
   def autoSrpParams(n: Long, radius64: Int = 3): (Int, Int) = {
     require(n >= 0 && radius64 >= 1, s"bad autoSrpParams($n, $radius64)")
     val m = (1 to 3).find { m =>
@@ -794,12 +819,35 @@ object Dedup {
     val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"),
       posexplode(fns.bitChunks(col(sigCol), width, nChunks))
         .as(Seq("band", "band_key")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
-    val capped = banded
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= maxBucket)
-      .drop("_rn")
+    // maxBucket = Int.MaxValue disables the cap AND its row_number sort
+    // over the banded stream — the full-recall mode for callers whose
+    // contract is structural recall (s36's gate): measured at the r12
+    // sf10 soak, 44% of banded rows sat in buckets past the 1000 cap
+    // (the corpus carries identical-signature cliques of ~440 rows and
+    // a 129M-pair true answer), i.e. the cap was no longer a skew guard
+    // but a silent recall ceiling. Two rewrites that tried to make the
+    // clique mass cheaper were measured and REJECTED (r12): collapsing
+    // identical signatures to representatives before banding and
+    // expanding rep pairs back through member joins ran 75 s (shuffled
+    // expansion — the output-sized stream re-exchanges between the two
+    // joins) and 85 s (broadcast expansion) against 24–29 s for this
+    // plain shape at sf10. The reason: the banded sort-merge join
+    // GENERATES candidate pairs stream-side and filters them inline
+    // (first-agree + hamming) without ever exchanging them — clique
+    // pairs regenerate once per agreeing band, but regeneration inside
+    // the merge join is cheaper than re-shuffling the answer-sized
+    // stream even once. Keep candidates un-exchanged; let dense answers
+    // pay bands × generation.
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
+        banded
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") <= maxBucket)
+          .drop("_rn")
+      }
     val a = capped.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("band_key"),

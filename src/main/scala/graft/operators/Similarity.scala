@@ -508,14 +508,6 @@ object Similarity {
       .select("id_a", "id_b", "score", "rank")
   }
 
-  /** All-pairs top-k neighbors per vector within LSH blocks — the batch
-    * companion of annTopK for building kNN graphs. Quadratic within a
-    * block; block count grows with bits. `dim` is the embedding width the
-    * hyperplanes are drawn over. `tables` > 1 OR-amplifies recall with
-    * independent hyperplane banks (the standard multi-table trade: t×
-    * the block-join shuffle buys 1−(1−p^bits)^t recall per pair); a pair
-    * colliding in several tables is deduplicated by the max-score
-    * aggregate before ranking, so the graph itself is table-agnostic. */
   /** The per-vector LSH block assignment [[knnGraph]] pairs within —
     * exposed for floor attribution (tools.FloorProfile): this is the
     * LINEAR term of the blocked kNN graph, the wall the pair term is
@@ -533,6 +525,14 @@ object Similarity {
       .select(col("t"), col("id"), col("v"), col("block"))
   }
 
+  /** All-pairs top-k neighbors per vector within LSH blocks — the batch
+    * companion of annTopK for building kNN graphs. Quadratic within a
+    * block; block count grows with bits. `dim` is the embedding width the
+    * hyperplanes are drawn over. `tables` > 1 OR-amplifies recall with
+    * independent hyperplane banks (the standard multi-table trade: t×
+    * the block-join shuffle buys 1−(1−p^bits)^t recall per pair); a pair
+    * colliding in several tables is deduplicated by the max-score
+    * aggregate before ranking, so the graph itself is table-agnostic. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bits: Int = 12, dim: Int = 64, tables: Int = 1): DataFrame = {
     require(tables >= 1, "tables must be >= 1")

@@ -341,8 +341,13 @@ object TextAnalysis {
         .select(col("id"), size(col("_toks")).cast("long").as("n_tok"),
           graft.functions.SketchExpressions
             .tokenNanoLookupSum(col("_toks"), table, oov).as("_nanos"))
+        // divide the nano sum down in DECIMAL and cast once, like the
+        // join path's DECIMAL(27,9) → double: a bare long/double divide
+        // rounds the long FIRST and diverges by an ulp once the sum
+        // passes 2^53 (a ~500k-token document)
         .select(col("id"), col("n_tok"),
-          (col("_nanos") / lit(1e9) / col("n_tok")).as("avg_nll"))
+          ((col("_nanos").cast(org.apache.spark.sql.types.DecimalType(38, 9))
+            / lit(1000000000L)).cast("double") / col("n_tok")).as("avg_nll"))
     } else {
       val totals = refCounts.agg(
         sum(col("_c")).cast("double").as("_n"),
@@ -433,9 +438,12 @@ object TextAnalysis {
               col("_toks"), uni, bi, lambda, nTok, vCnt).as("_nanos"))
           // the join path rounds the DECIMAL(27,9) sum to 6 places
           // before the divide; on non-negative nano-longs that is
-          // (nanos + 500) div 1000 micros, then the same double divides
+          // (nanos + 500) div 1000 micros, divided down in DECIMAL and
+          // cast once (same 2^53 double-rounding guard as lmScore)
           .select(col("id"), col("n_pairs"),
-            (expr("(_nanos + 500) div 1000") / lit(1e6)
+            ((expr("(_nanos + 500) div 1000")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+              / lit(1000000L)).cast("double")
               / col("n_pairs")).as("avg_nll"))
       }
     }

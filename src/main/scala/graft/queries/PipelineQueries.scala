@@ -506,16 +506,30 @@ object PipelineQueries {
           Similarity
             .ivfCentroidsHierarchical(corpus, "vec_id", "embedding", k)
             .write.mode("overwrite").parquet(out)
+          // reap superseded signatures (regenerated testdata) like the
+          // trigram manifests — one orphan dir per rewrite otherwise
+          SourceQueries.dropSupersededArtifacts("graft_hiercents", out)
         }
       }
       out
     })
 
+  // read-back cached per (context, dataset) — the manifestArtifact
+  // pattern: one tiny relation, reused across iterations and probes
+  private val hierCentFrames = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+
+  private[graft] def hierCentroidsFrame(s: SparkSession, dir: String,
+      corpus: DataFrame, k: Int): DataFrame =
+    hierCentFrames.computeIfAbsent((s.sparkContext, dir), { _ =>
+      s.read.parquet(hierCentroidsDir(s, dir, corpus, k))
+        .select(col("cluster"), col("cvec")).cache()
+    })
+
   def s37_semantic_dedup_hier(s: SparkSession, dir: String): DataFrame = {
     val corpus = withPlantedTwinsAt(s, dir, 10000000L)
     val k = Similarity.autoClusters(corpus, targetOccupancy = 128)
-    val centDf = s.read.parquet(hierCentroidsDir(s, dir, corpus, k))
-      .select(col("cluster"), col("cvec"))
+    val centDf = hierCentroidsFrame(s, dir, corpus, k)
     val assignBits = math.max(1,
       math.ceil(math.log(k / 16.0) / math.log(2)).toInt)
     val out = Dedup.semanticDedupFrame(corpus, "vec_id", "embedding",
@@ -560,8 +574,7 @@ object PipelineQueries {
       }),
       "s34_full" -> (() => s34_semantic_dedup_auto(s, dir)),
       "s37_assign" -> (() => {
-        val centDf = s.read.parquet(hierCentroidsDir(s, dir, corpus, k))
-          .select(col("cluster"), col("cvec"))
+        val centDf = hierCentroidsFrame(s, dir, corpus, k)
         val dim = centDf.select(size(col("cvec"))).head().getInt(0)
         Similarity.ivfAssignTopLshFrame(
           corpus.select(col("vec_id").as("id"), col("embedding").as("v")),
@@ -1412,8 +1425,14 @@ object PipelineQueries {
     val packed = e.select(col("vec_id"),
       graft.functions.SketchExpressions.srpCodeWide(
         col("embedding").cast("array<double>"), w).as("sig"))
-    val pairs =
-      Dedup.hammingNearDuplicatesWide(packed, "vec_id", "sig", w, h)
+    // UNCAPPED: this entry's contract is full structural recall (the
+    // gate below asserts it), and at the ladder's 192-bit saturation
+    // point the default 1000-row bucket cap measurably bites (sf10: 44%
+    // of banded rows in over-cap buckets — every one a silently lost
+    // candidate). The cap stays the default for generic callers; here
+    // the quadratic-volume guard is the width ladder itself.
+    val pairs = Dedup.hammingNearDuplicatesWide(packed, "vec_id", "sig",
+      w, h, maxBucket = Int.MaxValue)
     gateOnce(dir + "#s36") {
       val stride = math.max(1L, n / 50)
       def inGate(c: Column): Column =

@@ -86,7 +86,8 @@ object SourceQueries {
     * rewritten, which happens between rounds (hours apart), so the grace
     * window loses nothing; anything younger is plausibly live in another
     * process and is left for that process's own next rewrite to reap. */
-  private def dropSupersededArtifacts(prefix: String, liveDir: String): Unit = {
+  private[graft] def dropSupersededArtifacts(prefix: String,
+      liveDir: String): Unit = {
     val live = new java.io.File(liveDir)
     val name = live.getName
     // tail = everything after "<prefix>_<32-hex-sig>"

@@ -49,8 +49,6 @@ object StageProfile {
       stages.clear(); jobs.clear()
       val cgn0 = org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount
-      val cgt0 = org.apache.spark.metrics.source.CodegenMetrics
-        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
       spark.sparkContext.addSparkListener(listener)
       t0ms = System.currentTimeMillis()
       val t0 = System.nanoTime()
