@@ -82,6 +82,10 @@ object SketchExpressions {
       GraftColumnBridge.expression(tokensCol), uniCounts, biCounts,
       lambda, nTokens, vocab))
 
+  def scaledLongToDouble(v: Column, scale: Int): Column =
+    GraftColumnBridge.column(
+      ScaledLongToDouble(GraftColumnBridge.expression(v), scale))
+
   /** Exact 9-dp HALF_UP (away-from-zero) rounding of a double to
     * nano-unit longs, value-identical to Spark's `round(v, 9) * 1e9`
     * and a DECIMAL(27,9) oracle. Float-origin doubles (parquet `float`
@@ -904,6 +908,14 @@ case class BigramNanoSum(child: Expression,
   @transient private lazy val unseenMemo =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
 
+  // approximate entry count for the MemoCap check: CHM.size() traverses
+  // counter cells, which on a corpus with many unseen pairs turns every
+  // miss into an O(cells) walk (ADVICE r12). A LongAdder bumped on each
+  // successful insert is O(1); racy double-puts of the same key may
+  // overcount slightly, which only makes the backstop trip earlier.
+  @transient private lazy val unseenMemoCount =
+    new java.util.concurrent.atomic.LongAdder()
+
   private def nanoNll(cb: Long, c1: Long, c2: Long): Long =
     SketchExpressions.nanosOf(-math.log(
       lambda * ((cb + 1L).toDouble / (c1.toDouble + vocab)) +
@@ -942,8 +954,9 @@ case class BigramNanoSum(child: Expression,
         s += (if (cached != null) cached.longValue()
         else {
           val v = nanoNll(0L, c1, c2)
-          if (memoizable && unseenMemo.size < BigramNanoSum.MemoCap)
-            unseenMemo.put(key, java.lang.Long.valueOf(v))
+          if (memoizable && unseenMemoCount.sum < BigramNanoSum.MemoCap &&
+              unseenMemo.putIfAbsent(key, java.lang.Long.valueOf(v)) == null)
+            unseenMemoCount.increment()
           v
         })
       }
@@ -962,6 +975,40 @@ object BigramNanoSum {
   /** Unseen-pair memo entry cap (~48 MB worst case of boxed
     * entries) — a backstop, not a tuning knob. */
   private[functions] val MemoCap: Int = 1 << 20
+}
+
+/** Correctly-rounded double of `child · 10^-scale` over a LONG child —
+  * exactly `cast(decimal_of_scale(child) AS double)`, i.e. what the
+  * nano/micro fixed-point paths need when converting an integer-exact
+  * sum to the double an external oracle computes. Replaces the
+  * `cast(decimal(38,s)) / 10^s` divide whose QUOTIENT type (and
+  * null/overflow behavior past ~1e8 units) depends on the session conf
+  * `spark.sql.decimalOperations.allowPrecisionLoss` (ADVICE r12): this
+  * expression is a pure function of the long, independent of any
+  * decimal-arithmetic conf. `BigDecimal.valueOf(v, scale).doubleValue()`
+  * is round-to-nearest per IEEE 754, the same conversion Spark's
+  * `Cast(decimal → double)` performs. */
+case class ScaledLongToDouble(child: Expression, scale: Int)
+    extends UnaryExpression with ComputeUnaryCodegen {
+  require(scale >= 0 && scale <= 18, s"bad scale $scale")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint input, got ${t.sql}")
+  }
+
+  override def compute(input: Any): Any =
+    java.lang.Double.valueOf(
+      java.math.BigDecimal.valueOf(input.asInstanceOf[Long], scale)
+        .doubleValue())
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ScaledLongToDouble = copy(child = newChild)
+
+  override def prettyName: String = "scaled_long_to_double"
 }
 
 /** Hamming distance between two equal-width packed bit signatures

@@ -341,13 +341,17 @@ object TextAnalysis {
         .select(col("id"), size(col("_toks")).cast("long").as("n_tok"),
           graft.functions.SketchExpressions
             .tokenNanoLookupSum(col("_toks"), table, oov).as("_nanos"))
-        // divide the nano sum down in DECIMAL and cast once, like the
+        // convert the nano sum to double at scale 9 exactly, like the
         // join path's DECIMAL(27,9) → double: a bare long/double divide
         // rounds the long FIRST and diverges by an ulp once the sum
-        // passes 2^53 (a ~500k-token document)
+        // passes 2^53 (a ~500k-token document). scaledLongToDouble is
+        // conf-independent — the old decimal(38,9)/1e9 divide's quotient
+        // type hinged on spark.sql.decimalOperations.allowPrecisionLoss
+        // and overflowed to null with precision loss disabled
         .select(col("id"), col("n_tok"),
-          ((col("_nanos").cast(org.apache.spark.sql.types.DecimalType(38, 9))
-            / lit(1000000000L)).cast("double") / col("n_tok")).as("avg_nll"))
+          (graft.functions.SketchExpressions
+            .scaledLongToDouble(col("_nanos"), 9) / col("n_tok"))
+            .as("avg_nll"))
     } else {
       val totals = refCounts.agg(
         sum(col("_c")).cast("double").as("_n"),
@@ -438,12 +442,12 @@ object TextAnalysis {
               col("_toks"), uni, bi, lambda, nTok, vCnt).as("_nanos"))
           // the join path rounds the DECIMAL(27,9) sum to 6 places
           // before the divide; on non-negative nano-longs that is
-          // (nanos + 500) div 1000 micros, divided down in DECIMAL and
-          // cast once (same 2^53 double-rounding guard as lmScore)
+          // (nanos + 500) div 1000 micros, converted to double at
+          // scale 6 exactly (same 2^53 double-rounding guard and same
+          // conf-independence note as lmScore above)
           .select(col("id"), col("n_pairs"),
-            ((expr("(_nanos + 500) div 1000")
-              .cast(org.apache.spark.sql.types.DecimalType(38, 6))
-              / lit(1000000L)).cast("double")
+            (graft.functions.SketchExpressions.scaledLongToDouble(
+              expr("(_nanos + 500) div 1000"), 6)
               / col("n_pairs")).as("avg_nll"))
       }
     }

@@ -496,11 +496,16 @@ object PipelineQueries {
   private val hierCentBuildLock = new Object
 
   private def hierCentroidsDir(s: SparkSession, dir: String,
-      corpus: DataFrame, k: Int): String =
-    hierCentDirs.computeIfAbsent(dir, { d =>
-      val sig = SourceQueries.artifactSignature(
-        Seq(s"$d/embeddings.parquet"))
-      val out = Tables.tmpDirFor(s"graft_hiercents_$sig", d)
+      corpus: DataFrame, k: Int): String = {
+    // the signature is recomputed on EVERY access (two stat calls) and
+    // the memo is keyed by (dir, sig), so a regenerated
+    // embeddings.parquet within one JVM gets a fresh codebook too —
+    // keying by dir alone only protected across process restarts
+    // (ADVICE r12)
+    val sig = SourceQueries.artifactSignature(
+      Seq(s"$dir/embeddings.parquet"))
+    hierCentDirs.computeIfAbsent(s"$dir#$sig", { _ =>
+      val out = Tables.tmpDirFor(s"graft_hiercents_$sig", dir)
       hierCentBuildLock.synchronized {
         if (!new java.io.File(out, "_SUCCESS").exists()) {
           Similarity
@@ -513,18 +518,22 @@ object PipelineQueries {
       }
       out
     })
+  }
 
-  // read-back cached per (context, dataset) — the manifestArtifact
-  // pattern: one tiny relation, reused across iterations and probes
+  // read-back cached per (context, artifact PATH) — the manifestArtifact
+  // pattern: one tiny relation, reused across iterations and probes. The
+  // path embeds the source signature, so a regenerated dataset keys a
+  // fresh entry here automatically.
   private val hierCentFrames = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
 
   private[graft] def hierCentroidsFrame(s: SparkSession, dir: String,
-      corpus: DataFrame, k: Int): DataFrame =
-    hierCentFrames.computeIfAbsent((s.sparkContext, dir), { _ =>
-      s.read.parquet(hierCentroidsDir(s, dir, corpus, k))
-        .select(col("cluster"), col("cvec")).cache()
+      corpus: DataFrame, k: Int): DataFrame = {
+    val out = hierCentroidsDir(s, dir, corpus, k)
+    hierCentFrames.computeIfAbsent((s.sparkContext, out), { _ =>
+      s.read.parquet(out).select(col("cluster"), col("cvec")).cache()
     })
+  }
 
   def s37_semantic_dedup_hier(s: SparkSession, dir: String): DataFrame = {
     val corpus = withPlantedTwinsAt(s, dir, 10000000L)

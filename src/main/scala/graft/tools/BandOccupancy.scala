@@ -34,7 +34,11 @@ object BandOccupancy {
         max(col("occ")).as("max_occ"),
         expr("percentile_approx(occ, 0.999)").as("p999"),
         sum(when(col("occ") > maxBucket, 1).otherwise(0)).as("over_cap"),
-        sum(when(col("occ") > maxBucket, col("occ"))).as("rows_in_over"),
+        // otherwise(0L): without it sum() over zero matching rows is
+        // NULL, ambiguous output in the probe whose job is deciding
+        // whether cap loss exists (ADVICE r12)
+        sum(when(col("occ") > maxBucket, col("occ")).otherwise(lit(0L)))
+          .as("rows_in_over"),
         count(lit(1)).as("buckets"))
       .orderBy("band")
       .show(32, truncate = false)

@@ -28,7 +28,14 @@ object FloorProfile {
           mk().write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"[floor] $name $sfDir median=${ts.sorted.apply(ts.size / 2)}%.2f " +
+        // true median: average the two middle samples for even iteration
+        // counts — picking the upper-middle biased the report high for
+        // SPARK_GRAFT_TIMEQ_ITERS=2 or 4 (ADVICE r12)
+        val sorted = ts.sorted
+        val median =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+        println(f"[floor] $name $sfDir median=$median%.2f " +
           s"all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
