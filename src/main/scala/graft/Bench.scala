@@ -176,6 +176,42 @@ object Bench {
     if (base.startsWith("sf")) base.drop(2).toDoubleOption else None
   }
 
+  /** Fixed-cost control probes (judge ask r12 #1): two DATA-INDEPENDENT
+    * timings taken at the start of every bench run so round-over-round
+    * drift can be divided out. The r12 total "regressed" +15.7% on a
+    * uniform ~1.18× median per-query ratio across unrelated sub-second
+    * entries — the signature of a shared-box / fixed-cost shift, but
+    * nothing in the artifact could prove it. These probes time exactly
+    * the two fixed costs every query pays: the job launch floor
+    * (empty_job_s: a 32-task count over spark.range) and the constant
+    * exchange (exchange_s: 1.3M rows through a 32→32 round-robin
+    * repartition into the noop sink — the PLANS.md LocalTuning
+    * measurement shape). Identical plans every round, zero dependence
+    * on the dataset or any operator, 1 warm + 5 timed, median. A future
+    * round whose per-query medians shift together with these controls is
+    * box drift; one whose queries move while the controls hold still is
+    * a real plan change. */
+  private def controlProbes(spark: SparkSession): Seq[(String, Double)] = {
+    val par = spark.sparkContext.defaultParallelism
+    def timeMedian(run: () => Unit): Double = {
+      run() // warm (JIT + codegen cache)
+      val ts = Seq.fill(5) {
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      math.rint(ts(2) * 10000) / 10000
+    }
+    val empty = timeMedian(() => {
+      spark.range(0, par.toLong, 1, par).count(): Unit
+    })
+    val exchange = timeMedian(() => {
+      spark.range(0, 1310720L, 1, 32).repartition(32)
+        .write.format("noop").mode("overwrite").save()
+    })
+    Seq("empty_job_s" -> empty, "exchange_s" -> exchange)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -193,6 +229,9 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
       .max(1)
+    val control = controlProbes(spark)
+    System.err.println("[bench] control " +
+      control.map { case (k, v) => s"$k=$v" }.mkString(" "))
     val main = runSuite(spark, sfDir, only, iters, captureMetrics = true)
 
     // ---- slope pass: the same suite at a smaller SF of the same data.
@@ -274,7 +313,9 @@ object Bench {
         s""","slope":$sj,"slope_sf":"$d","slope_ratio":$ratio,""" +
           s""""superlinear":$fl,"quadratic_by_contract":$qbc"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"dispersion":$disp,"errors":$errs,"shuffle_mb":$shuf,"spill_mb":$spl,"exec_mem_mb":$mem$slopeFields,"sf":"$sfDir"}"""
+    val ctrl = JsonOut.obj(
+      control.map { case (k, v) => k -> v.toString }, quoteValues = false)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"control_s":$ctrl,"dispersion":$disp,"errors":$errs,"shuffle_mb":$shuf,"spill_mb":$spl,"exec_mem_mb":$mem$slopeFields,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
     // machine parse in round 1 — also write the bare JSON line to a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
