@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Centroid-bucket-row bound under which the assignment join
+    * broadcasts the centroid side (k·tables rows ≈ 67 MB of vector
+    * payload at dim 64). Shared by [[ivfAssignTopLsh]]'s route gate and
+    * by callers deciding whether a trained codebook is small enough to
+    * carry as a driver array / local relation at all (s37's entry-side
+    * routing). */
+  val MaxBroadcastCentroidRows: Long = 1L << 17
+
   /** array<float> → array<double> (all arithmetic in double for
     * cross-engine determinism). */
   def toDoubleVec(vecCol: Column): Column =
@@ -305,7 +313,8 @@ object Similarity {
   def ivfAssignTopLsh(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], probes: Int, bits: Int,
       dim: Int = 64, tables: Int = 4,
-      maxBroadcastCentroidRows: Long = 1L << 17): DataFrame = {
+      maxBroadcastCentroidRows: Long = Similarity.MaxBroadcastCentroidRows)
+      : DataFrame = {
     require(cents.nonEmpty, "no centroids")
     val spark = df.sparkSession
     import spark.implicits._

@@ -347,6 +347,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(exactSurv.subsetOf(surv))
   }
 
+  test("semanticDedup array route and semanticDedupFrame forced-frame " +
+    "route (no broadcast) agree row-for-row") {
+    // s37's two routes: in-gate the codebook rides as a driver array /
+    // local relation; past the broadcast gate it stays a frame through a
+    // shuffled hash join. Same training, bucketing, scoring, and drop
+    // stage — survivors must be identical. The frame side gets the
+    // SORTED-by-cluster array relabeled to dense indices, mirroring what
+    // hierCentroidsArray inverts: monotone relabeling preserves the
+    // lower-cluster-id tie-break, so candidate ranking cannot differ.
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3 - 1) }
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows =
+      bases.zipWithIndex.flatMap { case (b, g) =>
+        (0 until 4).map(i => (g * 10L + i, jitter(b, i)))
+      } ++ Seq((90L, Array(0f, 0f, 0f, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 3,
+      maxSample = 100)
+    val arr = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.95, probes = 2, assignBits = 2, assignTables = 4)
+      .select("id").as[Long].collect().toSet
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cvec")
+    val framed = Dedup.semanticDedupFrame(df, "vec_id", "embedding",
+      centDf, threshold = 0.95, probes = 2, assignBits = 2,
+      assignTables = 4, broadcastCentroids = false)
+    // only the centroid-assignment join (keyed on the LSH bucket
+    // columns t/block) must avoid broadcast; the tiny id-keyed
+    // left-join and anti-join in the drop stage may broadcast freely
+    val plan = framed.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "forced-frame route must shuffle-hash-join the centroid side:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("block")),
+      "centroid bucket join must not broadcast:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+    assert(framed.select("id").as[Long].collect().toSet === arr)
+  }
+
   test("hardNegatives enforces its broadcast contract; the blocked " +
     "variant agrees with the exact path on planted structure") {
     // 30 corpus vectors around 3 orthogonal bases + 3 queries equal to
