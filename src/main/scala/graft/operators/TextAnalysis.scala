@@ -371,6 +371,90 @@ object TextAnalysis {
     }
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    * each document scores by how target-like its unigram distribution
+    * is — Σ_tokens ln(p_target(w) / p_raw(w)), add-1 smoothed, where
+    * target is the `targetLang` slice of the SAME corpus and raw is the
+    * whole corpus. Per-token terms are rounded to 9 decimals and
+    * carried as nano-unit LONGS (the [[lmScore]] contract), so the
+    * per-doc sum is integer-exact under any partitioning.
+    *
+    * Output: (id, lang, n_tok, score_nanos) per non-null-text document.
+    *
+    * Scale/compile posture mirrors [[lmScore]]: both count tables are
+    * FEATURE-space-sized (hashed n-gram buckets in production, raw
+    * vocabulary here). When the raw vocabulary fits the plan-constant
+    * gate the whole score compiles to one token→nano table walked in a
+    * single codegen pass per document — no explode, no shuffled count
+    * joins, no broadcast-stat jobs (the N/V/target-total constants fold
+    * into the table at plan time). Past the gate: the explode → two
+    * broadcast joins → one doc-keyed aggregation dataflow. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, targetLang: String): DataFrame =
+    dsirScoreGated(df, idCol, textCol, langCol, targetLang, LmVocabGate)
+
+  /** [[dsirScore]] with the vocabulary gate injectable (test seam). */
+  private[graft] def dsirScoreGated(df: DataFrame, idCol: String,
+      textCol: String, langCol: String, targetLang: String,
+      gate: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"), col(langCol).as("_lang"),
+      explode(tokens(col(textCol))).as("_t"))
+    val rawC = toks.groupBy(col("_t")).agg(count(lit(1)).as("_rc"))
+    val tgtC = toks.where(col("_lang") === targetLang)
+      .groupBy(col("_t")).agg(count(lit(1)).as("_tc"))
+    val probe = rawC.limit(gate + 1).collect()
+    if (probe.length <= gate) {
+      // target vocabulary ⊆ raw vocabulary, so the raw probe passing the
+      // gate bounds the target collect too. Constants fold on the
+      // driver; per-token double arithmetic mirrors the join path's
+      // cast/multiply/divide order exactly (cast each exact-integer
+      // factor to double, multiply once, divide once) so both routes
+      // round the same doubles to the same nano-longs.
+      val tgt = tgtC.collect()
+      val rtot = probe.iterator.map(_.getLong(1)).sum
+      val vsz = probe.length.toLong
+      val ttot = tgt.iterator.map(_.getLong(1)).sum
+      val tmap = tgt.iterator
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val table = probe.iterator.map { r =>
+        val t = r.getString(0)
+        val a = (tmap.getOrElse(t, 0L) + 1L).toDouble *
+          (rtot + vsz).toDouble
+        val b = (r.getLong(1) + 1L).toDouble * (ttot + vsz).toDouble
+        t -> graft.functions.SketchExpressions.nanosOf(math.log(a / b))
+      }.toMap
+      // default is unreachable: every corpus token is in the raw
+      // vocabulary the table was built from
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), col(langCol).as("lang"),
+          tokens(col(textCol)).as("_toks"))
+        .select(col("id"), col("lang"),
+          size(col("_toks")).cast("long").as("n_tok"),
+          graft.functions.SketchExpressions
+            .tokenNanoLookupSum(col("_toks"), table, 0L).as("score_nanos"))
+    } else {
+      val consts = rawC.agg(sum(col("_rc")).as("_rtot"),
+          count(lit(1)).as("_vsz"))
+        .crossJoin(toks.where(col("_lang") === targetLang)
+          .agg(count(lit(1)).as("_ttot")))
+      val ratio =
+        ((coalesce(col("_tc"), lit(0L)) + 1L).cast("double") *
+          (col("_rtot") + col("_vsz")).cast("double")) /
+        ((col("_rc") + 1L).cast("double") *
+          (col("_ttot") + col("_vsz")).cast("double"))
+      val nanos = round(round(log(ratio), 9) * lit(1e9), 0).cast("long")
+      toks.join(broadcast(rawC), Seq("_t"))
+        .join(broadcast(tgtC), Seq("_t"), "left")
+        .crossJoin(broadcast(consts))
+        .groupBy(col("_id"))
+        .agg(max(col("_lang")).as("lang"),
+          count(lit(1)).as("n_tok"),
+          sum(nanos).as("score_nanos"))
+        .select(col("_id").as("id"), col("lang"), col("n_tok"),
+          col("score_nanos"))
+    }
+  }
+
   /** Interpolated bigram LM scoring — the n-gram upgrade of [[lmScore]]
     * (real perplexity filters are n-gram models, not unigram bags):
     * per adjacent token pair,

@@ -2009,40 +2009,20 @@ object PipelineQueries {
   // p16: DSIR-style importance selection (Xie et al. 2023) — score each
   // raw document by how target-like its unigram distribution is
   // (log p_target(w)/p_raw(w), add-1 smoothed; target = the English
-  // slice) and keep the top 50. 100 TB shape: the two count tables are
-  // FEATURE-space-sized (hashed n-gram buckets in production, raw
-  // vocabulary here), so they broadcast; the corpus token stream takes
-  // two map-side hash joins and one aggregation shuffle keyed by
-  // doc_id; selection is TakeOrderedAndProject. Determinism: each
-  // token's log-ratio is one ln() of a ratio of exact integer products
-  // (< 2^53), rounded to 9 decimals and carried as nano-unit LONGS —
-  // the t13/t14 contract — so the output column is integer-exact.
-  def p16_dsir_select(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("doc_id"), col("lang"),
-      explode(Dedup.tokens(col("text"))).as("_t"))
-    val rawC = toks.groupBy(col("_t")).agg(count(lit(1)).as("_rc"))
-    val tgtC = toks.where(col("lang") === "en")
-      .groupBy(col("_t")).agg(count(lit(1)).as("_tc"))
-    val consts = rawC.agg(sum(col("_rc")).as("_rtot"),
-        count(lit(1)).as("_vsz"))
-      .crossJoin(toks.where(col("lang") === "en")
-        .agg(count(lit(1)).as("_ttot")))
-    val ratio =
-      ((coalesce(col("_tc"), lit(0L)) + 1L).cast("double") *
-        (col("_rtot") + col("_vsz")).cast("double")) /
-      ((col("_rc") + 1L).cast("double") *
-        (col("_ttot") + col("_vsz")).cast("double"))
-    val nanos = round(round(log(ratio), 9) * lit(1e9), 0).cast("long")
-    toks.join(broadcast(rawC), Seq("_t"))
-      .join(broadcast(tgtC), Seq("_t"), "left")
-      .crossJoin(broadcast(consts))
-      .groupBy(col("doc_id"))
-      .agg(max(col("lang")).as("lang"),
-        count(lit(1)).as("n_tok"),
-        sum(nanos).as("score_nanos"))
+  // slice) and keep the top 50. Scoring is TextAnalysis.dsirScore: the
+  // t13/t15-style size-gated compile (in-gate vocabulary → one
+  // token→nano table walked in a single codegen pass, constants folded
+  // at plan time; past the gate → explode + two broadcast joins + one
+  // doc-keyed aggregation); selection is TakeOrderedAndProject.
+  // Determinism: each token's log-ratio is one ln() of a ratio of exact
+  // integer products (< 2^53), rounded to 9 decimals and carried as
+  // nano-unit LONGS — the t13/t14 contract — integer-exact output.
+  def p16_dsir_select(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirScore(docs(s, dir), "doc_id", "text", "lang", "en")
+      .select(col("id").as("doc_id"), col("lang"), col("n_tok"),
+        col("score_nanos"))
       .orderBy(desc("score_nanos"), col("doc_id"))
       .limit(50)
-  }
 
   // s24: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
   // 2009) — the standard way RAG/curation stacks combine a lexical

@@ -939,6 +939,34 @@ class PipelineSpec extends AnyFunSuite {
         lambda = 0.7, gate = 0)))
   }
 
+  test("dsirScore: compiled plan-constant path is value-identical to " +
+    "the explode+join fallback (gate seam)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "en", "the quick brown fox jumps over the lazy dog"),
+      (1L, "en", "the dog sleeps near the quiet river all day"),
+      (2L, "de", "der schnelle braune fuchs springt über den faulen hund"),
+      (3L, "de", "the dog und the fox"), // cross-lang shared tokens
+      (4L, "fr", "le renard brun rapide saute"),
+      (5L, "en", null.asInstanceOf[String])) // null text drops out
+      .toDF("doc_id", "lang", "text")
+    val ta = graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val compiled = rows(ta.dsirScoreGated(corpus, "doc_id", "text",
+      "lang", "en", gate = 1 << 17))
+    val joined = rows(ta.dsirScoreGated(corpus, "doc_id", "text",
+      "lang", "en", gate = 0))
+    // exact equality: both paths must round the same doubles to the
+    // same nano-longs or the verify hash compare would split
+    assert(compiled == joined)
+    assert(compiled.map(_.head) == Seq(0L, 1L, 2L, 3L, 4L)) // 5L absent
+    // target-language docs must outscore the pure-foreign doc
+    val score = compiled.map(r => r.head.asInstanceOf[Long] ->
+      r(3).asInstanceOf[Long]).toMap
+    assert(score(0L) > score(4L) && score(1L) > score(4L))
+  }
+
   test("chunkByTokens: windows tile the token stream with the overlap") {
     import spark.implicits._
     val text = (1 to 75).map(i => s"w$i").mkString(" ")
