@@ -21,6 +21,59 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bucket-cap observability (judge ask r12 #5): every capped
+    * banded-hamming join attaches a zero-job `observe` aggregate
+    * counting the rows its `_rn > maxBucket` filter drops, and this
+    * listener surfaces the count when any action materializes the plan.
+    * The s36 lesson institutionalized for EVERY caller (s29/d3/m12):
+    * at the r12 sf10 soak the cap had silently become a recall ceiling
+    * (44% of banded rows past it) and only s36's bespoke recall gate
+    * noticed — with this, cap-induced loss is loud at near-zero cost.
+    * The count is per-evaluation: a self-join branch that re-evaluates
+    * the capped subtree (no exchange reuse) can double-count, so treat
+    * it as a fired/not-fired signal plus magnitude, not an exact row
+    * count. `capDroppedLast` holds the most recent observation (specs);
+    * `capDroppedTotal` accumulates per-process. */
+  private[graft] val capDroppedLast =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val capDroppedTotal =
+    new java.util.concurrent.atomic.LongAdder()
+  private val capMetricSeq =
+    new java.util.concurrent.atomic.AtomicInteger()
+  private val capListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def installCapListener(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(s))
+      s.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private def report(
+              qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_banded_cap")) {
+                val dropped = row.getAs[Long]("rows_dropped")
+                capDroppedLast.set(dropped)
+                if (dropped > 0) {
+                  capDroppedTotal.add(dropped)
+                  System.err.println(s"[graft] banded-hamming bucket cap" +
+                    s" dropped $dropped candidate rows (max bucket seen " +
+                    s"${row.getAs[Long]("max_bucket_seen")}); recall may " +
+                    "be capped - raise maxBucket, use the uncapped mode, " +
+                    "or re-block upstream")
+                }
+              }
+            }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = report(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = report(qe)
+        })
+
   /** Pack (id, pos) into one 64-bit long — `id·2^posBits + pos` — so the
     * corpus-sized decision streams of the span/substring dedup passes
     * shuffle ONE long where they shuffled (id long, pos int): ~25% fewer
@@ -841,10 +894,19 @@ object Dedup {
     val capped =
       if (maxBucket == Int.MaxValue) banded
       else {
+        installCapListener(df.sparkSession)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
         banded
           .withColumn("_rn", row_number().over(w))
+          // zero-job cap-loss observability (scaladoc at capDroppedLast):
+          // unique name per call — duplicate observe names in one plan
+          // fail analysis, and callers may band twice in one query
+          .observe(s"graft_banded_cap_${capMetricSeq.incrementAndGet()}",
+            coalesce(sum(when(col("_rn") > maxBucket, 1L).otherwise(0L)),
+              lit(0L)).as("rows_dropped"),
+            coalesce(max(col("_rn").cast("long")), lit(0L))
+              .as("max_bucket_seen"))
           .where(col("_rn") <= maxBucket)
           .drop("_rn")
       }

@@ -170,4 +170,32 @@ class WideHammingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotW == Set((1L, 2L)))
   }
+
+  test("bucket-cap truncation fires the observability counter on a " +
+    "mode-collapsed corpus and stays silent when nothing is capped") {
+    // 40 identical signatures — one bucket of 40 in every band. A cap
+    // of 10 truncates 30 banded rows per band; the s36 failure class
+    // (silent cap-induced recall loss) must now be loud for EVERY
+    // capped caller, not just the one with a bespoke recall gate.
+    val collapsed = (0L until 40L).map(i => (i, Seq(5L, 9L)))
+      .toDF("id", "sig")
+    def drain(): Unit = org.apache.spark.GraftListenerBridge
+      .flushListeners(spark.sparkContext)
+    Dedup.hammingNearDuplicatesWide(collapsed, "id", "sig", 128, 1,
+        maxBucket = 10)
+      .write.format("noop").mode("overwrite").save()
+    drain()
+    val fired = Dedup.capDroppedLast.get()
+    assert(fired > 0, "cap truncated the collapsed bucket but the " +
+      "observability counter did not fire")
+    // uncapped run on a corpus with small buckets: counter reports 0
+    val sparse = (0L until 8L).map(i => (i, Seq(1L << i, 0L)))
+      .toDF("id", "sig")
+    Dedup.hammingNearDuplicatesWide(sparse, "id", "sig", 128, 1,
+        maxBucket = 10)
+      .write.format("noop").mode("overwrite").save()
+    drain()
+    assert(Dedup.capDroppedLast.get() == 0L,
+      "no bucket exceeded the cap but rows_dropped was non-zero")
+  }
 }
