@@ -105,7 +105,7 @@ object Dedup {
     * Long.MaxValue-ish sentinel): sizing from a sentinel wrapped to a
     * ~935M-partition repartition; callers must fall back to a real
     * count instead. */
-  private def statsBytes(df: DataFrame): Option[Long] = {
+  private[graft] def statsBytes(df: DataFrame): Option[Long] = {
     val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (b <= 0 || b >= BigInt(Long.MaxValue / 64)) None
     else Some(b.toLong * 8)
@@ -118,7 +118,7 @@ object Dedup {
     * entire explode serially. At scale the scan already carries more
     * splits than cores and this is the identity — no extra text shuffle
     * on the 100 TB path. */
-  private def spreadIfUnderParallel(df: DataFrame): DataFrame = {
+  private[graft] def spreadIfUnderParallel(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes

@@ -2146,52 +2146,110 @@ object PipelineQueries {
   // DuckDB's unbounded levenshtein (≤ k filters identically; only pairs
   // within the band are emitted, where banded == exact).
   def d14_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d14Pairs(s, dir)
+    pairs
+      .withColumn("dist",
+        levenshtein(col("pfx_a"), col("pfx_b"), 10).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= 10)
+      // pair dedup happens HERE, on the verified survivors (thousands),
+      // not on the raw candidate stream (tens of millions at sf10): the
+      // old pre-verify distinct() exchanged the full candidate stream
+      // once just to collapse multi-segment grid hits, and the final
+      // orderBy's range-sampling job then re-executed the whole verify
+      // pipeline a second time. The min() is inert (duplicates carry
+      // identical dist) — the aggregate exists to dedup and to give the
+      // sort a materialized exchange to sample. Measured r13 at sf10:
+      // 146 s → see PLANS.md (with the probe-window and attach fixes
+      // below).
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d14's candidate funnel up to (but not including) the banded
+    * levenshtein verify: PassJoin segment blocking → prefix attach.
+    * Duplicate pairs (a pair can share several aligned segments) are
+    * NOT collapsed here — the entry dedups after verify, where the
+    * stream is thousands of rows instead of tens of millions. Exposed
+    * for tools.D14Probe, which counts the funnel stages: measured r13
+    * at sf10, candidates = 74M distinct pairs vs 7.9k verified, so the
+    * expensive part is generating/moving candidates, not verifying
+    * them — a q-gram count prefilter between blocking and verify was
+    * measured SLOWER (146 → 228 s) and rejected; the wins were cutting
+    * candidate volume (probe window ±K/2) and candidate movement
+    * (no pre-verify distinct, gate-broadcast attach). */
+  private[graft] def d14Pairs(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
-      col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
+        col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
+      // distinct 3-gram hash set per prefix, computed ONCE per document
+      // (not per candidate pair) — feeds D14Probe's count prefilter
+      .withColumn("g", graft.functions.SketchExpressions
+        .charNgramHashes(col("prefix"), 3))
     // PassJoin segment blocking (Li/Deng/Feng, VLDB'11) over the
     // equal-length 40-char prefixes: ed(a,b) <= K with K+1 segments of b
     // leaves at least one segment untouched by any edit, so it occurs
-    // EXACTLY in a at a start shifted by at most K. Candidates = pairs
-    // sharing an aligned segment — CONTENT-based blocking, so candidate
-    // count tracks true near-duplicate density instead of (lang, length)
+    // EXACTLY in a at a shifted start. Candidates = pairs sharing an
+    // aligned segment — CONTENT-based blocking, so candidate count
+    // tracks true near-duplicate density instead of (lang, length)
     // block sizes squared. The sf1 soak caught the old length-bucket
-    // blocking at slope 1.94 (305 s): every block grows with the corpus
-    // and pairs grow with its square; segment blocks only grow where
-    // text actually repeats. (sf0.1→sf1 after this rewrite: see PLANS.)
+    // blocking at slope 1.94 (305 s).
+    //
+    // Probe window: both sides of the long path are EXACTLY L chars, so
+    // any ed <= K transcript has #insertions == #deletions, each <= K/2
+    // — an untouched segment's shift (#ins - #del before it) lies in
+    // [-K/2, +K/2], not [-K, +K]. Halving the window halves the probe
+    // stream and the blocking-join output (measured r13 at sf10: 66.6M
+    // pair evaluations pre-dedup, vs 74M already-DEDUPED pairs under
+    // the ±K window) at zero recall cost; the sf0.01 brute-force
+    // oracle pins the guarantee.
     val L = 40
     val K = 10
     val nSeg = K + 1
+    val S = K / 2
     val segBounds = (0 until nSeg).map { i =>
       val st = i * L / nSeg
       (i, st, (i + 1) * L / nSeg - st)
     }
-    val long = base.where(length(col("prefix")) === L)
+    // spread the one-split sandbox scan before the 100-200x explode
+    // (identity at scale — see spreadIfUnderParallel): the probe
+    // generation stage otherwise runs 14-way with one straggler task
+    // carrying the biggest split (measured 69 s of the 146 s wall)
+    val long = Dedup.spreadIfUnderParallel(
+      base.where(length(col("prefix")) === L))
     // pigeonhole needs the fixed-length layout; prefixes under 40 chars
     // (doc shorter than the prefix window) fall back to the dense
     // same-lang pairing — bounded by the short-doc count, usually zero
     val short = base.where(length(col("prefix")) < L)
 
+    // blocking key = one 64-bit hash of (lang, segment index, segment
+    // text): the join compares/shuffles longs, not (string, int,
+    // string) triples, and the probe distinct dedups narrow rows. A
+    // 64-bit collision can only ADD a candidate pair, which the exact
+    // levenshtein verify then rejects — same 2^-64 posture as every
+    // dedup entry, and here it cannot even reach the output.
     val segExprs = array(segBounds.map { case (i, st, ln) =>
       struct(lit(i).as("i"),
         substring(col("prefix"), st + 1, ln).as("s"))
     }: _*)
-    val segs = long.select(col("doc_id").as("id_x"), col("lang"),
-        col("n_chars").as("n_x"), explode(segExprs).as("seg"))
-      .select(col("id_x"), col("lang"), col("n_x"),
-        col("seg.i").as("i"), col("seg.s").as("s"))
+    val segs = long.select(col("doc_id").as("id_x"),
+        col("n_chars").as("n_x"), col("lang"),
+        explode(segExprs).as("seg"))
+      .select(col("id_x"), col("n_x"),
+        xxhash64(col("lang"), col("seg.i"), col("seg.s")).as("k"))
     val probeExprs = array((for {
       (i, st, ln) <- segBounds
-      o <- -K to K
+      o <- -S to S
       p = st + o
       if p >= 0 && p + ln <= L
     } yield struct(lit(i).as("i"),
       substring(col("prefix"), p + 1, ln).as("s"))): _*)
-    val probes = long.select(col("doc_id").as("id_y"), col("lang"),
-        col("n_chars").as("n_y"), explode(probeExprs).as("pr"))
-      .select(col("id_y"), col("lang"), col("n_y"),
-        col("pr.i").as("i"), col("pr.s").as("s"))
+    val probes = long.select(col("doc_id").as("id_y"),
+        col("n_chars").as("n_y"), col("lang"),
+        explode(probeExprs).as("pr"))
+      .select(col("id_y"), col("n_y"),
+        xxhash64(col("lang"), col("pr.i"), col("pr.s")).as("k"))
       .distinct() // window substrings repeat; shrink the join input
-    val candLong = segs.join(probes, Seq("lang", "i", "s"))
+    val candLong = segs.join(probes, Seq("k"))
       .where(col("id_x") =!= col("id_y") &&
         abs(col("n_x") - col("n_y")) <= 24)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
@@ -2204,17 +2262,22 @@ object PipelineQueries {
         abs(col("n_x") - col("n_y")) <= 24)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
-    val cands = candLong.unionByName(candShort).distinct()
+    val cands = candLong.unionByName(candShort)
+    // prefix attach: size-gated broadcast (the ivfAssignTopLsh
+    // pattern). In-gate the candidate stream never exchanges at all —
+    // blocking join output pipelines map-side through both attaches
+    // into the verify. Past the gate (a 100 TB documents table) the
+    // attaches become ordinary shuffled joins keyed by id, the shape
+    // the old code always paid.
+    def attach(idAlias: String, pfxAlias: String, gAlias: String) = {
+      val sel = base.select(col("doc_id").as(idAlias),
+        col("prefix").as(pfxAlias), col("g").as(gAlias))
+      if (Dedup.statsBytes(base).exists(_ < (512L << 20))) broadcast(sel)
+      else sel
+    }
     cands
-      .join(base.select(col("doc_id").as("id_a"),
-        col("prefix").as("pfx_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"),
-        col("prefix").as("pfx_b")), "id_b")
-      .withColumn("dist",
-        levenshtein(col("pfx_a"), col("pfx_b"), 10).cast("long"))
-      .where(col("dist") >= 0 && col("dist") <= 10)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .orderBy("id_a", "id_b")
+      .join(attach("id_a", "pfx_a", "g_a"), "id_a")
+      .join(attach("id_b", "pfx_b", "g_b"), "id_b")
   }
 
   // s25: late-interaction (MaxSim) retrieval — ColBERT-style scoring

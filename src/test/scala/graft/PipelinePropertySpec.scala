@@ -172,10 +172,13 @@ class PipelinePropertySpec extends AnyFunSuite {
   test("d14's PassJoin segment blocking is COMPLETE: any 40-char pair " +
     "within 10 edits shares an aligned segment (randomized edits)") {
     // the pigeonhole d14 relies on: 11 segments, <= 10 edits, so some
-    // segment of s survives untouched and appears in t at a start
-    // shifted by at most the net insertions/deletions (<= 10)
+    // segment of s survives untouched — and because both strings are
+    // EXACTLY 40 chars, any <= K transcript has #ins == #del <= K/2,
+    // so the surviving segment appears in t shifted by at most K/2
+    // (the r13 probe-window tightening; this test pins the bound)
     val L = 40
     val K = 10
+    val S = K / 2
     val nSeg = K + 1
     val segBounds = (0 until nSeg).map { i =>
       val st = i * L / nSeg
@@ -184,7 +187,7 @@ class PipelinePropertySpec extends AnyFunSuite {
     def blocked(sStr: String, t: String): Boolean =
       segBounds.exists { case (st, ln) =>
         val seg = sStr.substring(st, st + ln)
-        (math.max(0, st - K) to math.min(L - ln, st + K)).exists(p =>
+        (math.max(0, st - S) to math.min(L - ln, st + S)).exists(p =>
           t.substring(p, p + ln) == seg)
       }
     val rnd = new scala.util.Random(11)

@@ -563,11 +563,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"quality rules must not join:\n$p")
   }
 
-  test("p16_dsir_select: count tables broadcast; selection is top-k") {
+  test("p16_dsir_select: in-gate scoring is one map-only compiled scan; " +
+    "selection is top-k") {
+    // the r13 compiled path: the whole per-token table folds into the
+    // plan, so the scoring is one scan with NO join and NO shuffle —
+    // the over-gate broadcast-join fallback shape is pinned by the
+    // dsirScore gate-seam test instead
     val p = plan(PipelineQueries.queries("p16_dsir_select")(spark, dir))
-    assert(!p.contains("SortMergeJoin"),
-      s"feature-count tables must broadcast, not sort-merge:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("Join"), s"in-gate DSIR must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"in-gate DSIR must not shuffle:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"selection must be TakeOrderedAndProject, not global sort:\n$p")
   }
