@@ -581,7 +581,7 @@ object Dedup {
     * r = numHashes/bands — tune (r, b) so it is negligible at the
     * threshold (e.g. r=8, b=16 gives ~5% at J=0.80 but <1e-4 at
     * J >= 0.90). Deterministic end-to-end: fixed hash family, no RNG. */
-  private def lshVerifiedPairs(withSets: DataFrame, numHashes: Int,
+  private def lshVerifiedPairs(withSets0: DataFrame, numHashes: Int,
       bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
     // bands > numHashes would give rowsPerBand = 0 (every band key
     // collapses to the band index — one global bucket, capped, near-zero
@@ -589,6 +589,15 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
+    // the set frame is consumed THREE times (signature pass + both
+    // verify sides); on an under-parallel sandbox scan each consumption
+    // re-ran the gram/shingle hashing on the scan's few splits with one
+    // straggler carrying most of the corpus (measured r13 at sf10: two
+    // 14-task stages of 78 and 53 core-seconds walled 20 s and 18 s of
+    // d4's 41 s). The spread exchange parallelizes all three consumers
+    // and canonicalizes identically, so the scan+hash run once into a
+    // reused exchange. Identity at scale (statsBytes gate).
+    val withSets = spreadIfUnderParallel(withSets0)
     val withSig = withSets.select(col("id"),
       minhashSignature(col("set"), numHashes).as("sig"))
     val pairs = bucketPairs(
@@ -1107,10 +1116,16 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
-    def gramSets(df: DataFrame) = df.select(col(idCol).as("id"),
-      graft.functions.SketchExpressions.charNgramHashes(col(textCol), n)
-        .as("grams"))
-      .withColumn("sz", size(col("grams")))
+    // both set frames are multiply consumed (index/frequency/verify
+    // sides); spread before the gram hashing so an under-parallel
+    // sandbox scan doesn't serialize it on one straggler split
+    // (identity at scale — statsBytes gate; same fix as
+    // lshVerifiedPairs, measured on d11's 21.5 s 14-task index stage)
+    def gramSets(df: DataFrame) = spreadIfUnderParallel(
+      df.select(col(idCol).as("id"),
+        graft.functions.SketchExpressions.charNgramHashes(col(textCol), n)
+          .as("grams"))
+        .withColumn("sz", size(col("grams"))))
     val aSets = gramSets(containedDf)
     val bSets = gramSets(containerDf)
     val bExploded = bSets.select(col("id"), col("sz"),
