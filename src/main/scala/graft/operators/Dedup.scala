@@ -597,7 +597,18 @@ object Dedup {
     // d4's 41 s). The spread exchange parallelizes all three consumers
     // and canonicalizes identically, so the scan+hash run once into a
     // reused exchange. Identity at scale (statsBytes gate).
-    val withSets = spreadIfUnderParallel(withSets0)
+    //
+    // The isNotNull(id) filter is semantics-preserving (a null id can
+    // never appear in a pair: id_a < id_b is false against null) and
+    // REQUIRED for the exchange reuse: the verify joins infer
+    // isnotnull(id) into their branches, and an inferred filter present
+    // in some consumers but not the signature branch de-canonicalizes
+    // the spread exchange into two identical 689 MB materializations
+    // (measured on d6 at sf10 — the d12 r12 lesson repeating). With the
+    // filter in the SOURCE, the constraint already holds everywhere and
+    // nothing is inferred.
+    val withSets = spreadIfUnderParallel(
+      withSets0.where(col("id").isNotNull))
     val withSig = withSets.select(col("id"),
       minhashSignature(col("set"), numHashes).as("sig"))
     val pairs = bucketPairs(
@@ -1121,10 +1132,14 @@ object Dedup {
     // sandbox scan doesn't serialize it on one straggler split
     // (identity at scale — statsBytes gate; same fix as
     // lshVerifiedPairs, measured on d11's 21.5 s 14-task index stage)
+    // isNotNull(id) pre-spread for the same exchange-reuse
+    // canonicalization reason as lshVerifiedPairs (null ids cannot
+    // reach the output: every consumer joins or pairs on id)
     def gramSets(df: DataFrame) = spreadIfUnderParallel(
       df.select(col(idCol).as("id"),
         graft.functions.SketchExpressions.charNgramHashes(col(textCol), n)
           .as("grams"))
+        .where(col("id").isNotNull)
         .withColumn("sz", size(col("grams"))))
     val aSets = gramSets(containedDf)
     val bSets = gramSets(containerDf)

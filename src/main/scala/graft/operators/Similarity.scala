@@ -357,8 +357,17 @@ object Similarity {
     // shuffle_hash (not sort-merge) on the big-k path: the centroid
     // shards stay hash tables per partition, no sort of the row side
     val cb = if (broadcastCentroids) broadcast(cb0) else cb0.hint("shuffle_hash")
+    // spread an under-parallel row-side scan before the tables-way
+    // bucket explode + candidate scoring: the per-row work (tables ×
+    // bits hyperplane dots + candidate dot products) is the operator's
+    // dominant term, and a skewed split serializes it — measured r13 at
+    // sf10, one scan task carried 60% of s34's assignment stage (27 s
+    // of a 34 s wall). Identity at scale (statsBytes gate in
+    // spreadIfUnderParallel).
     val rows = explodeBuckets(
-      df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
+      Dedup.spreadIfUnderParallel(
+        df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))),
+      "v")
     // dedup multi-table collisions and rank candidates in one pass: the
     // (id, cluster) max-score aggregate and the per-id window share the
     // same hash partitioning on id
