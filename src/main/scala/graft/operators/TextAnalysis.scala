@@ -371,6 +371,39 @@ object TextAnalysis {
     }
   }
 
+  /** Token-distribution drift between two slices of one corpus — the
+    * data-ops gate a pipeline runs before mixing a new crawl batch into
+    * a training corpus (vocabulary drift, template infestation, language
+    * contamination all surface as token-frequency divergence). `inA`
+    * labels slice A rows; everything else (with a non-null label
+    * outcome) is slice B. Output: one row per token with its slice
+    * counts and `diff_num = |c_a·N_b − c_b·N_a|` — the exact integer
+    * numerator of |p_A(w) − p_B(w)| over the common denominator
+    * N_a·N_b, so ranking by it ranks by probability drift with ZERO
+    * floating point anywhere (the t13 determinism contract, taken one
+    * step further: not even a rounded log).
+    *
+    * Scale shape (100 TB): ONE explode pass over the corpus, ONE
+    * token-keyed aggregation with map-side partials carrying two longs
+    * per token, a 1-row total broadcast, and the caller's top-k is
+    * TakeOrderedAndProject. No joins. int64 products are exact up to
+    * ~3e9 tokens per slice; past that route the two factors through
+    * DecimalType(38,0) (the s26 rule) — the ranking stays exact. */
+  def tokenDrift(df: DataFrame, textCol: String, inA: Column): DataFrame = {
+    val toks = df.select(inA.as("_a"),
+      explode(tokens(col(textCol))).as("_w"))
+    // null slice labels count in NEITHER slice (when → otherwise(0) on
+    // both sides), mirroring SQL CASE semantics exactly
+    val c = toks.groupBy(col("_w")).agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("c_b"))
+    val n = c.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    c.crossJoin(broadcast(n))
+      .select(col("_w").as("token"), col("c_a"), col("c_b"),
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+          .as("diff_num"))
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
     * each document scores by how target-like its unigram distribution
     * is — Σ_tokens ln(p_target(w) / p_raw(w)), add-1 smoothed, where

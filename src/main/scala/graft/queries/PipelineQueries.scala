@@ -1193,6 +1193,20 @@ object PipelineQueries {
       .orderBy(desc("n"), col("template"))
   }
 
+  // t24: token-distribution drift between the English slice and the
+  // rest of the corpus — the data-ops gate before mixing a new batch
+  // into a training corpus. One explode pass, one token-keyed
+  // aggregation (two long partials per token), a 1-row total broadcast,
+  // TakeOrderedAndProject top-50. diff_num = |c_a*N_b - c_b*N_a| is the
+  // exact integer numerator of the probability drift |p_A - p_B| — no
+  // floating point anywhere, so the ranking and the hash are
+  // engine-independent by construction (DuckDB replays the products
+  // through HUGEINT).
+  def t24_token_drift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDrift(docs(s, dir), "text", col("lang") === "en")
+      .orderBy(desc("diff_num"), col("token"))
+      .limit(50)
+
   // d17: content-defined-chunk dedup — CDC boundaries (trailing-8-char
   // polynomial hash ≡ 0 mod 64, expected chunk ≈ 64 chars) land INSIDE
   // the corpus's ~500-char planted duplicate spans, so donor/copy pairs
@@ -2641,6 +2655,7 @@ object PipelineQueries {
     "t7_pii_redact" -> t7_pii_redact _,
     "t22_c4_line_clean" -> t22_c4_line_clean _,
     "t23_log_templates" -> t23_log_templates _,
+    "t24_token_drift" -> t24_token_drift _,
     "d17_cdc_chunks" -> d17_cdc_chunks _,
     "d18_decontaminate" -> d18_decontaminate _,
     "t11_bpe_roundtrip" -> t11_bpe_roundtrip _,
@@ -3382,6 +3397,25 @@ object PipelineQueries {
         |  coalesce(st.dup_chars, 0) AS dup_chars
         |FROM d LEFT JOIN nc USING (doc_id) LEFT JOIN st USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t24_token_drift" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_a,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_b
+        |  FROM tok GROUP BY t),
+        |n AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |             CAST(sum(c_b) AS BIGINT) AS n_b FROM c)
+        |SELECT t AS token, c_a, c_b,
+        |  CAST(abs(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+        |    AS BIGINT) AS diff_num
+        |FROM c CROSS JOIN n
+        |ORDER BY diff_num DESC, token LIMIT 50""".stripMargin,
     "t23_log_templates" ->
       """WITH m AS (
         |  SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)

@@ -967,6 +967,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(score(0L) > score(4L) && score(1L) > score(4L))
   }
 
+  test("tokenDrift: exact integer drift numerator ranks vocabulary " +
+    "divergence; null labels count in neither slice") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("en", "alpha alpha shared"),
+      ("en", "alpha shared"),
+      ("de", "beta beta shared"),
+      ("de", "beta shared"),
+      (null.asInstanceOf[String], "ghost shared"),
+      ("en", null.asInstanceOf[String])) // null text drops out
+      .toDF("lang", "text")
+    val out = graft.operators.TextAnalysis
+      .tokenDrift(corpus, "text", col("lang") === "en")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // slice A (en): alpha x3, shared x2  (N_a = 5)
+    // slice B (de): beta x3, shared x2   (N_b = 5)
+    // ghost rows have a null label: counted in NEITHER slice
+    assert(out("alpha") == ((3L, 0L, 15L)))  // |3*5 - 0*5|
+    assert(out("beta") == ((0L, 3L, 15L)))
+    assert(out("shared") == ((2L, 2L, 0L)))  // identical frequency
+    assert(out("ghost") == ((0L, 0L, 0L)))
+  }
+
   test("chunkByTokens: windows tile the token stream with the overlap") {
     import spark.implicits._
     val text = (1 to 75).map(i => s"w$i").mkString(" ")
