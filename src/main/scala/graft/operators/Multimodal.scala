@@ -801,6 +801,109 @@ object Multimodal {
   def fixtureVideoPixel(id: Long, f: Int, x: Int, y: Int): Int =
     ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
 
+  /** Deterministic near-dup VIDEO fixture pixel: consecutive id-triples
+    * (grp = id/3) share frame content; variant k = id%3 is k=0 the
+    * original, k=1 the same pixels (the entry trims its frame count
+    * instead — the re-encode-and-cut duplicate class), k=2 the original
+    * with ONE 4×4 aHash cell per frame inverted (a logo/watermark-style
+    * local edit — flips exactly that cell's hash bit). Each cell is a
+    * flat 20 or 180 from the CUBIC bit ((s³ + 7s) mod 1021) & 1 with
+    * s = (grp·4 + f)·64 + cell. Linear and quadratic per-cell rules
+    * alias: two (grp, f) pairs whose s-sequences differ by a constant
+    * (or coincide mod the modulus) produce identical cell sets —
+    * measured on earlier candidates: a gradient fixture "matched" 46%
+    * of all video pairs, a 6-bucket bit-sample collided (g, f) with
+    * (g+7, f−1), and a quadratic collided (g, f) with (g+8, f−1) via
+    * 64·8 ≡ −2551 (mod 1021). The cubic was verified exhaustively: all
+    * 160 (grp, f) patterns here sit ≥ 17 bits apart (bright-cell
+    * counts 26–38, so the mean rule never degenerates) while planted
+    * variants sit at hamming 0 (trim) or 1 (edit) — both far from the
+    * radius-6 vote. */
+  def fixtureNearDupVideoPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val grp = id / 3
+    val cell = (y / 4) * 8 + (x / 4)
+    val s = (grp * 4 + f) * 64L + cell
+    val base = if (((s * s * s + 7 * s) % 1021 & 1) == 1) 180 else 20
+    if (id % 3 == 2 && cell == ((grp + f) % 64).toInt) 200 - base
+    else base
+  }
+
+  /** Real-video near-dup media table: one genuine 32×32 AVI per input
+    * id, 10 fps, 4 frames (3 for the k=1 trimmed variant), pixels from
+    * [[fixtureNearDupVideoPixel]] — consecutive id triples are
+    * perceptual near-duplicates with planted trim/edit variants (the
+    * video analogue of [[syntheticNearDupImageTable]]). */
+  def syntheticNearDupVideoTable(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = if (id % 3 == 1) 3 else 4
+          val payload = Avi.encodeDib(32, 32, 100000L,
+            IndexedSeq.tabulate(n)(f =>
+              (x: Int, y: Int) => fixtureNearDupVideoPixel(id, f, x, y)))
+          Row(id, payload, Row("avi", 32, 32, n * 100L))
+        }
+      }(enc)
+  }
+
+  /** Per-FRAME perceptual average-hash over REAL decoded video frames:
+    * the [[imageAHash]] bit rule (cell mean > frame mean, integer
+    * cross-multiplication — engine-exact) applied to every decoded
+    * frame. Output: (media_id, frame_idx, ahash bit-string). Decode is
+    * map-side; payload bytes never shuffle — only (id, idx, 64-char
+    * hash) rows flow on, which downstream packs to one long. */
+  def videoFrameAHash(media: DataFrame,
+      codec: MediaCodec = RiffVideoCodec, blocks: Int = 8): DataFrame = {
+    require(blocks > 0, s"blocks $blocks must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("ahash", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeVideo(payload) match {
+            case None => Iterator.empty
+            case Some(dv) =>
+              val nb = blocks
+              dv.frames.iterator.zipWithIndex.map { case (g, idx) =>
+                val sums = new Array[Long](nb * nb)
+                val cnts = new Array[Long](nb * nb)
+                var y = 0
+                while (y < dv.height) {
+                  val by = y * nb / dv.height
+                  var x = 0
+                  while (x < dv.width) {
+                    val cell = by * nb + x * nb / dv.width
+                    sums(cell) += g(y * dv.width + x)
+                    cnts(cell) += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                var total = 0L
+                var i = 0
+                while (i < sums.length) { total += sums(i); i += 1 }
+                val totalPx = dv.width.toLong * dv.height
+                val sb = new java.lang.StringBuilder(nb * nb)
+                i = 0
+                while (i < sums.length) {
+                  sb.append(
+                    if (sums(i) * totalPx > total * cnts(i)) '1' else '0')
+                  i += 1
+                }
+                Row(id, idx, sb.toString)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Real-video media table: one genuine AVI (uncompressed-DIB frames)
     * per input id — dimensions 8+id%13 × 8+(id·3)%11, 3+id%4 frames at
     * 10+(id%3)·5 fps, pixels from [[fixtureVideoPixel]]. The payloads

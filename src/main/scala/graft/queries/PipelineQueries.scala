@@ -1700,6 +1700,38 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // m13: near-duplicate VIDEOS by frame-hash voting — the multimodal
+  // dedup class image-level hashing cannot see (re-encoded, trimmed, or
+  // locally-edited clips). Real AVI decode map-side (payload bytes
+  // never shuffle), per-frame aHash packed to one long, frame-level
+  // banded hamming join (pigeonhole full recall at the radius, so the
+  // brute-force oracle is decision-equal), then a vote: video pairs
+  // sharing >= 2 frame matches at hamming <= 6. Planted structure:
+  // id-triples share content with a trimmed (k=1) and a block-edited
+  // (k=2) variant, so every triple must pair through BOTH damage
+  // classes. 100 TB shape: decode+hash are one map pass, the join
+  // carries (packed id, 64-bit hash) only, the vote is one aggregation
+  // keyed by video pair.
+  def m13_video_neardup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticNearDupVideoTable(
+      docs(s, dir).where(col("doc_id") < 120), "doc_id")
+    val packed = Multimodal.videoFrameAHash(media)
+      .withColumn("sh", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | " +
+          "IF(substring(ahash, i + 1, 1) = '1', shiftleft(1L, i), 0L))"))
+      // frames-per-video < 64, so (media_id, frame_idx) packs
+      // losslessly into one long and unpacks with div/mod
+      .select((col("media_id") * 64 + col("frame_idx")).as("fid"),
+        col("sh"))
+    Dedup.hammingNearDuplicates64(packed, "fid", "sh", maxHamming = 6)
+      .where(expr("id_a div 64") =!= expr("id_b div 64"))
+      .groupBy(expr("id_a div 64").as("id_a"),
+        expr("id_b div 64").as("id_b"))
+      .agg(count(lit(1)).as("n_matches"))
+      .where(col("n_matches") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
   // m8: audio fingerprint dedup over REAL decoded PCM — genuine WAV
   // clips whose consecutive id-triples share an 8-frame energy profile
   // under per-id sample noise; the frame-energy-vs-clip-mean bit string
@@ -2668,6 +2700,7 @@ object PipelineQueries {
     "m6_video_frames" -> m6_video_frames _,
     "m7_image_phash_dedup" -> m7_image_phash_dedup _,
     "m12_image_hamming_neardup" -> m12_image_hamming_neardup _,
+    "m13_video_neardup" -> m13_video_neardup _,
     "m8_audio_fingerprint" -> m8_audio_fingerprint _,
     "m11_lum_histogram" -> m11_lum_histogram _
   )
@@ -4414,6 +4447,50 @@ object PipelineQueries {
     // per-variant block inversion), the block/global mean bits, then
     // brute-force all pairs at hamming <= 2 — decision-equal to the
     // banded join because chunk-pigeonhole recall is total at the radius
+    // m13: replays the planted clip pixels (trim and block-edit
+    // variants), the per-frame 8x8 cell bits (integer cross-multiply),
+    // brute-force frame pairs at hamming <= 6 (decision-equal to the
+    // banded join: chunk-pigeonhole recall is total at the radius), and
+    // the >= 2-frame vote
+    "m13_video_neardup" ->
+      """WITH g AS (SELECT unnest(range(0, 32)) AS v),
+        |vids AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS grp, doc_id % 3 AS k,
+        |    CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 4 END AS n
+        |  FROM documents WHERE doc_id < 120),
+        |pc AS (
+        |  SELECT v.id, v.k, v.grp, f.v AS f,
+        |    (gy.v // 4) * 8 + (gx.v // 4) AS cell,
+        |    CASE WHEN ((s.s * s.s * s.s + 7 * s.s) % 1021) & 1 = 1
+        |      THEN 180 ELSE 20 END AS base
+        |  FROM vids v JOIN g f ON f.v < v.n
+        |  CROSS JOIN g gx CROSS JOIN g gy,
+        |  LATERAL (SELECT (v.grp * 4 + f.v) * 64
+        |    + (gy.v // 4) * 8 + (gx.v // 4) AS s) s),
+        |px AS (
+        |  SELECT id, f, cell,
+        |    CASE WHEN k = 2 AND cell = (grp + f) % 64
+        |      THEN 200 - base ELSE base END AS p
+        |  FROM pc),
+        |cells AS (
+        |  SELECT id, f, cell, sum(p) AS cs, count(*) AS cn
+        |  FROM px GROUP BY id, f, cell),
+        |tot AS (
+        |  SELECT id, f, sum(cs) AS ts, sum(cn) AS tn
+        |  FROM cells GROUP BY id, f),
+        |bits AS (
+        |  SELECT c.id, c.f, c.cell,
+        |    CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN tot t ON c.id = t.id AND c.f = t.f),
+        |fp AS (
+        |  SELECT a.id AS ia, a.f AS fa, b.id AS ib, b.f AS fb,
+        |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS ham
+        |  FROM bits a JOIN bits b ON a.cell = b.cell AND a.id < b.id
+        |  GROUP BY a.id, a.f, b.id, b.f)
+        |SELECT ia AS id_a, ib AS id_b, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM fp WHERE ham <= 6
+        |GROUP BY ia, ib HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "m12_image_hamming_neardup" ->
       """WITH g AS (SELECT unnest(range(0, 32)) AS v),
         |ids AS (
