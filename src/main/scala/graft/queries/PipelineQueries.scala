@@ -21,6 +21,30 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** orderBy with a materialization barrier for MAP-HEAVY plans: a
+    * global sort's range partitioner SAMPLES its child, and when
+    * nothing below the sort is an exchange the sampling job re-executes
+    * the whole pipeline — for per-row-expensive map work (regex packs,
+    * tokenize-everything profiles, media decode) that runs the entry
+    * 2-3× (measured r13 at sf10: t19_gopher_rules spent 3 × ~35 core-s
+    * passes for one answer). A round-robin repartition materializes the
+    * NARROW result rows once (5-8 MB at sf10); the sampler and the
+    * range exchange then read shuffle files. Gated on the plan-stats
+    * estimate of the SOURCE the map work scans: below the gate (one
+    * local job floor ≈ the whole query) the plain orderBy is cheaper.
+    * On a cluster the gate is effectively always open for these
+    * entries, which is right — the barrier trades one narrow exchange
+    * for a full re-execution of the expensive pass. */
+  private def sortedBarrier(source: DataFrame, out: DataFrame,
+      cols: String*): DataFrame = {
+    val big = Dedup.statsBytes(source).exists(_ > (64L << 20))
+    val base = if (big)
+      out.repartition(source.sparkSession.sessionState
+        .conf.numShufflePartitions)
+    else out
+    base.orderBy(cols.map(col): _*)
+  }
+
   // ------------------------------------------------------------- dedup
 
   // exact dedup group summary (hash-groupBy; shuffle carries hashes only)
@@ -1044,12 +1068,13 @@ object PipelineQueries {
   // engine-specific xxhash64 values, and array columns crash the
   // harness's pandas compare.
   def t2_profile(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.profile(docs(s, dir), "doc_id", "text")
-      .select(col("doc_id"), col("lang_pred"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        col("n_subwords_est").cast("long").as("n_subwords_est"),
-        col("quality"))
-      .orderBy("doc_id")
+    sortedBarrier(docs(s, dir),
+      TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_subwords_est").cast("long").as("n_subwords_est"),
+          col("quality")),
+      "doc_id")
 
   // fingerprint sketches, oracle-checked STRUCTURALLY: DuckDB cannot
   // reproduce xxhash64 values, but it can reproduce what the hashes are
@@ -1103,8 +1128,9 @@ object PipelineQueries {
   // deterministic, DuckDB-expressible via string bigrams (the hashed
   // shingles preserve distinct counts barring 64-bit collisions)
   def t6_repetition(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetitionProfile(docs(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+    sortedBarrier(docs(s, dir),
+      TextAnalysis.repetitionProfile(docs(s, dir), "doc_id", "text"),
+      "doc_id")
 
   // t4: the composed curation pipeline — profile → language/quality
   // filter → exact dedup → near-dup removal (minhash LSH) → corpus stats.
@@ -1349,11 +1375,12 @@ object PipelineQueries {
   // replays counts, smoothing, and the round-9 decimal-accumulated NLL.
   def t13_lm_score(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    TextAnalysis.lmScore(d, "doc_id", "text",
-        d.where(col("doc_id") < 250), "text")
-      .select(col("id").as("doc_id"), col("n_tok"),
-        round(col("avg_nll"), 4).as("avg_nll"))
-      .orderBy("doc_id")
+    sortedBarrier(d,
+      TextAnalysis.lmScore(d, "doc_id", "text",
+          d.where(col("doc_id") < 250), "text")
+        .select(col("id").as("doc_id"), col("n_tok"),
+          round(col("avg_nll"), 4).as("avg_nll")),
+      "doc_id")
   }
 
   // t14: per-document TF-IDF mass — explode → (doc, token) counts →
@@ -1362,9 +1389,10 @@ object PipelineQueries {
   // contract). The oracle replays counts, idf = ln(N/df), and the
   // decimal accumulation term-for-term.
   def t14_tfidf(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
-      .select(col("id").as("doc_id"), col("n_tokens"), col("tfidf"))
-      .orderBy("doc_id")
+    sortedBarrier(docs(s, dir),
+      TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("tfidf")),
+      "doc_id")
 
   // t15: fastText-style linear classifier scoring — bounded vocabulary
   // (top-32 reference-half DF tokens, deterministic analytic weights) as
@@ -1374,11 +1402,12 @@ object PipelineQueries {
   // decimal accumulation term-for-term.
   def t15_classifier_score(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    TextAnalysis.linearClassifierScore(d, "doc_id", "text",
-        d.where(col("doc_id") < 250), "text")
-      .select(col("id").as("doc_id"), col("n_tok"), col("score"),
-        col("keep"))
-      .orderBy("doc_id")
+    sortedBarrier(d,
+      TextAnalysis.linearClassifierScore(d, "doc_id", "text",
+          d.where(col("doc_id") < 250), "text")
+        .select(col("id").as("doc_id"), col("n_tok"), col("score"),
+          col("keep")),
+      "doc_id")
   }
 
   // p10: sequence-length histogram in power-of-2 bins — the length
@@ -1967,11 +1996,12 @@ object PipelineQueries {
   // accumulation pair-for-pair.
   def t18_bigram_lm(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    TextAnalysis.bigramLmScore(d, "doc_id", "text",
-        d.where(col("doc_id") < 250), "text")
-      .select(col("id").as("doc_id"), col("n_pairs"),
-        round(col("avg_nll"), 4).as("avg_nll"))
-      .orderBy("doc_id")
+    sortedBarrier(d,
+      TextAnalysis.bigramLmScore(d, "doc_id", "text",
+          d.where(col("doc_id") < 250), "text")
+        .select(col("id").as("doc_id"), col("n_pairs"),
+          round(col("avg_nll"), 4).as("avg_nll")),
+      "doc_id")
   }
 
   // a18: exact WEIGHTED quantiles per language — token-weighted length
@@ -2031,7 +2061,7 @@ object PipelineQueries {
       ((length(col("text")) -
         length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
         .cast("long").as("n_ell"))
-    base.select(
+    val rules = base.select(
         col("doc_id"), col("n_words"),
         (col("n_words") >= 50 && col("n_words") <= 100000).as("words_ok"),
         (lit(3L) * col("n_words") <= col("char_sum") &&
@@ -2049,7 +2079,7 @@ object PipelineQueries {
         col("words_ok") && col("mwl_ok") && col("sym_ok") &&
           col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
           col("stop_ok"))
-      .orderBy("doc_id")
+    sortedBarrier(docs(s, dir), rules, "doc_id")
   }
 
   // p16: DSIR-style importance selection (Xie et al. 2023) — score each
