@@ -728,9 +728,21 @@ object TextAnalysis {
     "[0-9]+" -> "<num>")
 
   /** Collapse a raw log message to its TEMPLATE by masking the variable
-    * tokens ([[templateRules]]) — a pure codegen regexp_replace chain,
-    * zero shuffle, the map-side half of log-pattern mining. */
+    * tokens ([[templateRules]]) — map-side, zero shuffle, the masking
+    * half of log-pattern mining. Compiled as ONE hand-rolled codegen
+    * scan ([[graft.functions.LogMask]]) rather than four sequential
+    * `regexp_replace` passes: the chain re-walks and re-allocates every
+    * message through java.util.regex four times (~5 µs/line — the whole
+    * cost of the entry), while the compiled form is value-identical by
+    * construction (LogMaskSpec pins equivalence against this exact rule
+    * chain on planted + property-generated corpora). */
   def logTemplate(msgCol: Column): Column =
+    graft.functions.LogMask.logTemplate(msgCol)
+
+  /** The reference spelling of [[logTemplate]] — the literal rule chain,
+    * kept as the executable SPEC the equivalence test replays (and the
+    * exact chain the DuckDB oracle runs). */
+  def logTemplateRegex(msgCol: Column): Column =
     templateRules.foldLeft(msgCol) { case (c, (pat, tok)) =>
       regexp_replace(c, pat, tok)
     }

@@ -1212,8 +1212,18 @@ object PipelineQueries {
     lit(" req="), lpad(lower(hex(col("event_id"))), 12, "0"))
 
   def t23_log_templates(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.load(s, dir, "events")
-      .where(col("value").isNotNull)
+    // The 4-rule masking chain is the whole cost of this query (~25 µs
+    // per line), and the sandbox events table is ONE parquet split — an
+    // unspread scan runs every regex on one core (measured 0.84 s of a
+    // 1.16 s wall at sf0.1). Spread the NARROW source columns (the
+    // message is built after the exchange, so raw text never shuffles)
+    // across the cluster first; identity at scale, where the scan
+    // already carries more splits than cores.
+    val m = Dedup.spreadIfUnderParallel(
+      Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("user_id"), col("value"),
+          col("event_id")))
       .select(t23Message().as("msg"))
     TextAnalysis.logTemplates(m, col("msg"))
       .orderBy(desc("n"), col("template"))
