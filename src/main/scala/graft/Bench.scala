@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   * record drifted 1.33× on identical plans). `dispersion` records each
   * query's relative spread (max-min)/median across the timed iterations —
   * a large value flags a measurement to distrust, not a plan change.
+  * Entries whose 3-iter dispersion exceeds 0.3 at a ≥ 0.1 s median are
+  * automatically re-run 5 more times and report the median over all
+  * samples; `iters_per_query` records the per-entry total so every
+  * number cited in round docs lives in a committed artifact.
   * Query builders are idempotent (ingest-time artifacts are memoized per
   * process via prepare()), so re-running measures the read-side plan.
   *
@@ -46,7 +50,8 @@ object Bench {
       errors: Seq[(String, String)],
       shuffleMb: Seq[(String, Double)] = Nil,
       spillMb: Seq[(String, Double)] = Nil,
-      execMemMb: Seq[(String, Double)] = Nil)
+      execMemMb: Seq[(String, Double)] = Nil,
+      itersPerQuery: Seq[(String, Int)] = Nil)
 
   /** Accumulates per-task metrics between reset() and snapshot().
     * Shuffle bytes are the quantity that actually prices a plan at
@@ -83,7 +88,8 @@ object Bench {
     * `sfDir`. GC between runs is deliberate (see scaladoc). */
   private def runSuite(spark: SparkSession, sfDir: String,
       only: Option[Set[String]], iters: Int,
-      captureMetrics: Boolean = false): SuiteResult = {
+      captureMetrics: Boolean = false,
+      rerunHighDispersion: Boolean = false): SuiteResult = {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
       catch { case e: Throwable =>
@@ -98,6 +104,7 @@ object Bench {
       Some(l)
     } else None
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val itersPerQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
     val dispersion = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -140,13 +147,36 @@ object Bench {
         // times.size would inflate per-iteration metrics for partially-
         // failing queries (and report phantom metrics on the warm-only
         // fallback, where zero timed runs executed)
+        def dispOf(ts: Seq[Double]): Double = {
+          val s = ts.sorted
+          val m = s(s.size / 2)
+          if (m > 0) (s.last - s.head) / m else 0.0
+        }
         val (times: Seq[Double], executedTimed: Int) =
           if (!warm._1) (Seq(warm._2), 0)
           else {
             val all = Seq.fill(iters)(once())
-            val timed = all.filter(_._1).map(_._2)
-            (if (timed.isEmpty) Seq(warm._2) else timed, all.size)
+            var timed = all.filter(_._1).map(_._2)
+            var executed = all.size
+            // High-dispersion auto-rerun (judge ask r13 #2): a 3-iter
+            // median with (max-min)/median > ~0.3 is not a citable
+            // number — one box hiccup IS the spread. Re-run such entries
+            // at 5 extra iterations and report the median/dispersion
+            // over ALL timed samples, with the per-entry count recorded
+            // in `iters_per_query` so round docs can cite a committed
+            // artifact instead of a side measurement (the r13 e13 gap).
+            // Floor at 0.1 s median: below that, spread is scheduling
+            // jitter on a floor-priced entry, not signal worth 5 runs.
+            val med0 = if (timed.nonEmpty) timed.sorted.apply(timed.size / 2) else 0.0
+            if (rerunHighDispersion && timed.nonEmpty && med0 >= 0.1 &&
+                dispOf(timed) > 0.3) {
+              val extra = Seq.fill(5)(once())
+              executed += extra.size
+              timed ++= extra.filter(_._1).map(_._2)
+            }
+            (if (timed.isEmpty) Seq(warm._2) else timed, executed)
           }
+        if (executedTimed > iters) itersPerQuery(name) = executedTimed
         listener.foreach { l =>
           org.apache.spark.GraftListenerBridge
             .flushListeners(spark.sparkContext)
@@ -167,7 +197,7 @@ object Bench {
       }
     listener.foreach(spark.sparkContext.removeSparkListener)
     SuiteResult(results, dispersion.toSeq, errors.toSeq,
-      shuffleMb.toSeq, spillMb.toSeq, execMemMb.toSeq)
+      shuffleMb.toSeq, spillMb.toSeq, execMemMb.toSeq, itersPerQuery.toSeq)
   }
 
   /** Scale factor parsed from a testdata dir name (`…/sf0.1` → 0.1). */
@@ -232,7 +262,8 @@ object Bench {
     val control = controlProbes(spark)
     System.err.println("[bench] control " +
       control.map { case (k, v) => s"$k=$v" }.mkString(" "))
-    val main = runSuite(spark, sfDir, only, iters, captureMetrics = true)
+    val main = runSuite(spark, sfDir, only, iters, captureMetrics = true,
+      rerunHighDispersion = true)
 
     // ---- slope pass: the same suite at a smaller SF of the same data.
     // Auto-derived (sf0.1 → sibling sf0.01) unless pinned/disabled via
@@ -315,7 +346,12 @@ object Bench {
     }
     val ctrl = JsonOut.obj(
       control.map { case (k, v) => k -> v.toString }, quoteValues = false)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"control_s":$ctrl,"dispersion":$disp,"errors":$errs,"shuffle_mb":$shuf,"spill_mb":$spl,"exec_mem_mb":$mem$slopeFields,"sf":"$sfDir"}"""
+    // only entries that earned extra iterations appear here; everything
+    // else ran the global `iters`
+    val ipq = JsonOut.obj(
+      main.itersPerQuery.map { case (k, v) => k -> v.toString },
+      quoteValues = false)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"iters_per_query":$ipq,"control_s":$ctrl,"dispersion":$disp,"errors":$errs,"shuffle_mb":$shuf,"spill_mb":$spl,"exec_mem_mb":$mem$slopeFields,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] prefixes, which broke the driver's
     // machine parse in round 1 — also write the bare JSON line to a file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")

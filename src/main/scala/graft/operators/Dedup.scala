@@ -129,6 +129,26 @@ object Dedup {
     else df
   }
 
+  /** [[spreadIfUnderParallel]] for consumers whose post-spread compute
+    * sits under a FILTER on a derived column: PushDownPredicates pushes
+    * such a filter through the repartition (substituting the derived
+    * expression), which drags the expensive parse back below the
+    * exchange onto the single-split scan task — the exact serial stage
+    * the spread exists to remove (measured on e12: the from_json ran
+    * once in the pushed filter on 1 task, then AGAIN post-exchange).
+    * A named zero-row `observe()` (CollectMetrics) is the cheapest
+    * pushdown barrier Catalyst respects: no job, no exchange, no
+    * codegen break; `name` must be unique within a query. Identity
+    * (no observe node) when the spread itself is the identity —
+    * at scale the scan is parallel and pushdown is pure win. */
+  private[graft] def spreadBarrier(df: DataFrame, name: String): DataFrame = {
+    val out = spreadIfUnderParallel(df)
+    if (out eq df) df
+    else out.observe(s"graft_spread_$name",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+  }
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup: keep the minimum id per distinct content. One shuffle

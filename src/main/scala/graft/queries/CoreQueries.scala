@@ -158,9 +158,16 @@ object CoreQueries {
   // extension the same way; E1's regex path is the schemaless fallback).
   // Typed extraction + integer-decile rollup per event type; `div` and
   // DuckDB `//` agree on floor semantics for the non-negative key.
+  // props parse is the whole cost of the JSON/XML extraction family,
+  // and the sandbox events table is one parquet split: spread the
+  // narrow (event_type, props) projection first so the parse runs
+  // cluster-wide (single-task 350-700 ms stages at sf0.1 otherwise —
+  // StageProfile r14). Identity at scale; see Dedup.spreadIfUnderParallel.
   def e12_json_fields(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .where(col("props").isNotNull)
+    graft.operators.Dedup.spreadBarrier(
+      t(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_type"), col("props")), "e12")
       .select(col("event_type"),
         from_json(col("props"), "k INT", Map.empty[String, String])
           .getField("k").cast("long").as("k"))
@@ -759,8 +766,10 @@ object CoreQueries {
   // XML), so the oracle reconstructs the attribute independently and
   // the XML extraction itself is what gets cross-checked.
   def e15_xml_extract(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .where(col("props").isNotNull)
+    graft.operators.Dedup.spreadBarrier(
+      t(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_type"), col("props")), "e15")
       .select(col("event_type"),
         concat(lit("<e k=\""),
           expr("CAST(get_json_object(props, '$.k') AS BIGINT)"),
@@ -779,9 +788,11 @@ object CoreQueries {
   // plan every xpath user should run at scale. The heavy-lift XML path
   // is e15's codegen extractor.
   def e17_xpath(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .where(col("props").isNotNull && col("value") > 195.0 &&
-        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").isNotNull)
+    graft.operators.Dedup.spreadBarrier(
+      t(s, dir, "events")
+        .where(col("props").isNotNull && col("value") > 195.0)
+        .select(col("event_type"), col("event_id"), col("props")), "e17")
+      .where(expr("CAST(get_json_object(props, '$.k') AS BIGINT)").isNotNull)
       .select(col("event_type"),
         concat(lit("<e k=\""),
           expr("CAST(get_json_object(props, '$.k') AS BIGINT)"),
@@ -804,8 +815,11 @@ object CoreQueries {
   // or fabricates an empty string for the absent attribute.
   def e18_xml_extract_all(s: SparkSession, dir: String): DataFrame = {
     val k = expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
-    t(s, dir, "events")
-      .where(col("props").isNotNull && k.isNotNull)
+    graft.operators.Dedup.spreadBarrier(
+      t(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_type"), col("props")), "e18")
+      .where(k.isNotNull)
       .select(col("event_type"),
         concat(lit("<r><e k=\""), k, lit("\"/><e k=\""), k + 1,
           lit("\"/><e j=\"x\"/></r>")).as("xml"))
@@ -832,8 +846,10 @@ object CoreQueries {
     // first complete JSON value)
     val raw = when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
       .otherwise(col("props"))
-    val parsed = t(s, dir, "events")
-      .where(col("props").isNotNull)
+    val parsed = graft.operators.Dedup.spreadIfUnderParallel(
+      t(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_type"), col("event_id"), col("props")))
       .select(col("event_type"),
         from_json(raw, "k BIGINT, _corrupt STRING",
           Map("mode" -> "PERMISSIVE",
@@ -998,8 +1014,10 @@ object CoreQueries {
   // exactly the reference's `_json` overflow column (SURVEY §1.2) —
   // while the binary encoding keeps extraction O(field), not O(parse).
   def e13_variant(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .where(col("props").isNotNull)
+    graft.operators.Dedup.spreadBarrier(
+      t(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_type"), col("props")), "e13")
       .select(col("event_type"),
         variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
       .where(col("k").isNotNull)

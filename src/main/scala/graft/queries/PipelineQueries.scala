@@ -21,6 +21,18 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** documents source for per-row-CPU-heavy entries (profile, BPE
+    * encode, PII scan, tf-idf, Gopher rules, line cleaning): the
+    * sandbox corpus is ONE parquet split, so a tokenize-everything
+    * pass otherwise runs on one core — 350-700 ms of single-task wall
+    * per entry at sf0.1 (StageProfile, r14). Spread is the identity at
+    * scale, where the scan already carries more splits than cores
+    * (Dedup.spreadIfUnderParallel's stats gate). NOT used by entries
+    * whose plan contract pins text-free exchanges (t13/t15/p16 — their
+    * compiled map-only shapes are the point). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Dedup.spreadIfUnderParallel(docs(s, dir))
+
   /** orderBy with a materialization barrier for MAP-HEAVY plans: a
     * global sort's range partitioner SAMPLES its child, and when
     * nothing below the sort is an exchange the sampling job re-executes
@@ -1069,7 +1081,7 @@ object PipelineQueries {
   // harness's pandas compare.
   def t2_profile(s: SparkSession, dir: String): DataFrame =
     sortedBarrier(docs(s, dir),
-      TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+      TextAnalysis.profile(docsSpread(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("lang_pred"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("n_subwords_est").cast("long").as("n_subwords_est"),
@@ -1089,7 +1101,7 @@ object PipelineQueries {
   // near-dups. Raw hex determinism stays asserted in TextAnalysisSpec.
   def t2_fingerprint(s: SparkSession, dir: String): DataFrame = {
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
-    TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+    TextAnalysis.profile(docsSpread(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("content_hash"),
         // explicit per-element hex: a transform() lambda here would be
         // CodegenFallback and drop the whole projection out of codegen
@@ -1179,7 +1191,7 @@ object PipelineQueries {
       concat(slice(toks, lit(12), greatest(n - 11, lit(0))),
         array(lit("end"), lit("of"), lit("doc."))), " ")
     val none = array().cast("array<string>")
-    val planted = docs(s, dir).select(col("doc_id"),
+    val planted = docsSpread(s, dir).select(col("doc_id"),
       array_join(concat(
         array(lineA),
         when(col("doc_id") % 3 === 0,
@@ -1299,7 +1311,7 @@ object PipelineQueries {
   }
 
   def t7_pii_redact(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("source"),
         t7Augmented(col("doc_id"), col("text")).as("_aug"))
       .select(col("source"),
@@ -1320,7 +1332,7 @@ object PipelineQueries {
   // groupBy(token): partial aggregation absorbs token skew map-side;
   // the shuffle carries (token, partial count), never document text.
   def t9_vocab_df(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(explode(array_distinct(
         TextAnalysis.tokens(col("text")))).as("token"))
       .groupBy(col("token"))
@@ -1345,7 +1357,7 @@ object PipelineQueries {
 
   def t11_bpe_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeFor(s, dir)
-    docs(s, dir).select(col("doc_id"),
+    docsSpread(s, dir).select(col("doc_id"),
         trim(regexp_replace(
           concat_ws("", graft.functions.Bpe.encode(col("text"), merges)),
           graft.functions.Bpe.EndOfWord, " ")).as("decoded"))
@@ -1368,7 +1380,7 @@ object PipelineQueries {
   // the trained path uses) runs against the fixed merge table above, so
   // its merge application is externally verified pair by pair.
   def t12_bpe_stats(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir).select(col("source"),
+    docsSpread(s, dir).select(col("source"),
         size(graft.functions.Bpe.encode(col("text"), t12FixedMerges)).as("n_sub"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
       .groupBy("source")
@@ -1400,7 +1412,7 @@ object PipelineQueries {
   // decimal accumulation term-for-term.
   def t14_tfidf(s: SparkSession, dir: String): DataFrame =
     sortedBarrier(docs(s, dir),
-      TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")
+      TextAnalysis.tfidf(docsSpread(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("tfidf")),
       "doc_id")
 
@@ -2050,7 +2062,7 @@ object PipelineQueries {
       "have", "with")
     val toks = Dedup.tokens(col("text"))
     val lines = split(col("text"), "\n")
-    val base = docs(s, dir).select(
+    val base = docsSpread(s, dir).select(
       col("doc_id"),
       size(toks).cast("long").as("n_words"),
       aggregate(transform(toks, w => length(w).cast("long")),
