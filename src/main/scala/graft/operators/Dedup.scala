@@ -32,18 +32,35 @@ object Dedup {
     * The count is per-evaluation: a self-join branch that re-evaluates
     * the capped subtree (no exchange reuse) can double-count, so treat
     * it as a fired/not-fired signal plus magnitude, not an exact row
-    * count. `capDroppedLast` holds the most recent observation (specs);
-    * `capDroppedTotal` accumulates per-process. */
-  private[graft] val capDroppedLast =
-    new java.util.concurrent.atomic.AtomicLong(0L)
+    * count. `capDroppedLast(session)` reads the most recent observation
+    * MADE BY THAT SESSION (a process-global cell let one concurrent
+    * query's 0-drop observation overwrite another's positive signal —
+    * single-query/test use only either way, the loud path is the stderr
+    * report + `capDroppedTotal`); the per-session map and the listener
+    * registry are both weak-keyed so a dropped session releases its
+    * listener bookkeeping. `capDroppedTotal` accumulates per-process. */
+  private val capDroppedBySession =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.lang.Long]()
+  private[graft] def capDroppedLast(
+      s: org.apache.spark.sql.SparkSession): Long =
+    capDroppedBySession.synchronized {
+      Option(capDroppedBySession.get(s)).map(_.longValue).getOrElse(0L)
+    }
+  private[graft] def resetCapDropped(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    capDroppedBySession.synchronized {
+      capDroppedBySession.put(s, java.lang.Long.valueOf(0L)): Unit
+    }
   private[graft] val capDroppedTotal =
     new java.util.concurrent.atomic.LongAdder()
   private val capMetricSeq =
     new java.util.concurrent.atomic.AtomicInteger()
   private val capListenerSessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[
+          org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private def installCapListener(
       s: org.apache.spark.sql.SparkSession): Unit =
@@ -55,7 +72,10 @@ object Dedup {
             qe.observedMetrics.foreach { case (name, row) =>
               if (name.startsWith("graft_banded_cap")) {
                 val dropped = row.getAs[Long]("rows_dropped")
-                capDroppedLast.set(dropped)
+                capDroppedBySession.synchronized {
+                  capDroppedBySession
+                    .put(s, java.lang.Long.valueOf(dropped)): Unit
+                }
                 if (dropped > 0) {
                   capDroppedTotal.add(dropped)
                   System.err.println(s"[graft] banded-hamming bucket cap" +

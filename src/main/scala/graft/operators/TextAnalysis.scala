@@ -386,9 +386,12 @@ object TextAnalysis {
     * Scale shape (100 TB): ONE explode pass over the corpus, ONE
     * token-keyed aggregation with map-side partials carrying two longs
     * per token, a 1-row total broadcast, and the caller's top-k is
-    * TakeOrderedAndProject. No joins. int64 products are exact up to
-    * ~3e9 tokens per slice; past that route the two factors through
-    * DecimalType(38,0) (the s26 rule) — the ranking stays exact. */
+    * TakeOrderedAndProject. No joins. The cross-products run in
+    * DecimalType(38,0) unconditionally (the s26 rule — int64 would wrap
+    * silently past ~3e9 tokens per slice) and narrow back to the
+    * emitted long through a guarded cast that RAISES on overflow
+    * instead of mis-ranking; the decimal column is one narrow value on
+    * a vocabulary-sized frame, not a corpus-sized cost. */
   def tokenDrift(df: DataFrame, textCol: String, inA: Column): DataFrame = {
     val toks = df.select(inA.as("_a"),
       explode(tokens(col(textCol))).as("_w"))
@@ -398,10 +401,22 @@ object TextAnalysis {
       sum(when(col("_a"), 1L).otherwise(0L)).as("c_a"),
       sum(when(!col("_a"), 1L).otherwise(0L)).as("c_b"))
     val n = c.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    // exact DECIMAL(38,0) cross-products (c·N ≈ 1e13·1e13 = 1e26 at
+    // 100 TB — a LONG product wraps silently past ~3e9 tokens/slice
+    // under non-ANSI arithmetic and mis-ranks with no error; the DuckDB
+    // oracle computes the same products through HUGEINT), then a
+    // CHECKED narrow back to the long the entry emits: the guarded
+    // branch raises instead of wrapping, so an overflow is loud in both
+    // engines (DuckDB's BIGINT cast errors on overflow too).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = abs(col("c_a").cast(dec) * col("n_b").cast(dec)
+      - col("c_b").cast(dec) * col("n_a").cast(dec))
     c.crossJoin(broadcast(n))
       .select(col("_w").as("token"), col("c_a"), col("c_b"),
-        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
-          .as("diff_num"))
+        when(d <= lit(Long.MaxValue), d.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("tokenDrift diff_num overflows BIGINT for token "),
+            col("_w")))).as("diff_num"))
   }
 
   /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
@@ -435,8 +450,21 @@ object TextAnalysis {
     val rawC = toks.groupBy(col("_t")).agg(count(lit(1)).as("_rc"))
     val tgtC = toks.where(col("_lang") === targetLang)
       .groupBy(col("_t")).agg(count(lit(1)).as("_tc"))
-    val probe = rawC.limit(gate + 1).collect()
-    if (probe.length <= gate) {
+    // Cheap pre-gate (ADVICE r13): unlike lmScore, whose reference side
+    // is benchmark-sized by contract, the raw counts here aggregate the
+    // WHOLE corpus — an over-gate corpus would pay one full token
+    // aggregation at DataFrame-construction time just to learn it must
+    // take the dataflow route. Consult plan statistics first (the
+    // statsBytes posture): past 64 MB of estimated uncompressed text
+    // the vocabulary cannot plausibly fit the plan-constant gate, and
+    // at that size the explode → broadcast-join dataflow is the right
+    // plan regardless, so the exact probe is skipped without any job.
+    val probeWorthRunning = graft.operators.Dedup.statsBytes(df)
+      .forall(_ <= (64L << 20))
+    val probe =
+      if (probeWorthRunning) rawC.limit(gate + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (probeWorthRunning && probe.length <= gate) {
       // target vocabulary ⊆ raw vocabulary, so the raw probe passing the
       // gate bounds the target collect too. Constants fold on the
       // driver; per-token double arithmetic mirrors the join path's

@@ -560,15 +560,25 @@ object PipelineQueries {
   // pattern: one tiny relation, reused across iterations and probes. The
   // path embeds the source signature, so a regenerated dataset keys a
   // fresh entry here automatically.
+  // keyed by (context, DATASET dir) with the artifact path tracked in
+  // the value: the path embeds the source signature, so keying the memo
+  // BY path let every in-JVM dataset regeneration add a new .cache()d
+  // frame while stale ones were never unpersisted (unbounded executor-
+  // memory growth in long-lived processes — ADVICE r13). A superseded
+  // signature now unpersists and replaces its predecessor.
   private val hierCentFrames = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, String), DataFrame]()
+    (org.apache.spark.SparkContext, String), (String, DataFrame)]()
 
   private[graft] def hierCentroidsFrame(s: SparkSession, dir: String,
       corpus: DataFrame, k: Int): DataFrame = {
     val out = hierCentroidsDir(s, dir, corpus, k)
-    hierCentFrames.computeIfAbsent((s.sparkContext, out), { _ =>
-      s.read.parquet(out).select(col("cluster"), col("cvec")).cache()
-    })
+    hierCentFrames.compute((s.sparkContext, dir), { (_, prev) =>
+      if (prev != null && prev._1 == out) prev
+      else {
+        if (prev != null) prev._2.unpersist()
+        (out, s.read.parquet(out).select(col("cluster"), col("cvec")).cache())
+      }
+    })._2
   }
 
   // in-gate codebook as a DRIVER ARRAY, memoized per artifact path —
@@ -577,16 +587,20 @@ object PipelineQueries {
   // centroids at 8 tables, single-digit MB). Sorted by cluster id so
   // cents(i) is cluster i, the layout ivfAssignTopLsh compiles.
   private val hierCentArrays = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, String), Array[Array[Double]]]()
+    (org.apache.spark.SparkContext, String),
+    (String, Array[Array[Double]])]()
 
   private def hierCentroidsArray(s: SparkSession, dir: String,
       corpus: DataFrame, k: Int): Array[Array[Double]] = {
     val out = hierCentroidsDir(s, dir, corpus, k)
-    hierCentArrays.computeIfAbsent((s.sparkContext, out), { _ =>
-      s.read.parquet(out).select(col("cluster"), col("cvec"))
+    // same latest-signature-per-dir eviction as hierCentFrames (driver
+    // arrays are gate-bounded but still superseded on regeneration)
+    hierCentArrays.compute((s.sparkContext, dir), { (_, prev) =>
+      if (prev != null && prev._1 == out) prev
+      else (out, s.read.parquet(out).select(col("cluster"), col("cvec"))
         .orderBy("cluster").collect()
-        .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
-    })
+        .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray))
+    })._2
   }
 
   def s37_semantic_dedup_hier(s: SparkSession, dir: String): DataFrame = {
@@ -1763,9 +1777,19 @@ object PipelineQueries {
   // classes. 100 TB shape: decode+hash are one map pass, the join
   // carries (packed id, 64-bit hash) only, the vote is one aggregation
   // keyed by video pair.
-  def m13_video_neardup(s: SparkSession, dir: String): DataFrame = {
+  def m13_video_neardup(s: SparkSession, dir: String): DataFrame =
+    m13VideoNearDup(s, dir, maxDocId = 120L)
+
+  /** m13 body with the video-count gate as a parameter: the ORACLED
+    * entry keeps the fixed 120-video corpus (its brute-force oracle
+    * replays every planted pixel), while tools.MediaSoak drives the
+    * same decode → frame-hash → banded-join → vote pipeline over the
+    * full soak corpus to measure the decade-up slope the bounded entry
+    * cannot show. */
+  private[graft] def m13VideoNearDup(s: SparkSession, dir: String,
+      maxDocId: Long): DataFrame = {
     val media = Multimodal.syntheticNearDupVideoTable(
-      docs(s, dir).where(col("doc_id") < 120), "doc_id")
+      docs(s, dir).where(col("doc_id") < maxDocId), "doc_id")
     val packed = Multimodal.videoFrameAHash(media)
       .withColumn("sh", expr(
         "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | " +

@@ -73,6 +73,10 @@ object ConcurrentBench {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B knob for the broadcast-build contention experiment (static
+      // SQL conf, must be set before the context exists)
+      .config("spark.sql.broadcastExchange.maxThreadThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST_THREADS", "128"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.names.foreach { n =>

@@ -185,7 +185,7 @@ class WideHammingSpec extends AnyFunSuite {
         maxBucket = 10)
       .write.format("noop").mode("overwrite").save()
     drain()
-    val fired = Dedup.capDroppedLast.get()
+    val fired = Dedup.capDroppedLast(spark)
     assert(fired > 0, "cap truncated the collapsed bucket but the " +
       "observability counter did not fire")
     // uncapped run on a corpus with small buckets: counter reports 0
@@ -195,7 +195,7 @@ class WideHammingSpec extends AnyFunSuite {
         maxBucket = 10)
       .write.format("noop").mode("overwrite").save()
     drain()
-    assert(Dedup.capDroppedLast.get() == 0L,
+    assert(Dedup.capDroppedLast(spark) == 0L,
       "no bucket exceeded the cap but rows_dropped was non-zero")
   }
 }

@@ -5,7 +5,9 @@ heavy-tail entries only (documents + embeddings — the tables every
 this soak does not run).
 
 Driver-side tooling (duckdb). Usage:
-    python3 tools/gen_sf10.py [outdir]      # default /tmp/graft_sf10
+    python3 tools/gen_sf10.py [outdir] [copies]   # default /tmp/graft_sf10 100
+A copies override generates intermediate decades with the SAME injective
+per-copy maps (e.g. 30 -> an sf3 point for two-interval slope checks).
 
 Scaling rules (copy index c in 0..99) — same philosophy as gen_sf1.py
 (grow the corpus without manufacturing cross-copy near-duplicates), but
@@ -33,7 +35,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf10"
-COPIES = 100
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 DIGITS = "0123456789"
