@@ -699,4 +699,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"window + group-by should bound exchanges at 2, found $exchanges:\n$p")
   }
+
+  test("spreadBarrier: the derived-column filter must NOT push below " +
+    "the spread exchange (the parse stays parallel)") {
+    // e12's k IS NOT NULL filter references from_json(props) — without
+    // the CollectMetrics barrier PushDownPredicates substitutes the
+    // parse into the filter and pushes it below the repartition, so the
+    // whole parse runs on the single-split scan task (and then AGAIN
+    // post-exchange). The barrier keeps the scan side parse-free: no
+    // JsonToStructs may appear beneath the round-robin exchange.
+    val p = CoreQueries.queries("e12_json_fields")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val idx = p.indexOf("Repartition ")
+    assert(idx >= 0, s"spread exchange missing at sandbox scale:\n$p")
+    val below = p.substring(idx)
+    assert(!below.contains("from_json"),
+      s"parse pushed below the spread exchange:\n$p")
+    assert(p.contains("CollectMetrics"),
+      s"pushdown barrier (observe) missing:\n$p")
+  }
 }
