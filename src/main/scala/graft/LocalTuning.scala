@@ -24,4 +24,17 @@ object LocalTuning {
   def apply(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     .config("spark.shuffle.file.buffer", "1m")
+    // AQE coalesces post-shuffle partitions by SIZE (minPartitionSize
+    // floor, 1 MB default) — blind to CPU density below the read, so a
+    // sub-MB exchange feeding per-row-expensive work (d11's per-pair
+    // sorted-intersect verify, t4's profile recomputes, t14's decimal
+    // aggregation tails) coalesces to ONE task and serializes work 31
+    // cores could share: 2 × 1.85 s of d11's 5.1 s wall at sf0.1 was a
+    // serial verify stage plus its orderBy-sampler re-execution
+    // (StageProfile r14). 64 KB keeps small CPU-dense stages parallel
+    // locally; at production scale partitions sit orders of magnitude
+    // past either floor, so the setting only binds in the regime where
+    // it helps. Cost on tiny floor-priced entries measured ±30 ms
+    // (more tasks per stage), net strongly positive.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
 }

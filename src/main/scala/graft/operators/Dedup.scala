@@ -1202,6 +1202,17 @@ object Dedup {
       .where(col("id_a") =!= col("id_b") &&
         col("sz_b") >= col("sz_a") * threshold - 1e-9)
       .select("id_a", "id_b").distinct()
+    // NOTE on the verify stage's parallelism: the candidate stream
+    // reaches here already hash-partitioned by id_a (the prefix
+    // window's exchange), so the distinct and both gram-set attaches
+    // fuse into that exchange's read stage — and AQE's size-based
+    // coalescing (blind to the per-pair sorted-intersect CPU below)
+    // would happily plan the whole verify on ONE task at sandbox
+    // sizes. An explicit repartition here is REDUNDANT (same
+    // clustering) and Catalyst removes it; the floor that keeps this
+    // stage parallel is coalescePartitions.minPartitionSize
+    // (LocalTuning — measured 2 × 1.85 s serial verify at sf0.1
+    // without it, StageProfile r14).
     cands
       .join(aSets.select(col("id").as("id_a"), col("grams").as("g_a"),
         col("sz").as("sz_a")), "id_a")

@@ -816,9 +816,52 @@ object Similarity {
       else pqCodebooks(df, idCol, vecCol, subspaces, codebookSize)
     val dim = query.size
     val sub = dim / subspaces
-    // per-subspace in-plan argmin (integer micro-unit distances, ties to
-    // the lower code — the Clustering determinism discipline)
-    def codeCol(vec: Column, s: Int): Column = {
+    // driver-side distance table: dt(s)(c) = ||q_s − books(s)(c)||²
+    val dt = pqDistanceTable(books, query, subspaces, sub)
+    val vec = toDoubleVec(col(vecCol))
+    // ONE compiled expression instead of the ~10k-node per-subspace
+    // argmin/lookup tree: value-identical by construction (PqSpec pins
+    // tree-vs-expression equality on the live corpus), and Catalyst
+    // stops paying 1.7 s of analysis/optimization per query
+    // construction (StageProfile r14 — the driver gap dwarfed the
+    // executor work). The tree spelling stays below as the spec seam.
+    val adc = graft.functions.PqAdc(vec, books, dt)
+    val candIds = df
+      .select(col(idCol).as("id"), adc.as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(k * overFetch)
+      .select("id").collect().map(_.get(0)).toSeq
+    df.where(col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("id"),
+        cosine(col(vecCol), litVec(query)).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
+  private[graft] def pqDistanceTable(books: Array[Array[Array[Double]]],
+      query: Seq[Double], subspaces: Int, sub: Int): Array[Array[Double]] =
+    Array.tabulate(subspaces) { s =>
+      books(s).map { cent =>
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val t = query(s * sub + i) - cent(i); d += t * t; i += 1
+        }
+        d
+      }
+    }
+
+  /** The declarative ADC spelling [[graft.functions.PqAdcExpr]]
+    * replaced — per-subspace in-plan argmin (integer micro-unit
+    * distances, ties to the lower code — the Clustering determinism
+    * discipline) over `element_at` chains, then the dt lookup sum.
+    * Kept as the executable SPEC: PqSpec asserts the compiled
+    * expression equals this tree value-for-value on the live corpus.
+    * Not used on the query path (Catalyst re-analysis of the ~10k-node
+    * tree cost 1.7 s of driver time per construction). */
+  private[graft] def pqAdcTree(vec: Column,
+      books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
+      subspaces: Int, sub: Int): Column = {
+    def codeCol(s: Int): Column = {
       val dists = books(s).indices.map { c =>
         val d = (0 until sub).map { i =>
           val diff = element_at(vec, s * sub + i + 1) -
@@ -830,29 +873,8 @@ object Similarity {
       }
       array_min(array(dists: _*)).getField("c")
     }
-    // driver-side distance table: dt(s)(c) = ||q_s − books(s)(c)||²
-    val dt = Array.tabulate(subspaces) { s =>
-      books(s).map { cent =>
-        var d = 0.0; var i = 0
-        while (i < sub) {
-          val t = query(s * sub + i) - cent(i); d += t * t; i += 1
-        }
-        d
-      }
-    }
-    val vec = toDoubleVec(col(vecCol))
-    val adc = (0 until subspaces).map { s =>
-      element_at(array(dt(s).map(lit).toSeq: _*), codeCol(vec, s) + 1)
+    (0 until subspaces).map { s =>
+      element_at(array(dt(s).map(lit).toSeq: _*), codeCol(s) + 1)
     }.reduce(_ + _)
-    val candIds = df
-      .select(col(idCol).as("id"), adc.as("adc"))
-      .orderBy(col("adc"), col("id"))
-      .limit(k * overFetch)
-      .select("id").collect().map(_.get(0)).toSeq
-    df.where(col(idCol).isin(candIds: _*))
-      .select(col(idCol).as("id"),
-        cosine(col(vecCol), litVec(query)).as("score"))
-      .orderBy(desc("score"), col("id"))
-      .limit(k)
   }
 }

@@ -1166,7 +1166,17 @@ object PipelineQueries {
   // exact on this corpus for the same reason d2's oracle is (true pairs
   // at J >= 0.9, deterministic banding, verified pairs only).
   def t4_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
-    val profiled = TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+    // profile's input is spread WITH the pushdown barrier: the `kept`
+    // filter below references profile-derived columns (lang_pred,
+    // quality), so PushDownPredicates substitutes the full tokenstats
+    // expression into the filter and pushes it below a bare spread —
+    // the whole profile pass ran ~20× inside the scan stage's Filter
+    // on ONE task, in BOTH recompute branches (2 × 1.7 s single-task
+    // stages, StageProfile r14). The recompute-twice design below is
+    // still the documented winner; the barrier just keeps each
+    // recompute cluster-wide and single-evaluation.
+    val profiled = TextAnalysis.profile(
+        Dedup.spreadBarrier(docs(s, dir), "t4"), "doc_id", "text")
       .join(docs(s, dir).select(col("doc_id"), col("text"), col("source")), "doc_id")
     val kept = profiled
       .where(col("lang_pred") =!= "unknown" && col("quality") >= 0.5)

@@ -60,4 +60,29 @@ class PqSpec extends AnyFunSuite {
       Similarity.pqCodebooks(df, "vec_id", "embedding", subspaces = 5)
     }
   }
+
+  test("compiled PqAdc equals the declarative argmin/lookup tree " +
+    "value-for-value (the spec seam)") {
+    // the expression replaced a ~10k-node tree Catalyst re-analyzed per
+    // query construction; bit-equality (not approx) is the contract —
+    // both spellings fold IEEE operations in the same order
+    val df = clustered
+    val q = df.where(col("vec_id") === 3)
+      .select(col("embedding")).as[Seq[Double]].head()
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      subspaces = 4, codebookSize = 8)
+    val dt = Similarity.pqDistanceTable(books, q, subspaces = 4, sub = 4)
+    val vec = Similarity.toDoubleVec(col("embedding"))
+    val rows = df.select(
+        graft.functions.PqAdc(vec, books, dt).as("compiled"),
+        Similarity.pqAdcTree(vec, books, dt, subspaces = 4, sub = 4)
+          .as("tree"))
+      .collect()
+    assert(rows.length == 256)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"compiled=${r.getDouble(0)} tree=${r.getDouble(1)}")
+    }
+  }
 }
