@@ -622,7 +622,8 @@ object Dedup {
     * threshold (e.g. r=8, b=16 gives ~5% at J=0.80 but <1e-4 at
     * J >= 0.90). Deterministic end-to-end: fixed hash family, no RNG. */
   private def lshVerifiedPairs(withSets0: DataFrame, numHashes: Int,
-      bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+      bands: Int, threshold: Double, maxBucket: Int,
+      setOf: Column => Column = null): DataFrame = {
     // bands > numHashes would give rowsPerBand = 0 (every band key
     // collapses to the band index — one global bucket, capped, near-zero
     // recall); a non-dividing pair silently ignores trailing hashes
@@ -647,8 +648,18 @@ object Dedup {
     // (measured on d6 at sf10 — the d12 r12 lesson repeating). With the
     // filter in the SOURCE, the constraint already holds everywhere and
     // nothing is inferred.
-    val withSets = spreadIfUnderParallel(
-      withSets0.where(col("id").isNotNull))
+    // When the caller hands the RAW text plus a set-builder (`setOf`),
+    // the O(len) shingle/gram hashing runs AFTER the spread exchange:
+    // inside the spread's child it executed on the single-split scan
+    // task before anything parallelized (~260 ms serial stages on
+    // d4/d6/d9/d16 at sf0.1 — SerialScan r14). At scale the spread is
+    // the identity and the hash placement is plan-identical, so this
+    // costs nothing where the scan is already parallel.
+    val withSets =
+      if (setOf == null) spreadIfUnderParallel(
+        withSets0.where(col("id").isNotNull))
+      else spreadIfUnderParallel(withSets0.where(col("id").isNotNull))
+        .select(col("id"), setOf(col("_t")).as("set"))
     val withSig = withSets.select(col("id"),
       minhashSignature(col("set"), numHashes).as("sig"))
     val pairs = bucketPairs(
@@ -700,10 +711,10 @@ object Dedup {
     // no emptiness filter: WordShingleHashes yields >= 1 element by
     // construction, and a size() predicate would make Catalyst evaluate
     // the shingle expression twice per row (filter + project)
-    val withSets = df.select(col(idCol).as("id"),
-      graft.functions.SketchExpressions
-        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("set"))
-    lshVerifiedPairs(withSets, numHashes, bands, threshold, maxBucket)
+    val narrow = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+    lshVerifiedPairs(narrow, numHashes, bands, threshold, maxBucket,
+      setOf = t => graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(t), shingleWidth))
   }
 
   /** Character-n-gram Jaccard near-dup pairs with MinHash-LSH candidate
@@ -717,9 +728,9 @@ object Dedup {
   def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    val withSets = df.select(col(idCol).as("id"),
-      graft.functions.SketchExpressions.charNgramHashes(col(textCol), n).as("set"))
-    lshVerifiedPairs(withSets, numHashes, bands, threshold, maxBucket)
+    val narrow = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+    lshVerifiedPairs(narrow, numHashes, bands, threshold, maxBucket,
+      setOf = t => graft.functions.SketchExpressions.charNgramHashes(t, n))
   }
 
   /** Cross-corpus near-duplicate pairs: documents of `newDf` whose
@@ -742,9 +753,15 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    def sets(df: DataFrame) = df.select(col(idCol).as("id"),
-      graft.functions.SketchExpressions
-        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("set"))
+    // shingle hashing post-spread on both sides (the lshVerifiedPairs
+    // r14 fix): each side is consumed twice (banding + verify attach),
+    // and with the hash inside the spread's child it ran serial on the
+    // single-split sandbox scan; identity at scale
+    def sets(df: DataFrame) = spreadIfUnderParallel(
+      df.select(col(idCol).as("id"), col(textCol).as("_t"))
+        .where(col("id").isNotNull))
+      .select(col("id"), graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(col("_t")), shingleWidth).as("set"))
     val setsNew = sets(newDf)
     val setsHist = sets(historyDf)
     def banded(s: DataFrame) = lshBands(
@@ -787,9 +804,14 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val setsNew = newDf.select(col(idCol).as("id"),
-      graft.functions.SketchExpressions
-        .wordShingleHashes(tokens(col(textCol)), shingleWidth).as("set"))
+    // batch-side shingle hashing post-spread (the lshVerifiedPairs r14
+    // fix); the store side is already hashed at ingest — that is the
+    // point of this method
+    val setsNew = spreadIfUnderParallel(
+      newDf.select(col(idCol).as("id"), col(textCol).as("_t"))
+        .where(col("id").isNotNull))
+      .select(col("id"), graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(col("_t")), shingleWidth).as("set"))
     val bandedNew = lshBands(
       setsNew.select(col("id"),
         minhashSignature(col("set"), numHashes).as("sig")),
@@ -1175,12 +1197,18 @@ object Dedup {
     // isNotNull(id) pre-spread for the same exchange-reuse
     // canonicalization reason as lshVerifiedPairs (null ids cannot
     // reach the output: every consumer joins or pairs on id)
+    // gram hashing happens AFTER the spread exchange: with it inside
+    // the spread's child, the O(len) charNgramHashes walk ran on the
+    // single-split scan task before anything parallelized (3 × ~400 ms
+    // serial stages at sf0.1 — SerialScan r14). The exchange carries
+    // (id, text) — same bytes as the gram arrays within ~2×.
     def gramSets(df: DataFrame) = spreadIfUnderParallel(
-      df.select(col(idCol).as("id"),
-        graft.functions.SketchExpressions.charNgramHashes(col(textCol), n)
+      df.select(col(idCol).as("id"), col(textCol).as("_t"))
+        .where(col("id").isNotNull))
+      .select(col("id"),
+        graft.functions.SketchExpressions.charNgramHashes(col("_t"), n)
           .as("grams"))
-        .where(col("id").isNotNull)
-        .withColumn("sz", size(col("grams"))))
+      .withColumn("sz", size(col("grams")))
     val aSets = gramSets(containedDf)
     val bSets = gramSets(containerDf)
     val bExploded = bSets.select(col("id"), col("sz"),

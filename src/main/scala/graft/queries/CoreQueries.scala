@@ -694,7 +694,17 @@ object CoreQueries {
   // would wrongly keep the NULL rows, and the DuckDB oracle's own 3VL
   // NOT IN catches exactly that divergence.
   def j12_null_aware_anti(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("events")
+    // the json parse is the entry's whole cost and the sandbox scan is
+    // one split (a 754 ms serial stage — SerialScan r14): the SQL reads
+    // a spread view of the narrow (event_type, props) projection, with
+    // the barrier so the NOT-IN rewrite can't drag the parse back below
+    // the exchange. The null-aware anti join semantics under test are
+    // untouched — this is input plumbing.
+    graft.operators.Dedup.spreadBarrier(
+      t(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_type"), col("props")), "j12")
+      .createOrReplaceTempView("events_j12")
     s.sql(
       """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (
@@ -702,7 +712,7 @@ object CoreQueries {
         |    CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) % 7 = 0
         |         THEN NULL
         |         ELSE CAST(get_json_object(props, '$.k') AS BIGINT) END AS k
-        |  FROM events WHERE props IS NOT NULL)
+        |  FROM events_j12)
         |WHERE k NOT IN (SELECT * FROM VALUES (5), (11), (23), (42) AS t(v))
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }

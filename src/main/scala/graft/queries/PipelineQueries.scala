@@ -888,7 +888,10 @@ object PipelineQueries {
   // (source, dim, mean): scalar columns hash-compare cleanly and the
   // shuffle still carries only (key, dim, partial aggregates).
   def s14_group_centroids(s: SparkSession, dir: String): DataFrame = {
-    val joined = embs(s, dir).join(
+    // spreadBarrier (not a bare spread): the join would otherwise let
+    // Catalyst re-plan the exchange away, re-serializing the
+    // per-dimension explode on the single-split embeddings scan
+    val joined = Dedup.spreadBarrier(embs(s, dir), "s14").join(
       docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
       "vec_id")
     Similarity.dimStats(joined, "embedding", keys = Seq("source"))
@@ -1132,7 +1135,7 @@ object PipelineQueries {
 
   // quality-filter pass rate per source — the curation aggregate
   def t3_quality_by_source(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
@@ -1144,8 +1147,11 @@ object PipelineQueries {
   // so the corpus never shuffles (only matched doc_ids do)
   def t5_contamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // corpus side spread (the t3/t23 single-split serial-scan fix);
+    // the 20-doc benchmark side stays a plain pushed-filter scan
     TextAnalysis.contamination(
-        d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+        Dedup.spreadIfUnderParallel(d.where(col("doc_id") >= 20)),
+        d.where(col("doc_id") < 20),
         "doc_id", "text", n = 8)
       .orderBy("doc_id")
   }
@@ -2171,7 +2177,8 @@ object PipelineQueries {
     // (k=20 rows), not the corpus — WindowExec's single-partition
     // warning is about a 20-row frame, bounded at any corpus size
     val terms = Seq("join", "filter", "scan")
-    val lex = Retrieval.bm25(docs(s, dir), "doc_id", "text", terms, k = 20)
+    val lex = Retrieval.bm25(docsSpread(s, dir), "doc_id", "text", terms,
+        k = 20)
       .select(col("id"),
         row_number().over(Window.orderBy(desc("score"), col("id")))
           .as("r_lex"))
