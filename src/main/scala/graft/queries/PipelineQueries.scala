@@ -2535,7 +2535,7 @@ object PipelineQueries {
     // 1e-6 input quantization → every accumulation is exact int64 (a
     // double→decimal cast ties differently across engines; integers
     // never do). Statistically invisible at covariance scale.
-    val el = embs(s, dir)
+    val el = Dedup.spreadIfUnderParallel(embs(s, dir))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
         expr("CAST(floor(CAST(xf AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
@@ -2571,7 +2571,7 @@ object PipelineQueries {
   // (TakeOrderedAndProject).
   def s27_embedding_outliers(s: SparkSession, dir: String): DataFrame = {
     val n = embs(s, dir).count()
-    val el = embs(s, dir)
+    val el = Dedup.spreadIfUnderParallel(embs(s, dir))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
         expr("CAST(floor(CAST(xf AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
