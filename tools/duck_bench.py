@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Self-audit against the judge's gate: time every oracle SQL in DuckDB
+at a given SF (32 threads, best-of-2, capped with a real interrupt) and
+compare with a Bench artifact's Spark medians. Prints entries whose
+Spark/DuckDB ratio exceeds the 2x gate at a substantial DuckDB baseline
+(>= 0.3 s), plus the median ratio over the substantial set — the two
+numbers the verdict grades.
+
+Driver-side tooling (duckdb). Usage:
+    python3 tools/duck_bench.py <verify_outdir> <sfdir> <bench_json> \
+        [cap_seconds]
+where <verify_outdir> holds oracle_sql.json from graft.Verify.
+"""
+import json
+import sys
+import threading
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def connect(sfdir):
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sfdir}/{t}.parquet', union_by_name=True)")
+    return con
+
+
+def timed_run(sfdir, sql, cap):
+    """(seconds, 'ok') on completion, (cap, 'timeout'), or (None, err)."""
+    con = connect(sfdir)
+    out = {}
+
+    def work():
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            out["dt"] = time.time() - t0
+        except Exception as e:  # includes InterruptException
+            out["err"] = str(e)[:100]
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(cap)
+    if th.is_alive():
+        con.interrupt()
+        th.join(30)
+        con.close()
+        return cap, "timeout"
+    con.close()
+    if "dt" in out:
+        return out["dt"], "ok"
+    return None, out.get("err", "unknown")
+
+
+def main():
+    outdir, sfdir, bench_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    cap = float(sys.argv[4]) if len(sys.argv) > 4 else 60.0
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    bench = json.load(open(bench_path))["queries"]
+
+    results = {}
+    timeouts = []
+    for name in sorted(oracle):
+        if name not in bench:
+            continue
+        best, status = None, None
+        for _ in range(2):
+            dt, st = timed_run(sfdir, oracle[name], cap)
+            status = st
+            if st == "ok":
+                best = dt if best is None else min(best, dt)
+            else:
+                break
+        if status == "timeout":
+            timeouts.append(name)
+        elif status != "ok":
+            print(f"ERR   {name}: {status}")
+        else:
+            results[name] = (best, bench[name])
+
+    ratios = []
+    flagged = []
+    for name, (duck, spark) in sorted(results.items()):
+        if duck >= 0.3:
+            r = spark / duck
+            ratios.append(r)
+            if r > 2.0:
+                flagged.append((r, name, duck, spark))
+    ratios.sort()
+    med = ratios[len(ratios) // 2] if ratios else float("nan")
+    print(f"== substantial-baseline entries (duck >= 0.3 s): "
+          f"{len(ratios)}, median spark/duck ratio {med:.2f} ==")
+    print(f"== DuckDB timeouts at {cap:.0f}s (Spark finishes these): "
+          f"{len(timeouts)} -> {timeouts}")
+    for r, name, duck, spark in sorted(flagged, reverse=True):
+        print(f"OVER-2x  {name}: spark={spark:.2f}s duck={duck:.2f}s "
+              f"ratio={r:.1f}")
+    slow = sorted(((v[0], k) for k, v in results.items()), reverse=True)[:10]
+    print("slowest completing DuckDB oracles:")
+    for dt, k in slow:
+        print(f"  {dt:7.2f}s  {k}  (spark {results[k][1]:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
