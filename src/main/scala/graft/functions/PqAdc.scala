@@ -53,7 +53,16 @@ case class PqAdcExpr(child: Expression,
 
   override def compute(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
-    if (vec.numElements() < subspaces * sub) return null
+    val used = subspaces * sub
+    if (vec.numElements() < used) return null
+    // a null ELEMENT nulls the whole ADC in the tree spelling
+    // (element_at → null diff² → null sum); getDouble on a null slot
+    // is undefined, so check the used prefix up front (ADVICE r14)
+    var j = 0
+    while (j < used) {
+      if (vec.isNullAt(j)) return null
+      j += 1
+    }
     var adc = 0.0
     var s = 0
     while (s < subspaces) {

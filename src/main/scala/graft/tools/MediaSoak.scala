@@ -101,9 +101,16 @@ object MediaSoak {
       // fire loudly (structural 9-bit-chunk saturation) — this row
       // documents that the loss is visible, not that recall holds
       val (t64, p64, d64) = timeRuns { () =>
+        // drain any in-flight cap events (e.g. from the previous
+        // iteration) BEFORE resetting, and again after the run before
+        // reading — the cap metric arrives via an async
+        // QueryExecutionListener, so an unflushed read can miss this
+        // run's drops or absorb the previous run's (ADVICE r14)
+        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         Dedup.resetCapDropped(spark)
         val n = graft.queries.PipelineQueries
           .m13VideoNearDup(spark, dir, maxDocId = Long.MaxValue).count()
+        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         (n, Dedup.capDroppedLast(spark))
       }
       println(f"[mediasoak] $dir m13_64bit median=$t64%.2f " +
@@ -119,6 +126,10 @@ object MediaSoak {
         .agg(count(lit(1)).as("m"))
         .agg(sum(expr("m * (m - 1) div 2"))).collect()(0).getLong(0)
       val (tw, pw, dw) = timeRuns { () =>
+        // flush BEFORE reset: the preceding 64-bit run drops heavily by
+        // design and a late event landing after reset would charge it
+        // to the wide run (ADVICE r14); flush after to read our own
+        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         Dedup.resetCapDropped(spark)
         val media = probeVideos(docsDf)
         val packed = Multimodal.videoFrameAHash(media, blocks = 16)
@@ -134,6 +145,7 @@ object MediaSoak {
           .repartition(spark.sparkContext.defaultParallelism)
         val n = vote(Dedup.hammingNearDuplicatesWide(
           packed, "fid", "sig", width = 256, maxHamming = 6)).count()
+        org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         (n, Dedup.capDroppedLast(spark))
       }
       println(f"[mediasoak] $dir m13_wide median=$tw%.2f " +

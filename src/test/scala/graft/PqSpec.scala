@@ -85,4 +85,23 @@ class PqSpec extends AnyFunSuite {
         s"compiled=${r.getDouble(0)} tree=${r.getDouble(1)}")
     }
   }
+
+  test("PqAdc nulls out on a null array element (element_at semantics)") {
+    // the tree's element_at yields null for a null slot, which nulls the
+    // whole ADC sum; the compiled path must match, not read undefined
+    // memory (ADVICE r14)
+    val df = clustered
+    val q = df.where(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Double]].head()
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      subspaces = 4, codebookSize = 8)
+    val dt = Similarity.pqDistanceTable(books, q, subspaces = 4, sub = 4)
+    val withNull = df.select(transform(
+      Similarity.toDoubleVec(col("embedding")),
+      (x, i) => when(i === 5, lit(null)).otherwise(x)).as("v"))
+    val rows = withNull
+      .select(graft.functions.PqAdc(col("v"), books, dt).as("adc"))
+      .collect()
+    assert(rows.length == 256 && rows.forall(_.isNullAt(0)))
+  }
 }

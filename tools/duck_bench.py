@@ -79,12 +79,15 @@ def main():
                 best = dt if best is None else min(best, dt)
             else:
                 break
-        if status == "timeout":
-            timeouts.append(name)
-        elif status != "ok":
-            print(f"ERR   {name}: {status}")
-        else:
+        # a valid timing from EITHER attempt counts — a first-run
+        # success followed by a second-run error must not discard the
+        # measurement (ADVICE r14)
+        if best is not None:
             results[name] = (best, bench[name])
+        elif status == "timeout":
+            timeouts.append(name)
+        else:
+            print(f"ERR   {name}: {status}")
 
     ratios = []
     flagged = []
