@@ -236,7 +236,7 @@ object CoreQueries {
     val exact = graft.operators.Quantiles.exactByGroup(
       t(s, dir, "events"), "event_type", col("value"),
       Seq("x50" -> 0.5, "x90" -> 0.9),
-      rankOf = graft.operators.Quantiles.ceilRank)
+      rule = graft.operators.Quantiles.CeilRank)
     sk.join(exact, "event_type")
       .where(abs(col("p50") - col("x50")) / col("x50") <= 0.015 &&
         abs(col("p90") - col("x90")) / col("x90") <= 0.015)

@@ -97,6 +97,44 @@ class QuantilesSpec extends AnyFunSuite {
     byG.keys.foreach(g => assert(again(g) === got(g)._2))
   }
 
+  test("fast lane and selection path agree value-for-value on both " +
+    "rank rules (and the gate routes as designed)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 4000).map { i =>
+      (s"g${i % 5}", rng.nextInt(700).toDouble + rng.nextDouble())
+    }
+    val qs = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
+    // LocalRelation stats are known and tiny -> fast lane
+    val small = rows.toDF("g", "v")
+    // a LogicalRDD carries the sentinel size (statsBytes None) -> the
+    // gate must refuse to trust it and take the selection path
+    val schema = small.schema
+    val unsized = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql
+        .Row(r._1, r._2)), 6), schema)
+    for (rule <- Seq(graft.operators.Quantiles.NearestRank,
+        graft.operators.Quantiles.CeilRank)) {
+      val a = graft.operators.Quantiles
+        .exactByGroup(small, "g", col("v"), qs, rule = rule)
+      val b = graft.operators.Quantiles
+        .exactByGroup(unsized, "g", col("v"), qs, rule = rule)
+      // route pin: the selection path materializes eagerly into a
+      // LocalRelation; the fast lane stays a lazy aggregate plan
+      assert(!a.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "fast lane must not have run the selection jobs")
+      assert(b.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "unknown stats must route to the selection path")
+      val am = a.collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val bm = b.collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(am === bm, s"paths diverged under $rule")
+    }
+  }
+
   test("exactWeightedByGroup rejects non-positive weights") {
     import spark.implicits._
     val df = Seq(("g", 1.0, 0L)).toDF("g", "v", "w")
