@@ -70,7 +70,13 @@ object Dedup {
           private def report(
               qe: org.apache.spark.sql.execution.QueryExecution): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft_banded_cap")) {
+              val what =
+                if (name.startsWith("graft_banded_cap"))
+                  Some("banded-hamming bucket cap")
+                else if (name.startsWith("graft_fuzzy_cap"))
+                  Some("fuzzy-join segment-key cap")
+                else None
+              what.foreach { label =>
                 val dropped = row.getAs[Long]("rows_dropped")
                 capDroppedBySession.synchronized {
                   capDroppedBySession
@@ -78,10 +84,10 @@ object Dedup {
                 }
                 if (dropped > 0) {
                   capDroppedTotal.add(dropped)
-                  System.err.println(s"[graft] banded-hamming bucket cap" +
+                  System.err.println(s"[graft] $label" +
                     s" dropped $dropped candidate rows (max bucket seen " +
                     s"${row.getAs[Long]("max_bucket_seen")}); recall may " +
-                    "be capped - raise maxBucket, use the uncapped mode, " +
+                    "be capped - raise the cap, use the uncapped mode, " +
                     "or re-block upstream")
                 }
               }
@@ -131,21 +137,36 @@ object Dedup {
     else Some(b.toLong * 8)
   }
 
+  /** Absolute ceiling on what the spread may shuffle: the
+    * cores-scaled gate below widens with the cluster (thousands of
+    * cores × maxPartitionBytes/2 is hundreds of GB), so without this
+    * bound a mid-size text corpus would eat a full text shuffle for a
+    * modest parallelism gain. 16 GiB keeps every case the spread was
+    * built for (the sf10 soak's measured spreads shuffle ≤ ~250 MB and
+    * win on wall) while guaranteeing the spread stays a small-corpus
+    * correction at any cluster size. */
+  private[graft] val SpreadCeilingBytes: Long = 16L << 30
+
   /** Spread a small under-parallel scan across the cluster before an
     * explode that amplifies each row ~len×: when the source is smaller
     * than what one scan split per core would give (tiny files — the
     * whole sandbox corpus is one parquet split), one task would run the
     * entire explode serially. At scale the scan already carries more
     * splits than cores and this is the identity — no extra text shuffle
-    * on the 100 TB path. */
+    * on the 100 TB path. Two conditions, BOTH required: estimated bytes
+    * under one split per two cores (a split-to-core proxy: fewer scan
+    * splits than half the cores means idle cores), AND under the
+    * absolute [[SpreadCeilingBytes]] so the threshold cannot scale into
+    * a huge shuffle on a large cluster. */
   private[graft] def spreadIfUnderParallel(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val gate = math.min(maxSplit.toLong * math.max(1, cores / 2),
+      SpreadCeilingBytes)
     // unknown statistics (None) count as "not small": never add a text
     // shuffle on the say-so of a sentinel
-    if (statsBytes(df).exists(_ < maxSplit.toLong * math.max(1, cores / 2)))
-      df.repartition(cores)
+    if (statsBytes(df).exists(_ < gate)) df.repartition(cores)
     else df
   }
 
@@ -594,6 +615,33 @@ object Dedup {
     * an OOM. The window and the groupBy hash-partition on the same
     * (band, band_key) key, so the cap costs a sort, not a second shuffle.
     */
+  /** Cap the number of rows a single blocking key may contribute to a
+    * candidate-generating join, with the same loud zero-job
+    * observability as the banded-hamming bucket cap: keep the `cap`
+    * smallest `idCol` values per key (deterministic), count the
+    * overflow through an `observe()` aggregate (rows, not pairs — a
+    * fired/not-fired signal plus magnitude, read via
+    * [[capDroppedLast]]), and report on stderr. The row_number window
+    * hash-partitions on the same key the join shuffles on, so the cap
+    * costs a sort that rides the join's own exchange, not a second
+    * shuffle. `cap = Int.MaxValue` is the uncapped identity. */
+  private[graft] def capKeyMembers(df: DataFrame, keyCols: Seq[String],
+      idCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) df
+    else {
+      installCapListener(df.sparkSession)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+      df.withColumn("_rn", row_number().over(w))
+        .observe(s"graft_fuzzy_cap_${capMetricSeq.incrementAndGet()}",
+          coalesce(sum(when(col("_rn") > cap, 1L).otherwise(0L)),
+            lit(0L)).as("rows_dropped"),
+          coalesce(max(col("_rn").cast("long")), lit(0L))
+            .as("max_bucket_seen"))
+        .where(col("_rn") <= cap)
+        .drop("_rn")
+    }
+
   private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_key")).orderBy(col("id"))
@@ -623,7 +671,7 @@ object Dedup {
     * J >= 0.90). Deterministic end-to-end: fixed hash family, no RNG. */
   private def lshVerifiedPairs(withSets0: DataFrame, numHashes: Int,
       bands: Int, threshold: Double, maxBucket: Int,
-      setOf: Column => Column = null): DataFrame = {
+      setOf: Option[Column => Column] = None): DataFrame = {
     // bands > numHashes would give rowsPerBand = 0 (every band key
     // collapses to the band index — one global bucket, capped, near-zero
     // recall); a non-dividing pair silently ignores trailing hashes
@@ -655,11 +703,9 @@ object Dedup {
     // d4/d6/d9/d16 at sf0.1 — SerialScan r14). At scale the spread is
     // the identity and the hash placement is plan-identical, so this
     // costs nothing where the scan is already parallel.
-    val withSets =
-      if (setOf == null) spreadIfUnderParallel(
-        withSets0.where(col("id").isNotNull))
-      else spreadIfUnderParallel(withSets0.where(col("id").isNotNull))
-        .select(col("id"), setOf(col("_t")).as("set"))
+    val spread = spreadIfUnderParallel(withSets0.where(col("id").isNotNull))
+    val withSets = setOf.fold(spread)(f =>
+      spread.select(col("id"), f(col("_t")).as("set")))
     val withSig = withSets.select(col("id"),
       minhashSignature(col("set"), numHashes).as("sig"))
     val pairs = bucketPairs(
@@ -713,8 +759,8 @@ object Dedup {
     // the shingle expression twice per row (filter + project)
     val narrow = df.select(col(idCol).as("id"), col(textCol).as("_t"))
     lshVerifiedPairs(narrow, numHashes, bands, threshold, maxBucket,
-      setOf = t => graft.functions.SketchExpressions
-        .wordShingleHashes(tokens(t), shingleWidth))
+      setOf = Some(t => graft.functions.SketchExpressions
+        .wordShingleHashes(tokens(t), shingleWidth)))
   }
 
   /** Character-n-gram Jaccard near-dup pairs with MinHash-LSH candidate
@@ -730,7 +776,8 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val narrow = df.select(col(idCol).as("id"), col(textCol).as("_t"))
     lshVerifiedPairs(narrow, numHashes, bands, threshold, maxBucket,
-      setOf = t => graft.functions.SketchExpressions.charNgramHashes(t, n))
+      setOf = Some(t =>
+        graft.functions.SketchExpressions.charNgramHashes(t, n)))
   }
 
   /** Cross-corpus near-duplicate pairs: documents of `newDf` whose

@@ -2317,7 +2317,20 @@ object PipelineQueries {
     * measured SLOWER (146 → 228 s) and rejected; the wins were cutting
     * candidate volume (probe window ±K/2) and candidate movement
     * (no pre-verify distinct, gate-broadcast attach). */
-  private[graft] def d14Pairs(s: SparkSession, dir: String): DataFrame = {
+  /** Default per-key member cap for [[d14Pairs]]' blocking join: a
+    * single (lang, segment) key shared by N documents contributes
+    * O(N²) candidate pairs — super-linear on boilerplate-heavy corpora
+    * (D14Probe's a·c + b·c² fit: ~55% collision pairs at 100 copies) —
+    * so cap each side of the join at the cap smallest ids per key, with
+    * the drop LOUD (capDroppedLast / stderr, the hamming-cap contract).
+    * 1000 members = ≤ 1M pairs per degenerate key; normal corpora
+    * (including the sf10 soak, whose densest planted clique is ~100
+    * copies) never reach it, so the cap is a skew guard, not a recall
+    * ceiling — and when it does fire, the counter says so. */
+  private[graft] val D14MaxKeyMembers = 1000
+
+  private[graft] def d14Pairs(s: SparkSession, dir: String,
+      maxKeyMembers: Int = D14MaxKeyMembers): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
         col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
       // distinct 3-gram hash set per prefix, computed ONCE per document
@@ -2388,7 +2401,16 @@ object PipelineQueries {
       .select(col("id_y"), col("n_y"),
         xxhash64(col("lang"), col("pr.i"), col("pr.s")).as("k"))
       .distinct() // window substrings repeat; shrink the join input
-    val candLong = segs.join(probes, Seq("k"))
+    // loud per-key truncation on BOTH join inputs (completeness note:
+    // with no key past the cap — every normal corpus — the window
+    // filter keeps all rows and the output is bit-identical to the
+    // uncapped join; a fired cap is reported via capDroppedLast and
+    // stderr rather than silently quadratifying the candidate stream)
+    val segsCapped = Dedup.capKeyMembers(segs, Seq("k"), "id_x",
+      maxKeyMembers)
+    val probesCapped = Dedup.capKeyMembers(probes, Seq("k"), "id_y",
+      maxKeyMembers)
+    val candLong = segsCapped.join(probesCapped, Seq("k"))
       .where(col("id_x") =!= col("id_y") &&
         abs(col("n_x") - col("n_y")) <= 24)
       .select(least(col("id_x"), col("id_y")).as("id_a"),

@@ -228,6 +228,61 @@ class PipelinePropertySpec extends AnyFunSuite {
     assert(misses > 190, s"blocking matched $misses/200 random pairs")
   }
 
+  test("d14's candidate funnel caps a boilerplate-degenerate key " +
+    "LOUDLY: counter fires, candidate volume stays bounded") {
+    // 30 docs sharing an IDENTICAL 40-char prefix: every (lang,
+    // segment) blocking key is shared by all docs, so the uncapped
+    // join would emit O(n²) candidates per key — the silent
+    // quadratification class the cap exists for
+    val dir = java.nio.file.Files.createTempDirectory("graft_d14cap")
+      .toFile.getAbsolutePath
+    val pfx = "the quick brown fox jumps over the lazy " // exactly 40
+    assert(pfx.length === 40)
+    val rows = (0 until 30).map { i =>
+      val text = pfx + s"tail$i" * 3
+      (i.toLong, text, "en", "s0", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+    Dedup.resetCapDropped(spark)
+    val capped = graft.queries.PipelineQueries
+      .d14Pairs(spark, dir, maxKeyMembers = 8).count()
+    org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+    assert(Dedup.capDroppedLast(spark) > 0,
+      "the per-key cap must report its drops")
+    val uncapped = graft.queries.PipelineQueries
+      .d14Pairs(spark, dir, maxKeyMembers = Int.MaxValue).count()
+    assert(capped < uncapped,
+      s"cap must bound the candidate stream ($capped vs $uncapped)")
+    // and a benign corpus (distinct prefixes) must not fire the cap
+    // or change the candidate stream at all — fresh dir: overwriting
+    // the first one would race the session's cached file listing
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_d14cap2")
+      .toFile.getAbsolutePath
+    org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+    Dedup.resetCapDropped(spark)
+    // doc pairs (2i, 2i+1) share a per-pair unique character: every
+    // blocking bucket has exactly 2 members (under the cap), candidate
+    // stream nonempty — and no cross-pair segment can ever collide
+    val benign = (0 until 30).map { i =>
+      val text = ('A' + i / 2).toChar.toString * 40 + s"tail$i"
+      (i.toLong, text, "en", "s0", text.length.toLong)
+    }
+    benign.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val a = graft.queries.PipelineQueries
+      .d14Pairs(spark, dir2, maxKeyMembers = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+    assert(Dedup.capDroppedLast(spark) === 0L,
+      "a benign corpus must not trip the cap")
+    val b = graft.queries.PipelineQueries
+      .d14Pairs(spark, dir2, maxKeyMembers = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b, "an un-fired cap must be the identity")
+  }
+
   test("lshPlan: fewest bands meeting the recall floor; the classic " +
     "16x8 layout falls out of 128 hashes at t=0.8") {
     for (n <- Seq(64, 128, 256); t <- Seq(0.5, 0.7, 0.8, 0.9)) {

@@ -718,4 +718,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("CollectMetrics"),
       s"pushdown barrier (observe) missing:\n$p")
   }
+
+  test("spread gate: the absolute ceiling binds when the cores-scaled " +
+    "threshold widens (large-cluster contract)") {
+    // On thousands of cores the maxPartitionBytes × cores/2 gate grows
+    // to hundreds of GB — simulate that regime by cranking the split
+    // size so the cores-scaled term alone WOULD admit a ~19 GB frame,
+    // and pin that the absolute SpreadCeilingBytes refuses the shuffle.
+    // spark.range stats are exact (8 bytes/row; statsBytes scales ×8).
+    val conf = spark.conf
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = conf.get(key)
+    try {
+      conf.set(key, (2L << 30).toString) // cores-scaled gate: 16×2 GiB
+      val big = spark.range(300L * 1000 * 1000).toDF("id") // ~19.2 GB est
+      assert(graft.operators.Dedup.spreadIfUnderParallel(big) eq big,
+        "a frame past the absolute ceiling must NOT spread")
+      val small = spark.range(1000L).toDF("id")
+      assert(graft.operators.Dedup.spreadIfUnderParallel(small) ne small,
+        "a tiny under-parallel frame must still spread")
+    } finally conf.set(key, old)
+  }
 }
