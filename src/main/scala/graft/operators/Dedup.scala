@@ -615,31 +615,46 @@ object Dedup {
     * an OOM. The window and the groupBy hash-partition on the same
     * (band, band_key) key, so the cap costs a sort, not a second shuffle.
     */
-  /** Cap the number of rows a single blocking key may contribute to a
-    * candidate-generating join, with the same loud zero-job
-    * observability as the banded-hamming bucket cap: keep the `cap`
-    * smallest `idCol` values per key (deterministic), count the
-    * overflow through an `observe()` aggregate (rows, not pairs — a
-    * fired/not-fired signal plus magnitude, read via
-    * [[capDroppedLast]]), and report on stderr. The row_number window
-    * hash-partitions on the same key the join shuffles on, so the cap
-    * costs a sort that rides the join's own exchange, not a second
-    * shuffle. `cap = Int.MaxValue` is the uncapped identity. */
+  /** Drop every row of a blocking key that exceeds `cap` members, with
+    * the same loud zero-job observability as the banded-hamming bucket
+    * cap: the overflow is counted through an `observe()` aggregate
+    * (rows, not pairs — a fired/not-fired signal plus magnitude, read
+    * via [[capDroppedLast]]) and reported on stderr.
+    *
+    * Whole-key drop, not a smallest-`cap`-ids subset, on purpose: a
+    * key shared by > cap documents is boilerplate, and keeping an
+    * arbitrary 1000-member slice would still emit ~cap² mostly-
+    * spurious candidates per degenerate key while silently biasing
+    * which ones. Dropping the key entirely zeroes its candidate
+    * product — and a TRUE near-dup pair that agreed on the boilerplate
+    * key almost always agrees on another of its aligned segments (a
+    * pair agreeing ONLY there differs in every other segment, which at
+    * the edit radius is the spurious regime). The count-only window
+    * sorts by the key alone (no per-id rank), and capping ONE side of
+    * a candidate join suffices: the other side's members find no
+    * partner for the dropped key. `cap = Int.MaxValue` is the uncapped
+    * identity.
+    *
+    * Placement caveat: apply this to a side the planner will STREAM.
+    * A CollectMetrics under a BroadcastExchange build never reports
+    * its metrics (the broadcast build runs outside the query's main
+    * execution context — measured r15: observedMetrics stays [0, 0]),
+    * so capping the small side of a joint both loses the signal at
+    * exactly the scales where AQE broadcasts it. */
   private[graft] def capKeyMembers(df: DataFrame, keyCols: Seq[String],
-      idCol: String, cap: Int): DataFrame =
+      cap: Int): DataFrame =
     if (cap == Int.MaxValue) df
     else {
       installCapListener(df.sparkSession)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-      df.withColumn("_rn", row_number().over(w))
+        .partitionBy(keyCols.map(col): _*)
+      df.withColumn("_kn", count(lit(1)).over(w))
         .observe(s"graft_fuzzy_cap_${capMetricSeq.incrementAndGet()}",
-          coalesce(sum(when(col("_rn") > cap, 1L).otherwise(0L)),
+          coalesce(sum(when(col("_kn") > cap, 1L).otherwise(0L)),
             lit(0L)).as("rows_dropped"),
-          coalesce(max(col("_rn").cast("long")), lit(0L))
-            .as("max_bucket_seen"))
-        .where(col("_rn") <= cap)
-        .drop("_rn")
+          coalesce(max(col("_kn")), lit(0L)).as("max_bucket_seen"))
+        .where(col("_kn") <= cap)
+        .drop("_kn")
     }
 
   private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {

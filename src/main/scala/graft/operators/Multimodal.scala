@@ -904,6 +904,112 @@ object Multimodal {
       }(enc)
   }
 
+  /** Density-scaled frame-hash parameters for a banded hamming
+    * near-dup join over [[videoFrameAHash]] signatures — the
+    * [[Dedup.autoSrpParams]] precedent applied to perceptual hashes,
+    * where BLOCK RESOLUTION is the width lever (an n-block grid yields
+    * an n²-bit hash). Returns (blocks, width).
+    *
+    * Why the default must scale: banding a 64-bit hash into
+    * `maxHamming+1 = 7` chunks keys buckets on 9-bit values — 512
+    * realizable buckets per band — so past a few hundred frames the
+    * per-band buckets MUST grow linearly and the skew cap truncates
+    * structurally (tools.MediaSoak measured 8.7M cap-dropped rows at
+    * sf10 under the 64-bit shape, while the 256-bit/36-bit-chunk shape
+    * held exact planted recall with zero drops). Rule: the smallest
+    * rung in {8 blocks → 64 bits, 16 blocks → 256 bits} whose
+    * per-chunk key space `2^(width/(maxHamming+1))` covers 4× the
+    * frame count — the same 4× coverage margin as autoSrpParams. The
+    * 16-block rung's 36-bit chunks cover ~17 G frames, past any real
+    * corpus, so the ladder stops there (a 32-block/1024-bit rung would
+    * pay 4× the signature bytes for key space nothing needs).
+    *
+    * Semantics note (deliberate, documented): the radius is
+    * interpreted at the CHOSEN resolution, so the wide rung's
+    * `hamming ≤ maxHamming` over 4× the bits is a strictly tighter
+    * predicate (~maxHamming/4 of the coarse blocks edited). That is
+    * the contract that survives scale — at the densities that force
+    * the wide rung, the coarse radius-6-of-64 predicate is exactly
+    * what floods the candidate stream — and the planted damage classes
+    * (trims, single-block edits) sit inside both. Scaling the radius
+    * with width instead (the SRP rule) would band into
+    * `4·maxHamming+1` chunks of ~10 bits and re-saturate; perceptual
+    * hashes fight bucket saturation with RESOLUTION, not radius. */
+  def autoFrameHashParams(nFrames: Long, maxHamming: Int = 6)
+      : (Int, Int) = {
+    require(nFrames >= 0 && maxHamming >= 0,
+      s"bad autoFrameHashParams($nFrames, $maxHamming)")
+    val small = {
+      val chunkBits = 64 / (maxHamming + 1)
+      chunkBits <= 62 && (1L << chunkBits) >= 4L * nFrames
+    }
+    if (small) (8, 64) else (16, 256)
+  }
+
+  /** [[videoFrameAHash]]'s bits packed to the array<long> signature
+    * layout [[Dedup.hammingNearDuplicatesWide]] consumes (word w =
+    * bits [64w, 64w+64), bit i of word w ← cell 64w+i's bit): output
+    * (media_id, frame_idx, sig). Packs IN the decode pass — the
+    * bit-string + SQL-fold spelling costs a ~64·words-step
+    * higher-order expression per row re-analyzed per query (the s23
+    * driver-cost lesson) where this is a bitwise OR in the same loop
+    * that computes the cell means. Works for any blocks whose square
+    * is a multiple of 64 — both rungs of [[autoFrameHashParams]];
+    * WideHammingSpec pins bit equality against the string spelling. */
+  def videoFrameAHashPacked(media: DataFrame, blocks: Int,
+      codec: MediaCodec = RiffVideoCodec): DataFrame = {
+    val width = blocks * blocks
+    require(width % 64 == 0,
+      s"blocks $blocks gives a ${width}-bit hash, not packable to longs")
+    val words = width / 64
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          codec.decodeVideo(payload) match {
+            case None => Iterator.empty
+            case Some(dv) =>
+              val nb = blocks
+              dv.frames.iterator.zipWithIndex.map { case (g, idx) =>
+                val sums = new Array[Long](nb * nb)
+                val cnts = new Array[Long](nb * nb)
+                var y = 0
+                while (y < dv.height) {
+                  val by = y * nb / dv.height
+                  var x = 0
+                  while (x < dv.width) {
+                    val cell = by * nb + x * nb / dv.width
+                    sums(cell) += g(y * dv.width + x)
+                    cnts(cell) += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                var total = 0L
+                var i = 0
+                while (i < sums.length) { total += sums(i); i += 1 }
+                val totalPx = dv.width.toLong * dv.height
+                val sig = new Array[Long](words)
+                i = 0
+                while (i < sums.length) {
+                  if (sums(i) * totalPx > total * cnts(i))
+                    sig(i >> 6) |= 1L << (i & 63)
+                  i += 1
+                }
+                Row(id, idx, sig.toSeq)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Real-video media table: one genuine AVI (uncompressed-DIB frames)
     * per input id — dimensions 8+id%13 × 8+(id·3)%11, 3+id%4 frames at
     * 10+(id%3)·5 fps, pixels from [[fixtureVideoPixel]]. The payloads

@@ -1801,20 +1801,42 @@ object PipelineQueries {
     * replays every planted pixel), while tools.MediaSoak drives the
     * same decode → frame-hash → banded-join → vote pipeline over the
     * full soak corpus to measure the decade-up slope the bounded entry
-    * cannot show. */
+    * cannot show.
+    *
+    * The frame-hash WIDTH is auto-selected by corpus size
+    * ([[Multimodal.autoFrameHashParams]], the s36/autoSrpParams
+    * precedent): past ~128 frames the 64-bit hash's 9-bit band chunks
+    * saturate structurally, so the DEFAULT shape is the 256-bit /
+    * 36-bit-chunk configuration MediaSoak proved holds exact planted
+    * recall at sf10 — the 64-bit path stays as the small-corpus fast
+    * lane. The 120-video oracle corpus lands on the WIDE rung, so the
+    * oracle replays the wide predicate: the fixture's pixels are
+    * constant within each 4×4 block (64 cells of entropy), hence every
+    * 16-block cell mean equals its containing 8-block value and the
+    * 256-bit hash is the 64-bit hash with each bit duplicated 4× —
+    * ham₂₅₆ = 4·ham₆₄ exactly, so `ham₂₅₆ ≤ 6 ⟺ ham₆₄ ≤ 1` (the CASE
+    * in the oracle SQL). */
   private[graft] def m13VideoNearDup(s: SparkSession, dir: String,
       maxDocId: Long): DataFrame = {
-    val media = Multimodal.syntheticNearDupVideoTable(
-      docs(s, dir).where(col("doc_id") < maxDocId), "doc_id")
-    val packed = Multimodal.videoFrameAHash(media)
-      .withColumn("sh", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | " +
-          "IF(substring(ahash, i + 1, 1) = '1', shiftleft(1L, i), 0L))"))
+    val vids = docs(s, dir).where(col("doc_id") < maxDocId)
+    // frame upper bound (≤ 4 frames per video by the fixture
+    // contract): a finite doc-id gate bounds it at PLAN time — no
+    // count job; only the unbounded soak path pays the count(*) the
+    // s36 oracle mirrors. Over-estimating can only push WIDE, the
+    // scale-safe direction.
+    val nFrames =
+      if (maxDocId != Long.MaxValue) 4L * maxDocId
+      else 4L * vids.select(col("doc_id")).count()
+    val (blocks, width) = Multimodal.autoFrameHashParams(nFrames,
+      maxHamming = 6)
+    val media = Multimodal.syntheticNearDupVideoTable(vids, "doc_id")
+    val packed = Multimodal.videoFrameAHashPacked(media, blocks)
       // frames-per-video < 64, so (media_id, frame_idx) packs
       // losslessly into one long and unpacks with div/mod
       .select((col("media_id") * 64 + col("frame_idx")).as("fid"),
-        col("sh"))
-    Dedup.hammingNearDuplicates64(packed, "fid", "sh", maxHamming = 6)
+        col("sig"))
+    Dedup.hammingNearDuplicatesWide(packed, "fid", "sig", width,
+        maxHamming = 6)
       .where(expr("id_a div 64") =!= expr("id_b div 64"))
       .groupBy(expr("id_a div 64").as("id_a"),
         expr("id_b div 64").as("id_b"))
@@ -2321,12 +2343,13 @@ object PipelineQueries {
     * single (lang, segment) key shared by N documents contributes
     * O(N²) candidate pairs — super-linear on boilerplate-heavy corpora
     * (D14Probe's a·c + b·c² fit: ~55% collision pairs at 100 copies) —
-    * so cap each side of the join at the cap smallest ids per key, with
-    * the drop LOUD (capDroppedLast / stderr, the hamming-cap contract).
-    * 1000 members = ≤ 1M pairs per degenerate key; normal corpora
-    * (including the sf10 soak, whose densest planted clique is ~100
-    * copies) never reach it, so the cap is a skew guard, not a recall
-    * ceiling — and when it does fire, the counter says so. */
+    * so a key past 1000 members is dropped WHOLE from the seg side of
+    * the join, with the drop LOUD (capDroppedLast / stderr, the
+    * hamming-cap contract; see [[Dedup.capKeyMembers]] for why
+    * whole-key). Normal corpora (including the sf10 soak, whose
+    * densest planted clique is ~100 copies) never reach it, so the cap
+    * is a skew guard, not a recall ceiling — and when it does fire,
+    * the counter says so. */
   private[graft] val D14MaxKeyMembers = 1000
 
   private[graft] def d14Pairs(s: SparkSession, dir: String,
@@ -2401,16 +2424,21 @@ object PipelineQueries {
       .select(col("id_y"), col("n_y"),
         xxhash64(col("lang"), col("pr.i"), col("pr.s")).as("k"))
       .distinct() // window substrings repeat; shrink the join input
-    // loud per-key truncation on BOTH join inputs (completeness note:
-    // with no key past the cap — every normal corpus — the window
-    // filter keeps all rows and the output is bit-identical to the
-    // uncapped join; a fired cap is reported via capDroppedLast and
-    // stderr rather than silently quadratifying the candidate stream)
-    val segsCapped = Dedup.capKeyMembers(segs, Seq("k"), "id_x",
+    // loud per-key truncation on the PROBE side (capping one input
+    // already zeroes a degenerate key's join product — see
+    // capKeyMembers). The probe stream, not segs, on purpose: probes
+    // is always the ~6× larger side, so the planner keeps it STREAMED
+    // — an observe() under a BroadcastExchange build never reports its
+    // metrics (the build runs outside the query's execution context;
+    // measured r15), and at sandbox scale the smaller segs side is
+    // exactly what AQE broadcasts. Completeness note: with no key past
+    // the cap — every normal corpus — the count filter keeps all rows
+    // and the output is bit-identical to the uncapped join; a fired
+    // cap is reported via capDroppedLast and stderr rather than
+    // silently quadratifying the candidate stream.
+    val probesCapped = Dedup.capKeyMembers(probes, Seq("k"),
       maxKeyMembers)
-    val probesCapped = Dedup.capKeyMembers(probes, Seq("k"), "id_y",
-      maxKeyMembers)
-    val candLong = segsCapped.join(probesCapped, Seq("k"))
+    val candLong = segs.join(probesCapped, Seq("k"))
       .where(col("id_x") =!= col("id_y") &&
         abs(col("n_x") - col("n_y")) <= 24)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
@@ -4567,12 +4595,22 @@ object PipelineQueries {
     // brute-force frame pairs at hamming <= 6 (decision-equal to the
     // banded join: chunk-pigeonhole recall is total at the radius), and
     // the >= 2-frame vote
+    // the width ladder mirrored in SQL (the s36 CASE-over-count
+    // precedent): the small rung needs 512 >= 4 * frames (frames
+    // bounded by 4 * videos); past it the 16-block hash applies. The
+    // fixture's pixels are constant within 4x4 blocks, so the 256-bit
+    // hash duplicates each 64-bit hash bit 4x and ham256 = 4 * ham64
+    // exactly - the wide predicate is ham64 * mult <= 6 with mult = 4.
     "m13_video_neardup" ->
       """WITH g AS (SELECT unnest(range(0, 32)) AS v),
         |vids AS (
         |  SELECT doc_id AS id, doc_id // 3 AS grp, doc_id % 3 AS k,
         |    CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 4 END AS n
         |  FROM documents WHERE doc_id < 120),
+        |par AS (
+        |  SELECT CASE WHEN 4 * (4 * count(*)) <= 512 THEN 1 ELSE 4 END
+        |    AS mult
+        |  FROM vids),
         |pc AS (
         |  SELECT v.id, v.k, v.grp, f.v AS f,
         |    (gy.v // 4) * 8 + (gx.v // 4) AS cell,
@@ -4603,7 +4641,7 @@ object PipelineQueries {
         |  FROM bits a JOIN bits b ON a.cell = b.cell AND a.id < b.id
         |  GROUP BY a.id, a.f, b.id, b.f)
         |SELECT ia AS id_a, ib AS id_b, CAST(count(*) AS BIGINT) AS n_matches
-        |FROM fp WHERE ham <= 6
+        |FROM fp, par WHERE ham * par.mult <= 6
         |GROUP BY ia, ib HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "m12_image_hamming_neardup" ->

@@ -9,20 +9,21 @@ import org.apache.spark.sql.functions._
   * construction and proves nothing about scale. This probe measures two
   * things over videos synthesized from the FULL corpus of each dir:
   *
-  *  1. `m13_64bit`: the entry's own 64-bit frame-hash shape, uncapped
-  *     recall NOT expected — banding 64 bits into radius+1 = 7 chunks
-  *     keys buckets on 9-bit values, so bucket diversity caps at 2^9
-  *     per band and the skew cap MUST truncate once frames ≫ ~10k
-  *     (the saturation is structural banding math, not a fixture
-  *     artifact). The point of this row is that the r13 cap
-  *     observability reports the loss LOUDLY (cap_drops > 0).
-  *  2. `m13_wide`: the 100 TB configuration — 256-bit frame aHash
-  *     (blocks = 16) over a full-entropy probe corpus (per-cell
-  *     pseudo-random pixels; the m13 fixture's 4x4 blocks carry only
-  *     64 cells of entropy, which would cap ANY derived hash), banded
-  *     by hammingNearDuplicatesWide into 36-bit chunks. Planted
-  *     recall is asserted (every id-triple pairs through trim and
-  *     block-edit damage) and cap_drops must be 0.
+  *  1. `m13_fixture_auto`: the entry's own auto-laddered pipeline
+  *     ([[graft.operators.Multimodal.autoFrameHashParams]] picks the
+  *     wide rung at this size) over the FIXTURE pixel rule. The
+  *     fixture's 4x4-block-constant pixels carry only 64 cells of
+  *     entropy, so any derived hash duplicates those 64 bits and the
+  *     band chunks still key on ~9 effective bits — the skew cap MUST
+  *     truncate (content-limited, not banding-limited). The point of
+  *     this row is that the cap observability reports the loss LOUDLY
+  *     (cap_drops > 0).
+  *  2. `m13_wide`: the same auto-selected parameters — asserted to be
+  *     the 256-bit / 36-bit-chunk rung, i.e. the DEFAULT is the scale
+  *     shape — over a full-entropy probe corpus (per-cell
+  *     pseudo-random pixels). Planted recall is asserted (every
+  *     id-triple pairs through trim and block-edit damage) and
+  *     cap_drops must be 0.
   *
   * Usage: runMain graft.tools.MediaSoak <dir> [dir...]
   * e.g. /tmp/graft_sf1 /tmp/graft_sf10 for the sf1→sf10 slope.
@@ -97,9 +98,12 @@ object MediaSoak {
     }
 
     args.foreach { dir =>
-      // --- the entry's own 64-bit shape over the full corpus: cap MUST
-      // fire loudly (structural 9-bit-chunk saturation) — this row
-      // documents that the loss is visible, not that recall holds
+      // --- the entry's own auto-laddered shape over the FIXTURE
+      // corpus: the ladder picks the wide rung here, but the fixture's
+      // pixels carry only 64 cells of entropy (constant within 4x4
+      // blocks), so every derived hash duplicates those 64 bits and
+      // the band chunks still key on ~9 effective bits — saturation is
+      // a property of the CONTENT, must stay loud (cap_drops > 0)
       val (t64, p64, d64) = timeRuns { () =>
         // drain any in-flight cap events (e.g. from the previous
         // iteration) BEFORE resetting, and again after the run before
@@ -113,10 +117,12 @@ object MediaSoak {
         org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         (n, Dedup.capDroppedLast(spark))
       }
-      println(f"[mediasoak] $dir m13_64bit median=$t64%.2f " +
+      println(f"[mediasoak] $dir m13_fixture_auto median=$t64%.2f " +
         s"pairs=$p64 cap_drops=$d64 (saturation EXPECTED; loud=ok)")
 
-      // --- the scale configuration: 256-bit frame hash, 36-bit chunks
+      // --- the scale configuration over a FULL-ENTROPY probe corpus,
+      // parameters from the ladder itself: the default must BE the
+      // scale-safe shape, not a config the caller knows to reach for
       val docsDf = Tables.loadDocs(spark, dir)
       // planted pairs from the ACTUAL id set (soak dirs carry id
       // offsets that split triple groups): every pair within a group
@@ -132,11 +138,12 @@ object MediaSoak {
         org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         Dedup.resetCapDropped(spark)
         val media = probeVideos(docsDf)
-        val packed = Multimodal.videoFrameAHash(media, blocks = 16)
-          .withColumn("sig", expr(
-            "transform(sequence(0, 3), w -> aggregate(sequence(0, 63)," +
-              " 0L, (acc, i) -> acc | IF(substring(ahash, w*64 + i + 1," +
-              " 1) = '1', shiftleft(1L, i), 0L)))"))
+        val nFrames = 4L * docsDf.count()
+        val (blocks, width) =
+          Multimodal.autoFrameHashParams(nFrames, maxHamming = 6)
+        require((blocks, width) == (16, 256),
+          s"soak corpus must land on the wide rung, got ($blocks, $width)")
+        val packed = Multimodal.videoFrameAHashPacked(media, blocks)
           .select((col("media_id") * 64 + col("frame_idx")).as("fid"),
             col("sig"))
           // materialize the narrow (fid, 4-long sig) stream behind one
@@ -144,7 +151,7 @@ object MediaSoak {
           // instead of each re-running AVI encode+decode+hash
           .repartition(spark.sparkContext.defaultParallelism)
         val n = vote(Dedup.hammingNearDuplicatesWide(
-          packed, "fid", "sig", width = 256, maxHamming = 6)).count()
+          packed, "fid", "sig", width, maxHamming = 6)).count()
         org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
         (n, Dedup.capDroppedLast(spark))
       }

@@ -119,6 +119,75 @@ class WideHammingSpec extends AnyFunSuite {
     assert(Dedup.autoSrpParams(100000000L) == ((192, 9)))
   }
 
+  test("autoFrameHashParams ladder: 4x coverage boundary between the " +
+    "64-bit fast lane and the 256-bit scale rung") {
+    import graft.operators.Multimodal
+    // radius 6 -> 7 chunks of 9 bits on the small rung: 512 >= 4n
+    // admits up to 128 frames; frame 129 must jump to 16 blocks
+    assert(Multimodal.autoFrameHashParams(0) == ((8, 64)))
+    assert(Multimodal.autoFrameHashParams(128) == ((8, 64)))
+    assert(Multimodal.autoFrameHashParams(129) == ((16, 256)))
+    assert(Multimodal.autoFrameHashParams(500000) == ((16, 256)))
+    // the m13 oracle corpus (120 videos, <= 480 frames) sits on the
+    // WIDE rung - the CASE in its oracle SQL mirrors exactly this
+    assert(Multimodal.autoFrameHashParams(480) == ((16, 256)))
+    // a tighter radius widens the small rung's chunks (64/(k+1) bits)
+    assert(Multimodal.autoFrameHashParams(100000, maxHamming = 1)
+      == ((8, 64)))
+    assert(Multimodal.autoFrameHashParams(2000000000L, maxHamming = 1)
+      == ((16, 256)))
+  }
+
+  test("videoFrameAHashPacked equals the ahash bit-string packed via " +
+    "the SQL fold (the spec seam for the in-decode packing)") {
+    import graft.operators.Multimodal
+    val ids = spark.range(6).toDF("doc_id")
+    val media = Multimodal.syntheticNearDupVideoTable(ids, "doc_id")
+    for (blocks <- Seq(8, 16)) {
+      val words = blocks * blocks / 64
+      val viaString = Multimodal.videoFrameAHash(media, blocks = blocks)
+        .withColumn("sig", expr(
+          s"transform(sequence(0, ${words - 1}), w -> " +
+            "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+            "acc | IF(substring(ahash, w*64 + i + 1, 1) = '1', " +
+            "shiftleft(1L, i), 0L)))"))
+        .select("media_id", "frame_idx", "sig")
+        .as[(Long, Int, Seq[Long])].collect().sortBy(r => (r._1, r._2))
+      val packed = Multimodal.videoFrameAHashPacked(media, blocks)
+        .as[(Long, Int, Seq[Long])].collect().sortBy(r => (r._1, r._2))
+      assert(packed.toSeq == viaString.toSeq, s"blocks=$blocks")
+    }
+  }
+
+  test("the two frame-hash rungs agree on planted video pairs at the " +
+    "boundary (videoFrameAHashPacked feeds both)") {
+    import graft.operators.Multimodal
+    // tiny planted corpus: triples share content through trim/edit
+    // damage; at 9 videos the ladder picks the 64-bit rung, and the
+    // wide rung must find the same planted video pairs (the fixture's
+    // block-constant pixels make ham256 = 4*ham64, and planted damage
+    // is <= 1 coarse bit per frame, inside both radii)
+    val ids = spark.range(9).toDF("doc_id")
+    val media = Multimodal.syntheticNearDupVideoTable(ids, "doc_id")
+    def pairsAt(blocks: Int, width: Int): Set[(Long, Long)] =
+      Dedup.hammingNearDuplicatesWide(
+          Multimodal.videoFrameAHashPacked(media, blocks)
+            .select((col("media_id") * 64 + col("frame_idx")).as("fid"),
+              col("sig")),
+          "fid", "sig", width, maxHamming = 6)
+        .where(expr("id_a div 64") =!= expr("id_b div 64"))
+        .groupBy(expr("id_a div 64").as("va"),
+          expr("id_b div 64").as("vb"))
+        .agg(count(lit(1)).as("m")).where(col("m") >= 2)
+        .select("va", "vb").as[(Long, Long)].collect().toSet
+    val fast = pairsAt(8, 64)
+    val wide = pairsAt(16, 256)
+    val planted = (for (g <- 0 until 3; a <- 0 until 3; b <- a + 1 until 3)
+      yield (g * 3L + a, g * 3L + b)).toSet
+    assert(fast == planted, s"64-bit rung missed planted pairs: $fast")
+    assert(wide == planted, s"256-bit rung missed planted pairs: $wide")
+  }
+
   test("hammingNearDuplicatesWide at 128 bits equals brute force " +
     "(planted near-dups + organic pairs)") {
     // plant near-identical copies of ids 0..4 at +100: one perturbed

@@ -1,16 +1,37 @@
 #!/usr/bin/env bash
 # Snapshot gate: refuse to declare the tree commit-worthy unless the build
 # compiles and the sf0.001 smoke passes. Run before any end-of-round commit:
-#   tools/gate.sh            # compile + smoke (~2 min)
-#   tools/gate.sh --full     # also Verify+oracle at sf0.01 (~4 min)
+#   tools/gate.sh            # compile + smoke + report-freshness (~2 min)
+#   tools/gate.sh --quick    # compile + smoke only (mid-round iteration)
+#   tools/gate.sh --full     # fresh test suite + Verify+oracle at sf0.01
 # Exit 0 = safe to snapshot; nonzero = DO NOT COMMIT the snapshot.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+if [ "${1:-}" != "--quick" ] && [ "${1:-}" != "--full" ]; then
+  # a red test introduced by a late commit must not ship unnoticed
+  # (r14: committed reports predated the last four source commits):
+  # default mode refuses to bless the tree unless every test report is
+  # newer than every source file. --full regenerates them; --quick is
+  # for mid-round loops that will run --full before snapshotting.
+  echo "== gate: test-report freshness vs src =="
+  if [ ! -d target/test-reports ] || [ -z "$(ls -A target/test-reports 2>/dev/null)" ]; then
+    echo "GATE FAIL: no test reports - run tools/gate.sh --full"; exit 1
+  fi
+  newest_report=$(ls -t target/test-reports/* | head -1)
+  stale=$(find src -name '*.scala' -newer "$newest_report" | head -5)
+  if [ -n "$stale" ]; then
+    echo "GATE FAIL: source changed after the last test run:"; echo "$stale"
+    echo "run tools/gate.sh --full to regenerate reports"; exit 1
+  fi
+fi
+
 echo "== gate: sbt Test/compile =="
-# stale reports from deleted/renamed specs would pollute the green-state
-# evidence (report set must == spec set at snapshot time)
-rm -rf target/test-reports
+if [ "${1:-}" = "--full" ]; then
+  # stale reports from deleted/renamed specs would pollute the green-state
+  # evidence (report set must == spec set at snapshot time)
+  rm -rf target/test-reports
+fi
 sbt -batch Test/compile
 
 echo "== gate: sf0.001 smoke (SparkEntry.entry rows>0, all queries run) =="
