@@ -34,12 +34,19 @@ object ConcurrentBench {
     * work fair-shared across fewer effective cores" (task_ms flat, wall
     * inflates — amortizes at scale) from "each task got slower under
     * contention" (task_ms itself inflates — a real defect). */
-  private final class GroupMetricsListener
+  private final class GroupMetricsListener(stageDetailFor: Option[String])
       extends org.apache.spark.scheduler.SparkListener {
     import scala.collection.concurrent.TrieMap
     private val stageToGroup = TrieMap[Int, String]()
     val taskMs = TrieMap[String, Long]()
     val gcMs = TrieMap[String, Long]()
+    // per-stage attribution for ONE named query (serial + concurrent
+    // groups): (group, stageId) -> (tasks, runMs, gcMs); stage wall and
+    // name from completion events. Answers "which stage's tasks slow
+    // down under concurrency" — fair-share queueing inflates WALL with
+    // task_ms flat; per-task slowdown inflates run here.
+    val stageTasks = TrieMap[(String, Int), (Long, Long, Long)]()
+    val stageInfo = TrieMap[(String, Int), (String, Long)]()
     override def onJobStart(
         js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       val g = Option(js.properties)
@@ -52,6 +59,23 @@ object ConcurrentBench {
            m <- Option(te.taskMetrics)) {
         taskMs.updateWith(g)(v => Some(v.getOrElse(0L) + m.executorRunTime))
         gcMs.updateWith(g)(v => Some(v.getOrElse(0L) + m.jvmGCTime))
+        if (stageDetailFor.exists(n => g == s"s:$n" || g == s"c:$n"))
+          stageTasks.updateWith((g, te.stageId)) { v =>
+            val (t, r, gc) = v.getOrElse((0L, 0L, 0L))
+            Some((t + 1, r + m.executorRunTime, gc + m.jvmGCTime))
+          }
+      }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      for (g <- stageToGroup.get(sc.stageInfo.stageId)
+           if stageDetailFor.exists(n => g == s"s:$n" || g == s"c:$n")) {
+        val wall = (for (a <- sc.stageInfo.submissionTime;
+            b <- sc.stageInfo.completionTime) yield b - a).getOrElse(0L)
+        stageInfo.updateWith((g, sc.stageInfo.stageId)) { v =>
+          // attempts re-run under the same id: accumulate wall
+          Some((sc.stageInfo.name.takeWhile(_ != '\n'),
+            v.map(_._2).getOrElse(0L) + wall))
+        }
       }
   }
 
@@ -84,7 +108,8 @@ object ConcurrentBench {
       catch { case _: Throwable => }
     }
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))
-    val listener = new GroupMetricsListener
+    val listener = new GroupMetricsListener(
+      sys.env.get("SPARK_GRAFT_CONC_STAGES"))
     spark.sparkContext.addSparkListener(listener)
 
     // Both passes run SPARK_GRAFT_CONC_ITERS times (default 3) and
@@ -203,6 +228,16 @@ object ConcurrentBench {
     val w = new java.io.PrintWriter(
       sys.env.getOrElse("SPARK_GRAFT_CONC_OUT", "/tmp/concurrent_bench.json"), "UTF-8")
     try w.println(line) finally w.close()
+    sys.env.get("SPARK_GRAFT_CONC_STAGES").foreach { n =>
+      println(s"[conc-stages] per-stage attribution for $n " +
+        "(runMs summed over iters; compare s: vs c: per stage NAME)")
+      listener.stageTasks.toSeq.sortBy(_._1).foreach {
+        case ((g, sid), (tasks, runMs, gc)) =>
+          val (nm, wall) = listener.stageInfo.getOrElse((g, sid), ("?", 0L))
+          println(f"[conc-stages] $g%-18s stage=$sid%4d $nm%-28s " +
+            f"tasks=$tasks%3d wall=${wall}ms run=${runMs}ms gc=${gc}ms")
+      }
+    }
     spark.stop()
     if (!stable) sys.exit(1)
   }
