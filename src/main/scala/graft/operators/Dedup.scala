@@ -1384,6 +1384,13 @@ object Dedup {
         // Every id has exactly one own=true row (its current label), so
         // max(when(own, label)) recovers the old label inside the same
         // aggregation that computes the new min label.
+        // The changed-row count rides the eager checkpoint's own job as
+        // an observe() aggregate (the cap-counter channel) — r14 ran a
+        // separate where(_changed).isEmpty scan of the checkpoint per
+        // round, an extra driver action that at convergence probes every
+        // partition in escalating take() batches. Same decision bit:
+        // count(_changed rows) == 0 ⇔ isEmpty.
+        val obs = org.apache.spark.sql.Observation()
         val next = labels.select(col("id"), col("label"), lit(true).as("own"))
           .union(neighborLabels)
           .union(jumped)
@@ -1391,8 +1398,9 @@ object Dedup {
           .agg(min(col("label")).as("label"),
                max(when(col("own"), col("label"))).as("_old"))
           .withColumn("_changed", col("label") < col("_old"))
+          .observe(obs, count(when(col("_changed"), lit(1))).as("changed"))
           .transform(scope.cut(_))
-        converged = next.where(col("_changed")).isEmpty // scan of checkpoint
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
         scope.free(labelsCut) // superseded round, next is materialized
         labelsCut = next
         labels = next.select(col("id"), col("label"))
@@ -1434,28 +1442,41 @@ object Dedup {
     import org.apache.spark.sql.DataFrame
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
-    def edgeSig(e: DataFrame): (BigDecimal, Long) = {
-      // decimal accumulation: the hash sum must not overflow under ANSI
-      val r = e.agg(
-        coalesce(sum(xxhash64(col("a"), col("b"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)),
-        count(lit(1))).collect()(0)
-      (BigDecimal(r.getDecimal(0)), r.getLong(1))
-    }
     // native id type throughout (string/UUID ids order lexicographically
     // — any total order serves the star algorithms); a long cast would
     // throw under ANSI or null every edge out silently
     val scope = Lineage.scope(s)
     var edges: DataFrame = null
     try {
-    edges = pairs
+    // The convergence signature (multiset edge hash + count, decimal
+    // accumulation so the hash sum cannot overflow under ANSI) rides the
+    // eager checkpoint's own job as an observe() aggregate — r14 ran a
+    // separate 2-stage agg job over the materialized checkpoint per
+    // round (plus an initial isEmpty probe), one extra full pass over
+    // the edge list per round at any scale. Same values, same
+    // convergence decisions.
+    def cutWithSig(e: DataFrame): (DataFrame, (BigDecimal, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cut = e.observe(obs,
+          sum(xxhash64(col("a"), col("b"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"),
+          count(lit(1)).as("n"))
+        .transform(scope.cut(_))
+      val m = obs.get
+      val h = m("h") match {
+        case null => BigDecimal(0)
+        case d: java.math.BigDecimal => BigDecimal(d)
+      }
+      (cut, (h, m("n").asInstanceOf[Long]))
+    }
+    val (edges0, sig0) = cutWithSig(pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
-      .transform(scope.cut(_))
-    var sig: (BigDecimal, Long) = edgeSig(edges)
+      .distinct())
+    edges = edges0
+    var sig: (BigDecimal, Long) = sig0
     var iters = 0
-    var converged = edges.isEmpty
+    var converged = sig0._2 == 0L
     while (!converged && iters < maxIters) {
       // large-star: m = min(Γ(u) ∪ u); (v, m) for v ∈ Γ(u), v > u
       val symE = sym(edges)
@@ -1473,13 +1494,12 @@ object Dedup {
       // (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m
       val symS = sym(large).where(col("b") <= col("a"))
       val minsS = symS.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
-      val small = symS.join(minsS, col("a") === col("u"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .union(minsS.select(col("u").as("a"), col("m").as("b")))
-        .where(col("a") =!= col("b"))
-        .distinct()
-        .transform(scope.cut(_))
-      val nextSig = edgeSig(small)
+      val (small, nextSig) = cutWithSig(
+        symS.join(minsS, col("a") === col("u"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(minsS.select(col("u").as("a"), col("m").as("b")))
+          .where(col("a") =!= col("b"))
+          .distinct())
       converged = nextSig == sig
       sig = nextSig
       scope.free(edges) // superseded round, small is materialized
