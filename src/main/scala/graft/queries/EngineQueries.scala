@@ -880,11 +880,23 @@ object EngineQueries {
     import s.implicits._
     val estDf = ests.map { case (k, v) => (k.toLong, v) }.toDF("seq", "est")
     val day0 = loMs / 86400000L
-    val prefixes = ev.where(col("props").isNotNull)
+    // Exact running distinct count per replay prefix. A tuple is in
+    // prefix `seq` iff it occurs on ANY day < (seq+1)·4, i.e. iff its
+    // FIRST day does — so aggregate each tuple to its first-seen day
+    // once, histogram those, and prefix-sum the histogram over the
+    // (tiny) seq grid. The r14 spelling joined every event row to every
+    // later seq (a broadcast-nested-loop fan-out of ~|rows|·seqs/2) and
+    // ran countDistinct per prefix, holding each tuple in ~seqs/2
+    // distinct buffers; this computes the identical n_exact with one
+    // distinct-sized aggregation and a days×seqs nested loop.
+    val firstSeen = ev.where(col("props").isNotNull)
       .select((floor(expr("ts div 1000000") / 86400000L) - day0).as("d"),
         concat_ws(":", col("event_type"), col("user_id")).as("t"))
-      .join(s.range(ests.size).toDF("seq"), col("d") < (col("seq") + 1) * 4)
-      .groupBy("seq").agg(countDistinct(col("t")).as("n_exact"))
+      .groupBy(col("t")).agg(min(col("d")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("c"))
+    val prefixes = firstSeen
+      .join(s.range(ests.size).toDF("seq"), col("fd") < (col("seq") + 1) * 4)
+      .groupBy("seq").agg(sum(col("c")).as("n_exact"))
     estDf.join(prefixes, "seq")
       .where(abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
       .select(col("seq"), col("n_exact"))
