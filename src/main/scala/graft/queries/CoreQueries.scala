@@ -423,29 +423,39 @@ object CoreQueries {
   // scale — the event scan is the cost, and it is read once per stage
   // with the stage filter pushed down).
   def a22_funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(col("user_id"),
-      col("event_type"), tsMs)
-    def stage(typ: String, prev: Option[DataFrame]): DataFrame = {
-      val base = e.where(col("event_type") === typ)
-      val gated = prev match {
-        case Some(p) => base.join(broadcast(p), Seq("user_id"))
-          .where(col("ts_ms") > col("t"))
-        case None => base
-      }
-      gated.groupBy(col("user_id")).agg(min(col("ts_ms")).as("_t"))
-        .select(col("user_id"), col("_t").as("t"))
-    }
-    val s1 = stage("signup", None)
-    val s2 = stage("view", Some(s1))
-    val s3 = stage("click", Some(s2))
-    val s4 = stage("purchase", Some(s3))
-    val stages = Seq(("signup", 1, s1), ("view", 2, s2),
-      ("click", 3, s3), ("purchase", 4, s4))
-    stages.map { case (name, idx, df) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(name).as("stage"), lit(idx).cast("long").as("stage_idx"),
-          col("n_users"))
-    }.reduce(_.unionByName(_)).orderBy("stage_idx")
+    // One exchange for the whole funnel. The r14 spelling built each
+    // stage as (type-filtered scan ⋈ broadcast previous stage).groupBy —
+    // a DAG Catalyst expands per consumer, so the signup subtree ran 4×,
+    // view 3×, … (20 Exchanges, 4 re-scans of events at explain time).
+    // Stage k's entry time is a PER-USER sequential fact — the first
+    // type-k event after the user's stage-(k−1) time — so all four
+    // stages are chained whole-partition window minima over ONE
+    // hash(user_id) partitioning: Catalyst plans the four Window nodes
+    // pipelined on a single Exchange, the scan runs once (event_type IN
+    // filter pushed), and the counts reduce in one aggregate. Same
+    // n_users by construction: t_k = min ts of type-k events with
+    // ts > t_{k−1} (null propagates through the strict comparison, so
+    // users missing stage k−1 never enter stage k).
+    val w = Window.partitionBy(col("user_id"))
+    def after(typ: String, prev: Column): Column =
+      min(when(col("event_type") === typ && col("ts_ms") > prev,
+        col("ts_ms"))).over(w)
+    val staged = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), tsMs)
+      .where(col("event_type").isin("signup", "view", "click", "purchase"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts_ms"))).over(w))
+      .withColumn("t2", after("view", col("t1")))
+      .withColumn("t3", after("click", col("t2")))
+      .withColumn("t4", after("purchase", col("t3")))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+      .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+        count(col("t3")).as("c3"), count(col("t4")).as("c4"))
+      .select(expr("stack(4, 'signup', 1L, c1, 'view', 2L, c2, " +
+        "'click', 3L, c3, 'purchase', 4L, c4) AS (stage, stage_idx, n_users)"))
+      .orderBy("stage_idx")
   }
 
   // a23: pivoted day × event-type activity matrix — the wide dashboard
