@@ -456,17 +456,30 @@ object QueryEngine {
   /** Top-N SERIES selection over a chart result (beyond the reference —
     * its UI truncates client-side; truncating in the engine is what
     * works at 100k-series cardinality): keep only the rows of the N
-    * labels with the largest total |value|, ties broken by label. The
-    * totals frame is one narrow aggregate + TakeOrdered(N); the
-    * filtering join broadcasts those N labels — no second shuffle of
-    * the chart rows, no window over the full series set. */
+    * labels with the largest total |value|, ties broken by label.
+    *
+    * ONE pass over the chart subtree: per-label totals and the label's
+    * rows collect in the same aggregation (a series' rows are one per
+    * time step — the chart grid bounds the list, not the data), labels
+    * rank in a single-partition window over one ROW PER LABEL, and the
+    * kept rows explode back out schema-identical. The r14 spelling
+    * (totals agg + TakeOrdered + broadcast semi join) re-planned the
+    * chart subtree under both consumers — Catalyst expands the DAG per
+    * consumer, so the scan + chart aggregation ran twice. */
   def topSeries(chart: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"topSeries n=$n must be positive")
-    val totals = chart.groupBy(col(LABEL))
-      .agg(sum(abs(col(VALUE))).as("_tot"))
-      .orderBy(desc("_tot"), col(LABEL))
-      .limit(n)
-    chart.join(broadcast(totals.select(LABEL)), Seq(LABEL), "left_semi")
+    val rest = chart.columns.filter(_ != LABEL).toSeq
+    chart
+      .groupBy(col(LABEL))
+      .agg(sum(abs(col(VALUE))).as("_tot"),
+        collect_list(struct(rest.map(col): _*)).as("_rows"))
+      .withColumn("_rk", dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("_tot"), col(LABEL))))
+      .where(col("_rk") <= n)
+      .select(col(LABEL), explode(col("_rows")).as("_r"))
+      .select(chart.columns.toSeq.map(c =>
+        if (c == LABEL) col(LABEL) else col(s"_r.$c").as(c)): _*)
   }
 
   /** Period-over-period comparison (beyond the reference): align each
@@ -495,23 +508,32 @@ object QueryEngine {
     * conserved and the panel shows how much the cut hid. Only valid for
     * summable aggregations (sum/count); the caller owns that contract.
     *
-    * Plan shape: the same narrow totals aggregate + TakeOrdered(N) +
-    * broadcast semi/anti pair as [[topSeries]], plus one partial-agg
-    * shuffle over ONLY the non-top rows (already one row per
-    * step×series, ∝ series count — never scan-sized). */
+    * Plan shape: ONE pass over the chart subtree — [[topSeries]]'s
+    * grouped-collect + single-partition label rank, then every row
+    * re-labels to its own series or `__other__` and one partial-agg
+    * shuffle on (label, step) closes the rollup. Kept rows pass through
+    * the sum unchanged (one row per step×series, so the sum of one
+    * double is that double); the r14 semi/anti spelling re-planned the
+    * chart subtree under THREE consumers (totals + both join branches),
+    * tripling the scan + chart aggregation. */
   def topSeriesOther(chart: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"topSeriesOther n=$n must be positive")
-    val totals = chart.groupBy(col(LABEL))
-      .agg(sum(abs(col(VALUE))).as("_tot"))
-      .orderBy(desc("_tot"), col(LABEL))
-      .limit(n)
-      .select(LABEL)
-    val top = chart.join(broadcast(totals), Seq(LABEL), "left_semi")
-    val rest = chart.join(broadcast(totals), Seq(LABEL), "left_anti")
-      .groupBy(col(STEP_TS))
+    chart
+      .groupBy(col(LABEL))
+      .agg(sum(abs(col(VALUE))).as("_tot"),
+        collect_list(struct(col(STEP_TS), col(VALUE))).as("_rows"))
+      .withColumn("_rk", dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("_tot"), col(LABEL))))
+      .select(
+        when(col("_rk") <= n, col(LABEL)).otherwise(lit("__other__"))
+          .as(LABEL),
+        explode(col("_rows")).as("_r"))
+      .select(col(LABEL), col("_r.step_ts").as(STEP_TS),
+        col("_r.value").as(VALUE))
+      .groupBy(col(LABEL), col(STEP_TS))
       .agg(sum(col(VALUE)).as(VALUE))
-      .select(lit("__other__").as(LABEL), col(STEP_TS), col(VALUE))
-    top.select(LABEL, STEP_TS, VALUE) unionByName rest
+      .select(LABEL, STEP_TS, VALUE)
   }
 
   /** Latency-heatmap frame (beyond the reference — its DDSketch
