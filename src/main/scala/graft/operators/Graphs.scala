@@ -117,14 +117,21 @@ object Graphs {
     val withDeg = und
       .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
-    val oriented = withDeg.select(
+    // Materialize the oriented edge list once (narrow: three numeric
+    // columns per edge). It feeds THREE consumers below (both wedge
+    // self-join sides and the closing equi-join), and Catalyst expands a
+    // shared DataFrame subtree per consumer — un-cut, the canonicalize +
+    // degree-join pipeline (and its source scans) re-ran three times
+    // (92 scan nodes in g2's r14 physical plan, 2 after). localCheckpoint keeps
+    // it executor-pinned, exactly the CC/PageRank loop treatment.
+    val oriented = Lineage.cut(withDeg.select(
       when(col("_da") < col("_db") ||
           (col("_da") === col("_db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v"), col("_db").as("dv")))
         .otherwise(
           struct(col("b").as("u"), col("a").as("v"), col("_da").as("dv")))
         .as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
     val x = oriented.as("x")
     val y = oriented.as("y")
     val wedges = x.join(y,
