@@ -953,15 +953,28 @@ object CoreQueries {
   def j11_merge_upsert(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
-    val upd = base.where(pmod(col("k"), lit(7)) === 0)
-      .select(col("k"), (col("v") * 0.5).as("nv"), lit("update").as("action"))
-    val del = base.where(pmod(col("k"), lit(11)) === 0 &&
-        pmod(col("k"), lit(7)) =!= 0)
-      .select(col("k"), lit(0.0).as("nv"), lit("delete").as("action"))
-    val ins = base.where(pmod(col("k"), lit(13)) === 0)
-      .select((col("k") + 10000000L).as("k"), lit(1.0).as("nv"),
-        lit("insert").as("action"))
-    base.join(upd.unionByName(del).unionByName(ins), Seq("k"), "full_outer")
+    // One scan builds the whole changeset: each row emits its update /
+    // delete / insert actions from a per-row array (a key ≡ 0 mod 7·13
+    // legitimately emits both an update and a re-keyed insert, exactly
+    // as the r14 three-branch union did). The union-of-filtered-scans
+    // spelling re-planned the orders scan under each branch — three
+    // extra scans of the fact table for row sets one pass derives.
+    val changes = base
+      .where(pmod(col("k"), lit(7)) === 0 || pmod(col("k"), lit(11)) === 0 ||
+        pmod(col("k"), lit(13)) === 0)
+      .select(explode(array(
+        when(pmod(col("k"), lit(7)) === 0,
+          struct(col("k"), (col("v") * 0.5).as("nv"),
+            lit("update").as("action"))),
+        when(pmod(col("k"), lit(11)) === 0 && pmod(col("k"), lit(7)) =!= 0,
+          struct(col("k"), lit(0.0).as("nv"), lit("delete").as("action"))),
+        when(pmod(col("k"), lit(13)) === 0,
+          struct((col("k") + 10000000L).as("k"), lit(1.0).as("nv"),
+            lit("insert").as("action"))))).as("_a"))
+      .where(col("_a").isNotNull)
+      .select(col("_a.k").as("k"), col("_a.nv").as("nv"),
+        col("_a.action").as("action"))
+    base.join(changes, Seq("k"), "full_outer")
       .where(coalesce(col("action"), lit("")) =!= "delete")
       .select(col("k"),
         when(col("action").isin("update", "insert"), col("nv"))
@@ -1054,20 +1067,32 @@ object CoreQueries {
       .groupBy((col("user_id") % 8).as("segment"))
       .agg(TF.thetaSketch(col("user_id")).as("sk"))
       .agg(TF.thetaUnion(col("sk")).as(alias))
-    def users(tpe: String) = ev.where(col("event_type") === tpe)
-      .select(col("user_id")).distinct()
     val est = sketchOf("click", "sk_a").crossJoin(sketchOf("purchase", "sk_b"))
       .select(
         TF.thetaEstimateOf(col("sk_a")).as("est_a"),
         TF.thetaEstimateOf(col("sk_b")).as("est_b"),
         TF.thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("est_i"),
         TF.thetaDiffEstimate(col("sk_a"), col("sk_b")).as("est_d"))
-    val a = users("click")
-    val b = users("purchase")
-    val exact = a.agg(count(lit(1)).as("n_click"))
-      .crossJoin(b.agg(count(lit(1)).as("n_purchase")))
-      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_both")))
-      .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("n_click_only")))
+    // Exact set-op counts in ONE pass: per-user membership flags from a
+    // single filtered scan, then the four counts from one tiny closing
+    // aggregate. The r14 spelling built distinct user sets per type and
+    // ran intersect + exceptAll — six expansions of the events subtree
+    // plus two wide set-op shuffles for numbers that are all functions
+    // of the (in_a, in_b) flag pair. |A∩B| = users with both flags,
+    // A\B (exceptAll over the already-distinct sets = set difference) =
+    // users with in_a and not in_b. The sketch side above deliberately
+    // stays on the raw scans: building it from the exact distinct would
+    // invert the design (sketches exist to avoid that pass).
+    val flags = ev.where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("in_b"))
+    val exact = flags.agg(
+      count(when(col("in_a") === 1, lit(1))).as("n_click"),
+      count(when(col("in_b") === 1, lit(1))).as("n_purchase"),
+      count(when(col("in_a") === 1 && col("in_b") === 1, lit(1))).as("n_both"),
+      count(when(col("in_a") === 1 && col("in_b") === 0, lit(1)))
+        .as("n_click_only"))
     // gate form |est - n| <= 0.05n + 0.5: relative 5% plus half-a-unit
     // absolute slack so empty set-op results (n = 0 — here every click
     // user also purchases) gate on "estimate rounds to zero" instead of
