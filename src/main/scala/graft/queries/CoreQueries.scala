@@ -372,19 +372,23 @@ object CoreQueries {
   def k6_kll_interop(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{KllFunctions => K}
     val o = t(s, dir, "orders")
+    // n_orders rides the sketch build: segments partition the orders
+    // rows, so the per-segment counts sum to the per-priority total —
+    // the r14 spelling ran a third full orders scan for that number.
     val segments = o
       .groupBy(col("o_orderpriority"), (col("o_orderkey") % 8).as("segment"))
-      .agg(K.kllSketch(col("o_totalprice")).as("sketch"))
+      .agg(K.kllSketch(col("o_totalprice")).as("sketch"),
+        count(lit(1)).as("n_seg"))
     val est = segments
       .groupBy(col("o_orderpriority"))
-      .agg(K.kllMerge(col("sketch")).as("m"))
-      .select(col("o_orderpriority"), K.kllQuantileOf(col("m"), 0.5).as("est"))
+      .agg(K.kllMerge(col("sketch")).as("m"), sum(col("n_seg")).as("n_orders"))
+      .select(col("o_orderpriority"), K.kllQuantileOf(col("m"), 0.5).as("est"),
+        col("n_orders"))
     val exact = graft.operators.Quantiles.exactByGroup(
       o.select(col("o_orderpriority"), col("o_totalprice")),
       "o_orderpriority", col("o_totalprice"),
       Seq(("p45", 0.45), ("p50", 0.5), ("p55", 0.55)))
-    val n = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
-    est.join(exact, "o_orderpriority").join(n, "o_orderpriority")
+    est.join(exact, "o_orderpriority")
       .where(col("est") >= col("p45") && col("est") <= col("p55"))
       .select(col("o_orderpriority").as("priority"), col("n_orders"),
         round(col("p50"), 2).as("exact_p50"))

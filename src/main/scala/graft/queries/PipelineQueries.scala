@@ -2530,9 +2530,15 @@ object PipelineQueries {
   // and the intersection — never materialized. Exact integers; one
   // double division per pair.
   def t21_source_overlap(s: SparkSession, dir: String): DataFrame = {
-    val st = docs(s, dir)
+    // Materialize the distinct (source, token) set once: it feeds three
+    // consumers (the per-source sizes and both self-join sides), and
+    // Catalyst re-expands shared subtrees per consumer — un-cut, the
+    // tokenize + explode + distinct pipeline ran three times. The frame
+    // is vocabulary-sized (distinct tokens × sources), far below the
+    // corpus it derives from — the g2 oriented-edge treatment.
+    val st = graft.operators.Lineage.cut(docs(s, dir)
       .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
-      .distinct()
+      .distinct())
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     st.as("a")
       .join(st.as("b"),
