@@ -2021,9 +2021,13 @@ object PipelineQueries {
     val med = graft.operators.Quantiles.exactByGroup(
         d.withColumn("_all", lit("all")), "_all", col("n_tokens"),
         Seq(("med", 0.5))).select(col("med"))
-    val dev = d.crossJoin(broadcast(med))
+    // Materialize the deviation frame once: it feeds the MAD quantile
+    // AND the final flagging pass, and un-cut each consumer re-expanded
+    // the tokenize + median subtree (3 tokenize passes over the corpus).
+    // Narrow (id, n_tokens, dev) — the g2/t21 treatment.
+    val dev = graft.operators.Lineage.cut(d.crossJoin(broadcast(med))
       .select(col("doc_id"), col("n_tokens"),
-        abs(col("n_tokens") - col("med")).as("dev"))
+        abs(col("n_tokens") - col("med")).as("dev")))
     val mad = graft.operators.Quantiles.exactByGroup(
         dev.withColumn("_all", lit("all")), "_all", col("dev"),
         Seq(("mad", 0.5))).select(col("mad"))

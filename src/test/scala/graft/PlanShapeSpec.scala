@@ -179,13 +179,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
-  test("ast_top_series: totals cut is a TakeOrdered and the series " +
-      "filter a broadcast semi join — no window over the full series set") {
+  test("ast_top_series: ONE chart-subtree computation and a bounded " +
+      "label rank — no re-planned scan per consumer, no unbounded sort") {
+    // r15 shape: totals + the label's rows collect in one aggregation
+    // (the chart grid bounds the list), labels rank via dense_rank over
+    // one row per label — which Catalyst bounds with a partial/final
+    // WindowGroupLimit pair, so the single-partition exchange carries at
+    // most n surviving labels per map side, never the full series set.
+    // The r14 TakeOrdered + broadcast-semi-join spelling re-planned the
+    // whole chart subtree (scan included) under both consumers.
     val p = plan(EngineQueries.queries("ast_top_series")(spark, dir))
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-N totals must be a bounded TakeOrdered:\n$p")
-    assert(p.contains("LeftSemi") && p.contains("Broadcast"),
-      s"series filter must broadcast, not shuffle the chart:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"chart subtree must plan exactly one scan, " +
+      s"found $scans:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"label rank must be bounded by WindowGroupLimit:\n$p")
   }
 
   test("a36: the lead window's exchange is reused by the aggregation — " +
