@@ -508,29 +508,40 @@ object QueryEngine {
     * conserved and the panel shows how much the cut hid. Only valid for
     * summable aggregations (sum/count); the caller owns that contract.
     *
-    * Plan shape: ONE pass over the chart subtree — [[topSeries]]'s
-    * grouped-collect + single-partition label rank, then every row
-    * re-labels to its own series or `__other__` and one partial-agg
-    * shuffle on (label, step) closes the rollup. Kept rows pass through
-    * the sum unchanged (one row per step×series, so the sum of one
-    * double is that double); the r14 semi/anti spelling re-planned the
-    * chart subtree under THREE consumers (totals + both join branches),
-    * tripling the scan + chart aggregation. */
+    * Plan shape: ONE computation of the chart subtree — the (label,
+    * step, value) grid is cut once ([[graft.operators.Lineage
+    * .cutShared]], lazy: series-grid-sized, never data-sized), the ≤ n
+    * winning labels come from a TakeOrdered over the narrow per-label
+    * totals (map-side top-n; n is the UI truncation width, so the
+    * collected list is a bounded plan literal — the same in-gate
+    * posture as the engine's span/stats lookups), and one distributed
+    * (label, step) partial-agg shuffle closes the rollup. NO
+    * single-partition exchange anywhere. Kept rows pass through the
+    * sum unchanged (one row per step×series — the chart aggregation's
+    * grouping keys guarantee it, so the sum of one double is that
+    * double). The r15 spelling ranked rows that carried each label's
+    * whole collected series through ONE task (at the 100k-series
+    * design point: the entire panel in one partition); the r14
+    * semi/anti spelling re-planned the chart subtree under THREE
+    * consumers. Calling this runs the ranking jobs immediately (the
+    * TakeOrdered collect also materializes the lazy cut, so the
+    * returned frame reads executor-pinned blocks). */
   def topSeriesOther(chart: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"topSeriesOther n=$n must be positive")
-    chart
-      .groupBy(col(LABEL))
-      .agg(sum(abs(col(VALUE))).as("_tot"),
-        collect_list(struct(col(STEP_TS), col(VALUE))).as("_rows"))
-      .withColumn("_rk", dense_rank().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("_tot"), col(LABEL))))
+    val cut = graft.operators.Lineage.cutShared(
+      chart.select(col(LABEL), col(STEP_TS), col(VALUE)), eager = false)
+    // ties at the n-th total break toward the smaller label — labels are
+    // distinct after the groupBy, so (tot desc, label asc) is a total
+    // order and limit(n) selects exactly the dense_rank <= n set
+    val top = cut
+      .groupBy(col(LABEL)).agg(sum(abs(col(VALUE))).as("_tot"))
+      .orderBy(desc("_tot"), col(LABEL)).limit(n)
+      .select(col(LABEL)).collect().map(_.get(0)).toSeq
+    cut
       .select(
-        when(col("_rk") <= n, col(LABEL)).otherwise(lit("__other__"))
-          .as(LABEL),
-        explode(col("_rows")).as("_r"))
-      .select(col(LABEL), col("_r.step_ts").as(STEP_TS),
-        col("_r.value").as(VALUE))
+        when(if (top.isEmpty) lit(false) else col(LABEL).isin(top: _*),
+          col(LABEL)).otherwise(lit("__other__")).as(LABEL),
+        col(STEP_TS), col(VALUE))
       .groupBy(col(LABEL), col(STEP_TS))
       .agg(sum(col(VALUE)).as(VALUE))
       .select(LABEL, STEP_TS, VALUE)

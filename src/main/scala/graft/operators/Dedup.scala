@@ -1343,10 +1343,10 @@ object Dedup {
     * component — the component minimum.
     * Convergence detection rides the propagation aggregation itself: the
     * old label is carried through the min-groupBy (tagged union row) and
-    * compared in the same job, so each round runs ONE shuffle action
-    * (the localCheckpoint) plus a scan of the materialized checkpoint for
-    * the changed flag. Lineage is cut per round so the driver loop does
-    * not re-execute prior rounds.
+    * the changed-row count is read back through an `observe()` aggregate
+    * on the round's eager checkpoint job — each round runs ONE shuffle
+    * action and nothing else (no separate probe pass, r15). Lineage is
+    * cut per round so the driver loop does not re-execute prior rounds.
     *
     * Throws IllegalStateException if maxIters rounds pass without
     * convergence — a silent bail would return split clusters. */
@@ -1389,7 +1389,11 @@ object Dedup {
         // separate where(_changed).isEmpty scan of the checkpoint per
         // round, an extra driver action that at convergence probes every
         // partition in escalating take() batches. Same decision bit:
-        // count(_changed rows) == 0 ⇔ isEmpty.
+        // count(_changed rows) == 0 ⇔ isEmpty. Reliable-checkpoint
+        // caveat: checkpoint(eager=true) computes the plan twice (action
+        // job + checkpoint write), so the observed count can consistently
+        // DOUBLE — only the ==0 test is valid on it; never use its
+        // magnitude.
         val obs = org.apache.spark.sql.Observation()
         val next = labels.select(col("id"), col("label"), lit(true).as("own"))
           .union(neighborLabels)
@@ -1453,8 +1457,12 @@ object Dedup {
     // eager checkpoint's own job as an observe() aggregate — r14 ran a
     // separate 2-stage agg job over the materialized checkpoint per
     // round (plus an initial isEmpty probe), one extra full pass over
-    // the edge list per round at any scale. Same values, same
-    // convergence decisions.
+    // the edge list per round at any scale. Reliable-checkpoint caveat:
+    // checkpoint(eager=true) computes the plan twice (action job +
+    // checkpoint write), so h and n can consistently DOUBLE within a
+    // round — the convergence decision (round-to-round signature
+    // EQUALITY, and doubling is consistent across rounds in one mode)
+    // is invariant, but the magnitudes must never be used directly.
     def cutWithSig(e: DataFrame): (DataFrame, (BigDecimal, Long)) = {
       val obs = org.apache.spark.sql.Observation()
       val cut = e.observe(obs,

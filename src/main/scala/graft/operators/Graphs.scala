@@ -122,9 +122,11 @@ object Graphs {
     // self-join sides and the closing equi-join), and Catalyst expands a
     // shared DataFrame subtree per consumer — un-cut, the canonicalize +
     // degree-join pipeline (and its source scans) re-ran three times
-    // (92 scan nodes in g2's r14 physical plan, 2 after). localCheckpoint keeps
-    // it executor-pinned, exactly the CC/PageRank loop treatment.
-    val oriented = Lineage.cut(withDeg.select(
+    // (92 scan nodes in g2's r14 physical plan, 2 after). cutShared:
+    // executor-pinned localCheckpoint by default; under a durable
+    // checkpointDir the per-query rdd-N directory is registered for
+    // app-end deletion + releaseAll, so it cannot leak (ADVICE r15).
+    val oriented = Lineage.cutShared(withDeg.select(
       when(col("_da") < col("_db") ||
           (col("_da") === col("_db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v"), col("_db").as("dv")))

@@ -62,6 +62,31 @@ object Lineage {
     }
   }
 
+  /** [[cut]] for a NON-loop shared frame — a small subtree feeding
+    * several consumers inside ONE query (Catalyst re-expands shared
+    * DataFrame subtrees per consumer; materializing breaks that).
+    * localCheckpoint mode is a pass-through to [[cut]] (executor-pinned
+    * blocks, reclaimed by the ContextCleaner). In reliable-checkpoint
+    * mode the rdd-N directory is registered for application-end
+    * deletion AND with [[release]]/[[releaseAll]] — the same cleanup
+    * contract as a loop result handed off by a [[Scope]] — so a
+    * long-lived process (the HTTP API posture) reclaims it at request
+    * boundaries instead of leaking one directory per query, forever.
+    * Eagerness is forced in reliable mode: a deferred reliable
+    * checkpoint has no file path to register (and would re-run the
+    * whole subtree at materialization anyway). */
+  def cutShared(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(CheckpointDirKey).exists(_.nonEmpty)
+    val out = cut(df, eager = eager || reliable)
+    if (reliable)
+      GraftColumnBridge.checkpointFile(out).foreach { p =>
+        deleteOnAppEnd(spark, p)
+        resultFiles.put(out, p)
+      }
+    out
+  }
+
   /** Checkpoint bookkeeping for one iterative loop. [[Scope.cut]] like
     * [[Lineage.cut]] but recording each reliable checkpoint's storage
     * path; the loop calls [[Scope.free]] on a frame the moment the

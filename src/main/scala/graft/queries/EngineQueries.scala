@@ -736,8 +736,10 @@ object EngineQueries {
   // Top-N series (beyond the reference): rank the 150 per-user series
   // by total count — exact integers in double, so the cut and the
   // (total desc, label) tie-break are engine-identical — and keep only
-  // the top 5 series' rows. The totals are one narrow aggregate +
-  // TakeOrdered(5); the filter is a broadcast semi join.
+  // the top 5 series' rows. r15 shape: totals + each label's rows
+  // collect in ONE aggregation pass, labels rank via dense_rank whose
+  // `<= n` filter compiles to a WindowGroupLimit pair (PlanShapeSpec
+  // pins one scan + bounded rank).
   def ast_top_series(s: SparkSession, dir: String): DataFrame = {
     val ast = AstJson.parseAstInput(
       """{"baseExpressions": {"a": {

@@ -1183,6 +1183,20 @@ object PipelineQueries {
     // recompute cluster-wide and single-evaluation.
     val profiled = TextAnalysis.profile(
         Dedup.spreadBarrier(docs(s, dir), "t4"), "doc_id", "text")
+      // Second pushdown barrier ABOVE the profile projection: the `kept`
+      // filter references profile-DERIVED columns, and un-barriered
+      // PushDownPredicates substitutes the full tokenstats expression
+      // into the filter condition — 20 tokenstats(split(...)) copies per
+      // row in the r16 before-plan, per recompute branch. FilterExec
+      // codegen does NO subexpression elimination on its condition
+      // (unlike ProjectExec), so every copy ran. Behind the barrier the
+      // profile Project computes tokenstats ONCE per row (runtime CSE)
+      // and the filter reads plain attributes. Same observe trick as
+      // spreadBarrier; the name repeats across the recompute branches
+      // (one logical node, cloned with the subtree) — that is legal,
+      // only distinct observe() calls need distinct names.
+      .observe("graft_t4_profile",
+        org.apache.spark.sql.functions.count(lit(1)).as("rows"))
       .join(docs(s, dir).select(col("doc_id"), col("text"), col("source")), "doc_id")
     val kept = profiled
       .where(col("lang_pred") =!= "unknown" && col("quality") >= 0.5)
@@ -2024,8 +2038,10 @@ object PipelineQueries {
     // Materialize the deviation frame once: it feeds the MAD quantile
     // AND the final flagging pass, and un-cut each consumer re-expanded
     // the tokenize + median subtree (3 tokenize passes over the corpus).
-    // Narrow (id, n_tokens, dev) — the g2/t21 treatment.
-    val dev = graft.operators.Lineage.cut(d.crossJoin(broadcast(med))
+    // Narrow (id, n_tokens, dev) — the g2/t21 treatment. cutShared so a
+    // durable checkpointDir posture registers the per-query rdd-N dir
+    // for app-end deletion + releaseAll (no per-request leak).
+    val dev = graft.operators.Lineage.cutShared(d.crossJoin(broadcast(med))
       .select(col("doc_id"), col("n_tokens"),
         abs(col("n_tokens") - col("med")).as("dev")))
     val mad = graft.operators.Quantiles.exactByGroup(
@@ -2298,10 +2314,10 @@ object PipelineQueries {
   // minor-edit duplicate class where token-set measures (d2/d4) stay
   // high but byte-exact d1 misses. Quadratic lev(a, b) can never run
   // all-pairs at corpus scale, so candidates are BLOCKED on
-  // (lang, length-bucket) with the standard two-shifted-grids trick:
-  // buckets floor(n/50) and floor((n+25)/50) jointly cover every pair
-  // with |Δn| ≤ 24 exactly once or twice (an interval of length ≤ 24
-  // cannot cross a boundary of BOTH 25-shifted 50-grids). The distance
+  // (lang, length-bucket, aligned PassJoin segment): content blocking
+  // (see d14Pairs) composed with the |Δn| ≤ 24 length constraint keyed
+  // in (probe side on floor(n/50), seg side on the 1–2 buckets covering
+  // n ± 24 — exact coverage, r16). The distance
   // runs on fixed 40-char prefixes with Spark's THRESHOLDED
   // levenshtein(l, r, k): the banded O(len·k) computation short-circuits
   // to -1 past k=10, which cut the sf0.1 bench from 44 s to ~1 s versus
@@ -2410,11 +2426,35 @@ object PipelineQueries {
       struct(lit(i).as("i"),
         substring(col("prefix"), st + 1, ln).as("s"))
     }: _*)
+    // r16: the |Δn| <= 24 length constraint COMPOSES into the blocking
+    // key instead of filtering the join OUTPUT. Measured (r13
+    // StageProfile, re-confirmed r16): the wall is generating/filtering
+    // the 66M-pair blocking-join output, and only ~15% of random doc
+    // pairs satisfy |Δn| <= 24 on this length distribution (44–577
+    // chars) — so keying on the length bucket cuts the join output
+    // ~5–7× while the probe stream stays EXACTLY the same size. Probe
+    // side keys on its own bucket floor(n_y/50); the seg side emits the
+    // 1–2 buckets covering [n_x−24, n_x+24] (an interval of length 48
+    // spans at most one 50-grid boundary, so floor((n_x−24)/50) and
+    // floor((n_x+24)/50) are the only values floor(n_y/50) can take —
+    // coverage is exact, candidates restricted to |Δn| <= 24 are the
+    // IDENTICAL multiset: the probe's bucket matches at most one of the
+    // ≤ 2 distinct emitted buckets, so no pair gains multiplicity).
+    // floor-division via double (exact: n < 2^53), not `div`, so a
+    // corpus with n < 24 still buckets correctly (div truncates toward
+    // zero). PipelinePropertySpec pins blocking completeness.
+    def lenBucket(n: org.apache.spark.sql.Column) =
+      floor(n / 50.0).cast("long")
     val segs = long.select(col("doc_id").as("id_x"),
         col("n_chars").as("n_x"), col("lang"),
         explode(segExprs).as("seg"))
+      .select(col("id_x"), col("n_x"), col("lang"), col("seg"),
+        explode(array_distinct(array(
+          lenBucket(col("n_x") - 24), lenBucket(col("n_x") + 24))))
+          .as("bkt"))
       .select(col("id_x"), col("n_x"),
-        xxhash64(col("lang"), col("seg.i"), col("seg.s")).as("k"))
+        xxhash64(col("lang"), col("bkt"), col("seg.i"), col("seg.s"))
+          .as("k"))
     val probeExprs = array((for {
       (i, st, ln) <- segBounds
       o <- -S to S
@@ -2426,7 +2466,8 @@ object PipelineQueries {
         col("n_chars").as("n_y"), col("lang"),
         explode(probeExprs).as("pr"))
       .select(col("id_y"), col("n_y"),
-        xxhash64(col("lang"), col("pr.i"), col("pr.s")).as("k"))
+        xxhash64(col("lang"), lenBucket(col("n_y")), col("pr.i"),
+          col("pr.s")).as("k"))
       .distinct() // window substrings repeat; shrink the join input
     // loud per-key truncation on the PROBE side (capping one input
     // already zeroes a degenerate key's join product — see
@@ -2539,8 +2580,9 @@ object PipelineQueries {
     // Catalyst re-expands shared subtrees per consumer — un-cut, the
     // tokenize + explode + distinct pipeline ran three times. The frame
     // is vocabulary-sized (distinct tokens × sources), far below the
-    // corpus it derives from — the g2 oriented-edge treatment.
-    val st = graft.operators.Lineage.cut(docs(s, dir)
+    // corpus it derives from — the g2 oriented-edge treatment (cutShared:
+    // durable-mode rdd-N dirs registered for app-end + releaseAll).
+    val st = graft.operators.Lineage.cutShared(docs(s, dir)
       .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
       .distinct())
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))

@@ -209,6 +209,17 @@ class GraphsRetrievalSplitsSpec extends AnyFunSuite {
       assert(ccStar.toSeq == cc.toSeq)
       assert(rddDirs().size == 4,
         s"star CC left intermediate checkpoints: ${rddDirs().sorted}")
+      // shared-frame cuts (ADVICE r15): a NON-loop Lineage.cutShared
+      // (g2's oriented edge list) must register its per-query reliable
+      // checkpoint the same way — app-end deletion + releaseAll
+      // reachability — instead of leaking one rdd-N dir per query
+      val tri = Graphs.triangleCounts(nodes, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(tri.forall(_._2 == 0L)) // a path graph has no triangles
+      assert(rddDirs().size == 5,
+        s"cutShared checkpoint missing or duplicated: ${rddDirs().sorted}")
+      assert(graft.operators.Lineage.pendingAppEnd(spark) >= 5,
+        "cutShared checkpoint not registered for application-end deletion")
       // long-lived-process hook (ADVICE r10): a server that never ends
       // its application reclaims consumed results at request boundaries
       graft.operators.Lineage.releaseAll(spark)

@@ -196,6 +196,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"label rank must be bounded by WindowGroupLimit:\n$p")
   }
 
+  test("ast_top_series_other: the label rank is bounded and narrow — " +
+      "no full-chart single-partition funnel") {
+    // r16 shape: the chart grid is cutShared'd once (so zero parquet
+    // scans survive in the consumer plan); the ≤ n winning labels are a
+    // TakeOrdered plan literal (in-gate collect at query build), so the
+    // consumer plan has NO window and NO single-partition exchange at
+    // all — the rollup is one distributed (label, step) partial-agg
+    // shuffle. The r15 shape ranked rows that carried collect_list of
+    // each label's whole series through one task at 100k-series
+    // cardinality.
+    val p = plan(EngineQueries.queries("ast_top_series_other")(spark, dir))
+    assert(!p.contains("collect_list"),
+      s"no collected series may cross any exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition funnel allowed in the rollup plan:\n$p")
+    assert(!p.contains("Window"),
+      s"the label rank must be an in-gate TakeOrdered, not a window:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0,
+      s"chart subtree must be materialized exactly once (cutShared), " +
+      s"found $scans scans in the consumer plan:\n$p")
+  }
+
   test("a36: the lead window's exchange is reused by the aggregation — " +
       "one shuffle total") {
     val p = plan(CoreQueries.queries("a36_time_weighted_avg")(spark, dir))
