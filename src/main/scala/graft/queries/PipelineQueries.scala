@@ -2373,7 +2373,8 @@ object PipelineQueries {
   private[graft] val D14MaxKeyMembers = 1000
 
   private[graft] def d14Pairs(s: SparkSession, dir: String,
-      maxKeyMembers: Int = D14MaxKeyMembers): DataFrame = {
+      maxKeyMembers: Int = D14MaxKeyMembers,
+      lenBucketKey: Boolean = false): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
         col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
       // distinct 3-gram hash set per prefix, computed ONCE per document
@@ -2426,49 +2427,65 @@ object PipelineQueries {
       struct(lit(i).as("i"),
         substring(col("prefix"), st + 1, ln).as("s"))
     }: _*)
-    // r16: the |Δn| <= 24 length constraint COMPOSES into the blocking
-    // key instead of filtering the join OUTPUT. Measured (r13
-    // StageProfile, re-confirmed r16): the wall is generating/filtering
-    // the 66M-pair blocking-join output, and only ~15% of random doc
-    // pairs satisfy |Δn| <= 24 on this length distribution (44–577
-    // chars) — so keying on the length bucket cuts the join output
-    // ~5–7× while the probe stream stays EXACTLY the same size. Probe
-    // side keys on its own bucket floor(n_y/50); the seg side emits the
-    // 1–2 buckets covering [n_x−24, n_x+24] (an interval of length 48
-    // spans at most one 50-grid boundary, so floor((n_x−24)/50) and
-    // floor((n_x+24)/50) are the only values floor(n_y/50) can take —
-    // coverage is exact, candidates restricted to |Δn| <= 24 are the
-    // IDENTICAL multiset: the probe's bucket matches at most one of the
-    // ≤ 2 distinct emitted buckets, so no pair gains multiplicity).
-    // floor-division via double (exact: n < 2^53), not `div`, so a
-    // corpus with n < 24 still buckets correctly (div truncates toward
-    // zero). PipelinePropertySpec pins blocking completeness.
+    // lenBucketKey composes the |Δn| <= 24 length constraint into the
+    // blocking key (probe side on floor(n_y/50), seg side on the 1–2
+    // buckets covering n_x ± 24 — coverage exact, candidate multiset
+    // within the length band identical). Measured r16 at sf10 in an
+    // interleaved same-session A/B (tools/D14BucketAb): bucket_key
+    // 38.25 s vs flat_key 35.25 s median — the 2× seg-stream blowup
+    // (sort/build) costs MORE than the rejected pairs' condition evals
+    // saved (a rejected pair never materializes a row; it is one
+    // join-condition evaluation). Default stays FLAT; the toggle and
+    // the proof stay for the receipt. The real sf10 wall is the probe
+    // explode→distinct→cap pipeline (667 core-s, 1.9 GB shuffled,
+    // StageProfile r16) — attacked by the map-side array_distinct
+    // dedup below (the full distinct exchange was within-document
+    // dedup in disguise).
     def lenBucket(n: org.apache.spark.sql.Column) =
       floor(n / 50.0).cast("long")
-    val segs = long.select(col("doc_id").as("id_x"),
+    val segs0 = long.select(col("doc_id").as("id_x"),
         col("n_chars").as("n_x"), col("lang"),
         explode(segExprs).as("seg"))
-      .select(col("id_x"), col("n_x"), col("lang"), col("seg"),
-        explode(array_distinct(array(
-          lenBucket(col("n_x") - 24), lenBucket(col("n_x") + 24))))
-          .as("bkt"))
-      .select(col("id_x"), col("n_x"),
-        xxhash64(col("lang"), col("bkt"), col("seg.i"), col("seg.s"))
-          .as("k"))
-    val probeExprs = array((for {
+    val segs =
+      if (lenBucketKey) segs0
+        .select(col("id_x"), col("n_x"), col("lang"), col("seg"),
+          explode(array_distinct(array(
+            lenBucket(col("n_x") - 24), lenBucket(col("n_x") + 24))))
+            .as("bkt"))
+        .select(col("id_x"), col("n_x"),
+          xxhash64(col("lang"), col("bkt"), col("seg.i"), col("seg.s"))
+            .as("k"))
+      else segs0.select(col("id_x"), col("n_x"),
+        xxhash64(col("lang"), col("seg.i"), col("seg.s")).as("k"))
+    // The probe-window dedup is WITHIN-document by construction (the
+    // old distinct key was (id_y, n_y, k) and id_y differs across
+    // docs), so it needs NO exchange at all: hash every window in the
+    // probe ARRAY and array_distinct it before the explode — one
+    // hashset over ~110 longs per document, map-side. The r15 spelling
+    // paid a full distinct shuffle of the exploded stream for exactly
+    // this dedup: 501 core-s of partial hashmaps + an 835 MB exchange
+    // at sf10 (StageProfile r16), the entry's #2 stage. Keys are
+    // bit-identical (same xxhash64 over (lang[, bucket], i, s)), so
+    // the downstream cap/join sees the identical row multiset.
+    // (A seg-key Bloom prefilter here was measured and REJECTED, like
+    // r13's q-gram idea: 3–4-char segments are dense in content space
+    // at corpus scale, so ~90% of windows match SOME document's
+    // segment — the filter kept the stream, cost 11 s of build and
+    // ~350 core-s of probes at sf10.)
+    val probeHashExprs = array((for {
       (i, st, ln) <- segBounds
       o <- -S to S
       p = st + o
       if p >= 0 && p + ln <= L
-    } yield struct(lit(i).as("i"),
-      substring(col("prefix"), p + 1, ln).as("s"))): _*)
+    } yield {
+      val s = substring(col("prefix"), p + 1, ln)
+      if (lenBucketKey)
+        xxhash64(col("lang"), lenBucket(col("n_chars")), lit(i), s)
+      else xxhash64(col("lang"), lit(i), s)
+    }): _*)
     val probes = long.select(col("doc_id").as("id_y"),
-        col("n_chars").as("n_y"), col("lang"),
-        explode(probeExprs).as("pr"))
-      .select(col("id_y"), col("n_y"),
-        xxhash64(col("lang"), lenBucket(col("n_y")), col("pr.i"),
-          col("pr.s")).as("k"))
-      .distinct() // window substrings repeat; shrink the join input
+      col("n_chars").as("n_y"),
+      explode(array_distinct(probeHashExprs)).as("k"))
     // loud per-key truncation on the PROBE side (capping one input
     // already zeroes a degenerate key's join product — see
     // capKeyMembers). The probe stream, not segs, on purpose: probes
