@@ -37,4 +37,20 @@ object LocalTuning {
     // it helps. Cost on tiny floor-priced entries measured ±30 ms
     // (more tasks per stage), net strongly positive.
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    // Spark 4.1's ChecksumCheckpointFileManager writes a sibling
+    // checksum file for EVERY streaming-checkpoint file (state deltas,
+    // offset/commit logs) and every close() AWAITS that async write —
+    // jstack r16: state-store commits of KB-sized deltas park in
+    // ChecksumCancellableFSDataOutputStream.close → awaitResult, and
+    // disabling the manager cut symmetricHashJoin commit time 3–4×
+    // (PLANS.md "streaming per-trigger floor"). The checksums guard
+    // long-lived durable checkpoints against silent storage corruption;
+    // the harness's checkpoints are ephemeral per-run /tmp dirs whose
+    // lifetime is one AvailableNow drain, so the integrity layer
+    // protects nothing here. At the 100 TB posture this line does not
+    // apply (production sessions don't use LocalTuning) and the default
+    // stays on — there a delta file is MBs, the await overlaps real IO,
+    // and checkpoint dirs outlive processes. Session-overridable like
+    // any SQLConf (set it back to true to measure the cost).
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 }

@@ -31,6 +31,16 @@ object StreamProfile {
       .config("spark.driver.memory", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B toggle for the r16 checksum-manager hypothesis: Spark 4.1's
+    // ChecksumCheckpointFileManager awaits an async checksum-file write
+    // on EVERY checkpoint-file close (state deltas, offsets, commits) —
+    // jstack shows commit time parked in ChecksumCancellableFSDataOutput
+    // Stream.close → awaitResult. Streaming confs are read at query
+    // start, so a session-conf set here applies to each entry.
+    sys.env.get("SPARK_GRAFT_CKSUM").foreach { v =>
+      spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", v)
+    }
     val events = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.sql.streaming.StreamingQueryProgress]()
     spark.streams.addListener(new StreamingQueryListener {
