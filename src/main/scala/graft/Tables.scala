@@ -85,6 +85,22 @@ object Tables {
   /** Register every table as a temp view named after itself; idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+
+  /** Exact (min, max) of the canonical epoch-nanos `ts` over the whole
+    * table, answered from parquet FOOTER STATISTICS alone — no data
+    * scan, no Spark job. This is the manifest lookup the incremental
+    * entries model (the reference reads segment spans from its PG
+    * manifest, never from the data): at any scale the cost is one
+    * footer read per file, and at 100 TB the segment manifest plays the
+    * same role. int64 min/max statistics are exact in parquet (stat
+    * truncation applies only to binary columns), so the values are
+    * BIT-IDENTICAL to `load(...).agg(min(ts), max(ts))` — pinned by
+    * TsBoundsSpec across every sf fixture. None when any file lacks a
+    * usable statistic (caller falls back to the aggregate job) — never
+    * a partial answer. */
+  def tsBoundsNanos(spark: SparkSession, sfDir: String,
+      name: String): Option[(Long, Long)] =
+    TsEncoding.footerTsBoundsNanos(spark, s"$sfDir/$name.parquet")
 }
 
 /** Event-time storage-unit detection for int64-encoded `ts` columns.
@@ -122,6 +138,77 @@ private[graft] object TsEncoding {
         }
         if (mins.isEmpty) None else Some(mins.min)
       } finally reader.close()
+    }
+  }
+
+  /** Exact (min, max) epoch-nanos bounds of `ts` from EVERY file's
+    * footer statistics under `path`. Scale handling mirrors
+    * [[Tables.load]]: TIMESTAMP(MICROS/NANOS) annotations fix the unit
+    * from the schema; a plain int64 infers it from the min sample via
+    * [[nanosScale]] (the same rule load applies). Strict: any file or
+    * row group without a non-null int64 statistic for `ts` yields None
+    * rather than a partial bound. */
+  def footerTsBoundsNanos(s: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    if (files.isEmpty) return None
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var scale: Option[Long] = None
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val footer = reader.getFooter
+        if (scale.isEmpty) {
+          val schema = footer.getFileMetaData.getSchema
+          if (!schema.containsField("ts")) return None
+          schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                  scale = Some(1L)
+                case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  scale = Some(1000L)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  scale = Some(1000000L)
+                case _ => return None
+              }
+            case null => () // raw int64: infer from the min sample below
+            case _ => return None
+          }
+        }
+        footer.getBlocks.asScala.foreach { block =>
+          val chunks = block.getColumns.asScala
+            .filter(_.getPath.toDotString == "ts")
+          if (chunks.isEmpty) return None
+          chunks.foreach { c =>
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                if (mn.longValue() < lo) lo = mn.longValue()
+                if (mx.longValue() > hi) hi = mx.longValue()
+              case _ => return None
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    if (lo > hi) None
+    else {
+      val k = scale.getOrElse(nanosScale(lo))
+      Some((lo * k, hi * k))
     }
   }
 

@@ -29,6 +29,20 @@ object EngineQueries {
     Telemetry.nanos(Tables.load(s, dir, "events"), "ts",
       valueCol = col("value"), message = Some(col("props")))
 
+  /** (min, max) epoch-nanos of events.ts for the incremental entries'
+    * SegmentSpan — from parquet footer statistics when every file
+    * carries them (no Spark job; the reference reads segment spans from
+    * its PG manifest, never from the data — r16, one job floor saved
+    * per entry), else the one-row aggregate the entries always ran.
+    * int64 footer min/max are exact, so both paths return bit-identical
+    * values (TsBoundsSpec pins equality on every sf fixture). */
+  private def eventsTsBounds(s: SparkSession, dir: String): (Long, Long) =
+    Tables.tsBoundsNanos(s, dir, "events").getOrElse {
+      val b = Tables.load(s, dir, "events")
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      (b.getLong(0), b.getLong(1))
+    }
+
   private def tables(s: SparkSession, dir: String): String => Telemetry = {
     val tel = eventsTel(s, dir)
     _ => tel
@@ -624,9 +638,9 @@ object EngineQueries {
     val ast = AstJson.parseBaseExpr(
       """{"id": "a", "dataset": "logs",
         |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
-    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (tsLo, tsHi) = eventsTsBounds(s, dir)
     val span = graft.engine.ReplaySequencer.SegmentSpan("events",
-      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+      tsLo / 1000000L, tsHi / 1000000L + 1)
     val rows = QueryEngine.tagValuesIncremental(eventsTel(s, dir), ast,
         "event_type", START, END, DAY, Seq(span), minGroupSize = 4)
       .flatMap { case (seq, vs) => vs.map(v => (seq.toLong, v)) }.toList
@@ -648,9 +662,9 @@ object EngineQueries {
         |    "q1": {"k": "value", "v": ["198"], "op": "gt", "dataType": "number"},
         |    "q2": {"k": "event_type", "v": ["purchase"], "op": "eq"}}
         |}""".stripMargin)
-    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (tsLo, tsHi) = eventsTsBounds(s, dir)
     val span = graft.engine.ReplaySequencer.SegmentSpan("events",
-      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+      tsLo / 1000000L, tsHi / 1000000L + 1)
     QueryEngine.exemplarsIncremental(eventsTel(s, dir), ast,
         START, END, DAY, Seq(span), minGroupSize = 4)
       .map { case (seq, df) =>
@@ -872,8 +886,8 @@ object EngineQueries {
     val ast = AstJson.parseBaseExpr(
       """{"id": "a", "dataset": "logs",
         |  "filter": {"k": "props", "op": "exists"}}""".stripMargin)
-    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val (loMs, hiMs) = (b.getLong(0) / 1000000L, b.getLong(1) / 1000000L)
+    val (tsLo, tsHi) = eventsTsBounds(s, dir)
+    val (loMs, hiMs) = (tsLo / 1000000L, tsHi / 1000000L)
     val span = graft.engine.ReplaySequencer.SegmentSpan("events",
       loMs, hiMs + 1)
     val ests = QueryEngine.cardinalityIncremental(eventsTel(s, dir), ast,
@@ -968,9 +982,9 @@ object EngineQueries {
         |}}}""".stripMargin)
     val tel = Telemetry.nanos(ev, "ts", valueCol = col("value"),
       message = Some(col("props")))
-    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (tsLo, tsHi) = eventsTsBounds(s, dir)
     val span = graft.engine.ReplaySequencer.SegmentSpan("events",
-      b.getLong(0) / 1000000L, b.getLong(1) / 1000000L + 1)
+      tsLo / 1000000L, tsHi / 1000000L + 1)
     QueryEngine.evaluateIncremental(_ => tel, ast, START, END, DAY,
         Seq(span), minGroupSize = 4, reverse = true)
       .map { rb =>
@@ -1003,10 +1017,8 @@ object EngineQueries {
     * hash-mismatches. */
   def ast_incremental_formula(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .head()
-    val (loMs, hiMs) = (bounds.getLong(0) / 1000000L,
-      bounds.getLong(1) / 1000000L)
+    val (tsLo, tsHi) = eventsTsBounds(s, dir)
+    val (loMs, hiMs) = (tsLo / 1000000L, tsHi / 1000000L)
     val day0 = loMs / 86400000L
     // first day interval of replay group 1 (grid fact, planning-time)
     val boundaryDay = day0 + 4
