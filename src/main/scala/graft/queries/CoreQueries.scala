@@ -1130,39 +1130,27 @@ object CoreQueries {
     val d = t(s, dir, "documents")
     val toks = d.select(col("source"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
-    // The three SMALL reused aggregates are cut (localCheckpoint) so
-    // their consumers don't re-expand the tokenize subtree: perSource
-    // feeds est AND its own ALL-row merge, probes feeds two broadcast
-    // consumers, exactSrc the exact union's both branches — 7 tokenize
-    // passes over documents as raw plans, 3 with the cuts. Measured
-    // (tools/K4Ab, VERDICT r16 item 6): recompute 3.06 s vs cut_small
-    // 1.43 s at sf0.1, 8.20 vs 8.53 at sf10 (within noise) — and the
-    // r15 prediction that cutting the per-OCCURRENCE token stream
-    // loses is now a receipt: cut_toks 25.6 s at sf10, 3× worse. The
-    // cut frames are sources × 256 KB sketches, 10 probe tokens and
-    // sources × 10 exact counts — bounded at any corpus scale.
-    val perSource = graft.operators.Lineage.cutShared(
-      toks.groupBy(col("source"))
-        .agg(CM.cmSketch(col("w"), depth = 4, width = width).as("sk"),
-          count(lit(1)).as("n_tok")))
+    val perSource = toks.groupBy(col("source"))
+      .agg(CM.cmSketch(col("w"), depth = 4, width = width).as("sk"),
+        count(lit(1)).as("n_tok"))
     val all = perSource
       .agg(CM.cmMerge(col("sk")).as("sk"), sum(col("n_tok")).as("n_tok"))
       .select(lit("ALL").as("source"), col("sk"), col("n_tok"))
-    val probes = graft.operators.Lineage.cutShared(d
+    val probes = d
       .select(explode(array_distinct(
         TextAnalysis.tokens(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), col("token")).limit(10)
-      .select(col("token")))
+      .select(col("token"))
     val est = perSource.select(col("source"), col("sk"), col("n_tok"))
       .union(all)
       .crossJoin(broadcast(probes))
       .select(col("source"), col("token"), col("n_tok"),
         CM.cmEstimateOf(col("sk"), col("token")).as("est"))
-    val exactSrc = graft.operators.Lineage.cutShared(toks
+    val exactSrc = toks
       .join(broadcast(probes), col("w") === col("token"))
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("n_occ")))
+      .agg(count(lit(1)).as("n_occ"))
     val exact = exactSrc.union(
       exactSrc.groupBy(col("token")).agg(sum(col("n_occ")).as("n_occ"))
         .select(lit("ALL").as("source"), col("token"), col("n_occ")))
